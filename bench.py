@@ -1,0 +1,102 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query materializes fully JVM-side via the noop sink (no driver
+collect), on local[$SPARK_GRAFT_CPUS] with AQE on — the same plan shapes
+a cluster run would use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "agg_count_distinct",
+    "agg_cube",
+    "join_broadcast_star",
+    "sub_correlated",
+    "win_topk_per_group",
+    "win_running_sum",
+    "events_tumbling_window",
+    "events_sessionize",
+    # pipeline operators (present from round 1+ as implemented)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "knn_bruteforce_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark_sql_on_hbase_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_sql_on_hbase_spark.queries import spark_queries
+
+    qs = spark_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+        except Exception as ex:  # report but keep the suite running
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+            dt = -1.0
+        timings[name] = dt
+        if dt > 0:
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (noop sink, cold session)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

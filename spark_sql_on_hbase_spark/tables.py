@@ -1,0 +1,62 @@
+"""Test/bench table loading: the driver-provided TPC-H-ish parquet tables.
+
+`load_tables(spark, sf_dir)` registers every table as a temp view so both
+the SQL and DataFrame paths see the same catalog names the DuckDB oracle
+uses.  Reads are plain `spark.read.parquet` — columnar scan, predicate
+pushdown and column pruning come from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# driver parquet quirks: events.ts is TIMESTAMP(NANOS) which Spark's reader
+# rejects unless spark.sql.legacy.parquet.nanosAsLong=true (then it arrives
+# as a LongType of nanoseconds); orders/lineitem timestamps arrive as
+# TIMESTAMP_NTZ.  Normalize everything to session-TZ TimestampType (session
+# TZ is pinned UTC) so timestamp literals and unix_timestamp() behave
+# identically to the DuckDB oracle.
+_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
+    for col in _TS_COLS.get(name, ()):
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):  # nanos-as-long
+            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all driver tables as temp views; returns name → DataFrame."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = _normalize_timestamps(name, spark.read.parquet(path))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
