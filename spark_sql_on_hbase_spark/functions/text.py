@@ -1,0 +1,37 @@
+"""Text-column helpers shared by the dedup / text-analysis operators.
+
+``hash60`` is the engine's deterministic cross-platform 60-bit hash
+(first 15 hex chars of md5 → BIGINT): unlike Spark's xxhash64/murmur it
+is reproducible in any SQL engine, which is what lets the DuckDB oracle
+validate MinHash/SimHash signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash60(col) -> Column:
+    """Deterministic 60-bit hash of a string column (md5-prefix based)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def whitespace_tokens(col) -> Column:
+    """Lower-cased whitespace tokenization → array<string>."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(col), r"\s+")
+
+
+def word_ngrams(tokens, n: int) -> Column:
+    """Word n-gram shingles from a token array (space-joined)."""
+    tokens = F.col(tokens) if isinstance(tokens, str) else tokens
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,175 @@
+"""Deduplication operators over a document DataFrame.
+
+All are pure DataFrame compositions (no Python UDFs): explode → hash →
+min-aggregate → band-join.  The hashes use the engine's cross-platform
+``hash60`` so every signature is reproducible by the DuckDB oracle.
+
+Scale design (100 TB):
+- exact:   one hash-partitioned groupBy on a 60-bit text hash — the
+           canonical map-side-combinable aggregation; no text shuffles,
+           only (hash, id) pairs.
+- minhash: shingle explosion is map-local; the only shuffle carries
+           (doc_id, perm_id, min_hash) rows — K rows per doc, not the
+           shingle set.  Band-bucket join is an equi-join on (band,
+           signature), AQE-skew-safe because signatures are uniform.
+- simhash: same shape, one shuffle of (doc_id, 16 bit-sums).
+- ngram_jaccard: inverted-index self-join on shingle hash — the standard
+           candidate-pair pattern; a frequency cap drops stop-shingles
+           (df > cap) to bound the quadratic blowup on hot shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts; keep the minimum id as the canonical doc.
+
+    Returns (keep_id, n_dups) — n_dups counts the group size.
+    """
+    return (
+        docs.select(F.col(id_col), hash60(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) pairs of word n-grams."""
+    return (
+        docs.select(F.col(id_col), word_ngrams(whitespace_tokens(F.col(text_col)), n).alias("sh"))
+        .select(id_col, F.explode("sh").alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: for permutation k, min over shingles of
+    hash60(k || '|' || shingle).  Returns (id, perm, minhash) long format."""
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    return (
+        sh.select(id_col, "s", perms)
+        .select(
+            id_col,
+            "perm",
+            hash60(F.concat_ws("|", F.col("perm").cast("string"), F.col("s"))).alias("h"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    num_perm/bands rows per band; with 16/4 the collision threshold is
+    roughly j ≈ (1/4)^(1/4) ≈ 0.71 Jaccard.  Returns (id_a, id_b) with
+    id_a < id_b, distinct.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    band_sig = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("perm").cast("string"), F.col("minhash").cast("string"))))).alias("bsig"))
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit b set iff Σ_tokens ±1 ≥ 0,
+    where the sign is bit b of hash60(token).  Returns (id, simhash)."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("t"))
+        .select(id_col, hash60(F.col("t")).alias("h"))
+    )
+    # integer shift+mask (never float division — 60-bit hashes exceed
+    # double precision and would round differently per engine)
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle
+    (inverted-index self-join).  Returns (id_a, id_b, jaccard) rounded to
+    4 decimals, jaccard ≥ threshold.
+
+    ``max_shingle_df`` drops shingles occurring in more than that many
+    docs before the self-join — the standard stop-shingle cap that keeps
+    the join from going quadratic on hot shingles at scale.  Leave None
+    for exact semantics (the oracle-checked configuration).
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_n).select(
+        F.col(id_col), hash60(F.col("s")).alias("sh")
+    ).distinct()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
+        sh = sh.join(hot, "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two tiers, as a 100 TB engine needs both:
+
+- ``knn_bruteforce``: exact top-k cosine.  The query side is tiny and
+  broadcast; the corpus side streams through a broadcast-nested-loop with
+  codegen'd vector math and a per-partition top-k (window) — no corpus
+  shuffle beyond the final k·|Q| rows.
+- ``lsh_signatures`` / ``knn_lsh``: random-hyperplane LSH.  Hyperplane
+  sign(i,j) is a fixed arithmetic pseudo-random pattern (documented
+  below) so signatures are engine-reproducible; at real scale you would
+  broadcast a true Gaussian matrix instead — the plan shape is identical
+  (map-side signature, equi-join on bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.functions.vector import cosine_similarity
+
+# deterministic ±1 hyperplane pattern: sign(j, i) = +1 iff
+# ((i+1)*2654435761 + (j+1)*40503) mod 7 < 3.5 — Knuth multiplicative
+# constants; reproducible in plain SQL on any engine.
+_P1, _P2, _MOD = 2654435761, 40503, 7
+
+
+def _sign(j, i):
+    return F.when((((i + 1) * _P1 + (j + 1) * _P2) % _MOD) < 3.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank), cos rounded to 4
+    decimals, rank by (rounded cos desc, neighbor_id) for determinism.
+    """
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(qid_col) != F.col("neighbor_id"))
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_signatures(
+    vecs: DataFrame,
+    bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: bit j = [dot(v, h_j) >= 0].
+
+    Pure higher-order-function expression — one pass, no shuffle.
+    Returns (id, sig) with sig an integer in [0, 2^bits).
+    """
+    v = F.col(vec_col)
+    sig = None
+    for j in range(bits):
+        dot_j = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: _sign(F.lit(j), i)),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return vecs.select(F.col(id_col), sig.cast("bigint").alias("sig"))
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact rerank within the query's LSH bucket.
+
+    At scale the bucket join replaces the cross join — candidates shrink
+    by ~2^bits; multi-probe (flipping low-confidence bits) would recover
+    recall, noted as the production extension.
+    """
+    csig = lsh_signatures(corpus, bits=bits, id_col=id_col, vec_col=vec_col).withColumnRenamed("sig", "csig")
+    qsig = lsh_signatures(queries, bits=bits, id_col=qid_col, vec_col=vec_col).withColumnRenamed("sig", "qsig")
+    c = corpus.join(csig, id_col)
+    q = queries.join(qsig, qid_col)
+    cand = (
+        F.broadcast(q.select(qid_col, F.col(vec_col).alias("qv"), "qsig"))
+        .join(
+            c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "csig"),
+            F.col("qsig") == F.col("csig"),
+        )
+        .filter(F.col(qid_col) != F.col("neighbor_id"))
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def neardup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, for modest corpus sizes;
+    the LSH bucket join is the scale path).  Returns (id_a, id_b, cos_sim)."""
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

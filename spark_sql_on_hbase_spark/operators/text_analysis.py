@@ -1,0 +1,118 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all built-in-function expressions (codegen'd,
+no Python in the hot path), each reproducible by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+
+# marker stopwords per language for the n-gram/stopword language-ID
+# heuristic; ties break by this declaration order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "y", "los", "de"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def _count_tokens_in(tokens, words: tuple[str, ...]):
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Argmax of per-language marker-token counts (declaration-order ties).
+
+    Returns (id, lang_pred, score) where score is the winning count.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    out = docs.select(F.col(id_col), toks.alias("toks"))
+    for lang, words in LANG_MARKERS.items():
+        out = out.withColumn(f"c_{lang}", _count_tokens_in(F.col("toks"), words))
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((F.col(f"c_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.select(F.col(id_col), pred.alias("lang_pred"), best.cast("bigint").alias("score"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + composite.
+
+    Returns (id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    stop_ratio, quality) — quality in [0,1], rounded to 4.
+    """
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.!?,;:]"), 0))
+    n_stop = _count_tokens_in(toks, STOPWORDS)
+    avg_tok = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    # composite: reward mid-length docs and normal stopword density.
+    # floor(x*1e4)/1e4 instead of round(): round() on exact-decimal
+    # boundaries (e.g. 0.53375) disagrees between Spark (BigDecimal
+    # shortest-repr, HALF_UP) and other engines (binary value) — floor of
+    # the identical IEEE double is deterministic everywhere.
+    quality = (
+        F.floor(
+            (
+                F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+                + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+                + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+            )
+            * 10000
+        )
+        / 10000
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars_m"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens, word-regex tokens, and a BPE-ish estimate
+    (⌈chars/4⌉ — the usual bytes-per-token heuristic)."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(whitespace_tokens(text)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0)).cast("bigint").alias("n_word_tokens"),
+        F.ceil(F.length(text) / 4.0).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Bottom-sketch document fingerprint over word-shingle hashes:
+    (min hash, distinct shingle count, full-text hash).  The min-hash is
+    the 1-permutation bottom sketch — winnowing's streaming cousin with
+    the same containment property."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(whitespace_tokens(F.col(text_col)), shingle_n)).alias("s"),
+        F.col(text_col),
+    ).select(F.col(id_col), hash60(F.col("s")).alias("h"), F.col(text_col))
+    return (
+        sh.groupBy(id_col)
+        .agg(
+            F.min("h").alias("min_shingle_hash"),
+            F.countDistinct("h").alias("n_shingles"),
+            F.first(hash60(F.col(text_col))).alias("text_hash"),
+        )
+    )

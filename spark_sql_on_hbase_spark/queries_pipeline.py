@@ -1,0 +1,443 @@
+"""LLM-pipeline query surface: dedup / similarity / text analysis /
+multimodal, each wired to the operators package with a DuckDB oracle
+where the computation is SQL-expressible (everything except the
+mapInPandas multimodal stubs — those are covered by pytest instead).
+
+The oracles reproduce the operators' exact arithmetic: the shared
+``hash60`` (md5-prefix) hash makes MinHash/SimHash signatures
+bit-identical across engines; cosine math is forced to DOUBLE on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.queries_relational import Q
+from spark_sql_on_hbase_spark.tables import load_tables
+
+PIPELINE: dict[str, Q] = {}
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring functions/text.py + operators internals
+# ---------------------------------------------------------------------------
+_D_HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _dh(x: str) -> str:
+    return _D_HASH60.format(x=x)
+
+
+# distinct (doc_id, s) word-3gram shingles of lower-cased whitespace tokens
+_D_SHINGLES = """
+  toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents),
+  sh AS (SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                            ELSE [] END) AS s
+         FROM toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import exact_dedup
+
+    t = load_tables(spark, sf)
+    return exact_dedup(t["documents"])
+
+
+PIPELINE["dedup_exact"] = Q(
+    spark=_dedup_exact,
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+    doc="exact dedup via hash-groupBy; canonical = min id",
+)
+
+
+def _dedup_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import minhash_signatures
+
+    t = load_tables(spark, sf)
+    return minhash_signatures(t["documents"], num_perm=16)
+
+
+PIPELINE["dedup_minhash_signatures"] = Q(
+    spark=_dedup_minhash_sigs,
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    perms AS (SELECT unnest(range(0, 16)) AS perm)
+    SELECT doc_id, perm,
+           min({_dh("perm::VARCHAR || '|' || s")}) AS minhash
+    FROM sh CROSS JOIN perms
+    GROUP BY doc_id, perm
+    """,
+    doc="16-permutation MinHash signatures, bit-identical cross-engine",
+)
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import minhash_lsh_candidates
+
+    t = load_tables(spark, sf)
+    return minhash_lsh_candidates(t["documents"], num_perm=16, bands=4)
+
+
+PIPELINE["dedup_minhash_lsh"] = Q(
+    spark=_dedup_minhash_lsh,
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    perms AS (SELECT unnest(range(0, 16)) AS perm),
+    sig AS (
+      SELECT doc_id, perm, min({_dh("perm::VARCHAR || '|' || s")}) AS minhash
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bandsig AS (
+      -- perm // 4: DuckDB's CAST(double AS INT) rounds, Spark's truncates;
+      -- integer division is unambiguous in both
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             array_to_string(list_sort(array_agg(perm::VARCHAR || ':' || minhash::VARCHAR)), ',') AS bsig
+      FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandsig a JOIN bandsig b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH banding (16 perms, 4 bands → ~0.71 Jaccard threshold)",
+)
+
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import simhash_signatures
+
+    t = load_tables(spark, sf)
+    return simhash_signatures(t["documents"], bits=16)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents
+    ),
+    hs AS (SELECT doc_id, {_dh('t')} AS h FROM toks),
+    bits AS (SELECT doc_id,
+           {sums}
+    FROM hs GROUP BY doc_id)
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits
+    """
+
+
+PIPELINE["dedup_simhash"] = Q(
+    spark=_dedup_simhash,
+    oracle=_simhash_oracle(16),
+    doc="16-bit SimHash signatures (token-sign sums), bit-identical cross-engine",
+)
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf)
+    return ngram_jaccard_pairs(t["documents"], threshold=0.8)
+
+
+PIPELINE["dedup_ngram_jaccard"] = Q(
+    spark=_dedup_ngram_jaccard,
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    shh AS (SELECT DISTINCT doc_id, {_dh('s')} AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+    """,
+    doc="exact n-gram Jaccard ≥0.8 via inverted-index self-join",
+)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def _text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import language_id
+
+    t = load_tables(spark, sf)
+    return language_id(t["documents"])
+
+
+def _langid_oracle() -> str:
+    from spark_sql_on_hbase_spark.operators.text_analysis import LANG_MARKERS
+
+    counts = ",\n           ".join(
+        f"len(list_filter(t, x -> list_contains({list(words)!r}, x))) AS c_{lang}".replace("'", "'")
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN c_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    counts_sql = counts.replace("[", "[").replace("]", "]")
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents),
+    cnt AS (SELECT doc_id,
+           {counts_sql}
+    FROM toks),
+    scored AS (SELECT doc_id, {best} AS best, * FROM cnt)
+    SELECT doc_id, {pred} AS lang_pred, CAST(best AS BIGINT) AS score FROM scored
+    """
+
+
+PIPELINE["text_language_id"] = Q(
+    spark=_text_langid,
+    oracle=_langid_oracle(),
+    doc="stopword-marker language ID heuristic (argmax, declaration-order ties)",
+)
+
+
+def _text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import quality_score
+
+    t = load_tables(spark, sf)
+    return quality_score(t["documents"])
+
+
+def _quality_oracle() -> str:
+    from spark_sql_on_hbase_spark.operators.text_analysis import STOPWORDS
+
+    stop_list = list(STOPWORDS)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> list_contains({stop_list!r}, x))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_m AS BIGINT) AS n_chars_m,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_chars_m / greatest(n_tokens, 1), 4) AS avg_token_len,
+           round(n_punct / greatest(n_chars_m, 1), 6) AS punct_ratio,
+           round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
+           floor((least(n_tokens / 100.0, 1.0) * 0.5
+                 + least(round(n_stop / greatest(n_tokens, 1), 6) * 5, 1.0) * 0.3
+                 + (1 - least(round(n_punct / greatest(n_chars_m, 1), 6) * 10, 1.0)) * 0.2) * 10000) / 10000 AS quality
+    FROM f
+    """
+
+
+PIPELINE["text_quality_score"] = Q(
+    spark=_text_quality,
+    oracle=_quality_oracle(),
+    doc="length/punct/stopword quality features + composite score",
+)
+
+
+def _text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import token_count
+
+    t = load_tables(spark, sf)
+    return token_count(t["documents"])
+
+
+PIPELINE["text_token_count"] = Q(
+    spark=_text_tokens,
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+    doc="whitespace + word-regex + BPE-estimate token counting",
+)
+
+
+def _text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import fingerprint
+
+    t = load_tables(spark, sf)
+    return fingerprint(t["documents"])
+
+
+PIPELINE["text_fingerprint"] = Q(
+    spark=_text_fingerprint,
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    shh AS (SELECT doc_id, {_dh('s')} AS h FROM sh)
+    SELECT s.doc_id,
+           min(h) AS min_shingle_hash,
+           count(DISTINCT h) AS n_shingles,
+           min({_dh('d.text')}) AS text_hash
+    FROM shh s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+    doc="bottom-sketch fingerprint: min shingle hash + shingle count + text hash",
+)
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+_D_COS = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import knn_bruteforce
+
+    t = load_tables(spark, sf)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(emb, queries, k=5)
+
+
+PIPELINE["knn_bruteforce_cosine"] = Q(
+    spark=_knn_bruteforce,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_D_COS.format(a='q.qv', b='e.embedding')}, 4) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="exact brute-force top-5 cosine ANN baseline (broadcast queries)",
+)
+
+
+def _ann_lsh_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import lsh_signatures
+
+    t = load_tables(spark, sf)
+    return lsh_signatures(t["embeddings"], bits=16)
+
+
+def _lsh_sig_sql(bits: int, vec: str = "embedding") -> str:
+    """DuckDB expression computing the random-hyperplane signature."""
+    terms = []
+    for j in range(bits):
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i]::DOUBLE * (CASE WHEN (i * 2654435761 + {(j + 1) * 40503}) % 7 < 3.5 "
+            f"THEN 1.0 ELSE -1.0 END)))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+PIPELINE["ann_lsh_signatures"] = Q(
+    spark=_ann_lsh_sigs,
+    oracle=f"""
+    SELECT vec_id, CAST({_lsh_sig_sql(16)} AS BIGINT) AS sig FROM embeddings
+    """,
+    doc="random-hyperplane LSH signatures (16 bits), engine-reproducible",
+)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import knn_lsh
+
+    t = load_tables(spark, sf)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(emb, queries, k=5, bits=8)
+
+
+PIPELINE["ann_lsh_topk"] = Q(
+    spark=_ann_lsh_topk,
+    oracle=f"""
+    WITH csig AS (
+      SELECT vec_id, CAST({_lsh_sig_sql(8)} AS BIGINT) AS sig FROM embeddings
+    ),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, c.sig AS qsig
+          FROM embeddings e JOIN csig c ON c.vec_id = e.vec_id WHERE e.vec_id < 20),
+    cand AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_D_COS.format(a='q.qv', b='e.embedding')}, 4) AS cos_sim
+      FROM q JOIN csig c ON c.sig = q.qsig
+             JOIN embeddings e ON e.vec_id = c.vec_id
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="LSH-bucketed approximate top-5 (8-bit buckets, exact rerank in bucket)",
+)
+
+
+def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import neardup_pairs
+
+    t = load_tables(spark, sf)
+    return neardup_pairs(t["embeddings"], threshold=0.3)
+
+
+PIPELINE["emb_neardup_pairs"] = Q(
+    spark=_emb_neardup,
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_D_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_D_COS.format(a='a.embedding', b='b.embedding')}, 4) >= 0.3
+    """,
+    doc="embedding-cosine near-duplicate pairs (threshold 0.3)",
+)
+
+# ---------------------------------------------------------------------------
+# multimodal (binary-column plumbing; decode kernels are pytest-covered stubs)
+# ---------------------------------------------------------------------------
+def _multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.multimodal import attach_binary_column
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(t["documents"], "text", "blob")
+    return df.select(
+        "doc_id",
+        F.col("blob_len"),
+        F.greatest(F.floor(F.col("blob_len") / 1000), F.lit(1)).cast("bigint").alias("n_chunks"),
+    )
+
+
+PIPELINE["multimodal_binary_meta"] = Q(
+    spark=_multimodal_meta,
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+           CAST(greatest(floor(octet_length(encode(text)) / 1000), 1) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+    doc="binary media column attach + chunk metadata (decode stubs in operators/multimodal.py, pytest-covered)",
+)

@@ -1,0 +1,139 @@
+"""Operator unit tests: dedup, similarity, text analysis, multimodal.
+
+Small inline fixtures with hand-checkable expectations; the sf-scale
+value checks live in the DuckDB-oracle battery (queries_pipeline.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.operators import dedup as D
+from spark_sql_on_hbase_spark.operators import multimodal as M
+from spark_sql_on_hbase_spark.operators import similarity as S
+from spark_sql_on_hbase_spark.operators import text_analysis as TA
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different words entirely here now friends"),
+        (5, "le chat et le chien et la souris"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r.keep_id: r.n_dups for r in D.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 merged, canonical id 1
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_near_dup_found(docs):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs, num_perm=16, bands=8).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_and_near(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_similar_docs_close(docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(docs, bits=16).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical simhash
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near <= ham_far
+    assert all(0 <= s < 2**16 for s in sigs.values())
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.8, 0.2, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_knn_bruteforce(vecs):
+    q = vecs.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.knn_bruteforce(vecs, q, k=2).collect()
+    ranked = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0][0] == 1  # nearest by cosine
+    assert len(ranked) == 2
+
+
+def test_lsh_signature_properties(vecs):
+    sigs = {r.vec_id: r.sig for r in S.lsh_signatures(vecs, bits=16).collect()}
+    assert sigs[0] == sigs[1] or bin(sigs[0] ^ sigs[1]).count("1") <= bin(sigs[0] ^ sigs[3]).count("1")
+    # opposite vectors get complementary signatures
+    assert sigs[0] ^ sigs[3] == 2**16 - 1
+
+
+def test_neardup_pairs(vecs):
+    pairs = {(r.id_a, r.id_b) for r in S.neardup_pairs(vecs, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (1, 4) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.lang_pred for r in TA.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "fr"
+
+
+def test_quality_and_tokens(docs):
+    q = {r.doc_id: r for r in TA.quality_score(docs).collect()}
+    assert q[1].n_tokens == 9
+    assert 0.0 <= q[1].quality <= 1.0
+    t = {r.doc_id: r for r in TA.token_count(docs).collect()}
+    assert t[1].n_ws_tokens == 9
+    assert t[1].n_word_tokens == 9
+
+
+def test_fingerprint_matches_for_identical_docs(docs):
+    fp = {r.doc_id: r for r in TA.fingerprint(docs).collect()}
+    assert fp[1].min_shingle_hash == fp[2].min_shingle_hash
+    assert fp[1].text_hash == fp[2].text_hash
+    assert fp[1].n_shingles == 7  # 9 tokens → 7 word-3grams
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+def test_attach_binary_and_decode(spark, docs):
+    bdf = M.attach_binary_column(docs, "text", "blob")
+    assert dict(bdf.dtypes)["blob"] == "binary"
+    meta = M.decode_media(bdf, "blob")
+    rows = {r.doc_id: r.meta for r in meta.collect()}
+    assert rows[1]["mime"] == "image/fake"
+    assert rows[1]["width"] == len("the quick brown fox jumps over the lazy dog") % 640 + 1
+    # deterministic: same text → same fake dims
+    assert rows[1] == rows[2]
+
+
+def test_extract_features_shape(spark, docs):
+    bdf = M.attach_binary_column(docs, "text", "blob")
+    feats = M.extract_features(bdf, "blob", dim=8)
+    rows = feats.collect()
+    assert all(len(r.features) == 8 for r in rows)
+    by_id = {r.doc_id: r.features for r in rows}
+    assert by_id[1] == by_id[2]  # deterministic
+
+
+def test_frame_sample_explodes(spark):
+    df = spark.createDataFrame([(1, b"x" * 2500)], ["vid_id", "blob"])
+    out = M.frame_sample(df, "blob", every_n_bytes=1000)
+    rows = sorted((r.frame_idx, r.frame_off) for r in out.collect())
+    assert rows == [(0, 0), (1, 1000)]
