@@ -1,0 +1,252 @@
+"""Astro catalog: logical tables with composite primary keys mapped onto
+physical region-file stores.
+
+Parity target: the reference's ``HBaseCatalog`` (HBaseCatalog.scala:75-465)
+— which persists each relation as a serialized blob in an HBase
+``metadata`` table — re-expressed as a JSON metastore directory.  Same
+observable model:
+
+- logical table = (key columns in row-key order) + (non-key columns each
+  mapped to a column-family.qualifier)
+- many logical tables may map onto one physical table (schema-on-read,
+  doc §16.1.1; exercised by ta/tb over one ht in
+  TestBaseWithSplitData.scala:34-92)
+- ALTER may add/drop only non-key columns (HBaseCatalog.scala:217-251)
+- region (partition) metadata carries per-region key bounds — here the
+  per-file min/max key tuples + encoded-rowkey bounds that drive pruning
+
+Scale: metadata is O(#logical tables) + O(#region files); at 100 TB with
+1 GB regions that is ~100k small dicts per table — kept in one JSON doc
+per table, loaded once per session and cached (the reference caches with
+a 600 s TTL, HBaseRelation.scala:199-243).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import asdict, dataclass, field
+
+from spark_sql_on_hbase_spark import codec as C
+
+BINARY_FORMAT = "binaryformat"
+STRING_FORMAT = "stringformat"
+
+
+@dataclass
+class KeyColumn:
+    """Reference: KeyColumn(sqlName, dataType, order) — HBaseCatalog.scala:58-61."""
+
+    name: str
+    dtype: str
+    order: int
+
+
+@dataclass
+class NonKeyColumn:
+    """Reference: NonKeyColumn(sqlName, dataType, family, qualifier) —
+    HBaseCatalog.scala:63-73."""
+
+    name: str
+    dtype: str
+    family: str
+    qualifier: str
+
+
+@dataclass
+class RegionFile:
+    """One sorted parquet region fragment with its key bounds."""
+
+    path: str
+    num_rows: int
+    min_key: list  # first key tuple (JSON-encoded values)
+    max_key: list  # last key tuple
+    min_rowkey_hex: str
+    max_rowkey_hex: str
+
+
+@dataclass
+class TableMeta:
+    name: str
+    namespace: str
+    physical_table: str
+    key_columns: list[KeyColumn]
+    nonkey_columns: list[NonKeyColumn]
+    encoding: str = BINARY_FORMAT
+    num_regions: int = 8
+    regions: list[RegionFile] = field(default_factory=list)
+    created_at: float = field(default_factory=time.time)
+    declared_columns: list[str] = field(default_factory=list)  # SQL declaration order
+
+    @property
+    def all_columns(self) -> list[tuple[str, str]]:
+        """(name, dtype) in SQL declaration order (reference: allColumns,
+        HBaseRelation.scala:89-97); LOAD maps CSV fields by this order."""
+        types = {k.name: k.dtype for k in self.key_columns}
+        types.update({c.name: c.dtype for c in self.nonkey_columns})
+        order = list(
+            self.declared_columns
+            or [k.name for k in sorted(self.key_columns, key=lambda k: k.order)]
+            + [c.name for c in self.nonkey_columns]
+        )
+        # ALTER ADD appends; ALTER DROP removes (declared list is creation-time)
+        order = [n for n in order if n in types]
+        order += [n for n in types if n not in order]
+        return [(n, types[n]) for n in order]
+
+    @property
+    def key_names(self) -> list[str]:
+        return [k.name for k in sorted(self.key_columns, key=lambda k: k.order)]
+
+    @property
+    def key_dtypes(self) -> list[str]:
+        return [k.dtype for k in sorted(self.key_columns, key=lambda k: k.order)]
+
+    def column_type(self, name: str) -> str:
+        for k in self.key_columns:
+            if k.name == name:
+                return k.dtype
+        for c in self.nonkey_columns:
+            if c.name == name:
+                return c.dtype
+        raise KeyError(name)
+
+
+def _json_key_value(v, dtype: str):
+    """JSON-encode one key-column value losslessly."""
+    if dtype in (C.FLOAT, C.DOUBLE):
+        return float(v)
+    if dtype == C.TIMESTAMP:
+        return str(v)
+    if dtype == C.DATE:
+        return str(v)
+    return v
+
+
+class AstroCatalog:
+    """JSON-file metastore rooted at ``warehouse_dir``.
+
+    Layout:
+      <warehouse>/<namespace>/<table>.meta.json     logical table metadata
+      <warehouse>/<namespace>/data/<physical>/      region parquet files
+    """
+
+    def __init__(self, warehouse_dir: str):
+        self.root = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+        self._cache: dict[str, TableMeta] = {}
+
+    # -- paths --------------------------------------------------------------
+    def _meta_path(self, namespace: str, table: str) -> str:
+        return os.path.join(self.root, namespace, f"{table}.meta.json")
+
+    def data_dir(self, meta: TableMeta) -> str:
+        return os.path.join(self.root, meta.namespace, "data", meta.physical_table)
+
+    # -- CRUD ---------------------------------------------------------------
+    def create_table(self, meta: TableMeta, *, if_not_exists: bool = False) -> None:
+        path = self._meta_path(meta.namespace, meta.name)
+        if os.path.exists(path):
+            if if_not_exists:
+                return
+            raise ValueError(f"table {meta.namespace}.{meta.name} already exists")
+        self._validate(meta)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._write(meta)
+
+    def _validate(self, meta: TableMeta) -> None:
+        # mapping checks exactly as HBaseSQLParser.scala:99-109: key ∪ mapped
+        # = all columns, disjoint; types storable
+        if not meta.key_columns:
+            raise ValueError("PRIMARY KEY required")
+        names = [c[0] for c in meta.all_columns]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate column names")
+        for _, dt in meta.all_columns:
+            C.normalize_type(dt)
+        if meta.encoding not in (BINARY_FORMAT, STRING_FORMAT):
+            raise ValueError(f"unknown encoding {meta.encoding}")
+        if not re.match(r"^\w+$", meta.physical_table.replace(".", "_")):
+            raise ValueError(f"bad physical table name {meta.physical_table}")
+
+    def get_table(self, table: str, namespace: str = "default") -> TableMeta:
+        key = f"{namespace}.{table}"
+        if key in self._cache:
+            return self._cache[key]
+        path = self._meta_path(namespace, table)
+        if not os.path.exists(path):
+            raise KeyError(f"table {key} not found")
+        with open(path) as f:
+            raw = json.load(f)
+        meta = TableMeta(
+            name=raw["name"],
+            namespace=raw["namespace"],
+            physical_table=raw["physical_table"],
+            key_columns=[KeyColumn(**k) for k in raw["key_columns"]],
+            nonkey_columns=[NonKeyColumn(**c) for c in raw["nonkey_columns"]],
+            encoding=raw["encoding"],
+            num_regions=raw["num_regions"],
+            regions=[RegionFile(**r) for r in raw["regions"]],
+            created_at=raw["created_at"],
+            declared_columns=raw.get("declared_columns", []),
+        )
+        self._cache[key] = meta
+        return meta
+
+    def table_exists(self, table: str, namespace: str = "default") -> bool:
+        return os.path.exists(self._meta_path(namespace, table))
+
+    def drop_table(self, table: str, namespace: str = "default") -> None:
+        """Logical drop only — physical files survive (matches the
+        reference: DropHbaseTableCommand removes catalog entry, not the
+        HBase table — hbaseCommands.scala:46-58)."""
+        path = self._meta_path(namespace, table)
+        if not os.path.exists(path):
+            raise KeyError(f"table {namespace}.{table} not found")
+        os.remove(path)
+        self._cache.pop(f"{namespace}.{table}", None)
+
+    def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
+        out = []
+        for ns in sorted(os.listdir(self.root)):
+            ns_dir = os.path.join(self.root, ns)
+            if not os.path.isdir(ns_dir) or (namespace and ns != namespace):
+                continue
+            for fn in sorted(os.listdir(ns_dir)):
+                if fn.endswith(".meta.json"):
+                    out.append((ns, fn[: -len(".meta.json")]))
+        return out
+
+    def alter_add_column(self, table: str, col: NonKeyColumn, namespace: str = "default") -> None:
+        meta = self.get_table(table, namespace)
+        if any(c[0] == col.name for c in meta.all_columns):
+            raise ValueError(f"column {col.name} already exists")
+        C.normalize_type(col.dtype)
+        meta.nonkey_columns.append(col)
+        self._write(meta)
+
+    def alter_drop_column(self, table: str, col_name: str, namespace: str = "default") -> None:
+        meta = self.get_table(table, namespace)
+        if col_name in meta.key_names:
+            # row-key composition cannot be altered (doc §16.1.3)
+            raise ValueError(f"cannot drop key column {col_name}")
+        before = len(meta.nonkey_columns)
+        meta.nonkey_columns = [c for c in meta.nonkey_columns if c.name != col_name]
+        if len(meta.nonkey_columns) == before:
+            raise ValueError(f"column {col_name} not found")
+        self._write(meta)
+
+    def update_regions(self, meta: TableMeta, regions: list[RegionFile]) -> None:
+        meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
+        self._write(meta)
+
+    def _write(self, meta: TableMeta) -> None:
+        path = self._meta_path(meta.namespace, meta.name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(meta), f, indent=1, default=str)
+        os.replace(tmp, path)
+        self._cache[f"{meta.namespace}.{meta.name}"] = meta

@@ -1,0 +1,327 @@
+"""Astro DDL/DML grammar — the reference's SQL extensions re-parsed in
+Python and compiled to commands the session executes eagerly.
+
+Parity target: ``HBaseSQLParser`` (HBaseSQLParser.scala:62-232).
+Covered statements (reference citation per command class):
+
+  CREATE TABLE [IF NOT EXISTS] [ns.]t (c TYPE, ..., PRIMARY KEY(a,b))
+      MAPPED BY (physTable [, COLS=[c=cf.q, ...]]) [IN format]
+      [OPTIONS (regions=N)]                        :67-109
+  DROP TABLE t                                     :180-188
+  SHOW TABLES                                      :190-196
+  DESCRIBE t                                       :198-209
+  ALTER TABLE t ADD c TYPE MAPPED BY (cf.q)        :224-232
+  ALTER TABLE t DROP c
+  LOAD [PARALL] DATA [LOCAL] INPATH 'p' [OVERWRITE] INTO TABLE t
+      [FIELDS TERMINATED BY 'x']                   :211-222
+  INSERT INTO [TABLE] t VALUES (...)               :67-75
+  INSERT INTO [TABLE] t SELECT ...                 (InsertableRelation path)
+
+Everything else falls through to Spark SQL, exactly as the reference
+falls through to the stock Spark 1.4 parser (HBaseSQLParser.scala:39).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CreateTable:
+    table: str
+    namespace: str
+    columns: list[tuple[str, str]]  # declaration order
+    key_columns: list[str]
+    physical_table: str
+    mappings: dict[str, tuple[str, str]]  # nonkey col → (family, qualifier)
+    encoding: str
+    num_regions: int = 8
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropTable:
+    table: str
+    namespace: str = "default"
+
+
+@dataclass
+class ShowTables:
+    pass
+
+
+@dataclass
+class DescribeTable:
+    table: str
+    namespace: str = "default"
+
+
+@dataclass
+class AlterAddCol:
+    table: str
+    col: str
+    dtype: str
+    family: str
+    qualifier: str
+    namespace: str = "default"
+
+
+@dataclass
+class AlterDropCol:
+    table: str
+    col: str
+    namespace: str = "default"
+
+
+@dataclass
+class BulkLoad:
+    table: str
+    path: str
+    parall: bool = False
+    local: bool = False
+    overwrite: bool = False
+    delimiter: str = ","
+    namespace: str = "default"
+
+
+@dataclass
+class InsertValues:
+    table: str
+    values: list[list]
+    namespace: str = "default"
+
+
+@dataclass
+class InsertSelect:
+    table: str
+    select_sql: str
+    namespace: str = "default"
+
+
+@dataclass
+class PassThrough:
+    sql: str
+
+
+Command = object
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep, respecting parens/brackets/quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _parse_table_name(name: str) -> tuple[str, str]:
+    name = name.strip().strip("`")
+    if "." in name:
+        ns, t = name.split(".", 1)
+        return ns, t
+    return "default", name
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*"
+    r"\((?P<cols>.*)\)\s*"
+    r"MAPPED\s+BY\s*\((?P<mapped>.*?)\)\s*"
+    r"(?:IN\s+(?P<fmt>\w+)\s*)?"
+    r"(?:OPTIONS\s*\((?P<opts>.*?)\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_LOAD_RE = re.compile(
+    r"^\s*LOAD\s+(?P<parall>PARALL\s+|DATA\s+)(?P<local>LOCAL\s+)?INPATH\s+"
+    r"'(?P<path>[^']+)'\s+(?P<over>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<name>[\w.`]+)"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+VALUES\s*\((?P<vals>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+ADD\s+(?P<col>\w+)\s+(?P<dtype>\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
+    r"MAPPED\s+BY\s*\(\s*(?P<fam>\w+)\.(?P<qual>\w+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+DROP\s+(?P<col>\w+)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.upper() == "NULL":
+        return None
+    if tok.upper() in ("TRUE", "FALSE"):
+        return tok.upper() == "TRUE"
+    if (tok.startswith("'") and tok.endswith("'")) or (tok.startswith('"') and tok.endswith('"')):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    raise ValueError(f"cannot parse literal {tok!r}")
+
+
+def parse(sql: str) -> Command:
+    s = sql.strip()
+    up = s.upper()
+
+    if up.startswith("CREATE TABLE") and "MAPPED BY" in up:
+        m = _CREATE_RE.match(s)
+        if not m:
+            raise ValueError(f"malformed CREATE TABLE ... MAPPED BY: {sql!r}")
+        ns, table = _parse_table_name(m.group("name"))
+        col_defs: list[tuple[str, str]] = []
+        key_cols: list[str] = []
+        for part in _split_top_level(m.group("cols")):
+            pk = re.match(r"^PRIMARY\s+KEY\s*\((.*)\)$", part, re.IGNORECASE | re.DOTALL)
+            if pk:
+                key_cols = [c.strip().strip("`") for c in pk.group(1).split(",")]
+                continue
+            toks = part.split(None, 1)
+            if len(toks) != 2:
+                raise ValueError(f"bad column def {part!r}")
+            col_defs.append((toks[0].strip("`"), toks[1].strip()))
+        if not key_cols:
+            raise ValueError("PRIMARY KEY clause required")
+
+        mapped_parts = _split_top_level(m.group("mapped"))
+        if not mapped_parts:
+            raise ValueError("MAPPED BY requires a physical table name")
+        physical = mapped_parts[0].strip()
+        mappings: dict[str, tuple[str, str]] = {}
+        for part in mapped_parts[1:]:
+            cm = re.match(r"^COLS\s*=\s*\[(.*)\]$", part, re.IGNORECASE | re.DOTALL)
+            if not cm:
+                raise ValueError(f"bad MAPPED BY clause {part!r}")
+            for pair in _split_top_level(cm.group(1)):
+                col, fq = pair.split("=", 1)
+                fam, qual = fq.strip().split(".", 1)
+                mappings[col.strip()] = (fam.strip(), qual.strip())
+
+        # validation exactly as HBaseSQLParser.scala:99-109: keys ∪ mapped
+        # = all, disjoint
+        declared = {c for c, _ in col_defs}
+        keyset, mapset = set(key_cols), set(mappings)
+        if not keyset <= declared:
+            raise ValueError(f"key columns {keyset - declared} not declared")
+        if keyset & mapset:
+            raise ValueError(f"columns both key and mapped: {keyset & mapset}")
+        missing = declared - keyset - mapset
+        # unmapped non-key columns default to family 'cf', qualifier = name
+        for c in sorted(missing):
+            mappings[c] = ("cf", c)
+
+        fmt = (m.group("fmt") or "binaryformat").lower()
+        if fmt not in ("binaryformat", "stringformat"):
+            raise ValueError(f"unknown format {fmt!r} (binaryformat|stringformat)")
+        num_regions = 8
+        if m.group("opts"):
+            for opt in _split_top_level(m.group("opts")):
+                k, v = opt.split("=", 1)
+                if k.strip().strip("'\"").lower() in ("regions", "num_regions"):
+                    num_regions = int(v.strip().strip("'\""))
+        return CreateTable(
+            table=table,
+            namespace=ns,
+            columns=col_defs,
+            key_columns=key_cols,
+            physical_table=physical,
+            mappings=mappings,
+            encoding=fmt,
+            num_regions=num_regions,
+            if_not_exists=bool(m.group("ine")),
+        )
+
+    if up.startswith("DROP TABLE"):
+        name = re.match(r"^\s*DROP\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE).group(1)
+        ns, t = _parse_table_name(name)
+        return DropTable(table=t, namespace=ns)
+
+    if re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE):
+        return ShowTables()
+
+    dm = re.match(r"^\s*DESC(?:RIBE)?\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
+    if dm:
+        ns, t = _parse_table_name(dm.group(1))
+        return DescribeTable(table=t, namespace=ns)
+
+    if up.startswith("ALTER TABLE"):
+        am = _ALTER_ADD_RE.match(s)
+        if am:
+            ns, t = _parse_table_name(am.group("name"))
+            return AlterAddCol(
+                table=t, namespace=ns, col=am.group("col"), dtype=am.group("dtype"),
+                family=am.group("fam"), qualifier=am.group("qual"),
+            )
+        am = _ALTER_DROP_RE.match(s)
+        if am:
+            ns, t = _parse_table_name(am.group("name"))
+            return AlterDropCol(table=t, namespace=ns, col=am.group("col"))
+        raise ValueError(f"malformed ALTER TABLE: {sql!r}")
+
+    if up.startswith("LOAD "):
+        m = _LOAD_RE.match(s)
+        if not m:
+            raise ValueError(f"malformed LOAD: {sql!r}")
+        ns, t = _parse_table_name(m.group("name"))
+        return BulkLoad(
+            table=t,
+            namespace=ns,
+            path=m.group("path"),
+            parall=m.group("parall").strip().upper() == "PARALL",
+            local=bool(m.group("local")),
+            overwrite=bool(m.group("over")),
+            delimiter=m.group("delim") or ",",
+        )
+
+    if up.startswith("INSERT"):
+        m = _INSERT_VALUES_RE.match(s)
+        if m:
+            ns, t = _parse_table_name(m.group("name"))
+            vals = [_parse_literal(v) for v in _split_top_level(m.group("vals"))]
+            return InsertValues(table=t, namespace=ns, values=[vals])
+        m = _INSERT_SELECT_RE.match(s)
+        if m:
+            ns, t = _parse_table_name(m.group("name"))
+            return InsertSelect(table=t, namespace=ns, select_sql=m.group("select"))
+        raise ValueError(f"malformed INSERT: {sql!r}")
+
+    return PassThrough(sql=sql)

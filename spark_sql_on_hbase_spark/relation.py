@@ -1,0 +1,232 @@
+"""AstroRelation: the table format — sorted, range-partitioned parquet
+"region" files keyed by an order-preserving binary row key.
+
+Parity target: ``HBaseRelation`` (HBaseRelation.scala:89-984) +
+the bulk-load path (hbaseCommands.scala:149-305, HBasePartitioner.scala).
+The reference's physical model (HBase regions = sorted key ranges with
+per-region bounds) maps to: one parquet file per region, rows sorted by
+key within the file, file-level key bounds recorded in the catalog.  That
+gives the same pruning algebra (binary-search of predicate ranges against
+region bounds) with Spark-native storage, plus parquet row-group/page
+min-max skipping *inside* each region for free.
+
+Write path = the reference's bulk load re-expressed Spark-first
+(SURVEY §2.1 row 17): CSV/DataFrame → encode rowkey (vectorized Arrow
+pandas_udf — the only Python in the pipeline, write-side only) →
+``repartitionByRange(rowkey)`` (Spark's range-sampling replaces
+HBasePartitioner's explicit split keys) → ``sortWithinPartitions`` →
+per-partition parquet files.  INSERT INTO appends new sorted fragments
+(the LSM-ish pattern; HBase memstore flush analog) — readers merge by
+scanning all fragments; ``compact()`` rewrites into clean regions.
+
+Scale notes (100 TB):
+- the rowkey encode is map-local; the only shuffle is the range
+  repartition, which any total-order bulk load needs.
+- region count should track data size (1 GB targets); `num_regions`
+  is the local knob, `repartitionByRange` handles skew by sampling.
+- file-bounds collection is one aggregate over (file → min/max), i.e.
+  O(#files) driver memory, never row data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_sql_on_hbase_spark import codec as C
+from spark_sql_on_hbase_spark.catalog import (
+    STRING_FORMAT,
+    AstroCatalog,
+    RegionFile,
+    TableMeta,
+    _json_key_value,
+)
+
+ROWKEY_COL = "_rowkey"
+
+_SPARK_TYPES = {
+    C.BYTE: T.ByteType(),
+    C.SHORT: T.ShortType(),
+    C.INT: T.IntegerType(),
+    C.LONG: T.LongType(),
+    C.FLOAT: T.FloatType(),
+    C.DOUBLE: T.DoubleType(),
+    C.BOOLEAN: T.BooleanType(),
+    C.STRING: T.StringType(),
+    C.DATE: T.DateType(),
+    C.TIMESTAMP: T.TimestampType(),
+    C.DECIMAL: T.DecimalType(20, 2),
+}
+
+
+def spark_type(dtype: str) -> T.DataType:
+    return _SPARK_TYPES[C.normalize_type(dtype)]
+
+
+def table_schema(meta: TableMeta) -> T.StructType:
+    """Spark schema in declared order; key columns non-nullable
+    (HBaseRelation.scala:652-655)."""
+    keys = set(meta.key_names)
+    return T.StructType(
+        [T.StructField(n, spark_type(dt), nullable=n not in keys) for n, dt in meta.all_columns]
+    )
+
+
+def _rowkey_udf(key_dtypes: list[str]):
+    """Vectorized Arrow encoder: key columns → binary rowkey.
+
+    Write-side only; production variant would be a JVM expression, but an
+    Arrow-batched encode at bulk-load time is bandwidth-bound, not
+    CPU-bound.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dtypes = list(key_dtypes)
+
+    @pandas_udf(T.BinaryType())
+    def encode(keys: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [C.encode_key(list(vals), dtypes) for vals in zip(*[keys[c] for c in keys.columns])]
+        )
+
+    return encode
+
+
+class AstroRelation:
+    def __init__(self, catalog: AstroCatalog, meta: TableMeta, spark: SparkSession):
+        self.catalog = catalog
+        self.meta = meta
+        self.spark = spark
+
+    # -- write --------------------------------------------------------------
+    def _with_rowkey(self, df: DataFrame) -> DataFrame:
+        enc = _rowkey_udf(self.meta.key_dtypes)
+        return df.withColumn(ROWKEY_COL, enc(F.struct(*[F.col(k) for k in self.meta.key_names])))
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Total-order bulk write: range shuffle on key, sort, one parquet
+        file per region, then record per-file bounds."""
+        meta = self.meta
+        out_dir = self.catalog.data_dir(meta)
+        n = max(1, meta.num_regions)
+        keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
+        (
+            keyed.repartitionByRange(n, F.col(ROWKEY_COL))
+            .sortWithinPartitions(ROWKEY_COL)
+            .write.mode(mode)
+            .parquet(out_dir)
+        )
+        self._refresh_region_bounds()
+
+    def append(self, df: DataFrame) -> None:
+        """INSERT INTO …: append sorted fragment files (HBase memstore-
+        flush analog; reference insert = batched Puts,
+        HBaseRelation.scala:657-708)."""
+        meta = self.meta
+        out_dir = self.catalog.data_dir(meta)
+        keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
+        n = min(max(1, meta.num_regions), max(1, df.rdd.getNumPartitions()))
+        (
+            keyed.repartitionByRange(n, F.col(ROWKEY_COL))
+            .sortWithinPartitions(ROWKEY_COL)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        self._refresh_region_bounds()
+
+    def compact(self) -> None:
+        """Rewrite all fragments into num_regions clean sorted regions."""
+        df = self.scan().select(*[c for c, _ in self.meta.all_columns])
+        # write to temp dir then swap would be the production move; local
+        # rewrite-in-place via cache is fine for the test scale
+        df = df.cache()
+        df.count()
+        self.write(df)
+        df.unpersist()
+
+    def _refresh_region_bounds(self) -> None:
+        """One aggregate job → per-file (min,max) key bounds into catalog."""
+        meta = self.meta
+        out_dir = self.catalog.data_dir(meta)
+        raw = self.spark.read.parquet(out_dir)
+        rows = (
+            raw.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min(ROWKEY_COL).alias("min_rk"),
+                F.max(ROWKEY_COL).alias("max_rk"),
+            )
+            .collect()
+        )
+        key_dtypes = meta.key_dtypes
+        regions = []
+        for r in rows:
+            min_t = C.decode_key(bytes(r.min_rk), key_dtypes)
+            max_t = C.decode_key(bytes(r.max_rk), key_dtypes)
+            regions.append(
+                RegionFile(
+                    path=r.file,
+                    num_rows=r.n,
+                    min_key=[_json_key_value(v, d) for v, d in zip(min_t, key_dtypes)],
+                    max_key=[_json_key_value(v, d) for v, d in zip(max_t, key_dtypes)],
+                    min_rowkey_hex=bytes(r.min_rk).hex(),
+                    max_rowkey_hex=bytes(r.max_rk).hex(),
+                )
+            )
+        self.catalog.update_regions(meta, regions)
+
+    # -- bulk load (CSV) ----------------------------------------------------
+    def load_csv(self, path: str, delimiter: str = ",") -> None:
+        """LOAD DATA INPATH: CSV fields map to declared columns by ordinal;
+        empty field ⇒ NULL (HadoopReader.scala:40-56 semantics); PARALL vs
+        serial disappears — the range shuffle is always parallel."""
+        schema = T.StructType([T.StructField(n, T.StringType(), True) for n, _ in self.meta.all_columns])
+        raw = self.spark.read.csv(path, sep=delimiter, schema=schema, nullValue="")
+
+        def field(n: str, dt: str):
+            col = F.when(F.trim(F.col(n)) == "", None).otherwise(F.col(n))
+            if C.normalize_type(dt) == C.BYTE:
+                # reference quirk: a non-numeric BYTE field loads as its raw
+                # UTF-8 byte (toBytes(Any) String case, bytesUtils.scala:235-246)
+                return F.coalesce(
+                    col.try_cast(T.ByteType()), F.ascii(col).cast(T.ByteType())
+                ).alias(n)
+            return col.cast(spark_type(dt)).alias(n)
+
+        typed = raw.select(*[field(n, dt) for n, dt in self.meta.all_columns])
+        if self.meta.regions:
+            self.append(typed)
+        else:
+            self.write(typed)
+
+    # -- read ---------------------------------------------------------------
+    def scan(self, with_rowkey: bool = False) -> DataFrame:
+        """Full scan over all region fragments.  Column pruning/predicate
+        pushdown reach parquet via Catalyst; row-group skipping on key
+        columns comes from the sorted layout."""
+        out_dir = self.catalog.data_dir(self.meta)
+        df = self.spark.read.parquet(out_dir)
+        present = set(df.columns)
+
+        def col(c: str, dt: str):
+            if c not in present:
+                # ALTER ADD-ed column: old rows have no cells → NULL
+                # (reference absent-cell semantics, HBaseRelation.scala:885-901)
+                return F.lit(None).cast(spark_type(dt)).alias(c)
+            # stringformat tables are schema-on-read: cast at scan
+            # (SURVEY §7 step 8)
+            if self.meta.encoding == STRING_FORMAT:
+                return F.col(c).cast(spark_type(dt)).alias(c)
+            return F.col(c)
+
+        cols = [col(c, dt) for c, dt in self.meta.all_columns]
+        if with_rowkey:
+            cols.append(F.col(ROWKEY_COL))
+        return df.select(*cols)
+
+    def register_view(self, name: str | None = None) -> None:
+        self.scan().createOrReplaceTempView(name or self.meta.name)

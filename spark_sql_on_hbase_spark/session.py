@@ -1,0 +1,191 @@
+"""AstroSession — the engine's user-facing entry point.
+
+Parity target: ``HBaseSQLContext`` + the Python wrapper
+(HBaseSQLContext.scala:28-56, python/pyspark_hbase/sql/context.py:26-48).
+`sql()` routes Astro DDL/DML to eager commands (like the reference's
+RunnableCommands) and everything else to Spark SQL with every Astro table
+registered as a temp view — so joins between Astro tables, parquet temp
+views and any other Spark source just work, exactly as the reference
+inherits the whole relational surface above the scan.
+
+Usage::
+
+    astro = AstroSession(spark, warehouse_dir="/tmp/astro")
+    astro.sql("CREATE TABLE t (k INT, v STRING, PRIMARY KEY(k)) MAPPED BY (ht)")
+    astro.sql("LOAD DATA INPATH '/data/t.csv' INTO TABLE t")
+    astro.sql("SELECT v, count(*) FROM t GROUP BY v").show()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_sql_on_hbase_spark import codec as C
+from spark_sql_on_hbase_spark import ddl
+from spark_sql_on_hbase_spark.catalog import (
+    AstroCatalog,
+    KeyColumn,
+    NonKeyColumn,
+    TableMeta,
+)
+from spark_sql_on_hbase_spark.relation import AstroRelation, table_schema
+
+
+class AstroSession:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.catalog = AstroCatalog(warehouse_dir)
+
+    # -- helpers ------------------------------------------------------------
+    def relation(self, table: str, namespace: str = "default") -> AstroRelation:
+        meta = self.catalog.get_table(table, namespace)
+        return AstroRelation(self.catalog, meta, self.spark)
+
+    def table(self, table: str, namespace: str = "default") -> DataFrame:
+        return self.relation(table, namespace).scan()
+
+    def _register_all(self) -> None:
+        import os
+
+        for ns, name in self.catalog.list_tables():
+            meta = self.catalog.get_table(name, ns)
+            # schema-on-read: another logical table may have populated the
+            # shared physical store (many-to-one mapping, doc §16.1.1)
+            if meta.regions or os.path.isdir(self.catalog.data_dir(meta)):
+                AstroRelation(self.catalog, meta, self.spark).register_view(name)
+            else:  # empty table → empty view with right schema
+                self.spark.createDataFrame([], table_schema(meta)).createOrReplaceTempView(name)
+
+    # -- entry point --------------------------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        cmd = ddl.parse(text)
+        handler = getattr(self, f"_exec_{type(cmd).__name__}", None)
+        if handler is None:
+            raise NotImplementedError(type(cmd).__name__)
+        return handler(cmd)
+
+    hql = sql  # reference CLI ergonomics (astro> prompt, HBaseSQLCliDriver.scala)
+
+    # -- command executors ---------------------------------------------------
+    def _exec_CreateTable(self, c: ddl.CreateTable) -> DataFrame:
+        declared = [n for n, _ in c.columns]
+        types = dict(c.columns)
+        meta = TableMeta(
+            name=c.table,
+            namespace=c.namespace,
+            physical_table=c.physical_table,
+            key_columns=[
+                KeyColumn(name=k, dtype=C.normalize_type(types[k]), order=i)
+                for i, k in enumerate(c.key_columns)
+            ],
+            nonkey_columns=[
+                NonKeyColumn(
+                    name=n,
+                    dtype=C.normalize_type(types[n]),
+                    family=c.mappings[n][0],
+                    qualifier=c.mappings[n][1],
+                )
+                for n in declared
+                if n not in set(c.key_columns)
+            ],
+            encoding=c.encoding,
+            num_regions=c.num_regions,
+            declared_columns=declared,
+        )
+        self.catalog.create_table(meta, if_not_exists=c.if_not_exists)
+        self.spark.createDataFrame([], table_schema(meta)).createOrReplaceTempView(c.table)
+        return self._ok(f"created {c.namespace}.{c.table}")
+
+    def _exec_DropTable(self, c: ddl.DropTable) -> DataFrame:
+        self.catalog.drop_table(c.table, c.namespace)
+        self.spark.catalog.dropTempView(c.table)
+        return self._ok(f"dropped {c.namespace}.{c.table}")
+
+    def _exec_ShowTables(self, c: ddl.ShowTables) -> DataFrame:
+        rows = [(ns, t) for ns, t in self.catalog.list_tables()]
+        return self.spark.createDataFrame(rows or [], "namespace string, tableName string")
+
+    def _exec_DescribeTable(self, c: ddl.DescribeTable) -> DataFrame:
+        """Reference DESCRIBE output: col name, type, KEY COLUMN/NON KEY
+        COLUMN + family.qualifier (hbaseCommands.scala:95-124)."""
+        meta = self.catalog.get_table(c.table, c.namespace)
+        key_order = {k.name: k.order for k in meta.key_columns}
+        fq = {nk.name: f"{nk.family}.{nk.qualifier}" for nk in meta.nonkey_columns}
+        rows = []
+        for name, dtype in meta.all_columns:
+            if name in key_order:
+                rows.append((name, dtype, f"KEY COLUMN ({key_order[name]})"))
+            else:
+                rows.append((name, dtype, f"NON KEY COLUMN ({fq[name]})"))
+        return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
+
+    def _exec_AlterAddCol(self, c: ddl.AlterAddCol) -> DataFrame:
+        self.catalog.alter_add_column(
+            c.table,
+            NonKeyColumn(name=c.col, dtype=C.normalize_type(c.dtype), family=c.family, qualifier=c.qualifier),
+            c.namespace,
+        )
+        self._register_all()
+        return self._ok(f"added column {c.col}")
+
+    def _exec_AlterDropCol(self, c: ddl.AlterDropCol) -> DataFrame:
+        self.catalog.alter_drop_column(c.table, c.col, c.namespace)
+        self._register_all()
+        return self._ok(f"dropped column {c.col}")
+
+    def _exec_BulkLoad(self, c: ddl.BulkLoad) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        rel.load_csv(c.path, delimiter=c.delimiter)
+        rel.register_view()
+        return self._ok(f"loaded {c.path} into {c.table}")
+
+    def _exec_InsertValues(self, c: ddl.InsertValues) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        schema = table_schema(rel.meta)
+        coerced = []
+        for row in c.values:
+            coerced.append(
+                [self._coerce(v, dt) for v, (_, dt) in zip(row, rel.meta.all_columns)]
+            )
+        df = self.spark.createDataFrame(coerced, schema)
+        if rel.meta.regions:
+            rel.append(df)
+        else:
+            rel.write(df)
+        rel.register_view()
+        return self._ok("inserted 1 row")
+
+    @staticmethod
+    def _coerce(v, dtype: str):
+        if v is None:
+            return None
+        t = C.normalize_type(dtype)
+        if t in (C.BYTE, C.SHORT, C.INT, C.LONG):
+            return int(v)
+        if t in (C.FLOAT, C.DOUBLE):
+            return float(v)
+        if t == C.BOOLEAN:
+            return bool(v)
+        return v
+
+    def _exec_InsertSelect(self, c: ddl.InsertSelect) -> DataFrame:
+        self._register_all()
+        src = self.spark.sql(c.select_sql)
+        rel = self.relation(c.table, c.namespace)
+        named = src.toDF(*[n for n, _ in rel.meta.all_columns])
+        cast = named.select(
+            *[named[n].cast(table_schema(rel.meta)[n].dataType) for n, _ in rel.meta.all_columns]
+        )
+        if rel.meta.regions:
+            rel.append(cast)
+        else:
+            rel.write(cast)
+        rel.register_view()
+        return self._ok(f"inserted into {c.table}")
+
+    def _exec_PassThrough(self, c: ddl.PassThrough) -> DataFrame:
+        self._register_all()
+        return self.spark.sql(c.sql)
+
+    def _ok(self, msg: str) -> DataFrame:
+        return self.spark.createDataFrame([(msg,)], "result string")

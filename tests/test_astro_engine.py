@@ -1,0 +1,183 @@
+"""End-to-end Astro engine tests: DDL → LOAD → SELECT cycles mirroring the
+reference suites (HBaseBasicQueriesSuite / HBaseTpcMiniTestSuite /
+HBaseBasicOperationSuite), with fixture shapes from FIXTURES.md.
+"""
+
+import os
+
+import pytest
+
+from spark_sql_on_hbase_spark.session import AstroSession
+
+# FIXTURES.md §3: TestTable 7-type coverage, 3-part key (doublecol, strcol, intcol)
+TESTTABLE_DDL = """
+CREATE TABLE TestTable (
+  strcol STRING, bytecol BYTE, shortcol SHORT, intcol INT,
+  longcol LONG, floatcol FLOAT, doublecol DOUBLE,
+  PRIMARY KEY (doublecol, strcol, intcol))
+MAPPED BY (ht_testtable, COLS=[bytecol=cf1.hbytecol, shortcol=cf1.hshortcol,
+  longcol=cf2.hlongcol, floatcol=cf2.hfloatcol])
+"""
+
+TESTTABLE_CSV = """Row2,b,12342,23456782,3456789012342,45657.82,5678912.345682
+Row4,d,12344,23456784,3456789012344,45657.84,5678912.345684
+Row5,e,12345,23456785,3456789012345,45657.85,5678912.345685
+"""
+
+
+@pytest.fixture()
+def astro(spark, tmp_path):
+    return AstroSession(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def loaded(astro, tmp_path):
+    csv = tmp_path / "testTable.txt"
+    csv.write_text(TESTTABLE_CSV)
+    astro.sql(TESTTABLE_DDL)
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE TestTable")
+    return astro
+
+
+def test_create_and_describe(astro):
+    astro.sql(TESTTABLE_DDL)
+    desc = {r.col_name: (r.data_type, r.comment) for r in astro.sql("DESCRIBE TestTable").collect()}
+    assert desc["doublecol"][1] == "KEY COLUMN (0)"
+    assert desc["strcol"][1] == "KEY COLUMN (1)"
+    assert desc["intcol"][1] == "KEY COLUMN (2)"
+    assert desc["bytecol"] == ("byte", "NON KEY COLUMN (cf1.hbytecol)")
+    assert desc["floatcol"] == ("float", "NON KEY COLUMN (cf2.hfloatcol)")
+    tables = [(r.namespace, r.tableName) for r in astro.sql("SHOW TABLES").collect()]
+    assert ("default", "TestTable") in tables
+
+
+def test_create_validation(astro):
+    with pytest.raises(ValueError):
+        astro.sql("CREATE TABLE bad (a INT, b INT) MAPPED BY (hbad)")  # no PK
+    with pytest.raises(ValueError):
+        astro.sql(
+            "CREATE TABLE bad (a INT, b INT, PRIMARY KEY(a)) "
+            "MAPPED BY (hbad, COLS=[a=cf.q])"
+        )  # key col mapped
+
+
+def test_load_and_select_all(loaded):
+    rows = loaded.sql("SELECT * FROM TestTable ORDER BY strcol").collect()
+    assert len(rows) == 3
+    assert rows[0].strcol == "Row2"
+    r = {x.strcol: x for x in rows}
+    assert r["Row2"].intcol == 23456782
+    assert r["Row4"].longcol == 3456789012344
+    assert abs(r["Row5"].floatcol - 45657.85) < 0.01
+    assert abs(r["Row5"].doublecol - 5678912.345685) < 1e-6
+
+
+def test_point_and_range_queries(loaded):
+    # point query on full key (reference Tpc Query 1 analog)
+    rows = loaded.sql(
+        "SELECT strcol, shortcol FROM TestTable "
+        "WHERE doublecol = 5678912.345684 AND strcol = 'Row4' AND intcol = 23456784"
+    ).collect()
+    assert len(rows) == 1 and rows[0].shortcol == 12344
+    # range on leading key
+    rows = loaded.sql(
+        "SELECT strcol FROM TestTable WHERE doublecol > 5678912.345682 ORDER BY strcol"
+    ).collect()
+    assert [r.strcol for r in rows] == ["Row4", "Row5"]
+
+
+def test_aggregate_and_join_inherited_surface(loaded):
+    rows = loaded.sql(
+        "SELECT count(*) AS n, sum(shortcol) AS s, avg(intcol) AS a FROM TestTable"
+    ).collect()
+    assert rows[0].n == 3 and rows[0].s == 12342 + 12344 + 12345
+    # self join (inherited relational surface over Astro scans)
+    rows = loaded.sql(
+        "SELECT a.strcol FROM TestTable a JOIN TestTable b ON a.intcol = b.intcol "
+        "WHERE b.strcol = 'Row2'"
+    ).collect()
+    assert [r.strcol for r in rows] == ["Row2"]
+
+
+def test_insert_values_and_select(loaded):
+    loaded.sql(
+        "INSERT INTO TestTable VALUES ('Row9', 1, 999, 111, 222, 1.5, 9.25)"
+    )
+    rows = loaded.sql("SELECT * FROM TestTable WHERE strcol = 'Row9'").collect()
+    assert len(rows) == 1 and rows[0].doublecol == 9.25
+    assert loaded.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 4
+
+
+def test_insert_select(loaded, spark):
+    loaded.sql(
+        "CREATE TABLE t2 (strcol STRING, intcol INT, PRIMARY KEY(strcol)) MAPPED BY (ht2)"
+    )
+    loaded.sql("INSERT INTO t2 SELECT strcol, intcol FROM TestTable")
+    assert loaded.sql("SELECT count(*) AS n FROM t2").collect()[0].n == 3
+
+
+def test_alter_add_drop(loaded):
+    loaded.sql("ALTER TABLE TestTable ADD extra INT MAPPED BY (cf3.extra)")
+    desc = {r.col_name for r in loaded.sql("DESCRIBE TestTable").collect()}
+    assert "extra" in desc
+    loaded.sql("ALTER TABLE TestTable DROP extra")
+    desc = {r.col_name for r in loaded.sql("DESCRIBE TestTable").collect()}
+    assert "extra" not in desc
+    with pytest.raises(ValueError):
+        loaded.sql("ALTER TABLE TestTable DROP strcol")  # key col
+
+
+def test_null_semantics_on_load(astro, tmp_path):
+    # FIXTURES.md §10: empty CSV field ⇒ NULL
+    csv = tmp_path / "nullable.txt"
+    csv.write_text("row1,,8,101\nrow2,2,,102\nrow3,3,10,\nrow4,,,\n")
+    astro.sql(
+        "CREATE TABLE nulltab (k STRING, a INT, b INT, c INT, PRIMARY KEY(k)) MAPPED BY (hnull)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE nulltab")
+    rows = {r.k: r for r in astro.sql("SELECT * FROM nulltab").collect()}
+    assert rows["row1"].a is None and rows["row1"].b == 8
+    assert rows["row2"].b is None
+    assert rows["row4"].a is None and rows["row4"].b is None and rows["row4"].c is None
+    n = astro.sql("SELECT count(*) AS n FROM nulltab WHERE a IS NULL").collect()[0].n
+    assert n == 2
+
+
+def test_drop_table(loaded):
+    loaded.sql("DROP TABLE TestTable")
+    assert not loaded.catalog.table_exists("TestTable")
+
+
+def test_region_files_sorted_with_bounds(loaded):
+    meta = loaded.catalog.get_table("TestTable")
+    assert meta.regions, "bounds recorded"
+    for r in meta.regions:
+        assert r.min_rowkey_hex <= r.max_rowkey_hex
+    # regions disjoint & ordered
+    hexes = sorted((r.min_rowkey_hex, r.max_rowkey_hex) for r in meta.regions)
+    for (a_min, a_max), (b_min, b_max) in zip(hexes, hexes[1:]):
+        assert a_max <= b_min
+
+
+def test_stringformat_table(astro, tmp_path):
+    # FIXTURES.md §2 analog: stringformat table, 1-col string key
+    csv = tmp_path / "sf.txt"
+    csv.write_text("01857000000007,1857,7\n01857000000008,1857,8\n")
+    astro.sql(
+        "CREATE TABLE sst (strkey STRING, item INT, ticket INT, PRIMARY KEY(strkey)) "
+        "MAPPED BY (hsst) IN stringformat"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE sst")
+    rows = astro.sql("SELECT * FROM sst WHERE item = 1857 ORDER BY ticket").collect()
+    assert [r.ticket for r in rows] == [7, 8]
+
+
+def test_many_to_one_mapping(astro, tmp_path):
+    # FIXTURES.md §4: two logical tables over one physical store
+    csv = tmp_path / "ta.txt"
+    csv.write_text("a,1\nb,2\n")
+    astro.sql("CREATE TABLE ta (c1 STRING, c2 INT, PRIMARY KEY(c1)) MAPPED BY (shared_ht)")
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE ta")
+    astro.sql("CREATE TABLE tb (c1 STRING, c2 INT, PRIMARY KEY(c1)) MAPPED BY (shared_ht)")
+    # tb reads the same physical data (schema-on-read)
+    assert astro.sql("SELECT count(*) AS n FROM tb").collect()[0].n == 2
