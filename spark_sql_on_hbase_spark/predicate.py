@@ -1,0 +1,478 @@
+"""Predicate IR, parser, and 3-valued interval evaluation.
+
+Parity targets:
+- ``ScanPredClassifier`` (ScanPredClassifier.scala:27-143) — split a
+  predicate into (pushdownable, residual) under AND/OR algebra;
+- ``PartialPredicateOperations.partialReduce``
+  (catalyst/expressions/PartialPredicateOperations.scala:41-333) — evaluate
+  a predicate over *ranges* instead of points with TRUE/FALSE/UNKNOWN
+  outcomes — re-expressed as interval arithmetic over decoded key values
+  (``types/RangeType.scala`` models the same thing over raw bytes).
+
+The evaluator is deliberately conservative: UNKNOWN whenever a sound
+answer isn't provable, and the full original predicate is always
+re-applied after the scan (SURVEY §7 "known-hard" #2 mitigation) — so
+pruning can only be an optimization, never a correctness hazard.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional, Union
+
+TRUE, FALSE, UNKNOWN = 1, 0, -1
+
+
+# ---------------------------------------------------------------------------
+# IR
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Comparison:
+    op: str  # = != < <= > >=
+    col: str
+    value: object
+
+
+@dataclass(frozen=True)
+class InList:
+    col: str
+    values: tuple
+
+
+@dataclass(frozen=True)
+class IsNull:
+    col: str
+
+
+@dataclass(frozen=True)
+class IsNotNull:
+    col: str
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class Opaque:
+    """Unparseable / non-sargable fragment — always UNKNOWN (residual)."""
+
+    text: str
+
+
+Pred = Union[Comparison, InList, IsNull, IsNotNull, And, Or, Not, Opaque]
+
+
+# ---------------------------------------------------------------------------
+# parser: WHERE-style boolean expressions over col-vs-literal comparisons
+# ---------------------------------------------------------------------------
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,)
+    | (?P<op><=|>=|<>|!=|=|<|>)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<num>-?\d+\.\d+(?:[eE][-+]?\d+)?|-?\d+)
+    | (?P<word>[A-Za-z_]\w*)
+    )""",
+    re.VERBOSE,
+)
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if not m:
+                if text[pos:].strip():
+                    raise ValueError(f"cannot tokenize predicate at: {text[pos:pos+30]!r}")
+                break
+            pos = m.end()
+            for k, v in m.groupdict().items():
+                if v is not None:
+                    self.toks.append((k, v))
+                    break
+        self.i = 0
+
+    def peek(self, kind: str | None = None, value: str | None = None):
+        if self.i >= len(self.toks):
+            return None
+        k, v = self.toks[self.i]
+        if kind and k != kind:
+            return None
+        if value and v.upper() != value.upper():
+            return None
+        return v
+
+    def next(self):
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str, value: str | None = None):
+        if self.i >= len(self.toks):
+            raise ValueError(f"unexpected end of predicate (wanted {value or kind})")
+        k, v = self.next()
+        if k != kind or (value and v.upper() != value.upper()):
+            raise ValueError(f"expected {value or kind}, got {v!r}")
+        return v
+
+
+def _literal(kind: str, raw: str):
+    if kind == "str":
+        return raw[1:-1].replace("''", "'")
+    if kind == "num":
+        return float(raw) if ("." in raw or "e" in raw or "E" in raw) else int(raw)
+    if kind == "word":
+        up = raw.upper()
+        if up == "TRUE":
+            return True
+        if up == "FALSE":
+            return False
+        if up == "NULL":
+            return None
+    raise ValueError(f"bad literal {raw!r}")
+
+
+def parse_predicate(text: str) -> Pred:
+    """Parse a WHERE-style expression.  Grammar:
+
+    expr   := term (OR term)*
+    term   := factor (AND factor)*
+    factor := NOT factor | '(' expr ')' | atom
+    atom   := col op literal | literal op col | col [NOT] BETWEEN a AND b
+            | col [NOT] IN (lit, ...) | col IS [NOT] NULL
+    """
+    t = _Tokens(text)
+    p = _parse_or(t)
+    if t.i != len(t.toks):
+        raise ValueError(f"trailing tokens in predicate: {t.toks[t.i:]}")
+    return p
+
+
+def _parse_or(t: _Tokens) -> Pred:
+    parts = [_parse_and(t)]
+    while t.peek("word", "OR"):
+        t.next()
+        parts.append(_parse_and(t))
+    return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+
+def _parse_and(t: _Tokens) -> Pred:
+    parts = [_parse_factor(t)]
+    while t.peek("word", "AND"):
+        t.next()
+        parts.append(_parse_factor(t))
+    return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_factor(t: _Tokens) -> Pred:
+    if t.peek("word", "NOT"):
+        t.next()
+        return Not(_parse_factor(t))
+    if t.peek("lpar"):
+        t.next()
+        p = _parse_or(t)
+        t.expect("rpar")
+        return p
+    # atom
+    kind, raw = t.next()
+    if kind in ("str", "num"):
+        # literal op col
+        lit = _literal(kind, raw)
+        op = t.expect("op")
+        col = t.expect("word")
+        op = _FLIP.get(op, op)
+        if op in ("<>", "!="):
+            op = "!="
+        return Comparison(op=op, col=col, value=lit)
+    if kind != "word":
+        raise ValueError(f"unexpected token {raw!r}")
+    col = raw
+    if t.peek("word", "IS"):
+        t.next()
+        if t.peek("word", "NOT"):
+            t.next()
+            t.expect("word", "NULL")
+            return IsNotNull(col)
+        t.expect("word", "NULL")
+        return IsNull(col)
+    negate = False
+    if t.peek("word", "NOT"):
+        t.next()
+        negate = True
+    if t.peek("word", "BETWEEN"):
+        t.next()
+        k1, r1 = t.next()
+        lo = _literal(k1, r1)
+        t.expect("word", "AND")
+        k2, r2 = t.next()
+        hi = _literal(k2, r2)
+        rng = And((Comparison(">=", col, lo), Comparison("<=", col, hi)))
+        return Not(rng) if negate else rng
+    if t.peek("word", "IN"):
+        t.next()
+        t.expect("lpar")
+        vals = []
+        while True:
+            k, r = t.next()
+            vals.append(_literal(k, r))
+            if t.peek("comma"):
+                t.next()
+                continue
+            break
+        t.expect("rpar")
+        inl = InList(col, tuple(vals))
+        return Not(inl) if negate else inl
+    if negate:
+        raise ValueError("dangling NOT")
+    op = t.expect("op")
+    k, r = t.next()
+    lit = _literal(k, r)
+    if op in ("<>", "!="):
+        op = "!="
+    return Comparison(op=op, col=col, value=lit)
+
+
+# ---------------------------------------------------------------------------
+# classifier (ScanPredClassifier parity): which columns does each leaf touch
+# ---------------------------------------------------------------------------
+def referenced_columns(p: Pred) -> set[str]:
+    if isinstance(p, (Comparison, InList, IsNull, IsNotNull)):
+        return {p.col}
+    if isinstance(p, (And, Or)):
+        out: set[str] = set()
+        for c in p.children:
+            out |= referenced_columns(c)
+        return out
+    if isinstance(p, Not):
+        return referenced_columns(p.child)
+    return set()
+
+
+def classify(p: Pred, key_cols: set[str]) -> tuple[Optional[Pred], Optional[Pred]]:
+    """Split an AND-tree into (key-only part, residual part).
+
+    Mirrors ScanPredClassifier's AND decomposition: each top-level
+    conjunct goes to the pushable side iff it references only key columns.
+    OR nodes are pushable only when *every* leaf is key-only (the
+    reference additionally distributes OR to extract more — we keep the
+    conservative split; correctness is unaffected because the full
+    predicate is re-applied).
+    """
+    conjuncts = list(p.children) if isinstance(p, And) else [p]
+    push, resid = [], []
+    for c in conjuncts:
+        (push if referenced_columns(c) and referenced_columns(c) <= key_cols else resid).append(c)
+    mk = lambda xs: xs[0] if len(xs) == 1 else (And(tuple(xs)) if xs else None)
+    return mk(push), mk(resid)
+
+
+# ---------------------------------------------------------------------------
+# 3-valued interval evaluation (partialReduce parity)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Interval:
+    """Closed/open interval over python-comparable values; None = unbounded."""
+
+    lo: object = None
+    hi: object = None
+    lo_incl: bool = True
+    hi_incl: bool = True
+
+    @staticmethod
+    def point(v) -> "Interval":
+        return Interval(v, v, True, True)
+
+    @property
+    def is_point(self) -> bool:
+        return self.lo is not None and self.lo == self.hi and self.lo_incl and self.hi_incl
+
+
+def _cmp_interval(iv: Interval, op: str, v) -> int:
+    """Evaluate `col op v` where col ∈ iv → TRUE/FALSE/UNKNOWN."""
+    lo, hi = iv.lo, iv.hi
+    try:
+        if op == "=":
+            if lo is not None and (v < lo or (v == lo and not iv.lo_incl)):
+                return FALSE
+            if hi is not None and (v > hi or (v == hi and not iv.hi_incl)):
+                return FALSE
+            return TRUE if iv.is_point and lo == v else UNKNOWN
+        if op == "!=":
+            r = _cmp_interval(iv, "=", v)
+            return {TRUE: FALSE, FALSE: TRUE, UNKNOWN: UNKNOWN}[r]
+        if op == "<":
+            # definitely true iff every x in iv is < v
+            if hi is not None and (hi < v or (hi == v and not iv.hi_incl)):
+                return TRUE
+            # definitely false iff every x in iv is >= v
+            if lo is not None and lo >= v:
+                return FALSE
+            return UNKNOWN
+        if op == "<=":
+            if hi is not None and hi <= v:
+                return TRUE
+            if lo is not None and (lo > v or (lo == v and not iv.lo_incl)):
+                return FALSE
+            return UNKNOWN
+        if op == ">":
+            if lo is not None and (lo > v or (lo == v and not iv.lo_incl)):
+                return TRUE
+            if hi is not None and hi <= v:
+                return FALSE
+            return UNKNOWN
+        if op == ">=":
+            if lo is not None and lo >= v:
+                return TRUE
+            if hi is not None and (hi < v or (hi == v and not iv.hi_incl)):
+                return FALSE
+            return UNKNOWN
+    except TypeError:
+        return UNKNOWN
+    raise ValueError(f"bad op {op}")
+
+
+def _is_empty(iv: Interval) -> bool:
+    if iv.lo is None or iv.hi is None:
+        return False
+    try:
+        if iv.lo > iv.hi:
+            return True
+        if iv.lo == iv.hi and not (iv.lo_incl and iv.hi_incl):
+            return True
+    except TypeError:
+        return False
+    return False
+
+
+def _intersect(iv: Interval, op: str, v) -> Interval | None:
+    """iv ∩ {x | x op v}; None if empty."""
+    lo, hi, li, hi_i = iv.lo, iv.hi, iv.lo_incl, iv.hi_incl
+    try:
+        if op == "=":
+            out = Interval(v, v, True, True)
+            if _cmp_interval(iv, "=", v) == FALSE:
+                return None
+            return out
+        if op in ("<", "<="):
+            incl = op == "<="
+            if hi is None or v < hi:
+                hi, hi_i = v, incl
+            elif v == hi:
+                hi_i = hi_i and incl
+        elif op in (">", ">="):
+            incl = op == ">="
+            if lo is None or v > lo:
+                lo, li = v, incl
+            elif v == lo:
+                li = li and incl
+        else:  # != — no refinement unless iv is the excluded point
+            if iv.is_point and iv.lo == v:
+                return None
+            return iv
+    except TypeError:
+        return iv
+    out = Interval(lo, hi, li, hi_i)
+    return None if _is_empty(out) else out
+
+
+def _refine(children: tuple, env: dict[str, Interval]) -> dict[str, Interval] | None:
+    """Constraint propagation over an AND's comparison children → tightened
+    env, or None when jointly unsatisfiable (the cross-conjunct
+    contradiction case, e.g. k<2 AND k>5 — reference
+    HBasePartitionerSuite contradiction tests)."""
+    refined = dict(env)
+    for c in children:
+        if isinstance(c, Comparison) and c.col in refined and c.value is not None:
+            iv2 = _intersect(refined[c.col], c.op, c.value)
+            if iv2 is None:
+                return None
+            refined[c.col] = iv2
+        elif isinstance(c, InList) and c.col in refined:
+            vals = [v for v in c.values if v is not None and _cmp_interval(refined[c.col], "=", v) != FALSE]
+            if not vals:
+                return None
+            try:
+                refined[c.col] = Interval(min(vals), max(vals))
+            except TypeError:
+                pass
+        elif isinstance(c, And):
+            sub = _refine(c.children, refined)
+            if sub is None:
+                return None
+            refined = sub
+    return refined
+
+
+def evaluate(p: Pred, env: dict[str, Interval]) -> int:
+    """3-valued evaluation of p under per-column interval bounds.
+
+    Columns absent from env are unconstrained (UNKNOWN leaves).  NULL
+    handling: key columns are non-nullable, so IS NULL → FALSE and IS NOT
+    NULL → TRUE for key columns in env; anything else UNKNOWN.
+    """
+    if isinstance(p, Opaque):
+        return UNKNOWN
+    if isinstance(p, Comparison):
+        iv = env.get(p.col)
+        if iv is None or p.value is None:
+            return UNKNOWN
+        return _cmp_interval(iv, p.op, p.value)
+    if isinstance(p, InList):
+        iv = env.get(p.col)
+        if iv is None:
+            return UNKNOWN
+        results = [_cmp_interval(iv, "=", v) for v in p.values if v is not None]
+        if any(r == TRUE for r in results):
+            return TRUE
+        if all(r == FALSE for r in results):
+            return FALSE
+        return UNKNOWN
+    if isinstance(p, IsNull):
+        return FALSE if p.col in env else UNKNOWN  # key cols non-nullable
+    if isinstance(p, IsNotNull):
+        return TRUE if p.col in env else UNKNOWN
+    if isinstance(p, And):
+        # FALSE iff jointly unsatisfiable: constraint propagation catches
+        # cross-conjunct contradictions individual evaluation misses
+        refined = _refine(p.children, env)
+        if refined is None:
+            return FALSE
+        rs = [evaluate(c, env) for c in p.children]
+        if any(r == FALSE for r in rs):
+            return FALSE
+        if all(r == TRUE for r in rs):
+            return TRUE
+        # OR children must stay satisfiable under the tightened bounds
+        for c in p.children:
+            if isinstance(c, Or) and all(evaluate(b, refined) == FALSE for b in c.children):
+                return FALSE
+        return UNKNOWN
+    if isinstance(p, Or):
+        rs = [evaluate(c, env) for c in p.children]
+        if any(r == TRUE for r in rs):
+            return TRUE
+        if all(r == FALSE for r in rs):
+            return FALSE
+        return UNKNOWN
+    if isinstance(p, Not):
+        r = evaluate(p.child, env)
+        return {TRUE: FALSE, FALSE: TRUE, UNKNOWN: UNKNOWN}[r]
+    raise TypeError(type(p))

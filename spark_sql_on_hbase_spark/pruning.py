@@ -1,0 +1,109 @@
+"""Multi-dimensional region-file pruning over composite-key bounds.
+
+Parity target: ``RangeCriticalPoint.generatePrunedPartitions``
+(HBaseCriticalPoint.scala:213-734) — the reference's multi-dimensional
+"critical point" partition pruning.  The reference enumerates predicate
+critical points per key dimension, partially evaluates the predicate over
+each candidate range, recurses into deeper dimensions for point ranges,
+and finally binary-searches surviving ranges against region boundaries
+(algorithm comment at HBaseCriticalPoint.scala:696-714).
+
+This implementation reaches the same pruning decisions through the dual
+formulation: instead of intersecting predicate-derived ranges with region
+bounds, it computes each region file's per-dimension interval envelope
+and 3-valued-evaluates the predicate against it (predicate.evaluate):
+
+- dimension 0's envelope is [min_key[0], max_key[0]];
+- dimension i>0 is constrained iff all shallower dimensions are constant
+  across the file (min_key[:i] == max_key[:i]) — exactly the condition
+  under which the reference's recursion descends into dimension i with a
+  point prefix (HBaseCriticalPoint.scala:432-482);
+- a file is pruned iff the predicate evaluates to definite FALSE.
+
+Both formulations prune a file iff the predicate is unsatisfiable over
+the file's key envelope, so the decisions coincide on conjunctions,
+disjunctions, IN-lists, and the reference's test matrix
+(CriticalPointsTestSuite) — see tests/test_pruning.py.
+
+The point-get fast path (HBaseSQLReaderRDD.scala:270-315: all-point
+ranges over the full key → batched Get) falls out: an equality/IN
+predicate over every key column evaluates every non-matching file to
+FALSE, so only files whose envelope contains a requested point survive.
+
+Scale: O(#files × predicate size) driver-side with zero I/O — the same
+asymptotics as the reference's driver-side pruning, and the surviving
+files' parquet row-group stats re-prune *inside* each file at read time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from spark_sql_on_hbase_spark.catalog import RegionFile, TableMeta
+from spark_sql_on_hbase_spark.predicate import (
+    FALSE,
+    Interval,
+    Pred,
+    classify,
+    evaluate,
+    parse_predicate,
+)
+from spark_sql_on_hbase_spark import codec as C
+
+
+@dataclass
+class PruneResult:
+    files: list[RegionFile]
+    total: int
+    predicate: Pred
+    key_pushed: Pred | None
+    residual: Pred | None
+
+    @property
+    def pruned(self) -> int:
+        return self.total - len(self.files)
+
+
+def _coerce_bound(v, dtype: str):
+    """Catalog JSON stores timestamps/dates as strings — bring them back
+    to comparable python values; numbers pass through."""
+    if dtype in (C.TIMESTAMP, C.DATE) and isinstance(v, str):
+        return v  # compared against string literals in predicates
+    return v
+
+
+def file_envelope(rf: RegionFile, meta: TableMeta) -> dict[str, Interval]:
+    """Per-key-column interval envelope of one region file."""
+    names = meta.key_names
+    dtypes = meta.key_dtypes
+    env: dict[str, Interval] = {}
+    mins = [_coerce_bound(v, d) for v, d in zip(rf.min_key, dtypes)]
+    maxs = [_coerce_bound(v, d) for v, d in zip(rf.max_key, dtypes)]
+    for i, name in enumerate(names):
+        if i == 0:
+            env[name] = Interval(mins[0], maxs[0])
+        elif mins[:i] == maxs[:i]:
+            # shallower dims constant across the file → dim i is tightly
+            # bounded (the reference's point-prefix recursion condition)
+            env[name] = Interval(mins[i], maxs[i])
+        else:
+            # dim i wraps around within the file → unconstrained
+            env[name] = Interval()
+    return env
+
+
+def prune_files(meta: TableMeta, where: str | Pred) -> PruneResult:
+    pred = parse_predicate(where) if isinstance(where, str) else where
+    key_pushed, residual = classify(pred, set(meta.key_names))
+    survivors = []
+    for rf in meta.regions:
+        env = file_envelope(rf, meta)
+        if evaluate(pred, env) != FALSE:
+            survivors.append(rf)
+    return PruneResult(
+        files=survivors,
+        total=len(meta.regions),
+        predicate=pred,
+        key_pushed=key_pushed,
+        residual=residual,
+    )

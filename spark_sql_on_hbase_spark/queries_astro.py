@@ -1,0 +1,127 @@
+"""Astro-engine query surface for the correctness gate.
+
+Builds an Astro table (composite PK, sorted region files) from the
+driver's lineitem parquet, then answers queries through the engine's
+pruned-scan path.  The DuckDB oracle runs the equivalent plain SQL over
+the raw lineitem view — results must match exactly, proving the
+region-file format + CPR pruning + residual filtering end-to-end.
+
+The table builds once per sf into .astro_warehouse/ (gitignored) and is
+reused across queries/rounds (testdata is read-only + deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.catalog import AstroCatalog, KeyColumn, NonKeyColumn, TableMeta
+from spark_sql_on_hbase_spark.queries_relational import Q
+from spark_sql_on_hbase_spark.relation import AstroRelation
+
+_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".astro_warehouse")
+
+_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+]
+
+
+def _ensure_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
+    """Create + load astro_lineitem once per scale factor."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    wh = os.path.join(_WAREHOUSE, tag)
+    catalog = AstroCatalog(wh)
+    if not catalog.table_exists("astro_lineitem"):
+        meta = TableMeta(
+            name="astro_lineitem",
+            namespace="default",
+            physical_table="h_lineitem",
+            key_columns=[KeyColumn("l_orderkey", "long", 0), KeyColumn("l_linenumber", "int", 1)],
+            nonkey_columns=[
+                NonKeyColumn("l_quantity", "double", "f", "qty"),
+                NonKeyColumn("l_extendedprice", "double", "f", "price"),
+                NonKeyColumn("l_discount", "double", "f", "disc"),
+                NonKeyColumn("l_returnflag", "string", "f", "rflag"),
+            ],
+            num_regions=16,
+            declared_columns=_COLS,
+        )
+        catalog.create_table(meta)
+        rel = AstroRelation(catalog, meta, spark)
+        src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(*_COLS)
+        rel.write(src)
+        return rel
+    meta = catalog.get_table("astro_lineitem")
+    return AstroRelation(catalog, meta, spark)
+
+
+def _pruned(where: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rel = _ensure_table(spark, sf_dir)
+        df, _res = rel.scan_where(where)
+        return df.select(*_COLS)
+
+    return run
+
+
+ASTRO: dict[str, Q] = {}
+
+_ORACLE_PROJ = ", ".join(_COLS)
+
+ASTRO["astro_point_lookup"] = Q(
+    spark=_pruned("l_orderkey = 42 AND l_linenumber = 1"),
+    oracle=f"SELECT {_ORACLE_PROJ} FROM lineitem WHERE l_orderkey = 42 AND l_linenumber = 1",
+    doc="full-key point query through CPR file pruning (touches 1 region; "
+    "reference point-Get path HBaseSQLReaderRDD.scala:270-315)",
+)
+
+ASTRO["astro_range_scan"] = Q(
+    spark=_pruned("l_orderkey BETWEEN 500 AND 600"),
+    oracle=f"SELECT {_ORACLE_PROJ} FROM lineitem WHERE l_orderkey BETWEEN 500 AND 600",
+    doc="leading-key range scan with region pruning (reference range-Scan path)",
+)
+
+ASTRO["astro_in_pruned"] = Q(
+    spark=_pruned("l_orderkey IN (7, 423, 981, 1771)"),
+    oracle=f"SELECT {_ORACLE_PROJ} FROM lineitem WHERE l_orderkey IN (7, 423, 981, 1771)",
+    doc="IN-list multi-point pruning (reference multi-Get)",
+)
+
+ASTRO["astro_mixed_residual"] = Q(
+    spark=_pruned("l_orderkey > 1400 AND l_quantity > 30 AND l_returnflag = 'R'"),
+    oracle=(
+        f"SELECT {_ORACLE_PROJ} FROM lineitem "
+        "WHERE l_orderkey > 1400 AND l_quantity > 30 AND l_returnflag = 'R'"
+    ),
+    doc="key-range pruning + non-key residual filter (ScanPredClassifier split)",
+)
+
+
+def _astro_full_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel = _ensure_table(spark, sf_dir)
+    return (
+        rel.scan()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+    )
+
+
+ASTRO["astro_table_agg"] = Q(
+    spark=_astro_full_agg,
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="aggregation over the Astro region-file scan (inherited surface above the storage layer)",
+)

@@ -230,3 +230,46 @@ class AstroRelation:
 
     def register_view(self, name: str | None = None) -> None:
         self.scan().createOrReplaceTempView(name or self.meta.name)
+
+    def scan_where(self, where: str):
+        """Pruned scan: CPR file pruning on key-column predicates, then the
+        FULL predicate re-applied over the surviving files (pruning is an
+        optimization, never a correctness dependency — SURVEY §7
+        known-hard #2).
+
+        Returns (DataFrame, PruneResult); PruneResult carries
+        files-read/files-total for plan assertions and bench metrics
+        (mirrors the reference's pruned-partition counts,
+        HBaseCriticalPoint.scala:715-733).
+        """
+        from spark_sql_on_hbase_spark.predicate import Opaque
+        from spark_sql_on_hbase_spark.pruning import PruneResult, prune_files
+
+        meta = self.meta
+        try:
+            res = prune_files(meta, where)
+        except ValueError:
+            # non-sargable / unparseable predicate → graceful full scan
+            # (reference Tpc Query 27: ss_ticket_number + 0 = 3 scans all,
+            # HBaseTpcMiniTestSuite.scala:328-332)
+            res = PruneResult(
+                files=list(meta.regions), total=len(meta.regions),
+                predicate=Opaque(where), key_pushed=None, residual=Opaque(where),
+            )
+        cols = [c for c, _ in meta.all_columns]
+        if not res.files:
+            df = self.spark.createDataFrame([], self.scan().schema)
+            return df, res
+        paths = [r.path for r in res.files]
+        df = self.spark.read.parquet(*paths)
+        if meta.encoding == STRING_FORMAT:
+            df = df.select(*[F.col(c).cast(spark_type(dt)).alias(c) for c, dt in meta.all_columns])
+        else:
+            present = set(df.columns)
+            df = df.select(
+                *[
+                    F.col(c) if c in present else F.lit(None).cast(spark_type(dt)).alias(c)
+                    for c, dt in meta.all_columns
+                ]
+            )
+        return df.filter(F.expr(where)), res

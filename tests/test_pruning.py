@@ -1,0 +1,159 @@
+"""CPR pruning tests — mirror the reference's CriticalPointsTestSuite
+(:42-632) and HBasePartitionerSuite computePredicate cases (:95-289),
+re-targeted at region-file pruning decisions + result correctness.
+
+Fixture: FIXTURES.md §7 testblk (3-part key col1 INT, col2 STRING,
+col3 INT) and §8 cf (pure-int 3-key skip-scan table, 27 rows).
+"""
+
+import pytest
+
+from spark_sql_on_hbase_spark.predicate import (
+    FALSE,
+    TRUE,
+    UNKNOWN,
+    Interval,
+    evaluate,
+    parse_predicate,
+)
+from spark_sql_on_hbase_spark.session import AstroSession
+
+
+# ---------------------------------------------------------------------------
+# predicate parser + 3-valued evaluation units
+# ---------------------------------------------------------------------------
+def test_parse_shapes():
+    p = parse_predicate("a = 1 AND (b > 2 OR c IN (1, 2)) AND d BETWEEN 3 AND 5")
+    assert evaluate(p, {"a": Interval.point(1), "b": Interval.point(3), "d": Interval.point(4)}) == TRUE
+    p2 = parse_predicate("NOT (a < 5)")
+    assert evaluate(p2, {"a": Interval.point(7)}) == TRUE
+    assert evaluate(p2, {"a": Interval.point(3)}) == FALSE
+
+
+def test_three_valued_ranges():
+    # HBasePartitionerSuite: "k = 8 OR k > 8" over partition ranges
+    p = parse_predicate("k = 8 OR k > 8")
+    assert evaluate(p, {"k": Interval(None, 7)}) == FALSE
+    assert evaluate(p, {"k": Interval(9, None)}) == TRUE
+    assert evaluate(p, {"k": Interval(5, 10)}) == UNKNOWN
+    # contradiction
+    c = parse_predicate("k < 2 AND k > 5")
+    assert evaluate(c, {"k": Interval(0, 100)}) == FALSE
+
+
+def test_in_list_and_null():
+    p = parse_predicate("k IN (3, 5, 7)")
+    assert evaluate(p, {"k": Interval(8, 20)}) == FALSE
+    assert evaluate(p, {"k": Interval.point(5)}) == TRUE
+    assert evaluate(parse_predicate("k IS NULL"), {"k": Interval(0, 9)}) == FALSE
+    assert evaluate(parse_predicate("k IS NOT NULL"), {"k": Interval(0, 9)}) == TRUE
+
+
+def test_string_comparisons():
+    p = parse_predicate("s >= 'bb' AND s < 'dd'")
+    assert evaluate(p, {"s": Interval("aa", "ab")}) == FALSE
+    assert evaluate(p, {"s": Interval("bc", "cc")}) == TRUE
+    assert evaluate(p, {"s": Interval("ca", "zz")}) == UNKNOWN
+
+
+# ---------------------------------------------------------------------------
+# end-to-end file pruning on an Astro table
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def cf_table(spark, tmp_path_factory):
+    """FIXTURES.md §8: cf(k1,k2,k3 key; nk1,nk2) i,100+i,1000+i,-i,-(100+i),
+    27 rows across 9 regions → each file holds a tight k1 range."""
+    wh = tmp_path_factory.mktemp("wh_cf")
+    astro = AstroSession(spark, str(wh))
+    astro.sql(
+        "CREATE TABLE cf (k1 INT, k2 INT, k3 INT, nk1 INT, nk2 INT, "
+        "PRIMARY KEY (k1, k2, k3)) MAPPED BY (hcf, COLS=[nk1=f.nk1, nk2=f.nk2]) "
+        "OPTIONS (regions=9)"
+    )
+    csv = wh / "cf.txt"
+    csv.write_text("".join(f"{i},{100+i},{1000+i},{-i},{-(100+i)}\n" for i in range(1, 28)))
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE cf")
+    return astro
+
+
+def _run(astro, where):
+    rel = astro.relation("cf")
+    df, res = rel.scan_where(where)
+    return df, res
+
+
+def test_point_get_touches_one_file(cf_table):
+    # full-key point query (reference point-Get path,
+    # HBaseSQLReaderRDD.scala:270-315)
+    df, res = _run(cf_table, "k1 = 14 AND k2 = 114 AND k3 = 1014")
+    assert len(res.files) == 1
+    assert res.total == 9
+    assert df.count() == 1
+
+
+def test_leading_range_prunes(cf_table):
+    df, res = _run(cf_table, "k1 BETWEEN 4 AND 9")
+    assert len(res.files) < 9
+    rows = sorted(r.k1 for r in df.collect())
+    assert rows == [4, 5, 6, 7, 8, 9]
+
+
+def test_in_list_prunes(cf_table):
+    df, res = _run(cf_table, "k1 IN (1, 27)")
+    assert len(res.files) <= 2
+    assert sorted(r.k1 for r in df.collect()) == [1, 27]
+
+
+def test_contradiction_reads_nothing(cf_table):
+    df, res = _run(cf_table, "k1 < 2 AND k1 > 5")
+    assert len(res.files) == 0
+    assert df.count() == 0
+
+
+def test_or_predicate(cf_table):
+    df, res = _run(cf_table, "k1 = 2 OR k1 = 26")
+    assert len(res.files) <= 2
+    assert sorted(r.k1 for r in df.collect()) == [2, 26]
+
+
+def test_second_dim_pruning_with_point_prefix(cf_table):
+    """Non-leading dim predicates prune only where the leading dim is
+    constant within a file (reference skip-scan / CPR recursion,
+    HBaseCustomFilter.scala + HBaseCriticalPoint.scala:432-482)."""
+    df, res = _run(cf_table, "k1 = 20 AND k2 = 120")
+    assert len(res.files) == 1
+    assert df.count() == 1
+    # k2-only predicate: k1 varies inside every file → conservative full scan
+    df2, res2 = _run(cf_table, "k2 = 120")
+    assert df2.count() == 1  # correctness regardless of pruning
+
+
+def test_nonkey_predicate_no_pruning_but_correct(cf_table):
+    df, res = _run(cf_table, "nk1 = -7")
+    assert len(res.files) == 9  # nk1 not a key → no file pruning
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].k1 == 7
+
+
+def test_mixed_key_nonkey(cf_table):
+    df, res = _run(cf_table, "k1 > 20 AND nk1 > -23")
+    assert len(res.files) < 9
+    assert sorted(r.k1 for r in df.collect()) == [21, 22]
+
+
+def test_classifier_split(cf_table):
+    from spark_sql_on_hbase_spark.predicate import classify, parse_predicate, referenced_columns
+
+    p = parse_predicate("k1 = 5 AND nk1 = -5 AND k2 > 100")
+    push, resid = classify(p, {"k1", "k2", "k3"})
+    assert referenced_columns(push) == {"k1", "k2"}
+    assert referenced_columns(resid) == {"nk1"}
+
+
+def test_non_sargable_degrades_to_full_scan(cf_table):
+    """Reference Tpc Query 27: arithmetic on key column → full scan, right
+    answer (HBaseTpcMiniTestSuite.scala:328-332)."""
+    df, res = _run(cf_table, "k1 + 0 = 3")
+    assert len(res.files) == res.total
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].k1 == 3
