@@ -34,8 +34,12 @@ _COLS = [
 
 
 def _ensure_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
-    """Create + load astro_lineitem once per scale factor."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    """Create + load astro_lineitem once per scale factor.
+
+    Written with align_prefix=1: region boundaries never split an
+    l_orderkey group, so the one-phase aggregation guard holds.
+    """
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_v2"
     wh = os.path.join(_WAREHOUSE, tag)
     catalog = AstroCatalog(wh)
     if not catalog.table_exists("astro_lineitem"):
@@ -56,7 +60,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
         catalog.create_table(meta)
         rel = AstroRelation(catalog, meta, spark)
         src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(*_COLS)
-        rel.write(src)
+        rel.write(src, align_prefix=1)
         return rel
     meta = catalog.get_table("astro_lineitem")
     return AstroRelation(catalog, meta, spark)
@@ -115,6 +119,40 @@ def _astro_full_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def _astro_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-phase (no Exchange) GROUP BY on the leading key column —
+    the reference's shuffle-elimination strategy (HBaseStrategies.scala:42-60)."""
+    from spark_sql_on_hbase_spark.plans.aggregate import AggSpec, agg_by_key_prefix
+
+    rel = _ensure_table(spark, sf_dir)
+    df, _used = agg_by_key_prefix(
+        rel,
+        ["l_orderkey"],
+        [
+            AggSpec("n_items", "count"),
+            AggSpec("sum_qty", "sum", "l_quantity"),
+            AggSpec("max_price", "max", "l_extendedprice"),
+        ],
+    )
+    return df.select(
+        "l_orderkey",
+        "n_items",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+ASTRO["astro_prefix_agg_noshuffle"] = Q(
+    spark=_astro_prefix_agg,
+    oracle="""
+    SELECT l_orderkey, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="shuffle-free key-prefix aggregation (one partial agg per region, no Exchange)",
+)
 
 ASTRO["astro_table_agg"] = Q(
     spark=_astro_full_agg,

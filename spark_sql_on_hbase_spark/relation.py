@@ -107,15 +107,26 @@ class AstroRelation:
         enc = _rowkey_udf(self.meta.key_dtypes)
         return df.withColumn(ROWKEY_COL, enc(F.struct(*[F.col(k) for k in self.meta.key_names])))
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+    def write(self, df: DataFrame, mode: str = "overwrite", align_prefix: int | None = None) -> None:
         """Total-order bulk write: range shuffle on key, sort, one parquet
-        file per region, then record per-file bounds."""
+        file per region, then record per-file bounds.
+
+        ``align_prefix=k`` range-partitions on the first k key columns
+        only (still fully key-sorted within each region), so region
+        boundaries never split a key-prefix group — the precondition the
+        one-phase aggregation guard checks (reference: regions pre-split
+        at group boundaries, HBaseStrategies.scala:102-127).
+        """
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
         n = max(1, meta.num_regions)
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
+        if align_prefix:
+            part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
+        else:
+            part_cols = [F.col(ROWKEY_COL)]
         (
-            keyed.repartitionByRange(n, F.col(ROWKEY_COL))
+            keyed.repartitionByRange(n, *part_cols)
             .sortWithinPartitions(ROWKEY_COL)
             .write.mode(mode)
             .parquet(out_dir)

@@ -75,7 +75,12 @@ def test_boolean_order(a, b):
 KEY_TYPES = [C.INT, C.STRING, C.LONG]
 key_tuples = st.tuples(
     st.integers(-(2**31), 2**31 - 1),
-    st.text(alphabet=st.characters(blacklist_characters="\x00"), max_size=8),
+    # no NUL (key delimiter), no lone surrogates (not valid UTF-8; cannot
+    # occur in Spark string columns)
+    st.text(
+        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        max_size=8,
+    ),
     st.integers(-(2**63), 2**63 - 1),
 )
 

@@ -1,0 +1,136 @@
+"""One-phase aggregation tests: guard logic, plan shape (no Exchange),
+and one-phase vs two-phase result equality (the reference pins the same
+properties in HBaseAdditionalQuerySuite.scala:251-296 with
+checkResult(df, containExchange, n))."""
+
+import math
+import random
+
+import pytest
+
+from spark_sql_on_hbase_spark.catalog import AstroCatalog, KeyColumn, NonKeyColumn, TableMeta
+from spark_sql_on_hbase_spark.plans.aggregate import (
+    AggSpec,
+    agg_by_key_prefix,
+    executed_plan,
+    prefix_groups_separated,
+)
+from spark_sql_on_hbase_spark.relation import AstroRelation
+
+
+@pytest.fixture(scope="module")
+def rel(spark, tmp_path_factory):
+    """grade/class/subject table (FIXTURES.md §5 spark_teacher_3key shape)
+    written with align_prefix=1 → regions never split a grade."""
+    wh = tmp_path_factory.mktemp("wh_agg")
+    catalog = AstroCatalog(str(wh))
+    meta = TableMeta(
+        name="teacher",
+        namespace="default",
+        physical_table="ht_teacher",
+        key_columns=[KeyColumn("grade", "int", 0), KeyColumn("class", "int", 1), KeyColumn("subject", "string", 2)],
+        nonkey_columns=[NonKeyColumn("age", "int", "cf", "b"), NonKeyColumn("score", "double", "cf", "c")],
+        num_regions=4,
+        declared_columns=["grade", "class", "subject", "age", "score"],
+    )
+    catalog.create_table(meta)
+    r = AstroRelation(catalog, meta, spark)
+    rng = random.Random(7)
+    rows = [
+        (g, c, f"subject_{s}", 20 + rng.randint(0, 30), round(rng.uniform(0, 100), 2))
+        for g in range(1, 9)
+        for c in range(1, 4)
+        for s in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "grade int, class int, subject string, age int, score double")
+    r.write(df, align_prefix=1)
+    return r
+
+
+AGGS = [
+    AggSpec("n", "count"),
+    AggSpec("sum_age", "sum", "age"),
+    AggSpec("avg_score", "avg", "score"),
+    AggSpec("min_age", "min", "age"),
+    AggSpec("max_score", "max", "score"),
+]
+
+
+def _collect_sorted(df, gcols):
+    rows = [tuple(r) for r in df.collect()]
+    return sorted(rows, key=lambda t: t[: len(gcols)])
+
+
+def test_guard_passes_for_aligned_prefix(rel):
+    assert prefix_groups_separated(rel, 1)
+
+
+def test_one_phase_no_exchange(rel):
+    df, used = agg_by_key_prefix(rel, ["grade"], AGGS)
+    assert used is True
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_two_phase_has_exchange(rel):
+    df, used = agg_by_key_prefix(rel, ["grade"], AGGS, one_phase=False)
+    assert used is False
+    assert "Exchange" in executed_plan(df)
+
+
+def test_results_match_two_phase(rel):
+    d1, u1 = agg_by_key_prefix(rel, ["grade"], AGGS)
+    d2, u2 = agg_by_key_prefix(rel, ["grade"], AGGS, one_phase=False)
+    assert u1 and not u2
+    r1 = _collect_sorted(d1, ["grade"])
+    r2 = _collect_sorted(d2, ["grade"])
+    assert len(r1) == len(r2) == 8
+    for a, b in zip(r1, r2):
+        assert a[0] == b[0]
+        for x, y in zip(a[1:], b[1:]):
+            assert x == y or math.isclose(x, y, rel_tol=1e-12)
+
+
+def test_non_prefix_group_falls_back(rel):
+    # grouping on (class) — not a key prefix → must fall back
+    df, used = agg_by_key_prefix(rel, ["class"], [AggSpec("n", "count")])
+    assert used is False
+    assert sum(r.n for r in df.collect()) == 72
+
+
+def test_two_col_prefix_not_separated_falls_back(rel):
+    # regions were aligned on grade only; (grade, class) groups may span
+    # region boundaries → guard must detect it OR pass only if truly safe
+    safe = prefix_groups_separated(rel, 2)
+    df, used = agg_by_key_prefix(rel, ["grade", "class"], [AggSpec("n", "count")])
+    assert used is safe
+    assert {(r[0], r[1]) for r in df.collect()} == {(g, c) for g in range(1, 9) for c in range(1, 4)}
+    assert all(r.n == 3 for r in df.collect())
+
+
+def test_force_one_phase_raises_when_unsafe(rel, spark, tmp_path_factory):
+    # a table written WITHOUT prefix alignment where a group spans files
+    wh = tmp_path_factory.mktemp("wh_unsafe")
+    catalog = AstroCatalog(str(wh))
+    meta = TableMeta(
+        name="u",
+        namespace="default",
+        physical_table="hu",
+        key_columns=[KeyColumn("k", "int", 0), KeyColumn("s", "int", 1)],
+        nonkey_columns=[NonKeyColumn("v", "int", "cf", "v")],
+        num_regions=4,
+        declared_columns=["k", "s", "v"],
+    )
+    catalog.create_table(meta)
+    r = AstroRelation(catalog, meta, spark)
+    # one giant group k=1 spanning all regions
+    df = spark.createDataFrame([(1, i, i) for i in range(400)], "k int, s int, v int")
+    r.write(df)
+    assert not prefix_groups_separated(r, 1)
+    with pytest.raises(ValueError):
+        agg_by_key_prefix(r, ["k"], [AggSpec("n", "count")], one_phase=True)
+    # automatic path still correct via fallback
+    dfa, used = agg_by_key_prefix(r, ["k"], [AggSpec("n", "count")])
+    assert used is False
+    assert dfa.collect()[0].n == 400
