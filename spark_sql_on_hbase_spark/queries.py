@@ -35,6 +35,14 @@ def _collect() -> dict[str, Q]:
             merged[k] = v
     except ImportError:
         pass
+    try:
+        from spark_sql_on_hbase_spark.queries_streaming import STREAMING
+
+        for k, v in STREAMING.items():
+            assert k not in merged, f"duplicate query name {k}"
+            merged[k] = v
+    except ImportError:
+        pass
     return merged
 
 

@@ -1,0 +1,73 @@
+"""Streaming query surface for the correctness gate.
+
+`streaming_tumbling_counts` runs a REAL readStream (file source,
+availableNow trigger) to completion and returns the materialized memory-
+sink table — the DuckDB oracle checks it against the equivalent batch
+SQL, proving stream/batch parity through the driver's gate.
+`session_window_agg` exercises the session_window operator (batch mode —
+identical code path to the streaming variant, minus the watermark).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_sql_on_hbase_spark.queries_relational import Q
+from spark_sql_on_hbase_spark.tables import load_tables
+
+_MEMSINK_SEQ = [0]
+
+
+def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.streaming import read_event_stream, run_to_memory, tumbling_window_agg
+
+    _MEMSINK_SEQ[0] += 1
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(tumbling_window_agg(stream), f"q_stream_tumbling_{_MEMSINK_SEQ[0]}")
+
+
+STREAMING: dict[str, Q] = {}
+
+STREAMING["streaming_tumbling_counts"] = Q(
+    spark=_streaming_tumbling,
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+    doc="real Structured Streaming run (file source, availableNow, memory sink) vs batch oracle",
+)
+
+
+def _session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.streaming import session_window_agg
+
+    t = load_tables(spark, sf_dir)
+    return session_window_agg(t["events"], gap="30 minutes")
+
+
+STREAMING["session_window_agg"] = Q(
+    spark=_session_window,
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM g
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_v
+    FROM s GROUP BY user_id, sess_id
+    """,
+    doc="session_window gap-merge aggregation (30 min gap; lag/cumsum batch-idiom oracle)",
+)

@@ -1,0 +1,24 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY §2.2 "absent from
+reference": no watermark/stateful ops) — this package is part of the
+beyond-reference surface modern Spark adds: windowed aggregations with
+watermarks, session windows, arbitrary stateful processing, and
+exactly-once-style sinks via foreachBatch.
+"""
+
+from spark_sql_on_hbase_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    session_window_agg,
+    stateful_user_counts,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "read_event_stream",
+    "run_to_memory",
+    "session_window_agg",
+    "stateful_user_counts",
+    "tumbling_window_agg",
+]

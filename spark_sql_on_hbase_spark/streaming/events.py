@@ -1,0 +1,127 @@
+"""Streaming operators over the events table shape
+(event_id, ts, user_id, event_type, value, props).
+
+Batch/stream parity: every operator here works on BOTH a batch DataFrame
+and a readStream DataFrame (Spark's unified semantics); the correctness
+battery checks the batch results against DuckDB, and the streaming tests
+replay the same files through readStream and assert equality — so the
+stream path is verified against the same oracle transitively.
+
+Scale notes: windowed aggregations are hash-partial per micro-batch with
+state in the state store (RocksDB at production scale); watermarks bound
+state size.  `stateful_user_counts` shows applyInPandasWithState —
+arbitrary per-key state with timeout semantics, the custom-stateful
+escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.ts is TIMESTAMP(NANOS) parquet; streamed with nanosAsLong and
+# normalized to TimestampType here (same trick as tables.load_tables)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet (stand-in for Kafka —
+    the transformations downstream are source-agnostic)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # file source needs a directory: stream the parent, filtered to
+        # just this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.  Works on batch and
+    stream alike; on a stream, the watermark bounds state."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user: events within `gap` merge into one
+    session (the built-in that replaces the lag/cumsum batch idiom)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_v",
+        )
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: running per-user event count via
+    applyInPandasWithState (reference has no stateful operators at all;
+    this is the custom-operator escape hatch for streams)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion against the current files and
+    return the materialized result (memory sink; test/bench harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,79 @@
+"""Streaming tests: batch/stream parity on the same files, stateful ops,
+foreachBatch sink.  (Reference has no streaming — SURVEY §2.2 absent —
+this pins the beyond-reference surface.)"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.streaming import (
+    read_event_stream,
+    run_to_memory,
+    session_window_agg,
+    stateful_user_counts,
+    tumbling_window_agg,
+)
+from spark_sql_on_hbase_spark.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+EVENTS_PQ = os.path.join(SF, "events.parquet")
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_tables(spark, SF)["events"]
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, batch_events):
+    stream = read_event_stream(spark, EVENTS_PQ)
+    assert stream.isStreaming
+    got = run_to_memory(tumbling_window_agg(stream), "t_tumbling")
+    want = tumbling_window_agg(batch_events)
+    cols = ["bucket_start", "event_type", "n", "sum_v"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 100
+
+
+def test_stream_session_window_equals_batch(spark, batch_events):
+    stream = read_event_stream(spark, EVENTS_PQ)
+    got = run_to_memory(session_window_agg(stream), "t_sessions")
+    want = session_window_agg(batch_events)
+    cols = ["user_id", "session_start", "n_events", "sum_v"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_counts_match_batch_totals(spark, batch_events):
+    stream = read_event_stream(spark, EVENTS_PQ)
+    got = run_to_memory(stateful_user_counts(stream), "t_stateful", output_mode="update")
+    # update mode with a single availableNow batch → one row per user
+    totals = {r.user_id: r.n_events for r in got.collect()}
+    want = {r.user_id: r.n for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert totals == want
+
+
+def test_watermark_append_mode_runs(spark):
+    """Append mode emits only watermark-closed windows — a prefix of the
+    complete result."""
+    stream = read_event_stream(spark, EVENTS_PQ)
+    agg = tumbling_window_agg(stream, watermark="10 minutes")
+    got = run_to_memory(agg, "t_append", output_mode="append")
+    complete = run_to_memory(tumbling_window_agg(read_event_stream(spark, EVENTS_PQ)), "t_complete2")
+    assert got.count() <= complete.count()
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    stream = read_event_stream(spark, EVENTS_PQ)
+    agg = tumbling_window_agg(stream)
+
+    def write_batch(df, epoch_id):
+        df.write.mode("overwrite").parquet(out)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() > 0
