@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan so CPU-heavy map work (shingling, hashing)
+    parallelizes.
+
+    A small parquet table arrives as 1-2 input splits; every downstream
+    explode/hash then runs on one core.  At 100 TB the input already has
+    thousands of splits and this is a no-op; locally it unlocks the other
+    31 cores for one cheap round-robin shuffle of the raw rows.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts; keep the minimum id as the canonical doc.
 
@@ -57,7 +73,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for permutation k, min over shingles of
     hash60(k || '|' || shingle).  Returns (id, perm, minhash) long format."""
-    sh = _shingles(docs, text_col, id_col, shingle_n)
+    sh = _shingles(_spread(docs), text_col, id_col, shingle_n)
     perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
     return (
         sh.select(id_col, "s", perms)
@@ -115,7 +131,7 @@ def simhash_signatures(
     """SimHash over whitespace tokens: bit b set iff Σ_tokens ±1 ≥ 0,
     where the sign is bit b of hash60(token).  Returns (id, simhash)."""
     toks = (
-        docs.select(F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("t"))
+        _spread(docs).select(F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("t"))
         .select(id_col, hash60(F.col("t")).alias("h"))
     )
     # integer shift+mask (never float division — 60-bit hashes exceed
@@ -151,7 +167,7 @@ def ngram_jaccard_pairs(
     the join from going quadratic on hot shingles at scale.  Leave None
     for exact semantics (the oracle-checked configuration).
     """
-    sh = _shingles(docs, text_col, id_col, shingle_n).select(
+    sh = _shingles(_spread(docs), text_col, id_col, shingle_n).select(
         F.col(id_col), hash60(F.col("s")).alias("sh")
     ).distinct()
     if max_shingle_df is not None:
