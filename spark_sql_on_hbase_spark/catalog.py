@@ -57,7 +57,13 @@ class NonKeyColumn:
 
 @dataclass
 class RegionFile:
-    """One sorted parquet region fragment with its key bounds."""
+    """One sorted parquet region fragment with its key bounds.
+
+    ``seq`` is the LSM generation: 0 for a bulk write, monotonically
+    increasing per append (the HBase cell-timestamp analog — newest cell
+    wins, HBaseRelation.scala:941 getColumnLatestCell).  ``num_keys`` is
+    the distinct-rowkey count, used to detect duplicate keys inside one
+    fragment; -1 = unknown (legacy metadata)."""
 
     path: str
     num_rows: int
@@ -65,6 +71,8 @@ class RegionFile:
     max_key: list  # last key tuple
     min_rowkey_hex: str
     max_rowkey_hex: str
+    seq: int = 0
+    num_keys: int = -1
 
 
 @dataclass

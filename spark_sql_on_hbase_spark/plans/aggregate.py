@@ -54,6 +54,10 @@ def prefix_groups_separated(rel: AstroRelation, k: int) -> bool:
     (HBaseStrategies.scala:102-127) on decoded tuples: adjacent files must
     not share a prefix value.
     """
+    if rel.needs_merge():
+        # unresolved upserts: the merged scan re-shuffles by rowkey hash,
+        # so per-file group locality no longer holds — 2-phase required
+        return False
     regions = sorted(rel.meta.regions, key=lambda r: r.min_rowkey_hex)
     if not regions:
         return False

@@ -47,6 +47,7 @@ from spark_sql_on_hbase_spark.catalog import (
 )
 
 ROWKEY_COL = "_rowkey"
+SEQ_COL = "_seq"
 
 _SPARK_TYPES = {
     C.BYTE: T.ByteType(),
@@ -121,6 +122,7 @@ class AstroRelation:
         out_dir = self.catalog.data_dir(meta)
         n = max(1, meta.num_regions)
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
+        keyed = keyed.withColumn(SEQ_COL, F.lit(0))
         if align_prefix:
             part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
         else:
@@ -134,12 +136,16 @@ class AstroRelation:
         self._refresh_region_bounds()
 
     def append(self, df: DataFrame) -> None:
-        """INSERT INTO …: append sorted fragment files (HBase memstore-
-        flush analog; reference insert = batched Puts,
-        HBaseRelation.scala:657-708)."""
+        """INSERT INTO …: append sorted fragment files at the next LSM
+        generation (HBase memstore-flush analog; reference insert =
+        batched Puts, HBaseRelation.scala:657-708).  A re-inserted row
+        key upserts: readers resolve newest-cell-wins per column via
+        ``_merge_latest`` until ``compact()`` rewrites."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
+        seq = max((r.seq for r in meta.regions), default=-1) + 1
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
+        keyed = keyed.withColumn(SEQ_COL, F.lit(seq))
         n = min(max(1, meta.num_regions), max(1, df.rdd.getNumPartitions()))
         (
             keyed.repartitionByRange(n, F.col(ROWKEY_COL))
@@ -160,16 +166,22 @@ class AstroRelation:
         df.unpersist()
 
     def _refresh_region_bounds(self) -> None:
-        """One aggregate job → per-file (min,max) key bounds into catalog."""
+        """One aggregate job → per-file (min,max) key bounds + generation
+        + distinct-key count into catalog.  All stats ride the same
+        map-side-combinable pass: O(#files) driver memory, never rows."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
         raw = self.spark.read.parquet(out_dir)
+        if SEQ_COL not in raw.columns:  # legacy fragments
+            raw = raw.withColumn(SEQ_COL, F.lit(0))
         rows = (
             raw.groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.count("*").alias("n"),
                 F.min(ROWKEY_COL).alias("min_rk"),
                 F.max(ROWKEY_COL).alias("max_rk"),
+                F.max(SEQ_COL).alias("seq"),
+                F.countDistinct(ROWKEY_COL).alias("nkeys"),
             )
             .collect()
         )
@@ -186,9 +198,46 @@ class AstroRelation:
                     max_key=[_json_key_value(v, d) for v, d in zip(max_t, key_dtypes)],
                     min_rowkey_hex=bytes(r.min_rk).hex(),
                     max_rowkey_hex=bytes(r.max_rk).hex(),
+                    seq=r.seq,
+                    num_keys=r.nkeys,
                 )
             )
         self.catalog.update_regions(meta, regions)
+
+    # -- upsert resolution ---------------------------------------------------
+    def needs_merge(self) -> bool:
+        """True iff some row key may appear in more than one physical row:
+        duplicate keys inside a fragment, or key-range overlap between
+        fragments.  Pure metadata check (O(#files log #files)); when False
+        the scan fast path applies — no shuffle, no merge."""
+        regs = self.meta.regions
+        if any(r.num_keys >= 0 and r.num_keys != r.num_rows for r in regs):
+            return True
+        rs = sorted(regs, key=lambda r: r.min_rowkey_hex)
+        # hex-of-bytes compares identically to unsigned byte order
+        return any(a.max_rowkey_hex >= b.min_rowkey_hex for a, b in zip(rs, rs[1:]))
+
+    def _merge_latest(self, df: DataFrame) -> DataFrame:
+        """Resolve upserts with HBase read semantics: per COLUMN, the
+        newest non-null cell wins (getColumnLatestCell,
+        HBaseRelation.scala:911-941).  A null in a newer fragment is an
+        *absent cell* — it does not erase the older value (HBase Puts
+        cannot write nulls; INSERT skips null columns,
+        HBaseRelation.scala:677-694).
+
+        One hash shuffle on rowkey with partial aggregation; only runs
+        when needs_merge() — compact() restores the shuffle-free path.
+        """
+        keys = set(self.meta.key_names)
+        aggs = []
+        for c, _dt in self.meta.all_columns:
+            if c in keys:
+                aggs.append(F.first(F.col(c)).alias(c))  # constant per rowkey
+            else:
+                aggs.append(
+                    F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(SEQ_COL))).alias(c)
+                )
+        return df.groupBy(ROWKEY_COL).agg(*aggs)
 
     # -- bulk load (CSV) ----------------------------------------------------
     def load_csv(self, path: str, delimiter: str = ",") -> None:
@@ -218,23 +267,33 @@ class AstroRelation:
     def scan(self, with_rowkey: bool = False) -> DataFrame:
         """Full scan over all region fragments.  Column pruning/predicate
         pushdown reach parquet via Catalyst; row-group skipping on key
-        columns comes from the sorted layout."""
+        columns comes from the sorted layout.  Upserted keys are resolved
+        newest-cell-wins only when metadata says fragments may collide."""
         out_dir = self.catalog.data_dir(self.meta)
         df = self.spark.read.parquet(out_dir)
+        return self._resolve(df, with_rowkey=with_rowkey)
+
+    def _resolve(self, df: DataFrame, with_rowkey: bool = False) -> DataFrame:
+        """Shared scan tail: absent-cell NULLs for ALTER-ADDed columns
+        (HBaseRelation.scala:885-901), upsert merge when needed, and
+        schema-on-read casts for stringformat tables (SURVEY §7 step 8)."""
+        meta = self.meta
         present = set(df.columns)
+        if SEQ_COL not in present:
+            df = df.withColumn(SEQ_COL, F.lit(0))
+        for c, dt in meta.all_columns:
+            if c not in present:
+                raw_t = T.StringType() if meta.encoding == STRING_FORMAT else spark_type(dt)
+                df = df.withColumn(c, F.lit(None).cast(raw_t))
+        if self.needs_merge():
+            df = self._merge_latest(df)
 
         def col(c: str, dt: str):
-            if c not in present:
-                # ALTER ADD-ed column: old rows have no cells → NULL
-                # (reference absent-cell semantics, HBaseRelation.scala:885-901)
-                return F.lit(None).cast(spark_type(dt)).alias(c)
-            # stringformat tables are schema-on-read: cast at scan
-            # (SURVEY §7 step 8)
-            if self.meta.encoding == STRING_FORMAT:
+            if meta.encoding == STRING_FORMAT:
                 return F.col(c).cast(spark_type(dt)).alias(c)
             return F.col(c)
 
-        cols = [col(c, dt) for c, dt in self.meta.all_columns]
+        cols = [col(c, dt) for c, dt in meta.all_columns]
         if with_rowkey:
             cols.append(F.col(ROWKEY_COL))
         return df.select(*cols)
@@ -267,20 +326,12 @@ class AstroRelation:
                 files=list(meta.regions), total=len(meta.regions),
                 predicate=Opaque(where), key_pushed=None, residual=Opaque(where),
             )
-        cols = [c for c, _ in meta.all_columns]
         if not res.files:
             df = self.spark.createDataFrame([], self.scan().schema)
             return df, res
         paths = [r.path for r in res.files]
-        df = self.spark.read.parquet(*paths)
-        if meta.encoding == STRING_FORMAT:
-            df = df.select(*[F.col(c).cast(spark_type(dt)).alias(c) for c, dt in meta.all_columns])
-        else:
-            present = set(df.columns)
-            df = df.select(
-                *[
-                    F.col(c) if c in present else F.lit(None).cast(spark_type(dt)).alias(c)
-                    for c, dt in meta.all_columns
-                ]
-            )
+        # any fragment holding a given key overlaps every key range that
+        # contains it, so range pruning keeps ALL versions of a surviving
+        # key — merging over the pruned subset is exact
+        df = self._resolve(self.spark.read.parquet(*paths))
         return df.filter(F.expr(where)), res

@@ -181,3 +181,44 @@ def test_many_to_one_mapping(astro, tmp_path):
     astro.sql("CREATE TABLE tb (c1 STRING, c2 INT, PRIMARY KEY(c1)) MAPPED BY (shared_ht)")
     # tb reads the same physical data (schema-on-read)
     assert astro.sql("SELECT count(*) AS n FROM tb").collect()[0].n == 2
+
+
+def test_upsert_overwrites_by_key(loaded):
+    # HBase Put semantics: re-inserting an existing row key upserts
+    # (newest cell wins per column, HBaseRelation.scala:911-941)
+    loaded.sql("INSERT INTO TestTable VALUES ('Row2', 7, 999, 23456782, 1, 2.5, 5678912.345682)")
+    rows = loaded.sql(
+        "SELECT * FROM TestTable WHERE strcol = 'Row2'"
+    ).collect()
+    assert len(rows) == 1, "same key must not duplicate"
+    assert rows[0].shortcol == 999
+    assert loaded.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 3
+
+
+def test_upsert_null_does_not_erase(loaded):
+    # a null column in the newer insert is an ABSENT cell: the older value
+    # stays visible (HBase Puts cannot write nulls; INSERT skips null
+    # columns, HBaseRelation.scala:677-694)
+    loaded.sql("INSERT INTO TestTable VALUES ('Row4', null, 777, 23456784, null, null, 5678912.345684)")
+    r = loaded.sql("SELECT * FROM TestTable WHERE strcol = 'Row4'").collect()[0]
+    assert r.shortcol == 777  # updated
+    assert r.longcol == 3456789012344  # preserved from original load
+    assert abs(r.floatcol - 45657.84) < 0.01  # preserved
+
+
+def test_duplicate_keys_in_one_load(astro, tmp_path):
+    csv = tmp_path / "dups.txt"
+    csv.write_text("k1,1\nk1,2\nk2,3\n")
+    astro.sql("CREATE TABLE duptab (k STRING, v INT, PRIMARY KEY(k)) MAPPED BY (hdup)")
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE duptab")
+    assert astro.sql("SELECT count(*) AS n FROM duptab").collect()[0].n == 2
+
+
+def test_compact_restores_fast_path(loaded):
+    rel = loaded.relation("TestTable")
+    loaded.sql("INSERT INTO TestTable VALUES ('Row2', 7, 999, 23456782, 1, 2.5, 5678912.345682)")
+    assert rel.needs_merge()
+    rel.compact()
+    assert not rel.needs_merge()
+    rows = loaded.sql("SELECT * FROM TestTable WHERE strcol = 'Row2'").collect()
+    assert len(rows) == 1 and rows[0].shortcol == 999
