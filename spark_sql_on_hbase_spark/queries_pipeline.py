@@ -40,6 +40,23 @@ _D_SHINGLES = """
 """
 
 
+def _minhash_cte(num_perm: int = 16) -> str:
+    """Oracle CTEs reproducing minhash_signatures' arithmetic: hash60 the
+    shingle once mod p = 2^31-1, then per-perm universal hash
+    (a*h + b) mod p — overflow-free BIGINT math, identical on any
+    64-bit engine."""
+    from spark_sql_on_hbase_spark.operators.dedup import MINHASH_PARAMS, MINHASH_PRIME
+
+    values = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(MINHASH_PARAMS[:num_perm]))
+    return f"""
+    hs AS (SELECT doc_id, {_dh("s")} % {MINHASH_PRIME} AS h FROM sh),
+    params(perm, a, b) AS (VALUES {values}),
+    sig AS (
+      SELECT doc_id, perm, min((a * h + b) % {MINHASH_PRIME}) AS minhash
+      FROM hs CROSS JOIN params GROUP BY doc_id, perm
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -71,11 +88,8 @@ PIPELINE["dedup_minhash_signatures"] = Q(
     spark=_dedup_minhash_sigs,
     oracle=f"""
     WITH {_D_SHINGLES},
-    perms AS (SELECT unnest(range(0, 16)) AS perm)
-    SELECT doc_id, perm,
-           min({_dh("perm::VARCHAR || '|' || s")}) AS minhash
-    FROM sh CROSS JOIN perms
-    GROUP BY doc_id, perm
+    {_minhash_cte(16)}
+    SELECT doc_id, perm, minhash FROM sig
     """,
     doc="16-permutation MinHash signatures, bit-identical cross-engine",
 )
@@ -92,16 +106,12 @@ PIPELINE["dedup_minhash_lsh"] = Q(
     spark=_dedup_minhash_lsh,
     oracle=f"""
     WITH {_D_SHINGLES},
-    perms AS (SELECT unnest(range(0, 16)) AS perm),
-    sig AS (
-      SELECT doc_id, perm, min({_dh("perm::VARCHAR || '|' || s")}) AS minhash
-      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
-    ),
+    {_minhash_cte(16)},
     bandsig AS (
       -- perm // 4: DuckDB's CAST(double AS INT) rounds, Spark's truncates;
       -- integer division is unambiguous in both
       SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-             array_to_string(list_sort(array_agg(perm::VARCHAR || ':' || minhash::VARCHAR)), ',') AS bsig
+             array_to_string(array_agg(minhash::VARCHAR ORDER BY perm), ',') AS bsig
       FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
