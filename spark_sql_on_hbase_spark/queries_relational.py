@@ -79,6 +79,18 @@ class _Dialect:
     def null_safe_eq(self, a: str, b: str) -> str:
         return f"({a} <=> {b})" if self.is_spark else f"({a} IS NOT DISTINCT FROM {b})"
 
+    def arr_get(self, arr: str, i: int) -> str:
+        """1-based array element access in both engines."""
+        return f"element_at({arr}, {i})" if self.is_spark else f"list_extract({arr}, {i})"
+
+    def arr_len(self, arr: str) -> str:
+        return f"size({arr})" if self.is_spark else f"len({arr})"
+
+    def max_by(self, col: str, ord_: str) -> str:
+        """Deterministic LAST: value of col at max ord (reference LAST is
+        order-dependent, HBaseSQLQuerySuite.scala:275-319; we pin it)."""
+        return f"max_by({col}, {ord_})" if self.is_spark else f"arg_max({col}, {ord_})"
+
     def median(self, col: str) -> str:
         if self.is_spark:
             return f"percentile({col}, 0.5)"
@@ -1117,6 +1129,98 @@ _q(
         """,
         oracle=None,
         doc="top-K events per type",
+    ),
+)
+
+
+# complex types: array build/index/size + struct field access over temp
+# arrays (reference exercises these on temp tables only,
+# HBaseSQLQuerySuite.scala:157-178,612-691)
+_q(
+    "complex_types_array_struct",
+    _both(
+        lambda d: f"""
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 {d.arr_get('array_agg_sorted', 1)} AS first_qty,
+                 {d.arr_len('array_agg_sorted')} AS n_lines
+          FROM (
+            SELECT l_orderkey,
+                   {'sort_array(collect_list(l_quantity))' if d.is_spark
+                    else 'list_sort(list(l_quantity))'} AS array_agg_sorted
+            FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey
+          ) t
+        )
+        SELECT l_orderkey, round(first_qty, 2) AS first_qty, n_lines
+        FROM per_order
+        """
+    ),
+)
+
+# window frame: explicit ROWS frame moving average (modern-Spark surface)
+_q(
+    "win_frame_moving_avg",
+    Q(
+        spark="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+        FROM lineitem WHERE l_suppkey <= 10
+        """,
+        oracle=None,
+        doc="explicit ROWS window frame",
+    ),
+)
+
+# reference LAST aggregate (HBaseSQLQuerySuite.scala:275-319) — pinned
+# deterministic as value-at-max-order
+_q(
+    "agg_last",
+    _both(
+        lambda d: f"""
+        SELECT o_custkey,
+               {d.max_by('o_orderstatus', 'o_orderkey')} AS last_status,
+               {d.max_by('round(o_totalprice, 2)', 'o_orderkey')} AS last_price,
+               count(*) AS n
+        FROM orders WHERE o_custkey <= 100 GROUP BY o_custkey
+        """
+    ),
+)
+
+
+def _udf_pandas_score(spark: SparkSession, sf: str) -> DataFrame:
+    """UDF surface (reference: udf.register + UDF-in-WHERE evaluated
+    client-side, HBaseSQLQuerySuite.scala:741-746): an Arrow-vectorized
+    pandas_udf — the modern replacement for row-at-a-time UDFs — whose
+    arithmetic the oracle reproduces in SQL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # functional form: PEP-563 string annotations (module-level
+    # `from __future__ import annotations`) break hint inference
+    brevity_score = F.pandas_udf(
+        lambda text: (100.0 / (1.0 + text.str.len() / 100.0)).round(4),
+        T.DoubleType(),
+    )
+
+    t = load_tables(spark, sf)
+    return (
+        t["documents"]
+        .select("doc_id", brevity_score(F.col("text")).alias("score"))
+        .filter(F.col("score") > 25.0)
+    )
+
+
+_q(
+    "udf_pandas_score",
+    Q(
+        spark=_udf_pandas_score,
+        oracle="""
+        SELECT doc_id, round(100.0 / (1.0 + length(text) / 100.0), 4) AS score
+        FROM documents WHERE round(100.0 / (1.0 + length(text) / 100.0), 4) > 25.0
+        """,
+        doc="Arrow pandas_udf projection + filter, SQL-reproducible",
     ),
 )
 
