@@ -14,6 +14,7 @@ from spark_sql_on_hbase_spark.streaming.events import (
     stateful_user_counts,
     tumbling_window_agg,
 )
+from spark_sql_on_hbase_spark.streaming.sink import write_stream_to_table
 
 __all__ = [
     "read_event_stream",
@@ -21,4 +22,5 @@ __all__ = [
     "session_window_agg",
     "stateful_user_counts",
     "tumbling_window_agg",
+    "write_stream_to_table",
 ]

@@ -77,3 +77,29 @@ def test_foreach_batch_sink(spark, tmp_path):
     q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination(300)
     assert spark.read.parquet(out).count() > 0
+
+
+def test_stream_into_astro_table(spark, tmp_path):
+    """writeStream → Astro table: micro-batches become LSM fragments with
+    upsert resolution, queryable via SQL afterwards."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.streaming.sink import write_stream_to_table
+
+    astro = AstroSession(spark, str(tmp_path / "wh"))
+    astro.sql(
+        "CREATE TABLE ev (event_id LONG, event_type STRING, value DOUBLE, "
+        "PRIMARY KEY (event_id)) MAPPED BY (hev, COLS=[event_type=f.t, value=f.v])"
+    )
+    rel = astro.relation("ev")
+    stream = read_event_stream(spark, EVENTS_PQ).select("event_id", "event_type", "value")
+    q = write_stream_to_table(stream, rel, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    n_src = spark.read.parquet(EVENTS_PQ).select("event_id").distinct().count()
+    assert astro.sql("SELECT count(*) AS n FROM ev").collect()[0].n == n_src
+    # point lookup through the key layout works on streamed data
+    some_id = spark.read.parquet(EVENTS_PQ).select("event_id").first().event_id
+    assert astro.sql(f"SELECT count(*) AS n FROM ev WHERE event_id = {some_id}").collect()[0].n == 1
+    # compaction restores the clean fast path
+    rel.compact()
+    assert not rel.needs_merge()
+    assert astro.sql("SELECT count(*) AS n FROM ev").collect()[0].n == n_src
