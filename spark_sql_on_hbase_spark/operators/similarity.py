@@ -143,3 +143,107 @@ def neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_centroids(
+    vecs: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the n_centroids lowest-id vectors
+    serve as centroids (the seeding round of k-means||).  A trained
+    KMeans (pyspark.ml) drops in at production scale — every downstream
+    plan shape is identical; seeds keep the oracle SQL-reproducible."""
+    return (
+        vecs.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by (rounded) cosine.
+
+    Centroids broadcast (K rows); scoring is map-side.  The argmax runs
+    as a window over K candidate rows per vector — at production scale
+    fold it map-side with max(struct(cos, -centroid_id)) to avoid the
+    K·N shuffle; the window form is kept for oracle-identical tie
+    semantics (cos DESC, centroid_id ASC).  Returns (id, cluster_id).
+    """
+    scored = (
+        vecs.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "centroid_id",
+            F.round(cosine_similarity(F.col("v"), F.col("centroid")), 4).alias("cos_c"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest inverted lists,
+    exact rerank inside them.
+
+    Scale path: candidates shrink by ~nprobe/n_centroids versus
+    brute force; the only large join is (probed clusters ⋈ assignment)
+    — an equi-join on cluster_id that AQE handles, with vectors fetched
+    for candidates only.  Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assign = ivf_assign(corpus, cent, id_col, vec_col)
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    qscored = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            qid_col,
+            "centroid_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("centroid")), 4).alias("cos_c"),
+        )
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, F.col("centroid_id").alias("cluster_id"))
+    )
+    cand = probe.join(assign, "cluster_id").select(
+        qid_col, F.col(id_col).alias("neighbor_id")
+    )
+    scored = (
+        cand.join(F.broadcast(q), qid_col)
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .filter(F.col(qid_col) != F.col("neighbor_id"))
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

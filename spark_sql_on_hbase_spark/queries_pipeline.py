@@ -408,6 +408,61 @@ PIPELINE["ann_lsh_topk"] = Q(
 )
 
 
+def _ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+PIPELINE["ann_ivf_topk"] = Q(
+    spark=_ann_ivf_topk,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_D_COS.format(a='e.embedding', b='c.centroid')}, 4) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_D_COS.format(a='q.qv', b='c.centroid')}, 4) DESC,
+                          c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({_D_COS.format(a='q.qv', b='e.embedding')}, 4) AS cos_sim
+      FROM probe p JOIN assign a ON a.cluster_id = p.cluster_id
+           JOIN q ON q.query_id = p.query_id
+           JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF approximate top-5: 16 seed centroids, probe 4 inverted lists, exact rerank",
+)
+
+
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from spark_sql_on_hbase_spark.operators.similarity import neardup_pairs
 

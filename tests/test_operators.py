@@ -137,3 +137,27 @@ def test_frame_sample_explodes(spark):
     out = M.frame_sample(df, "blob", every_n_bytes=1000)
     rows = sorted((r.frame_idx, r.frame_off) for r in out.collect())
     assert rows == [(0, 0), (1, 1000)]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with nprobe=all centroids must equal brute force exactly; with
+    fewer probes it returns a subset-quality approximation."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_on_hbase_spark.operators.similarity import ivf_topk, knn_bruteforce
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, queries, k=5).collect()}
+    full_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert full_probe == exact  # probing every list == brute force
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2  # nonempty, sane approximation on tiny data
