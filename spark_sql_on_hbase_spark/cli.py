@@ -1,0 +1,96 @@
+"""Interactive SQL shell — parity with the reference's ``astro>`` REPL.
+
+Reference: ``HBaseSQLCliDriver.main/process`` (HBaseSQLCliDriver.scala:
+29-183) — a jline loop routing statements to ``HBaseSQLContext.sql`` —
+and the ``bin/hbase-sql`` / ``bin/pyspark-hbase`` launchers.  Here the
+engine is Python-first, so the shell is a stdlib REPL over AstroSession:
+
+    python -m spark_sql_on_hbase_spark.cli --warehouse /path/to/wh
+
+Statements end with ';' (multi-line supported); DDL/DML (CREATE TABLE …
+MAPPED BY, LOAD DATA, INSERT, ALTER, SHOW, DESCRIBE, DROP) run through
+the Astro grammar, everything else through plain spark.sql.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _print_df(df, max_rows: int, out=sys.stdout) -> None:
+    rows = df.limit(max_rows + 1).collect()
+    cols = df.columns
+    shown = rows[:max_rows]
+    widths = [
+        max(len(c), *(len(str(r[i])) for r in shown)) if shown else len(c)
+        for i, c in enumerate(cols)
+    ]
+    line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    print(line, file=out)
+    print("|" + "|".join(f" {c:<{w}} " for c, w in zip(cols, widths)) + "|", file=out)
+    print(line, file=out)
+    for r in shown:
+        print("|" + "|".join(f" {str(r[i]):<{w}} " for i, w in enumerate(widths)) + "|", file=out)
+    print(line, file=out)
+    if len(rows) > max_rows:
+        print(f"(showing first {max_rows} rows)", file=out)
+
+
+def repl(astro, out=sys.stdout, inp=sys.stdin, max_rows: int = 50) -> None:
+    buf: list[str] = []
+    prompt = "astro> "
+    cont = "     > "
+    while True:
+        print(prompt if not buf else cont, end="", flush=True, file=out)
+        line = inp.readline()
+        if not line:  # EOF
+            break
+        line = line.strip()
+        if not buf and line.lower() in ("exit", "quit", "exit;", "quit;"):
+            break
+        if not line:
+            continue
+        buf.append(line)
+        if not line.endswith(";"):
+            continue
+        stmt = " ".join(buf).rstrip(";").strip()
+        buf = []
+        if not stmt:
+            continue
+        try:
+            _print_df(astro.sql(stmt), max_rows, out=out)
+        except Exception as ex:  # keep the shell alive on bad SQL
+            print(f"Error: {ex}", file=out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="astro-sql", description=__doc__)
+    ap.add_argument("--warehouse", required=True, help="Astro warehouse directory")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("-e", "--execute", help="run one statement and exit")
+    ap.add_argument("--max-rows", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from spark_sql_on_hbase_spark.session import AstroSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("astro-sql")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    astro = AstroSession(spark, args.warehouse)
+    print("astro engine ready — AstroSession available; statements end with ';'")
+    if args.execute:
+        _print_df(astro.sql(args.execute.rstrip(";")), args.max_rows)
+        return 0
+    repl(astro, max_rows=args.max_rows)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
