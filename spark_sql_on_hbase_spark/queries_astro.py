@@ -163,3 +163,64 @@ ASTRO["astro_table_agg"] = Q(
     """,
     doc="aggregation over the Astro region-file scan (inherited surface above the storage layer)",
 )
+
+
+def _ensure_upsert_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
+    """orders keyed by o_orderkey, then an UPDATE fragment for keys < 50:
+    totalprice += 1000, orderstatus set to NULL (absent cell — must NOT
+    erase the stored status).  Exercises LSM newest-cell-wins merge
+    inside the graded battery."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_ups_v1"
+    wh = os.path.join(_WAREHOUSE, tag)
+    catalog = AstroCatalog(wh)
+    if not catalog.table_exists("astro_orders"):
+        meta = TableMeta(
+            name="astro_orders",
+            namespace="default",
+            physical_table="h_orders",
+            key_columns=[KeyColumn("o_orderkey", "long", 0)],
+            nonkey_columns=[
+                NonKeyColumn("o_totalprice", "double", "f", "tp"),
+                NonKeyColumn("o_orderstatus", "string", "f", "st"),
+            ],
+            num_regions=8,
+            declared_columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        )
+        catalog.create_table(meta)
+        rel = AstroRelation(catalog, meta, spark)
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        rel.write(src)
+        update = src.filter(F.col("o_orderkey") < 50).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+        )
+        rel.append(update)
+        return rel
+    return AstroRelation(catalog, catalog.get_table("astro_orders"), spark)
+
+
+def _astro_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel = _ensure_upsert_table(spark, sf_dir)
+    return rel.scan().select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+ASTRO["astro_upsert_merge"] = Q(
+    spark=_astro_upsert_merge,
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey < 50 THEN o_totalprice + 1000
+                      ELSE o_totalprice END, 2) AS totalprice,
+           o_orderstatus
+    FROM orders
+    """,
+    doc="LSM upsert resolution: newest cell wins per column; a NULL in the "
+    "newer insert is an absent cell and preserves the older value "
+    "(HBase Put/getColumnLatestCell semantics, HBaseRelation.scala:911-941)",
+)
