@@ -100,6 +100,16 @@ class InsertSelect:
 
 
 @dataclass
+class CompactTable:
+    """Engine extension (no reference analog — HBase compaction is a
+    server-side background process): rewrite all LSM fragments into
+    clean sorted regions, restoring the shuffle-free scan path."""
+
+    table: str
+    namespace: str = "default"
+
+
+@dataclass
 class PassThrough:
     sql: str
 
@@ -311,6 +321,11 @@ def parse(sql: str) -> Command:
             overwrite=bool(m.group("over")),
             delimiter=m.group("delim") or ",",
         )
+
+    cm = re.match(r"^\s*COMPACT\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
+    if cm:
+        ns, t = _parse_table_name(cm.group(1))
+        return CompactTable(table=t, namespace=ns)
 
     if up.startswith("INSERT"):
         m = _INSERT_VALUES_RE.match(s)

@@ -183,6 +183,15 @@ class AstroSession:
         rel.register_view()
         return self._ok(f"inserted into {c.table}")
 
+    def _exec_CompactTable(self, c: ddl.CompactTable) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        n_before = len(rel.meta.regions)
+        rel.compact()
+        rel.register_view()
+        return self._ok(
+            f"compacted {c.table}: {n_before} fragments -> {len(rel.meta.regions)} regions"
+        )
+
     def _exec_PassThrough(self, c: ddl.PassThrough) -> DataFrame:
         self._register_all()
         return self.spark.sql(c.sql)

@@ -222,3 +222,18 @@ def test_compact_restores_fast_path(loaded):
     assert not rel.needs_merge()
     rows = loaded.sql("SELECT * FROM TestTable WHERE strcol = 'Row2'").collect()
     assert len(rows) == 1 and rows[0].shortcol == 999
+
+
+def test_compact_table_sql(loaded):
+    # re-insert Row2's exact key → fragment overlap → merge needed
+    loaded.sql(
+        "INSERT INTO TestTable VALUES ('Row2', 9, 1, 23456782, 1, 1.0, 5678912.345682)"
+    )
+    rel = loaded.relation("TestTable")
+    assert rel.needs_merge()
+    msg = loaded.sql("COMPACT TABLE TestTable").collect()[0].result
+    assert "compacted" in msg
+    assert not rel.needs_merge()
+    # upsert of an existing key: row count unchanged, new cell visible
+    assert loaded.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 3
+    assert loaded.sql("SELECT bytecol FROM TestTable WHERE strcol = 'Row2'").collect()[0].bytecol == 9
