@@ -211,6 +211,59 @@ def _astro_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_stringformat_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
+    """part stored IN STRINGFORMAT: every value a decimal/UTF-8 string,
+    schema-on-read casts at scan (SURVEY §7 step 8;
+    HBaseTpcStringFormatMiniTestSuite semantics)."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_sfmt_v1"
+    wh = os.path.join(_WAREHOUSE, tag)
+    catalog = AstroCatalog(wh)
+    if not catalog.table_exists("astro_part_sf"):
+        from spark_sql_on_hbase_spark.catalog import STRING_FORMAT
+
+        meta = TableMeta(
+            name="astro_part_sf",
+            namespace="default",
+            physical_table="h_part_sf",
+            key_columns=[KeyColumn("p_partkey", "long", 0)],
+            nonkey_columns=[
+                NonKeyColumn("p_name", "string", "f", "n"),
+                NonKeyColumn("p_size", "int", "f", "sz"),
+                NonKeyColumn("p_retailprice", "double", "f", "rp"),
+            ],
+            encoding=STRING_FORMAT,
+            num_regions=8,
+            declared_columns=["p_partkey", "p_name", "p_size", "p_retailprice"],
+        )
+        catalog.create_table(meta)
+        rel = AstroRelation(catalog, meta, spark)
+        src = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+            "p_partkey", "p_name", "p_size", "p_retailprice"
+        )
+        rel.write(src)
+        return rel
+    return AstroRelation(catalog, catalog.get_table("astro_part_sf"), spark)
+
+
+def _astro_stringformat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel = _ensure_stringformat_table(spark, sf_dir)
+    df, _res = rel.scan_where("p_partkey > 100 AND p_partkey <= 300")
+    return df.filter(F.col("p_size") >= 25).select(
+        "p_partkey", "p_name", "p_size", F.round("p_retailprice", 2).alias("p_retailprice")
+    )
+
+
+ASTRO["astro_stringformat_scan"] = Q(
+    spark=_astro_stringformat_scan,
+    oracle="""
+    SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS p_retailprice
+    FROM part WHERE p_partkey > 100 AND p_partkey <= 300 AND p_size >= 25
+    """,
+    doc="stringformat table: string-encoded storage, schema-on-read casts, key "
+    "pruning + typed predicates on cast columns",
+)
+
+
 ASTRO["astro_upsert_merge"] = Q(
     spark=_astro_upsert_merge,
     oracle="""

@@ -41,6 +41,24 @@ STREAMING["streaming_tumbling_counts"] = Q(
 )
 
 
+def _streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.streaming import read_event_stream, run_to_memory, stateful_user_counts
+
+    _MEMSINK_SEQ[0] += 1
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(
+        stateful_user_counts(stream), f"q_stream_stateful_{_MEMSINK_SEQ[0]}", output_mode="update"
+    )
+
+
+STREAMING["streaming_stateful_counts"] = Q(
+    spark=_streaming_stateful,
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    doc="applyInPandasWithState arbitrary stateful op (update mode, one availableNow "
+    "batch → per-user totals equal the batch aggregate)",
+)
+
+
 def _session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_on_hbase_spark.streaming import session_window_agg
 

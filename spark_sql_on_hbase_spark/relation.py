@@ -122,7 +122,7 @@ class AstroRelation:
         out_dir = self.catalog.data_dir(meta)
         n = max(1, meta.num_regions)
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
-        keyed = keyed.withColumn(SEQ_COL, F.lit(0))
+        keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(0))
         if align_prefix:
             part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
         else:
@@ -145,7 +145,7 @@ class AstroRelation:
         out_dir = self.catalog.data_dir(meta)
         seq = max((r.seq for r in meta.regions), default=-1) + 1
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
-        keyed = keyed.withColumn(SEQ_COL, F.lit(seq))
+        keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(seq))
         n = min(max(1, meta.num_regions), max(1, df.rdd.getNumPartitions()))
         (
             keyed.repartitionByRange(n, F.col(ROWKEY_COL))
@@ -154,6 +154,22 @@ class AstroRelation:
             .parquet(out_dir)
         )
         self._refresh_region_bounds()
+
+    def _physical_encode(self, keyed: DataFrame) -> DataFrame:
+        """Physical value layout.  binaryformat: typed parquet columns.
+        stringformat: every data column stored as its decimal/UTF-8
+        STRING (the format's purpose — interop with tables written as
+        strings by vanilla apps, bytesUtils.scala:302-358); scan casts
+        back (schema-on-read).  The binary ROWKEY is kept in both
+        layouts so the pruning algebra stays uniform — unlike the
+        reference, which loses numeric byte order on stringformat keys
+        and needs custom comparators (util/comparators.scala:47-243)."""
+        if self.meta.encoding != STRING_FORMAT:
+            return keyed
+        return keyed.select(
+            *[F.col(c).cast("string").alias(c) for c, _ in self.meta.all_columns],
+            F.col(ROWKEY_COL),
+        )
 
     def compact(self) -> None:
         """Rewrite all fragments into num_regions clean sorted regions."""
