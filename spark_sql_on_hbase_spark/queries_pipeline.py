@@ -506,3 +506,50 @@ PIPELINE["multimodal_binary_meta"] = Q(
     """,
     doc="binary media column attach + chunk metadata (decode stubs in operators/multimodal.py, pytest-covered)",
 )
+
+
+def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.multimodal import attach_binary_column, frame_sample
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(t["documents"].filter(F.col("doc_id") < 500), "text", "blob")
+    return frame_sample(df, every_n_bytes=100).select(
+        "doc_id", "frame_idx", "frame_off", "blob_len"
+    )
+
+
+PIPELINE["multimodal_frame_sample"] = Q(
+    spark=_multimodal_frames,
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 100 AS BIGINT) AS frame_off,
+           CAST(octet_length(encode(text)) AS BIGINT) AS blob_len
+    FROM documents,
+         unnest(range(greatest(octet_length(encode(text)) // 100, 1))) AS t(f)
+    WHERE doc_id < 500
+    """,
+    doc="video-style frame sampling: binary blob exploded to per-chunk rows "
+    "(row count grows, rows stay narrow; real impl = ffmpeg keyframes)",
+)
+
+
+def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.multimodal import attach_binary_column, extract_features
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 200).select("doc_id", "text"), "text", "blob"
+    )
+    out = extract_features(df, dim=4)
+    return out.select("doc_id", F.round(F.element_at("features", 1), 4).alias("f0"))
+
+
+PIPELINE["multimodal_feature_extract"] = Q(
+    spark=_multimodal_features,
+    # byte-histogram over UTF-8 bytes is not reasonably SQL-expressible →
+    # rows-only driver check; kernel arithmetic pinned by pytest
+    oracle=None,
+    doc="mapInPandas feature extraction: blob → array<float> map-side "
+    "(deterministic stub kernel; real impl = vision model pandas_udf)",
+)
