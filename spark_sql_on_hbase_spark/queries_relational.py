@@ -1133,6 +1133,178 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# remaining TPC-H-style queries, adapted to the reduced driver schema
+# (no partsupp table, no commit/receipt dates, no phone column) — the
+# driver's tables are TPC-H-ish; adaptations keep each query's plan
+# shape (exists/anti joins, correlated scalar aggs, left-outer count
+# distribution, CTE + scalar-subquery max)
+# ---------------------------------------------------------------------------
+_q(
+    "q4_order_priority",
+    Q(
+        spark="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """,
+        oracle=None,
+        doc="TPC-H Q4 (EXISTS semi-join; late-ship stands in for late-commit)",
+    ),
+)
+
+_q(
+    "q7_volume_shipping",
+    Q(
+        spark="""
+        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        oracle=None,
+        doc="TPC-H Q7 bi-national volume (two nation dims, year bucketing)",
+    ),
+)
+
+_q(
+    "q8_market_share",
+    Q(
+        spark="""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        """,
+        oracle=None,
+        doc="TPC-H Q8 market share (8-table join, conditional aggregation)",
+    ),
+)
+
+_q(
+    "q13_customer_distribution",
+    Q(
+        spark="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """,
+        oracle=None,
+        doc="TPC-H Q13 order-count distribution (outer join with join-side filter)",
+    ),
+)
+
+_q(
+    "q15_top_supplier",
+    Q(
+        spark="""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        oracle=None,
+        doc="TPC-H Q15 top supplier (CTE reuse + scalar-subquery max)",
+    ),
+)
+
+_q(
+    "q17_small_qty_revenue",
+    Q(
+        spark="""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """,
+        oracle=None,
+        doc="TPC-H Q17 small-quantity revenue (correlated scalar aggregate)",
+    ),
+)
+
+_q(
+    "q21_waiting_suppliers",
+    Q(
+        spark="""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate = (SELECT max(l2.l_shipdate) FROM lineitem l2
+                               WHERE l2.l_orderkey = l1.l_orderkey)
+          AND EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        GROUP BY s_name
+        """,
+        oracle=None,
+        doc="TPC-H Q21 waiting suppliers (correlated max + EXISTS; last-ship "
+        "stands in for late-receipt)",
+    ),
+)
+
+_q(
+    "q22_global_sales",
+    Q(
+        spark="""
+        SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM (
+          SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+            AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+        ) custsale
+        GROUP BY cntrycode
+        """,
+        oracle=None,
+        doc="TPC-H Q22 (anti-join + uncorrelated scalar avg; nationkey stands in "
+        "for phone country code, no-urgent-orders for never-ordered — the "
+        "driver data gives every customer orders)",
+    ),
+)
+
+
 # complex types: array build/index/size + struct field access over temp
 # arrays (reference exercises these on temp tables only,
 # HBaseSQLQuerySuite.scala:157-178,612-691)
