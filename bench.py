@@ -40,6 +40,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "knn_bruteforce_cosine",
+    "ann_ivf_topk",
+    "multimodal_feature_extract",
+    # adapted TPC-H additions
+    "q8_market_share",
+    "q13_customer_distribution",
 ]
 
 
