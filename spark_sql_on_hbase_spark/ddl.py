@@ -163,7 +163,7 @@ _CREATE_RE = re.compile(
 )
 
 _LOAD_RE = re.compile(
-    r"^\s*LOAD\s+(?P<parall>PARALL\s+|DATA\s+)(?P<local>LOCAL\s+)?INPATH\s+"
+    r"^\s*LOAD\s+(?:(?P<parall>PARALL)\s+)?DATA\s+(?P<local>LOCAL\s+)?INPATH\s+"
     r"'(?P<path>[^']+)'\s+(?P<over>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<name>[\w.`]+)"
     r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']+)')?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -316,7 +316,7 @@ def parse(sql: str) -> Command:
             table=t,
             namespace=ns,
             path=m.group("path"),
-            parall=m.group("parall").strip().upper() == "PARALL",
+            parall=m.group("parall") is not None,
             local=bool(m.group("local")),
             overwrite=bool(m.group("over")),
             delimiter=m.group("delim") or ",",

@@ -835,26 +835,26 @@ _q(
         spark="""
         SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25)                    AS a,
-               round(sqrt(l_extendedprice), 4)         AS sq,
+               floor(sqrt(l_extendedprice) * 1e4)      AS sq,
                floor(l_extendedprice / 100)            AS fl,
                ceil(l_discount * 100)                  AS ce,
                CAST(l_orderkey % 7 AS BIGINT)          AS md,
-               round(power(l_tax + 1, 2), 6)           AS pw,
-               round(ln(l_extendedprice + 1), 6)       AS lg,
-               round(exp(l_discount), 6)               AS ex,
+               floor(power(l_tax + 1, 2) * 1e6)        AS pw,
+               floor(ln(l_extendedprice + 1) * 1e4)    AS lg,
+               floor(exp(l_discount) * 1e4)            AS ex,
                sign(l_quantity - 25.0)                 AS sg
         FROM lineitem WHERE l_orderkey <= 60 ORDER BY l_orderkey, l_linenumber
         """,
         oracle="""
         SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25)                    AS a,
-               round(sqrt(l_extendedprice), 4)         AS sq,
+               floor(sqrt(l_extendedprice) * 1e4)      AS sq,
                floor(l_extendedprice / 100)            AS fl,
                ceil(l_discount * 100)                  AS ce,
                CAST(l_orderkey % 7 AS BIGINT)          AS md,
-               round(power(l_tax + 1, 2), 6)           AS pw,
-               round(ln(l_extendedprice + 1), 6)       AS lg,
-               round(exp(l_discount), 6)               AS ex,
+               floor(power(l_tax + 1, 2) * 1e6)        AS pw,
+               floor(ln(l_extendedprice + 1) * 1e4)    AS lg,
+               floor(exp(l_discount) * 1e4)            AS ex,
                CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg
         FROM lineitem WHERE l_orderkey <= 60 ORDER BY l_orderkey, l_linenumber
         """,

@@ -237,3 +237,15 @@ def test_compact_table_sql(loaded):
     # upsert of an existing key: row count unchanged, new cell visible
     assert loaded.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 3
     assert loaded.sql("SELECT bytecol FROM TestTable WHERE strcol = 'Row2'").collect()[0].bytecol == 9
+
+
+def test_load_parall_grammar(astro, tmp_path):
+    """Reference grammar LOAD PARALL DATA [LOCAL] INPATH (HBaseSQLParser.scala:214)."""
+    csv = tmp_path / "parall.txt"
+    csv.write_text(TESTTABLE_CSV)
+    astro.sql(TESTTABLE_DDL)
+    astro.sql(f"LOAD PARALL DATA INPATH '{csv}' INTO TABLE TestTable")
+    assert astro.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 3
+    # plain form still parses
+    astro.sql(f"LOAD DATA LOCAL INPATH '{csv}' OVERWRITE INTO TABLE TestTable")
+    assert astro.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 3
