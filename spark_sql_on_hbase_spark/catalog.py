@@ -87,6 +87,15 @@ class TableMeta:
     regions: list[RegionFile] = field(default_factory=list)
     created_at: float = field(default_factory=time.time)
     declared_columns: list[str] = field(default_factory=list)  # SQL declaration order
+    # physical layout state: "range" = plain sorted region files;
+    # "bucketed" = Spark bucketed+sorted table on the materialized region id
+    # (the one-phase-aggregation layout — regions pre-split at group
+    # boundaries, the reference's distinguishedForGroupKeys precondition,
+    # HBaseStrategies.scala:102-127)
+    layout: str = "range"
+    # declared alignment intent: regions never split a group of the first
+    # `align_prefix` key columns (0 = none); compact() restores it
+    align_prefix: int = 0
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -199,6 +208,8 @@ class AstroCatalog:
             regions=[RegionFile(**r) for r in raw["regions"]],
             created_at=raw["created_at"],
             declared_columns=raw.get("declared_columns", []),
+            layout=raw.get("layout", "range"),
+            align_prefix=raw.get("align_prefix", 0),
         )
         self._cache[key] = meta
         return meta

@@ -4,38 +4,47 @@ Parity target: the reference's special Aggregate strategy
 (HBaseStrategies.scala:42-60 + guard ``canBeAggregatedForAll`` /
 ``distinguishedForGroupKeys`` :87-173): when the GROUP BY columns are a
 prefix of the row key AND region boundaries separate all groups, plan a
-single partial aggregate per region with **no Exchange**.
+single aggregate per region with **no Exchange**.
 
-Spark-first realization (SURVEY §7 step 5 option b): the guard checks the
-catalog's file bounds (decoded key tuples instead of the reference's
-byte-level split check with its 0x00-terminator subtlety — same decision,
-no byte arithmetic); when it passes, each region file becomes one input
-partition (``spark.sql.files.maxPartitionBytes`` raised so files never
-split) and an Arrow-batched ``mapInPandas`` folds each partition's groups
-locally — zero shuffle, O(groups-per-region) memory.  When the guard
-fails, fall back to the normal 2-phase ``groupBy`` — like the reference's
-kill switch (``spark.sql.hbase.aggregate.onephase`` analog via the
-``one_phase`` parameter; HBaseSQLConf.scala:43-44).
+Spark-first realization (SURVEY §7 step 5 option a): tables written with
+``align_prefix`` are REAL Spark bucketed+sorted tables on a materialized
+``_region`` id (relation.py — region ids mined so bucket order == key
+order; the files are still range regions and CPR pruning is untouched).
+The bucketed scan reports ``HashPartitioning(_region)``, so
+
+    spark.table(t).groupBy(_region, *prefix).agg(...)
+
+satisfies the aggregation's ClusteredDistribution and EnsureRequirements
+plans it with ZERO Exchange — the entire fold stays in JVM whole-stage
+codegen hash aggregation (no Python, no Arrow transfer).  Grouping by
+``(_region, prefix)`` equals grouping by ``prefix`` exactly when no
+prefix group spans two regions — the guard below, the same condition the
+reference checks against HBase region boundaries.  ``_region`` is
+dropped from the output.
+
+When the guard fails (unaligned table, pending upserts, non-prefix
+group), fall back to the normal 2-phase ``groupBy`` — like the
+reference's kill switch (``spark.sql.hbase.aggregate.onephase`` analog
+via the ``one_phase`` parameter; HBaseSQLConf.scala:43-44).  Note the
+2-phase plan is already partial-agg local: the exchange moves one row
+per (partition, group), not row data.
 
 Wrong-guard = silent wrong results (SURVEY known-hard #3), so
 tests/test_onephase_agg.py fuzzes one-phase vs 2-phase equality.
 
 Scale: the whole point.  A key-prefix group-by over 100 TB becomes an
-embarrassingly parallel per-region fold — no shuffle of 100 TB, no AQE
-skew handling needed, result size = #groups.
+embarrassingly parallel per-region JVM fold — no shuffle, no AQE skew
+handling needed, result size = #groups.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from dataclasses import dataclass
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from spark_sql_on_hbase_spark.relation import AstroRelation, spark_type
+from spark_sql_on_hbase_spark.relation import REGION_COL, AstroRelation
 
 _SUPPORTED = {"count", "sum", "min", "max", "avg"}
 
@@ -67,74 +76,9 @@ def prefix_groups_separated(rel: AstroRelation, k: int) -> bool:
     return True
 
 
-def _one_phase(rel: AstroRelation, group_cols: list[str], aggs: list[AggSpec]) -> DataFrame:
-    spark = rel.spark
-    # a region file must never split across input partitions; packing
-    # multiple whole files into one partition is harmless (groups still
-    # don't straddle partitions)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
-
-    in_cols = list(dict.fromkeys(group_cols + [a.col for a in aggs if a.col]))
-    df = rel.scan().select(*in_cols)
-
-    out_fields = [T.StructField(c, spark_type(rel.meta.column_type(c)), True) for c in group_cols]
-    for a in aggs:
-        if a.op == "count":
-            out_fields.append(T.StructField(a.out, T.LongType(), False))
-        elif a.op in ("sum", "avg"):
-            out_fields.append(T.StructField(a.out, T.DoubleType(), True))
-        else:  # min/max keep column type
-            out_fields.append(T.StructField(a.out, spark_type(rel.meta.column_type(a.col)), True))
-    out_schema = T.StructType(out_fields)
-    agg_list = list(aggs)
-    gcols = list(group_cols)
-
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[tuple, list] = {}
-        # state per group: [count, {i: partial per agg}]
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
-                st = acc.get(key)
-                if st is None:
-                    st = [0, [None] * len(agg_list)]
-                    acc[key] = st
-                st[0] += len(sub)
-                for i, a in enumerate(agg_list):
-                    if a.op == "count":
-                        st[1][i] = (st[1][i] or 0) + len(sub)
-                        continue
-                    s = sub[a.col].dropna()
-                    if s.empty:
-                        continue
-                    if a.op == "sum":
-                        st[1][i] = (st[1][i] or 0.0) + float(s.sum())
-                    elif a.op == "avg":
-                        prev = st[1][i] or (0.0, 0)
-                        st[1][i] = (prev[0] + float(s.sum()), prev[1] + len(s))
-                    elif a.op == "min":
-                        m = s.min()
-                        st[1][i] = m if st[1][i] is None else min(st[1][i], m)
-                    elif a.op == "max":
-                        m = s.max()
-                        st[1][i] = m if st[1][i] is None else max(st[1][i], m)
-        rows = []
-        for key, st in acc.items():
-            row = list(key)
-            for i, a in enumerate(agg_list):
-                v = st[1][i]
-                if a.op == "avg":
-                    row.append(v[0] / v[1] if v and v[1] else None)
-                else:
-                    row.append(v)
-            rows.append(row)
-        yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
-
-    return df.mapInPandas(fold, out_schema)
-
-
-def _two_phase(rel: AstroRelation, group_cols: list[str], aggs: list[AggSpec]) -> DataFrame:
+def _agg_exprs(aggs: list[AggSpec]):
+    """Identical output schema on both paths: count→BIGINT, sum/avg→DOUBLE,
+    min/max keep the column type."""
     exprs = []
     for a in aggs:
         if a.op == "count":
@@ -147,7 +91,36 @@ def _two_phase(rel: AstroRelation, group_cols: list[str], aggs: list[AggSpec]) -
             exprs.append(F.min(a.col).alias(a.out))
         elif a.op == "max":
             exprs.append(F.max(a.col).alias(a.out))
-    return rel.scan().groupBy(*group_cols).agg(*exprs)
+    return exprs
+
+
+def _one_phase(rel: AstroRelation, group_cols: list[str], aggs: list[AggSpec]) -> DataFrame:
+    tbl = rel.ensure_spark_table()
+    df = rel.spark.table(tbl)
+    # Map-side Projects preserve the bucketed scan's output partitioning:
+    # ALTER-ADDed columns absent from the files read as NULL (absent-cell
+    # semantics, HBaseRelation.scala:885-901); stringformat values cast
+    # back to their declared types (schema-on-read).
+    from spark_sql_on_hbase_spark.catalog import STRING_FORMAT
+    from spark_sql_on_hbase_spark.relation import spark_type
+
+    present = set(df.columns)
+    cols = [F.col(REGION_COL)]
+    for c, dt in rel.meta.all_columns:
+        t = spark_type(dt)
+        if c not in present:
+            cols.append(F.lit(None).cast(t).alias(c))
+        elif rel.meta.encoding == STRING_FORMAT:
+            cols.append(F.col(c).cast(t).alias(c))
+        else:
+            cols.append(F.col(c))
+    df = df.select(*cols)
+    out = df.groupBy(REGION_COL, *group_cols).agg(*_agg_exprs(aggs))
+    return out.select(*group_cols, *[a.out for a in aggs])
+
+
+def _two_phase(rel: AstroRelation, group_cols: list[str], aggs: list[AggSpec]) -> DataFrame:
+    return rel.scan().groupBy(*group_cols).agg(*_agg_exprs(aggs))
 
 
 def agg_by_key_prefix(
@@ -169,7 +142,7 @@ def agg_by_key_prefix(
     key_names = rel.meta.key_names
     k = len(group_cols)
     is_prefix = group_cols == key_names[:k]
-    guard = is_prefix and prefix_groups_separated(rel, k)
+    guard = is_prefix and rel.meta.layout == "bucketed" and prefix_groups_separated(rel, k)
     if one_phase is True and not guard:
         raise ValueError("one_phase forced but guard fails (groups span regions)")
     if one_phase is False or not guard:

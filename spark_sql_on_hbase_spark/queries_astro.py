@@ -39,7 +39,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
     Written with align_prefix=1: region boundaries never split an
     l_orderkey group, so the one-phase aggregation guard holds.
     """
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_v2"
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_v4"
     wh = os.path.join(_WAREHOUSE, tag)
     catalog = AstroCatalog(wh)
     if not catalog.table_exists("astro_lineitem"):
@@ -47,7 +47,16 @@ def _ensure_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
             name="astro_lineitem",
             namespace="default",
             physical_table="h_lineitem",
-            key_columns=[KeyColumn("l_orderkey", "long", 0), KeyColumn("l_linenumber", "int", 1)],
+            # the driver's synthetic lineitem has duplicate
+            # (l_orderkey, l_linenumber) pairs; a PRIMARY KEY table would
+            # upsert-collapse them (HBase put semantics), so a third
+            # uniquifier key column keeps every physical row addressable —
+            # the HBase timestamp-as-disambiguator analog
+            key_columns=[
+                KeyColumn("l_orderkey", "long", 0),
+                KeyColumn("l_linenumber", "int", 1),
+                KeyColumn("l_seq", "long", 2),
+            ],
             nonkey_columns=[
                 NonKeyColumn("l_quantity", "double", "f", "qty"),
                 NonKeyColumn("l_extendedprice", "double", "f", "price"),
@@ -55,11 +64,15 @@ def _ensure_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
                 NonKeyColumn("l_returnflag", "string", "f", "rflag"),
             ],
             num_regions=16,
-            declared_columns=_COLS,
+            declared_columns=_COLS[:2] + ["l_seq"] + _COLS[2:],
         )
         catalog.create_table(meta)
         rel = AstroRelation(catalog, meta, spark)
-        src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(*_COLS)
+        src = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(*_COLS)
+            .withColumn("l_seq", F.monotonically_increasing_id())
+        )
         rel.write(src, align_prefix=1)
         return rel
     meta = catalog.get_table("astro_lineitem")

@@ -48,6 +48,44 @@ from spark_sql_on_hbase_spark.catalog import (
 
 ROWKEY_COL = "_rowkey"
 SEQ_COL = "_seq"
+REGION_COL = "_region"
+
+
+def _murmur3_int(value: int, seed: int = 42) -> int:
+    """Spark-compatible Murmur3_x86_32.hashInt (public algorithm; Spark
+    seeds partitioning hashes with 42).  Used driver-side to mine region
+    ids whose bucket assignment is the identity — O(#regions²) int hashes,
+    never row data."""
+    mask = 0xFFFFFFFF
+    k1 = (value & mask) * 0xCC9E2D51 & mask
+    k1 = ((k1 << 15) | (k1 >> 17)) & mask
+    k1 = k1 * 0x1B873593 & mask
+    h1 = (seed & mask) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & mask
+    h1 = (h1 * 5 + 0xE6546B64) & mask
+    h1 ^= 4  # byte length of one int
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & mask
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def mine_region_ids(n: int) -> list[int]:
+    """ids[p] = smallest x ≥ 0 with pmod(murmur3(x), n) == p, so range
+    partition p writes into Spark bucket p — a 1:1 region→bucket map with
+    no hash collisions and files in key-range order."""
+    ids: list[int | None] = [None] * n
+    remaining = n
+    x = 0
+    while remaining:
+        b = _murmur3_int(x) % n  # python % is already non-negative = pmod
+        if ids[b] is None:
+            ids[b] = x
+            remaining -= 1
+        x += 1
+    return ids  # type: ignore[return-value]
 
 _SPARK_TYPES = {
     C.BYTE: T.ByteType(),
@@ -108,15 +146,31 @@ class AstroRelation:
         enc = _rowkey_udf(self.meta.key_dtypes)
         return df.withColumn(ROWKEY_COL, enc(F.struct(*[F.col(k) for k in self.meta.key_names])))
 
+    @property
+    def spark_table_name(self) -> str:
+        """Session-catalog name for the bucketed layout; hashed on the
+        warehouse path so two Astro catalogs never collide in one session."""
+        import hashlib
+
+        tag = hashlib.md5(self.catalog.root.encode()).hexdigest()[:8]
+        return f"astro_{tag}_{self.meta.namespace}_{self.meta.name}".lower()
+
     def write(self, df: DataFrame, mode: str = "overwrite", align_prefix: int | None = None) -> None:
         """Total-order bulk write: range shuffle on key, sort, one parquet
         file per region, then record per-file bounds.
 
         ``align_prefix=k`` range-partitions on the first k key columns
         only (still fully key-sorted within each region), so region
-        boundaries never split a key-prefix group — the precondition the
-        one-phase aggregation guard checks (reference: regions pre-split
-        at group boundaries, HBaseStrategies.scala:102-127).
+        boundaries never split a key-prefix group — the precondition of
+        one-phase aggregation (reference: regions pre-split at group
+        boundaries, HBaseStrategies.scala:102-127).  Aligned tables are
+        written as a REAL Spark bucketed+sorted table (SURVEY §7 step 5
+        option a) on a materialized ``_region`` id column: region ids are
+        mined so range partition p lands in bucket p (identity map, no
+        hash collisions), which keeps the files in key-range order — CPR
+        file pruning is unaffected — while the bucketed scan reports
+        HashPartitioning(_region) and lets EnsureRequirements elide the
+        aggregation Exchange entirely JVM-side (plans/aggregate.py).
         """
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
@@ -127,13 +181,54 @@ class AstroRelation:
             part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
         else:
             part_cols = [F.col(ROWKEY_COL)]
-        (
-            keyed.repartitionByRange(n, *part_cols)
-            .sortWithinPartitions(ROWKEY_COL)
-            .write.mode(mode)
-            .parquet(out_dir)
-        )
+        ranged = keyed.repartitionByRange(n, *part_cols)
+        if align_prefix:
+            ids = mine_region_ids(n)
+            # partition index → mined bucket id, map-local (no extra shuffle:
+            # each range-partition task holds exactly one _region value and
+            # therefore writes exactly one bucket file)
+            ranged = ranged.withColumn(
+                REGION_COL,
+                F.element_at(F.array(*[F.lit(i) for i in ids]), F.spark_partition_id() + 1),
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+            (
+                ranged.write.mode(mode)
+                .format("parquet")
+                .option("path", out_dir)
+                .bucketBy(n, REGION_COL)
+                .sortBy(ROWKEY_COL)
+                .saveAsTable(self.spark_table_name)
+            )
+            meta.layout = "bucketed"
+            meta.align_prefix = int(align_prefix)
+        else:
+            ranged.sortWithinPartitions(ROWKEY_COL).write.mode(mode).parquet(out_dir)
+            meta.layout = "range"
         self._refresh_region_bounds()
+
+    def ensure_spark_table(self) -> str:
+        """Re-register the bucketed table in a fresh session from catalog
+        metadata (the session catalog is in-memory; ours is the durable
+        one — reference region-info caching analog, HBaseRelation.scala:199)."""
+        meta = self.meta
+        assert meta.layout == "bucketed", "not a bucketed-layout table"
+        tbl = self.spark_table_name
+        if not self.spark.catalog.tableExists(tbl):
+            from spark_sql_on_hbase_spark.catalog import STRING_FORMAT as _SF
+
+            cols = []
+            for c, dt in meta.all_columns:
+                t = "STRING" if meta.encoding == _SF else spark_type(dt).simpleString()
+                cols.append(f"`{c}` {t}")
+            cols += [f"`{ROWKEY_COL}` BINARY", f"`{SEQ_COL}` INT", f"`{REGION_COL}` INT"]
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({', '.join(cols)}) USING PARQUET "
+                f"CLUSTERED BY ({REGION_COL}) SORTED BY ({ROWKEY_COL}) "
+                f"INTO {max(1, meta.num_regions)} BUCKETS "
+                f"LOCATION '{self.catalog.data_dir(meta)}'"
+            )
+        return tbl
 
     def append(self, df: DataFrame) -> None:
         """INSERT INTO …: append sorted fragment files at the next LSM
@@ -147,6 +242,12 @@ class AstroRelation:
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(seq))
         n = min(max(1, meta.num_regions), max(1, df.rdd.getNumPartitions()))
+        if meta.layout == "bucketed":
+            # plain fragment files break the bucket-file invariant; demote
+            # the layout (one-phase agg falls back to 2-phase) until
+            # compact() restores the declared alignment
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+            meta.layout = "range"
         (
             keyed.repartitionByRange(n, F.col(ROWKEY_COL))
             .sortWithinPartitions(ROWKEY_COL)
@@ -172,14 +273,42 @@ class AstroRelation:
         )
 
     def compact(self) -> None:
-        """Rewrite all fragments into num_regions clean sorted regions."""
-        df = self.scan().select(*[c for c, _ in self.meta.all_columns])
-        # write to temp dir then swap would be the production move; local
-        # rewrite-in-place via cache is fine for the test scale
-        df = df.cache()
-        df.count()
-        self.write(df)
-        df.unpersist()
+        """Rewrite all fragments into num_regions clean sorted regions,
+        restoring the table's declared alignment (bucketed layout) if any.
+
+        Crash-safe: the merged result is written to a sibling temp
+        directory first, then swapped in with O(1) renames — the source
+        files stay intact until the replacement is fully materialized, so
+        executor loss / cache eviction during the rewrite can always
+        recompute from the originals (never read-and-overwrite the same
+        path; reference compaction is HBase-side and has the same
+        write-new-then-switch structure).
+        """
+        import shutil
+
+        meta = self.meta
+        out_dir = self.catalog.data_dir(meta).rstrip("/")
+        tmp_dir = out_dir + ".compact.tmp"
+        old_dir = out_dir + ".compact.old"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+        df = self.scan().select(*[c for c, _ in meta.all_columns])
+        real_dir, real_phys = out_dir, meta.physical_table
+        try:
+            # point the writer at the temp dir by temporarily renaming the
+            # physical table (data_dir derives from it)
+            meta.physical_table = os.path.basename(tmp_dir)
+            self.write(df, align_prefix=meta.align_prefix or None)
+        finally:
+            meta.physical_table = real_phys
+        os.rename(real_dir, old_dir)
+        os.rename(tmp_dir, real_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if meta.layout == "bucketed":
+            # re-point the session-catalog table at the final location
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+        self._refresh_region_bounds()
 
     def _refresh_region_bounds(self) -> None:
         """One aggregate job → per-file (min,max) key bounds + generation
