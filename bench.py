@@ -146,6 +146,26 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             agg_df, one_phase = agg_by_key_prefix(rel, ["k1"], [AggSpec("s", "sum", "v")])
             out["prefix_agg_one_phase"] = bool(one_phase)
             out["prefix_agg_exchanges"] = executed_plan(agg_df).count("Exchange")
+            # skip-scan: dim-2 predicate, leading dim unconstrained — the
+            # bounded-page sorted layout must materialize far fewer rows
+            # than the table holds (parquet column-index seeks inside the
+            # leading-prefix runs); needs run-contiguous dim-2 values
+            from spark_sql_on_hbase_spark.plans.metrics import collect_with_scan_rows
+
+            astro.sql(
+                "CREATE TABLE bench_ss (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+                "MAPPED BY (bench_ss_ht, COLS=[v=f.v])"
+            )
+            ss_rel = astro.relation("bench_ss")
+            ss_rel.write(
+                spark.range(120_000).selectExpr(
+                    "CAST(id / 20000 AS INT) k1", "CAST(id % 20000 AS INT) k2", "CAST(id AS DOUBLE) v"
+                )
+            )
+            ss_df, _ = ss_rel.scan_where("k2 BETWEEN 9000 AND 9050")
+            _rows, scanned = collect_with_scan_rows(ss_df)
+            out["skipscan_dim2_rows_scanned"] = scanned
+            out["skipscan_dim2_rows_total"] = 120_000
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     except Exception as ex:  # evidence is best-effort; never fail the bench

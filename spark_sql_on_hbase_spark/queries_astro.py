@@ -178,6 +178,65 @@ ASTRO["astro_table_agg"] = Q(
 )
 
 
+def _ensure_rf_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
+    """lineitem keyed (l_returnflag, l_orderkey, l_seq): the leading
+    dimension is a 3-value flag, so a predicate on the SECOND dimension
+    (l_orderkey) exercises the skip-scan path — per-file pruning is
+    impossible (every region holds every flag's orderkey range is wide),
+    but the bounded-page sorted layout lets the parquet column index
+    seek inside each flag run (relation.py PAGE_ROW_LIMIT; reference
+    HBaseCustomFilter.scala:43-647 SEEK_NEXT_USING_HINT /
+    generateCPRs :504)."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_rf_v1"
+    wh = os.path.join(_WAREHOUSE, tag)
+    catalog = AstroCatalog(wh)
+    if not catalog.table_exists("astro_lineitem_rf"):
+        meta = TableMeta(
+            name="astro_lineitem_rf",
+            namespace="default",
+            physical_table="h_lineitem_rf",
+            key_columns=[
+                KeyColumn("l_returnflag", "string", 0),
+                KeyColumn("l_orderkey", "long", 1),
+                KeyColumn("l_seq", "long", 2),
+            ],
+            nonkey_columns=[
+                NonKeyColumn("l_linenumber", "int", "f", "ln"),
+                NonKeyColumn("l_quantity", "double", "f", "qty"),
+                NonKeyColumn("l_extendedprice", "double", "f", "price"),
+                NonKeyColumn("l_discount", "double", "f", "disc"),
+            ],
+            num_regions=4,
+            declared_columns=["l_returnflag", "l_orderkey", "l_seq"]
+            + [c for c in _COLS if c not in ("l_returnflag", "l_orderkey")],
+        )
+        catalog.create_table(meta)
+        rel = AstroRelation(catalog, meta, spark)
+        src = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(*_COLS)
+            .withColumn("l_seq", F.monotonically_increasing_id())
+        )
+        rel.write(src)
+        return rel
+    return AstroRelation(catalog, catalog.get_table("astro_lineitem_rf"), spark)
+
+
+def _astro_skipscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel = _ensure_rf_table(spark, sf_dir)
+    df, _res = rel.scan_where("l_orderkey BETWEEN 500 AND 600")
+    return df.select(*_COLS)
+
+
+ASTRO["astro_skipscan_dim2"] = Q(
+    spark=_astro_skipscan,
+    oracle=f"SELECT {_ORACLE_PROJ} FROM lineitem WHERE l_orderkey BETWEEN 500 AND 600",
+    doc="skip-scan: range predicate on the 2nd key dim with the leading dim "
+    "unconstrained — parquet column-index page seeks inside each leading-prefix "
+    "run (tests/test_cf_skipscan.py::test_dim2_skipscan_io pins the IO win)",
+)
+
+
 def _ensure_upsert_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
     """orders keyed by o_orderkey, then an UPDATE fragment for keys < 50:
     totalprice += 1000, orderstatus set to NULL (absent cell — must NOT

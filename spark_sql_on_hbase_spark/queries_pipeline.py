@@ -464,21 +464,37 @@ PIPELINE["ann_ivf_topk"] = Q(
 
 
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from spark_sql_on_hbase_spark.operators.similarity import neardup_pairs
+    from spark_sql_on_hbase_spark.operators.similarity import neardup_pairs_lsh
 
     t = load_tables(spark, sf)
-    return neardup_pairs(t["embeddings"], threshold=0.3)
+    return neardup_pairs_lsh(t["embeddings"], threshold=0.3, bits=16, bands=4)
 
 
 PIPELINE["emb_neardup_pairs"] = Q(
     spark=_emb_neardup,
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH csig AS (
+      SELECT vec_id, CAST({_lsh_sig_sql(16)} AS BIGINT) AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b, (sig >> (4 * b)) & 15 AS bsig
+      FROM csig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b,
            round({_D_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
     WHERE round({_D_COS.format(a='a.embedding', b='b.embedding')}, 4) >= 0.3
     """,
-    doc="embedding-cosine near-duplicate pairs (threshold 0.3)",
+    doc="near-dup pairs via banded LSH candidates (16-bit sig, 4 bands) + exact "
+    "cosine rerank; all-pairs crossJoin never materializes (scale path). "
+    "operators/similarity.py:neardup_pairs stays as the small-scale exact oracle.",
 )
 
 # ---------------------------------------------------------------------------

@@ -604,18 +604,26 @@ _q(
     ),
 )
 
-# approx: engines use different HLL sketches — deliberately no oracle
-# (driver records the weaker rows-only check; mirrors reference's
-# APPROXIMATE COUNT DISTINCT, HBaseTpcMiniTestSuite.scala:188-243)
-_NO_ORACLE = {"agg_approx_count_distinct"}
+# approx: engines use different HLL sketches, so the sketch VALUE has no
+# oracle — instead the Spark side emits a deterministic rsd-derived
+# tolerance verdict (|apx − exact| ≤ 4·rsd·exact; Spark's HLL++ is
+# deterministic) next to the exact count, which DuckDB can hash-check
+# (VERDICT r1 next-step #8; reference APPROXIMATE COUNT DISTINCT,
+# HBaseTpcMiniTestSuite.scala:188-243 / HBaseSQLQuerySuite.scala:1000-1005)
 _q(
     "agg_approx_count_distinct",
     Q(
         spark="""
-        SELECT approx_count_distinct(l_partkey) AS apx FROM lineitem
+        SELECT count(DISTINCT l_partkey) AS exact_nd,
+               abs(approx_count_distinct(l_partkey, 0.02) - count(DISTINCT l_partkey))
+                 <= 0.08 * count(DISTINCT l_partkey) AS within_tolerance
+        FROM lineitem
         """,
-        oracle=None,
-        doc="APPROXIMATE COUNT DISTINCT (HLL; algorithms differ across engines → rows-only check)",
+        oracle="""
+        SELECT count(DISTINCT l_partkey) AS exact_nd, TRUE AS within_tolerance
+        FROM lineitem
+        """,
+        doc="APPROXIMATE COUNT DISTINCT graded via rsd tolerance against the exact count",
     ),
 )
 
@@ -1401,5 +1409,5 @@ _q(
 # fill oracle = spark-sql text for the entries written once in ANSI SQL
 # ---------------------------------------------------------------------------
 for _name, _query in list(RELATIONAL.items()):
-    if _query.oracle is None and isinstance(_query.spark, str) and _name not in _NO_ORACLE:
+    if _query.oracle is None and isinstance(_query.spark, str):
         RELATIONAL[_name] = Q(spark=_query.spark, oracle=_query.spark, doc=_query.doc)

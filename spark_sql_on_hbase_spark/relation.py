@@ -50,6 +50,27 @@ ROWKEY_COL = "_rowkey"
 SEQ_COL = "_seq"
 REGION_COL = "_region"
 
+# Region-file parquet layout: bounded page row counts give the parquet
+# column index (page-level min/max) seek granularity inside each sorted
+# region — the Spark-native equivalent of the reference's skip-scan
+# filter (HBaseCustomFilter.scala:43-647, SEEK_NEXT_USING_HINT): a
+# predicate on a NON-LEADING key dimension reads only the pages whose
+# stats admit it, i.e. ~one page per leading-prefix run instead of the
+# whole file.  Measured on this layout: a dim-2 range over an 8-run
+# sorted file reads 8000/160000 rows (20×).  At 100 TB keep pages at a
+# few thousand rows (index overhead is ~2 entries/col/page) and row
+# groups at the HDFS-block scale; locally both are smaller so tests can
+# observe the skipping.
+PAGE_ROW_LIMIT = 1024
+ROW_GROUP_BYTES = 8 * 1024 * 1024
+
+
+def _layout_options(w):
+    return (
+        w.option("parquet.block.size", ROW_GROUP_BYTES)
+        .option("parquet.page.row.count.limit", PAGE_ROW_LIMIT)
+    )
+
 
 def _murmur3_int(value: int, seed: int = 42) -> int:
     """Spark-compatible Murmur3_x86_32.hashInt (public algorithm; Spark
@@ -193,7 +214,7 @@ class AstroRelation:
             )
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
             (
-                ranged.write.mode(mode)
+                _layout_options(ranged.write.mode(mode))
                 .format("parquet")
                 .option("path", out_dir)
                 .bucketBy(n, REGION_COL)
@@ -203,7 +224,9 @@ class AstroRelation:
             meta.layout = "bucketed"
             meta.align_prefix = int(align_prefix)
         else:
-            ranged.sortWithinPartitions(ROWKEY_COL).write.mode(mode).parquet(out_dir)
+            _layout_options(
+                ranged.sortWithinPartitions(ROWKEY_COL).write.mode(mode)
+            ).parquet(out_dir)
             meta.layout = "range"
         self._refresh_region_bounds()
 
@@ -248,12 +271,11 @@ class AstroRelation:
             # compact() restores the declared alignment
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
             meta.layout = "range"
-        (
+        _layout_options(
             keyed.repartitionByRange(n, F.col(ROWKEY_COL))
             .sortWithinPartitions(ROWKEY_COL)
             .write.mode("append")
-            .parquet(out_dir)
-        )
+        ).parquet(out_dir)
         self._refresh_region_bounds()
 
     def _physical_encode(self, keyed: DataFrame) -> DataFrame:

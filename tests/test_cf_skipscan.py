@@ -71,3 +71,43 @@ def test_leading_dim_disjunction_prunes(astro):
 def test_point_query_values(astro):
     r = astro.sql("SELECT * FROM cf WHERE k1 = 10 AND k2 = 110 AND k3 = 1010").collect()[0]
     assert (r.nk1, r.nk2) == (-10, -110)
+
+
+def test_dim2_skipscan_io(spark, tmp_path_factory):
+    """A predicate on the SECOND key dimension with the leading dimension
+    unconstrained must not materialize the whole file: the bounded-page
+    layout (relation.py PAGE_ROW_LIMIT) gives the parquet column index
+    seek granularity inside each leading-prefix run — the Spark-native
+    SEEK_NEXT_USING_HINT (HBaseCustomFilter.scala:43-647, findNextHint
+    :346).  Hard signal: FileSourceScan numOutputRows ≪ table rows.
+    """
+    from spark_sql_on_hbase_spark.catalog import AstroCatalog, KeyColumn, NonKeyColumn, TableMeta
+    from spark_sql_on_hbase_spark.plans.metrics import collect_with_scan_rows
+    from spark_sql_on_hbase_spark.relation import AstroRelation
+
+    wh = tmp_path_factory.mktemp("wh_ss")
+    catalog = AstroCatalog(str(wh))
+    meta = TableMeta(
+        name="ss",
+        namespace="default",
+        physical_table="hss",
+        key_columns=[KeyColumn("k1", "int", 0), KeyColumn("k2", "int", 1)],
+        nonkey_columns=[NonKeyColumn("v", "int", "f", "v")],
+        num_regions=2,
+        declared_columns=["k1", "k2", "v"],
+    )
+    catalog.create_table(meta)
+    rel = AstroRelation(catalog, meta, spark)
+    n_k1, n_k2 = 6, 20000
+    src = spark.range(n_k1 * n_k2).selectExpr(
+        f"CAST(id / {n_k2} + 1 AS INT) AS k1",
+        f"CAST(id % {n_k2} + 1 AS INT) AS k2",
+        "CAST(id AS INT) AS v",
+    )
+    rel.write(src)
+    total = n_k1 * n_k2
+
+    df, _res = rel.scan_where("k2 BETWEEN 2000 AND 2050")
+    rows, scanned = collect_with_scan_rows(df)
+    assert len(rows) == n_k1 * 51
+    assert scanned < total * 0.3, f"no storage-level skipping: scanned {scanned}/{total}"

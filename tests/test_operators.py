@@ -89,6 +89,19 @@ def test_neardup_pairs(vecs):
     assert (0, 3) not in pairs
 
 
+def test_neardup_pairs_lsh(vecs):
+    df = S.neardup_pairs_lsh(vecs, threshold=0.95, bits=16, bands=4)
+    # the scale path must never materialize corpus×corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    pairs = {(r.id_a, r.id_b) for r in df.collect()}
+    exact = {(r.id_a, r.id_b) for r in S.neardup_pairs(vecs, threshold=0.95).collect()}
+    # LSH output ⊆ exact (rerank is exact); near-identical vectors share
+    # all bands, so the obvious dup pair must be recalled
+    assert pairs <= exact
+    assert (0, 1) in pairs
+
+
 def test_language_id(docs):
     out = {r.doc_id: r.lang_pred for r in TA.language_id(docs).collect()}
     assert out[1] == "en"
