@@ -27,14 +27,12 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
-    "agg_count_distinct",
-    "agg_cube",
+    "agg_stats",
+    "agg_group",
     "join_broadcast_star",
-    "sub_correlated",
-    "win_topk_per_group",
-    "win_running_sum",
-    "events_tumbling_window",
-    "events_sessionize",
+    "sub_suite",
+    "win_suite",
+    "events_suite",
     # pipeline operators (present from round 1+ as implemented)
     "dedup_exact",
     "dedup_minhash_lsh",
