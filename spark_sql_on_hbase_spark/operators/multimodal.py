@@ -79,13 +79,15 @@ def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 
 def extract_features(df: DataFrame, blob_col: str = "blob", dim: int = 8) -> DataFrame:
-    """STUB feature extractor: blob → deterministic `array<float>` embedding
+    """STUB feature extractor: blob → deterministic embedding
     (byte-histogram moments).  Real impl: a vision/audio model via a
-    Pandas UDF batching onto GPU.  Projects wide blobs to narrow vectors
-    map-side — the only thing that should ever shuffle."""
+    Pandas UDF batching onto GPU (emitting float32; the stub keeps DOUBLE
+    so its arithmetic stays exactly oracle-reproducible).  Projects wide
+    blobs to narrow vectors map-side — the only thing that should ever
+    shuffle."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != blob_col]
-        + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+        + [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
     )
     other_cols = [f.name for f in df.schema.fields if f.name != blob_col]
 

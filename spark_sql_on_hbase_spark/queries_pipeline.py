@@ -563,9 +563,18 @@ def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 PIPELINE["multimodal_feature_extract"] = Q(
     spark=_multimodal_features,
-    # byte-histogram over UTF-8 bytes is not reasonably SQL-expressible →
-    # rows-only driver check; kernel arithmetic pinned by pytest
-    oracle=None,
-    doc="mapInPandas feature extraction: blob → array<float> map-side "
-    "(deterministic stub kernel; real impl = vision model pandas_udf)",
+    # the stub kernel's byte-histogram IS oracle-reproducible: DuckDB
+    # extracts UTF-8 blob bytes via hex() + substr and resums the same
+    # double arithmetic (feature 1 = bytes at positions ≡ 0 mod 4)
+    oracle="""
+    SELECT doc_id,
+           coalesce(round(list_sum(list_transform(
+               range(0, octet_length(encode(text)), 4),
+               i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT / 255.0)), 4),
+             0.0) AS f0
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="mapInPandas feature extraction: blob → feature vector map-side "
+    "(deterministic stub kernel, value-verified against the DuckDB byte-level "
+    "recomputation; real impl = vision model pandas_udf)",
 )
