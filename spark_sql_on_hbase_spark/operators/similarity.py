@@ -234,11 +234,13 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by (rounded) cosine.
 
-    Centroids broadcast (K rows); scoring is map-side.  The argmax runs
-    as a window over K candidate rows per vector — at production scale
-    fold it map-side with max(struct(cos, -centroid_id)) to avoid the
-    K·N shuffle; the window form is kept for oracle-identical tie
-    semantics (cos DESC, centroid_id ASC).  Returns (id, cluster_id).
+    Centroids broadcast (K rows); scoring is map-side.  The argmax folds
+    map-side too: ``max_by(centroid_id, struct(cos, -centroid_id))``
+    reduces each vector's K candidate rows inside its own partition
+    (partial aggregation), so the only shuffle is one tiny
+    (id, cluster_id) row per vector — K× less than the former window
+    formulation, with identical tie semantics (cos DESC, centroid_id
+    ASC).  Returns (id, cluster_id).
     """
     scored = (
         vecs.select(F.col(id_col), F.col(vec_col).alias("v"))
@@ -249,11 +251,10 @@ def ivf_assign(
             F.round(cosine_similarity(F.col("v"), F.col("centroid")), 4).alias("cos_c"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("nid"))
+        ).alias("cluster_id")
     )
 
 

@@ -476,3 +476,39 @@ def evaluate(p: Pred, env: dict[str, Interval]) -> int:
         r = evaluate(p.child, env)
         return {TRUE: FALSE, FALSE: TRUE, UNKNOWN: UNKNOWN}[r]
     raise TypeError(type(p))
+
+
+# ---------------------------------------------------------------------------
+# rendering (Pred → SQL text) — for per-partition residual simplification
+# ---------------------------------------------------------------------------
+def _lit_sql(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def render(p: Pred) -> str:
+    """SQL text for a parsed predicate (the subset the parser accepts
+    round-trips).  Used when the key-pushed part is definitely TRUE over
+    every surviving file so only the residual needs evaluating — the
+    reference's per-partition predicate reduction
+    (HBasePartition.scala:50-79, HBaseCriticalPoint.scala:648-694)."""
+    if isinstance(p, Comparison):
+        return f"({p.col} {p.op} {_lit_sql(p.value)})"
+    if isinstance(p, InList):
+        return f"({p.col} IN ({', '.join(_lit_sql(v) for v in p.values)}))"
+    if isinstance(p, IsNull):
+        return f"({p.col} IS NULL)"
+    if isinstance(p, IsNotNull):
+        return f"({p.col} IS NOT NULL)"
+    if isinstance(p, And):
+        return "(" + " AND ".join(render(c) for c in p.children) + ")"
+    if isinstance(p, Or):
+        return "(" + " OR ".join(render(c) for c in p.children) + ")"
+    if isinstance(p, Not):
+        return f"(NOT {render(p.child)})"
+    if isinstance(p, Opaque):
+        return f"({p.text})"
+    raise TypeError(type(p))

@@ -58,6 +58,9 @@ class PruneResult:
     predicate: Pred
     key_pushed: Pred | None
     residual: Pred | None
+    # set by scan_where when the key-pushed part proved definitely TRUE
+    # over every surviving file, so only the residual was applied
+    residual_only: bool = False
 
     @property
     def pruned(self) -> int:

@@ -501,4 +501,21 @@ class AstroRelation:
         # contains it, so range pruning keeps ALL versions of a surviving
         # key — merging over the pruned subset is exact
         df = self._resolve(self.spark.read.parquet(*paths))
+
+        # per-partition residual simplification (HBasePartition.scala:50-79):
+        # when the key-pushed conjunct is definitely TRUE over EVERY
+        # surviving file's envelope (3-valued eval, sound: rows ⊆ envelope),
+        # only the residual needs evaluating — the reference re-reduces the
+        # predicate per region; one uniform reduction over the pruned set
+        # is the Spark equivalent (a single plan serves all partitions)
+        from spark_sql_on_hbase_spark.predicate import TRUE as _T
+        from spark_sql_on_hbase_spark.predicate import evaluate, render
+        from spark_sql_on_hbase_spark.pruning import file_envelope
+
+        if res.key_pushed is not None and not isinstance(res.predicate, Opaque):
+            if all(evaluate(res.key_pushed, file_envelope(rf, meta)) == _T for rf in res.files):
+                res.residual_only = True
+                if res.residual is None:
+                    return df, res
+                return df.filter(F.expr(render(res.residual))), res
         return df.filter(F.expr(where)), res

@@ -157,3 +157,44 @@ def test_non_sargable_degrades_to_full_scan(cf_table):
     assert len(res.files) == res.total
     rows = df.collect()
     assert len(rows) == 1 and rows[0].k1 == 3
+
+
+def test_residual_simplification(spark, tmp_path_factory):
+    """When the key-pushed conjunct is definitely TRUE over every
+    surviving file, scan_where applies only the residual — the
+    per-partition predicate reduction (HBasePartition.scala:50-79)."""
+    from spark_sql_on_hbase_spark.catalog import AstroCatalog, KeyColumn, NonKeyColumn, TableMeta
+    from spark_sql_on_hbase_spark.relation import AstroRelation
+
+    wh = tmp_path_factory.mktemp("wh_resid")
+    catalog = AstroCatalog(str(wh))
+    meta = TableMeta(
+        name="rs", namespace="default", physical_table="hrs",
+        key_columns=[KeyColumn("k", "int", 0)],
+        nonkey_columns=[NonKeyColumn("v", "int", "f", "v")],
+        num_regions=4, declared_columns=["k", "v"],
+    )
+    catalog.create_table(meta)
+    rel = AstroRelation(catalog, meta, spark)
+    rel.write(spark.range(1000).selectExpr("CAST(id AS INT) k", "CAST(id % 7 AS INT) v"))
+
+    # key range covers the whole table → key part definitely TRUE everywhere
+    df, res = rel.scan_where("k >= 0 AND v = 3")
+    assert res.residual_only is True
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the Filter must not re-test the key conjunct
+    assert "v#" in plan
+    import re
+    filters = [ln for ln in plan.splitlines() if "Filter" in ln and "Scan" not in ln]
+    assert filters and not any(re.search(r"\(k#\d+ >= 0\)", ln) for ln in filters), filters
+    assert df.count() == sum(1 for i in range(1000) if i % 7 == 3)
+
+    # key range only partially covers a file → full predicate re-applied
+    df2, res2 = rel.scan_where("k >= 10 AND v = 3")
+    assert res2.residual_only is False
+    assert df2.count() == sum(1 for i in range(10, 1000) if i % 7 == 3)
+
+    # pure key predicate, fully covering → no filter needed at all
+    df3, res3 = rel.scan_where("k >= 0")
+    assert res3.residual_only is True
+    assert df3.count() == 1000
