@@ -124,3 +124,47 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.first(hash60(F.col(text_col))).alias("text_hash"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smoothed: idf = ln((N+1)/(df+1))).
+
+    Plan shape at scale: tokenize/explode map-side; TF is one hash agg on
+    (doc, term) with map-side partial combine; DF reuses the TF result
+    (one more partial-agg pass over (term)); the IDF join keys on term —
+    vocabulary-sized, so AQE broadcasts it.  The only row-data shuffle is
+    the (doc, term, tf) agg; scores and the per-doc top-k window ride on
+    the already-reduced term rows.
+
+    Scores are floor-scaled to 1e-6 fixed point (cross-engine exact) and
+    ties break (score DESC, term ASC).  Returns (id, term, tf, score_fp, rank).
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))  # 1 row, broadcast
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.ln((F.col("n") + 1) / (F.col("df") + 1)).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.floor(F.col("tf") * F.col("idf") * 1e6).cast("bigint").alias("score_fp"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_fp"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score_fp", F.col("rank").cast("int").alias("rank"))
+    )

@@ -46,6 +46,7 @@ GRADED_ORDER = [
     "text_language_id",
     "text_quality_score",
     "text_fingerprint",
+    "text_tfidf",
     "knn_bruteforce_cosine",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -497,6 +497,42 @@ PIPELINE["emb_neardup_pairs"] = Q(
     "operators/similarity.py:neardup_pairs stays as the small-scale exact oracle.",
 )
 
+def _text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import tfidf_top_terms
+
+    t = load_tables(spark, sf)
+    return tfidf_top_terms(t["documents"].filter(F.col("doc_id") < 50), k=3)
+
+
+PIPELINE["text_tfidf"] = Q(
+    spark=_text_tfidf,
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    n1 AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 50),
+    df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((n + 1) / (df + 1)) AS idf FROM df_, n1),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             CAST(floor(t.tf * i.idf * 1e6) AS BIGINT) AS score_fp
+      FROM tf t JOIN idf i ON i.term = t.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, score_fp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_fp, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="per-doc top-3 terms by smoothed TF-IDF (idf = ln((N+1)/(df+1)), "
+    "1e-6 fixed-point scores); DF/IDF side is vocabulary-sized and broadcast",
+)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary-column plumbing; decode kernels are pytest-covered stubs)
 # ---------------------------------------------------------------------------

@@ -174,3 +174,22 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.2  # nonempty, sane approximation on tiny data
+
+
+def test_tfidf_top_terms(docs):
+    out = TA.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc gets ≤ k ranked terms, ranks contiguous from 1
+    for rows in by_doc.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r.score_fp >= 0 or r.tf > 0 for r in rows)
+    # 'the' appears in docs 1-3 (df=3 of 5) → low idf; doc 4's unique terms
+    # (df=1) must outrank any shared term for doc 4
+    top4 = next(r for r in by_doc[4] if r.rank == 1)
+    assert top4.term in ("completely", "different", "words", "entirely", "here", "now", "friends")
+    # doc 5: 'le' tf=2 and 'et' tf=2, both df=1 → tie broken by term asc
+    top5 = [r.term for r in sorted(by_doc[5], key=lambda r: r.rank)]
+    assert top5[0] == "et" and top5[1] == "le"
