@@ -267,3 +267,62 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate pairs → (id, cluster_id), with
+    cluster_id = the smallest doc id reachable through dup edges.  This is
+    the step that turns pair detection into an actionable dedup decision
+    (keep cluster_id, drop the rest).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    ≤ diameter rounds (dup components are tiny, so 2-4 rounds in
+    practice; max_iter bounds pathologies).  Each round is one equi-join
+    + one partial-agg groupBy; ``localCheckpoint`` truncates the lineage
+    so plans stay O(1) per round.  At extreme scale swap the body for the
+    alternating large-star/small-star rounds (O(log n) convergence) — the
+    surrounding contract is unchanged.
+
+    Convergence check is a driver-side scalar (`limit(1).count()` on the
+    changed-rows diff) — O(1) data to the driver per round.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_candidates(docs, num_perm=num_perm, bands=bands, id_col=id_col)
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["node2"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

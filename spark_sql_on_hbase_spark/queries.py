@@ -39,10 +39,10 @@ GRADED_ORDER = [
     "astro_upsert_merge",
     # LLM-pipeline operators
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "text_language_id",
     "text_quality_score",
     "text_fingerprint",
@@ -91,6 +91,7 @@ GRADED_ORDER = [
 TAIL_ORDER = [
     "text_token_count",
     "ann_lsh_signatures",
+    "dedup_minhash_signatures",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

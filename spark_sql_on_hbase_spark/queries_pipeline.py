@@ -179,6 +179,45 @@ PIPELINE["dedup_ngram_jaccard"] = Q(
     doc="exact n-gram Jaccard ≥0.8 via inverted-index self-join",
 )
 
+def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import duplicate_clusters
+
+    t = load_tables(spark, sf)
+    return duplicate_clusters(t["documents"], num_perm=16, bands=4)
+
+
+PIPELINE["dedup_clusters"] = Q(
+    spark=_dedup_clusters,
+    oracle=f"""
+    WITH RECURSIVE {_D_SHINGLES},
+    {_minhash_cte(16)},
+    bandsig AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             array_to_string(array_agg(minhash::VARCHAR ORDER BY perm), ',') AS bsig
+      FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsig a JOIN bandsig b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    mins AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+    SELECT d.doc_id, least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN mins m ON m.a = d.doc_id
+    """,
+    doc="duplicate-cluster assignment: connected components (min reachable id) "
+    "over MinHash-LSH dup pairs via iterative label propagation; DuckDB oracle "
+    "recomputes the closure with a recursive CTE",
+)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

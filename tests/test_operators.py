@@ -193,3 +193,17 @@ def test_tfidf_top_terms(docs):
     # doc 5: 'le' tf=2 and 'et' tf=2, both df=1 → tie broken by term asc
     top5 = [r.term for r in sorted(by_doc[5], key=lambda r: r.rank)]
     assert top5[0] == "et" and top5[1] == "le"
+
+
+def test_duplicate_clusters(spark, docs):
+    out = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(docs).collect()}
+    # 1-2 identical, 3 near-dup of both → one transitive cluster rooted at 1
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] in (1, 3)  # joins the cluster iff LSH banding links it
+    # singletons keep their own id
+    assert out[4] == 4 and out[5] == 5
+    # explicit transitive chain via injected pairs: 10-20, 20-30 → all → 10
+    ids = spark.createDataFrame([(10,), (20,), (30,), (40,)], ["doc_id"])
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], ["id_a", "id_b"])
+    out2 = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(ids, pairs=pairs).collect()}
+    assert out2 == {10: 10, 20: 10, 30: 10, 40: 40}
