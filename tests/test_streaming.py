@@ -14,6 +14,7 @@ from spark_sql_on_hbase_spark.streaming import (
     stateful_user_counts,
     tumbling_window_agg,
 )
+from spark_sql_on_hbase_spark.streaming.events import EVENTS_RAW_SCHEMA as EVENTS_RAW_SCHEMA_TEST
 from spark_sql_on_hbase_spark.tables import load_tables
 
 SF = "/root/testdata/sf0.001"
@@ -103,3 +104,61 @@ def test_stream_into_astro_table(spark, tmp_path):
     rel.compact()
     assert not rel.needs_merge()
     assert astro.sql("SELECT count(*) AS n FROM ev").collect()[0].n == n_src
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Hard late-data semantics: a row older than the watermark arriving in
+    a later micro-batch is DROPPED — its window never reaches the sink —
+    while unclosed windows are withheld in append mode.  Two checkpointed
+    availableNow runs force the batch boundary (the watermark persists in
+    the state store between runs)."""
+    import glob
+    import shutil
+
+    ns = 1_000_000_000
+    base = 1_700_000_100  # epoch seconds, aligned to the 5-min window grid
+
+    def write_rows(name, rows):
+        df = spark.createDataFrame(
+            [(i, int(ts * ns), 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        p = str(tmp_path / "staging" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        return glob.glob(os.path.join(p, "*.parquet"))[0]
+
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once(tag):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TEST).parquet(src_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        agg = tumbling_window_agg(stream, window="5 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: t=0 and t=3600 → watermark advances to 3600 - 600 = 3000 and
+    # availableNow's closing batch emits the now-closed t=0 window
+    shutil.copy(write_rows("b1", [base, base + 3600]), os.path.join(src_dir, "0.parquet"))
+    run_once("r1")
+    assert {int(r.bucket_start): r.n for r in emitted} == {base: 1}
+
+    # run 2: late row t=1200 (window end 1500 < wm 3000 → DROPPED) and
+    # fresh row t=3300 (window end 3600 > wm → accepted, not yet closed)
+    shutil.copy(write_rows("b2", [base + 1200, base + 3300]), os.path.join(src_dir, "1.parquet"))
+    run_once("r2")
+
+    buckets = {int(r.bucket_start): r.n for r in emitted}
+    # nothing new emitted: the late row's window (end ≤ wm) was dropped, not
+    # resurrected, and the accepted t=3300/t=3600 windows are still open
+    assert buckets == {base: 1}
+    assert base + 1200 not in buckets
