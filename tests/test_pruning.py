@@ -198,3 +198,43 @@ def test_residual_simplification(spark, tmp_path_factory):
     df3, res3 = rel.scan_where("k >= 0")
     assert res3.residual_only is True
     assert df3.count() == 1000
+
+
+def test_planner_scales_to_many_regions():
+    """Driver-side pruning is O(#files × predicate size) with zero I/O —
+    at 100 TB / 1 GB regions that's ~100k entries; 10k must plan in
+    well under a second (reference caches region info for the same
+    reason, HBaseRelation.scala:199-243)."""
+    import time
+
+    from spark_sql_on_hbase_spark.catalog import KeyColumn, NonKeyColumn, RegionFile, TableMeta
+    from spark_sql_on_hbase_spark.codec import encode_key
+    from spark_sql_on_hbase_spark.pruning import prune_files
+
+    n = 10_000
+    rows_per = 1000
+    regions = []
+    for i in range(n):
+        lo, hi = i * rows_per, (i + 1) * rows_per - 1
+        regions.append(
+            RegionFile(
+                path=f"mem://r{i}", num_rows=rows_per,
+                min_key=[lo, 0], max_key=[hi, 9],
+                min_rowkey_hex=encode_key([lo, 0], ["int", "int"]).hex(),
+                max_rowkey_hex=encode_key([hi, 9], ["int", "int"]).hex(),
+                num_keys=rows_per,
+            )
+        )
+    meta = TableMeta(
+        name="big", namespace="default", physical_table="hbig",
+        key_columns=[KeyColumn("k1", "int", 0), KeyColumn("k2", "int", 1)],
+        nonkey_columns=[NonKeyColumn("v", "int", "f", "v")],
+        num_regions=n, regions=regions, declared_columns=["k1", "k2", "v"],
+    )
+    t0 = time.time()
+    res = prune_files(meta, "k1 BETWEEN 5000000 AND 5001999 AND v > 3")
+    elapsed = time.time() - t0
+    assert len(res.files) == 2  # the 2000-row range aligns to exactly 2 regions
+    assert elapsed < 1.0, f"pruning 10k regions took {elapsed:.2f}s"
+    # point lookup: exactly one region
+    assert len(prune_files(meta, "k1 = 4999500").files) == 1
