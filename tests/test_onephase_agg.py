@@ -141,3 +141,42 @@ def test_force_one_phase_raises_when_unsafe(rel, spark, tmp_path_factory):
     dfa, used = agg_by_key_prefix(r, ["k"], [AggSpec("n", "count")])
     assert used is False
     assert dfa.collect()[0].n == 400
+
+
+def test_append_demotes_and_compact_realigns(rel, spark):
+    """Fragments break the bucket-file invariant → layout demotes and the
+    guard falls back to 2-phase; compact() restores the declared
+    alignment and the zero-Exchange plan (reference: regions re-split at
+    group boundaries after compaction)."""
+    meta = rel.meta
+    assert meta.layout == "bucketed" and meta.align_prefix == 1
+    extra = spark.createDataFrame(
+        [(99, 9, "subject_9", 33, 55.5)],
+        "grade int, class int, subject string, age int, score double",
+    )
+    rel.append(extra)
+    assert meta.layout == "range"  # demoted
+    df, used = agg_by_key_prefix(rel, ["grade"], [AggSpec("n", "count")])
+    assert used is False  # guard refuses without the bucketed layout
+    assert sum(r.n for r in df.collect()) == 73
+
+    rel.compact()
+    assert meta.layout == "bucketed" and meta.align_prefix == 1
+    df2, used2 = agg_by_key_prefix(rel, ["grade"], [AggSpec("n", "count")])
+    assert used2 is True
+    plan = executed_plan(df2)
+    assert "Exchange" not in plan and "MapInPandas" not in plan
+    rows = {r.grade: r.n for r in df2.collect()}
+    assert rows[99] == 1 and sum(rows.values()) == 73
+
+
+def test_fresh_session_reregisters_bucketed_table(rel, spark):
+    """The session catalog is in-memory; ours is durable. Dropping the
+    Spark-side table (= a fresh session) must transparently re-register
+    it from catalog metadata and keep the zero-Exchange plan."""
+    spark.sql(f"DROP TABLE IF EXISTS {rel.spark_table_name}")
+    df, used = agg_by_key_prefix(rel, ["grade"], [AggSpec("max_s", "max", "score")])
+    assert used is True
+    plan = executed_plan(df)
+    assert "Exchange" not in plan and "Bucketed: true" in plan
+    assert df.count() == len({r[0] for r in rel.scan().select("grade").distinct().collect()})
