@@ -6,7 +6,7 @@ Covered statements (reference citation per command class):
 
   CREATE TABLE [IF NOT EXISTS] [ns.]t (c TYPE, ..., PRIMARY KEY(a,b))
       MAPPED BY (physTable [, COLS=[c=cf.q, ...]]) [IN format]
-      [OPTIONS (regions=N)]                        :67-109
+      [OPTIONS (regions=N[, align=K])]             :67-109 (align= is ours)
   DROP TABLE t                                     :180-188
   SHOW TABLES                                      :190-196
   DESCRIBE t                                       :198-209
@@ -38,6 +38,10 @@ class CreateTable:
     encoding: str
     num_regions: int = 8
     if_not_exists: bool = False
+    # regions aligned so no group of the first K key columns spans two
+    # regions — enables zero-Exchange one-phase aggregation (our
+    # extension; the reference relies on manual HBase pre-splitting)
+    align_prefix: int = 0
 
 
 @dataclass
@@ -263,11 +267,15 @@ def parse(sql: str) -> Command:
         if fmt not in ("binaryformat", "stringformat"):
             raise ValueError(f"unknown format {fmt!r} (binaryformat|stringformat)")
         num_regions = 8
+        align_prefix = 0
         if m.group("opts"):
             for opt in _split_top_level(m.group("opts")):
                 k, v = opt.split("=", 1)
-                if k.strip().strip("'\"").lower() in ("regions", "num_regions"):
+                key = k.strip().strip("'\"").lower()
+                if key in ("regions", "num_regions"):
                     num_regions = int(v.strip().strip("'\""))
+                elif key in ("align", "align_prefix"):
+                    align_prefix = int(v.strip().strip("'\""))
         return CreateTable(
             table=table,
             namespace=ns,
@@ -278,6 +286,7 @@ def parse(sql: str) -> Command:
             encoding=fmt,
             num_regions=num_regions,
             if_not_exists=bool(m.group("ine")),
+            align_prefix=align_prefix,
         )
 
     if up.startswith("DROP TABLE"):

@@ -428,7 +428,9 @@ class AstroRelation:
         if self.meta.regions:
             self.append(typed)
         else:
-            self.write(typed)
+            # first load honors the table's declared alignment (DDL
+            # OPTIONS(align=K)) so one-phase aggregation works from SQL
+            self.write(typed, align_prefix=self.meta.align_prefix or None)
 
     # -- read ---------------------------------------------------------------
     def scan(self, with_rowkey: bool = False) -> DataFrame:

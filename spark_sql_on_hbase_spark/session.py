@@ -91,7 +91,10 @@ class AstroSession:
             encoding=c.encoding,
             num_regions=c.num_regions,
             declared_columns=declared,
+            align_prefix=c.align_prefix,
         )
+        if c.align_prefix and c.align_prefix > len(c.key_columns):
+            raise ValueError("align= exceeds the number of key columns")
         self.catalog.create_table(meta, if_not_exists=c.if_not_exists)
         self.spark.createDataFrame([], table_schema(meta)).createOrReplaceTempView(c.table)
         return self._ok(f"created {c.namespace}.{c.table}")

@@ -249,3 +249,28 @@ def test_load_parall_grammar(astro, tmp_path):
     # plain form still parses
     astro.sql(f"LOAD DATA LOCAL INPATH '{csv}' OVERWRITE INTO TABLE TestTable")
     assert astro.sql("SELECT count(*) AS n FROM TestTable").collect()[0].n == 3
+
+
+def test_ddl_align_option_enables_one_phase(astro, tmp_path):
+    """Pure-SQL path to the zero-Exchange aggregation: CREATE TABLE with
+    OPTIONS(align=1) → LOAD → key-prefix GROUP BY plans one-phase."""
+    from spark_sql_on_hbase_spark.plans.aggregate import AggSpec, agg_by_key_prefix, executed_plan
+
+    astro.sql(
+        "CREATE TABLE at (g INT, c INT, v DOUBLE, PRIMARY KEY (g, c)) "
+        "MAPPED BY (h_at, COLS=[v=f.v]) OPTIONS (regions=4, align=1)"
+    )
+    csv = tmp_path / "at.txt"
+    csv.write_text("".join(f"{g},{c},{g * 10 + c}.5\n" for g in range(1, 9) for c in range(1, 4)))
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE at")
+    rel = astro.relation("at")
+    assert rel.meta.layout == "bucketed" and rel.meta.align_prefix == 1
+    df, used = agg_by_key_prefix(rel, ["g"], [AggSpec("n", "count"), AggSpec("sv", "sum", "v")])
+    assert used is True
+    assert "Exchange" not in executed_plan(df)
+    assert df.count() == 8
+    with pytest.raises(ValueError):
+        astro.sql(
+            "CREATE TABLE bad_align (a INT, PRIMARY KEY (a)) "
+            "MAPPED BY (hba) OPTIONS (align=2)"
+        )
