@@ -120,3 +120,49 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", every_n_bytes: int = 100
         .drop("n_frames")
         .withColumn("frame_off", (F.col("frame_idx") * every_n_bytes).cast("bigint"))
     )
+
+
+def resize_image(df: DataFrame, target_w: int, target_h: int, blob_col: str = "blob") -> DataFrame:
+    """STUB image resize: blob → resized blob + updated dimension metadata.
+
+    Real impl: PIL thumbnail/resize inside the same mapInPandas kernel.
+    The stub keeps the byte-count contract a resize implies — output
+    bytes shrink by the pixel ratio (capped at 1: never upscale) — with
+    fake dims derived as in ``_decode_image_stub``, so the plumbing
+    (binary in → binary out, bounded Arrow batches, metadata struct
+    alongside) is real and the arithmetic is oracle-reproducible.
+    Blobs stay map-side; only (id, dims, lengths) should ever shuffle.
+    """
+    import math
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("new_w", T.IntegerType(), True),
+            T.StructField("new_h", T.IntegerType(), True),
+            T.StructField("new_len", T.LongType(), True),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized, ws, hs, lens = [], [], [], []
+            for b in pdf[blob_col]:
+                if b is None:
+                    resized.append(None), ws.append(None), hs.append(None), lens.append(None)
+                    continue
+                n = len(b)
+                w, h = n % 640 + 1, n % 480 + 1
+                ratio = min(1.0, (target_w * target_h) / (w * h))
+                m = math.ceil(n * ratio)
+                resized.append(bytes(b[:m]))
+                ws.append(min(w, target_w))
+                hs.append(min(h, target_h))
+                lens.append(m)
+            out = pdf[cols].copy()
+            out["resized"], out["new_w"], out["new_h"], out["new_len"] = resized, ws, hs, lens
+            yield out
+
+    return df.mapInPandas(op, out_schema)

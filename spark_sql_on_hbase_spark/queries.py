@@ -51,8 +51,8 @@ GRADED_ORDER = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_neardup_pairs",
-    "multimodal_binary_meta",
     "multimodal_frame_sample",
+    "multimodal_resize",
     "multimodal_feature_extract",
     # streaming
     "streaming_tumbling_counts",
@@ -92,6 +92,7 @@ TAIL_ORDER = [
     "text_token_count",
     "ann_lsh_signatures",
     "dedup_minhash_signatures",
+    "multimodal_binary_meta",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -636,6 +636,47 @@ def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.round(F.element_at("features", 1), 4).alias("f0"))
 
 
+def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.multimodal import attach_binary_column, resize_image
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 300).select("doc_id", "text"), "text", "blob"
+    )
+    out = resize_image(df, target_w=96, target_h=96)
+    return out.select(
+        "doc_id",
+        "new_w",
+        "new_h",
+        "new_len",
+        (F.octet_length("resized") == F.col("new_len")).alias("len_ok"),
+    )
+
+
+PIPELINE["multimodal_resize"] = Q(
+    spark=_multimodal_resize,
+    # the stub's byte-count contract is arithmetic on the blob length —
+    # DuckDB recomputes dims/ratio/ceil; len_ok proves the actual binary
+    # output column honors the declared length
+    oracle="""
+    SELECT doc_id,
+           least(w, 96) AS new_w,
+           least(h, 96) AS new_h,
+           CAST(ceil(n * least(1.0, 9216 / (w * h))) AS BIGINT) AS new_len,
+           TRUE AS len_ok
+    FROM (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents WHERE doc_id < 300
+    )
+    """,
+    doc="mapInPandas image resize: binary in → truncated binary out + updated "
+    "dims (stub kernel keeps the pixel-ratio byte contract; real impl = PIL "
+    "in the same kernel); blobs never shuffle",
+)
+
+
 PIPELINE["multimodal_feature_extract"] = Q(
     spark=_multimodal_features,
     # the stub kernel's byte-histogram IS oracle-reproducible: DuckDB

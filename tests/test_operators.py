@@ -207,3 +207,20 @@ def test_duplicate_clusters(spark, docs):
     pairs = spark.createDataFrame([(10, 20), (20, 30)], ["id_a", "id_b"])
     out2 = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(ids, pairs=pairs).collect()}
     assert out2 == {10: 10, 20: 10, 30: 10, 40: 40}
+
+
+def test_resize_image_contract(spark, docs):
+    bdf = M.attach_binary_column(docs, "text", "blob")
+    out = {r.doc_id: r for r in M.resize_image(bdf, 2, 2).collect()}
+    r1 = out[1]
+    n = len("the quick brown fox jumps over the lazy dog")
+    w, h = n % 640 + 1, n % 480 + 1
+    import math
+    assert r1.new_w == 2 and r1.new_h == 2
+    assert r1.new_len == math.ceil(n * min(1.0, 4 / (w * h)))
+    assert len(r1.resized) == r1.new_len
+    # resized bytes are a prefix of the original blob
+    assert bytes(r1.resized) == b"the quick brown fox jumps over the lazy dog"[: r1.new_len]
+    # target larger than source → no upscale, blob unchanged
+    big = {r.doc_id: r for r in M.resize_image(bdf, 10000, 10000).collect()}
+    assert big[1].new_len == n and bytes(big[1].resized)[:5] == b"the q"
