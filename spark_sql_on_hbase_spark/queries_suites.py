@@ -47,14 +47,20 @@ def _chk(cols: list[tuple[str, str]]) -> str:
     return " + ".join(f"{_term(c, k)} * {p}" for (c, k), p in zip(cols, _PRIMES))
 
 
-def _branch(tag: str, qname: str, cols: list[tuple[str, str]]) -> tuple[str, str]:
-    q = RELATIONAL[qname]
-    assert isinstance(q.spark, str) and q.oracle, qname
+def _branch(tag: str, qname, cols: list[tuple[str, str]]) -> tuple[str, str]:
+    """qname: a RELATIONAL key, or an inline (spark_body, oracle_body) pair
+    for branches that merge several originals over one scan."""
+    if isinstance(qname, tuple):
+        spark_body, oracle_body = qname
+    else:
+        q = RELATIONAL[qname]
+        assert isinstance(q.spark, str) and q.oracle, qname
+        spark_body, oracle_body = q.spark, q.oracle
     chk = _chk(cols)
     tpl = "SELECT '{tag}' AS probe, count(*) AS cnt, CAST(sum({chk}) AS BIGINT) AS chk FROM ({body}\n) t"
     return (
-        tpl.format(tag=tag, chk=chk, body=q.spark),
-        tpl.format(tag=tag, chk=chk, body=q.oracle),
+        tpl.format(tag=tag, chk=chk, body=spark_body),
+        tpl.format(tag=tag, chk=chk, body=oracle_body),
     )
 
 
@@ -117,17 +123,54 @@ _suite(
 )
 
 # --- aggregation ------------------------------------------------------------
+_BYFLAG_SPARK = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_q,
+       round(avg(l_extendedprice), 4) AS avg_p,
+       round(min(l_discount), 2) AS min_d,
+       round(max(l_tax), 2) AS max_t,
+       count(DISTINCT l_suppkey) AS nd_supp,
+       count(DISTINCT l_partkey * 1000 + l_suppkey) AS nd_pair,
+       round(percentile(l_extendedprice, 0.5), 6) AS med_price
+FROM lineitem GROUP BY l_returnflag
+"""
+_BYFLAG_ORACLE = _BYFLAG_SPARK.replace(
+    "round(percentile(l_extendedprice, 0.5), 6)",
+    "round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 6)",
+)
+
+_GLOBAL_SPARK = """
+SELECT round(stddev_samp(l_extendedprice), 2) AS sd,
+       round(var_samp(l_quantity), 4) AS vr,
+       round(corr(l_quantity, l_extendedprice), 6) AS cr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cv,
+       count(DISTINCT l_partkey) AS exact_nd,
+       abs(approx_count_distinct(l_partkey, 0.02) - count(DISTINCT l_partkey))
+         <= 0.08 * count(DISTINCT l_partkey) AS within_tolerance
+FROM lineitem
+"""
+_GLOBAL_ORACLE = """
+SELECT round(stddev_samp(l_extendedprice), 2) AS sd,
+       round(var_samp(l_quantity), 4) AS vr,
+       round(corr(l_quantity, l_extendedprice), 6) AS cr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cv,
+       count(DISTINCT l_partkey) AS exact_nd,
+       TRUE AS within_tolerance
+FROM lineitem
+"""
+
 _suite(
     "agg_stats",
-    "COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT, stddev/var/corr/covar, median, "
-    "LAST-analog max_by, and rsd-tolerance APPROX COUNT DISTINCT",
+    "COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT, median — one grouped pass; "
+    "stddev/var/corr/covar + rsd-tolerance APPROX COUNT DISTINCT — one "
+    "global pass; LAST-analog max_by (each branch = one scan of its table)",
     [
-        ("basic", "agg_basic_stats", [("l_returnflag", "s"), ("n", "i"), ("sum_q", "d2"), ("avg_p", "d4"), ("min_d", "d2"), ("max_t", "d2")]),
-        ("distinct", "agg_count_distinct", [("l_returnflag", "s"), ("nd_supp", "i"), ("nd_pair", "i")]),
-        ("advanced", "agg_stats_advanced", [("sd", "d2"), ("vr", "d4"), ("cr", "d6"), ("cv", "d2")]),
-        ("median", "agg_median", [("l_returnflag", "s"), ("med_price", "d6")]),
+        ("byflag", (_BYFLAG_SPARK, _BYFLAG_ORACLE),
+         [("l_returnflag", "s"), ("n", "i"), ("sum_q", "d2"), ("avg_p", "d4"), ("min_d", "d2"),
+          ("max_t", "d2"), ("nd_supp", "i"), ("nd_pair", "i"), ("med_price", "d6")]),
+        ("global", (_GLOBAL_SPARK, _GLOBAL_ORACLE),
+         [("sd", "d2"), ("vr", "d4"), ("cr", "d6"), ("cv", "d2"), ("exact_nd", "i"), ("within_tolerance", "b")]),
         ("last", "agg_last", [("o_custkey", "i"), ("last_status", "s"), ("last_price", "d2"), ("n", "i")]),
-        ("approx", "agg_approx_count_distinct", [("exact_nd", "i"), ("within_tolerance", "b")]),
     ],
 )
 
@@ -173,10 +216,19 @@ _suite(
     "rank/dense_rank/ntile, moving-average frame",
     [
         ("topk", "win_topk_per_group", [("l_returnflag", "s"), ("l_orderkey", "i"), ("l_linenumber", "i"), ("price", "d2"), ("rn", "i")]),
-        ("running", "win_running_sum", [("l_suppkey", "i"), ("l_orderkey", "i"), ("l_linenumber", "i"), ("running_qty", "d2")]),
+        # running sum + moving average share partition/sort → one window pass
+        ("frames", ("""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER w, 2) AS running_qty,
+       round(avg(l_extendedprice) OVER w2, 2) AS mov_avg
+FROM lineitem WHERE l_suppkey <= 10
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",) * 2, [("l_suppkey", "i"), ("l_orderkey", "i"), ("l_linenumber", "i"), ("running_qty", "d2"), ("mov_avg", "d2")]),
         ("laglead", "win_lag_lead", [("o_custkey", "i"), ("o_orderkey", "i"), ("delta_prev", "d2"), ("next_price", "d2")]),
         ("rank", "win_rank_ntile", [("p_brand", "s"), ("p_partkey", "i"), ("rk", "i"), ("drk", "i"), ("quartile", "i")]),
-        ("movavg", "win_frame_moving_avg", [("l_suppkey", "i"), ("l_orderkey", "i"), ("l_linenumber", "i"), ("mov_avg", "d2")]),
     ],
 )
 
