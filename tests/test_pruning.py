@@ -238,3 +238,65 @@ def test_planner_scales_to_many_regions():
     assert elapsed < 1.0, f"pruning 10k regions took {elapsed:.2f}s"
     # point lookup: exactly one region
     assert len(prune_files(meta, "k1 = 4999500").files) == 1
+
+
+def test_three_valued_evaluation_soundness_fuzz():
+    """Property: evaluate(pred, env) is SOUND — FALSE means no point in the
+    envelope satisfies the predicate (pruning may never drop a matching
+    file), TRUE means every point does (residual elision may never admit a
+    non-matching row).  Brute-force checked over a small integer grid with
+    randomized predicate trees (the reference pins specific cases in
+    CriticalPointsTestSuite; this covers the space between them)."""
+    import random
+
+    from spark_sql_on_hbase_spark.predicate import (
+        FALSE,
+        TRUE,
+        And,
+        Comparison,
+        InList,
+        Interval,
+        Or,
+        evaluate,
+    )
+
+    rng = random.Random(42)
+    OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+    def rand_pred(depth=0):
+        r = rng.random()
+        col = rng.choice(["a", "b"])
+        if depth >= 2 or r < 0.4:
+            if rng.random() < 0.2:
+                return InList(col, tuple(sorted(rng.sample(range(0, 12), rng.randint(1, 3)))))
+            return Comparison(rng.choice(OPS), col, rng.randint(0, 12))
+        kids = tuple(rand_pred(depth + 1) for _ in range(2))
+        return And(kids) if r < 0.7 else Or(kids)
+
+    def holds(p, a, b):
+        if isinstance(p, Comparison):
+            v = a if p.col == "a" else b
+            return {
+                "=": v == p.value, "!=": v != p.value, "<": v < p.value,
+                "<=": v <= p.value, ">": v > p.value, ">=": v >= p.value,
+            }[p.op]
+        if isinstance(p, InList):
+            return (a if p.col == "a" else b) in p.values
+        if isinstance(p, And):
+            return all(holds(c, a, b) for c in p.children)
+        if isinstance(p, Or):
+            return any(holds(c, a, b) for c in p.children)
+        raise TypeError(type(p))
+
+    for _ in range(400):
+        pred = rand_pred()
+        lo_a, hi_a = sorted((rng.randint(0, 12), rng.randint(0, 12)))
+        lo_b, hi_b = sorted((rng.randint(0, 12), rng.randint(0, 12)))
+        env = {"a": Interval(lo_a, hi_a), "b": Interval(lo_b, hi_b)}
+        verdict = evaluate(pred, env)
+        points = [(a, b) for a in range(lo_a, hi_a + 1) for b in range(lo_b, hi_b + 1)]
+        truths = [holds(pred, a, b) for a, b in points]
+        if verdict == FALSE:
+            assert not any(truths), (pred, env)
+        elif verdict == TRUE:
+            assert all(truths), (pred, env)
