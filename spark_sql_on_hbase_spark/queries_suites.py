@@ -291,13 +291,13 @@ SUITES["fn_numeric"] = Q(
     spark="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25)                    AS a,
-           floor(sqrt(l_extendedprice) * 1e4)      AS sq,
-           floor(l_extendedprice / 100)            AS fl,
-           ceil(l_discount * 100)                  AS ce,
+           CAST(floor(sqrt(l_extendedprice) * 1e4 + 0.5) AS BIGINT)   AS sq,
+           CAST(floor(l_extendedprice / 100) AS BIGINT)               AS fl,
+           CAST(ceil(l_discount * 100) AS BIGINT)                     AS ce,
            CAST(l_orderkey % 7 AS BIGINT)          AS md,
-           floor(power(l_tax + 1, 2) * 1e6)        AS pw,
-           floor(ln(l_extendedprice + 1) * 1e4)    AS lg,
-           floor(exp(l_discount) * 1e4)            AS ex,
+           CAST(floor(power(l_tax + 1, 2) * 1e6 + 0.5) AS BIGINT)     AS pw,
+           CAST(floor(ln(l_extendedprice + 1) * 1e4 + 0.5) AS BIGINT) AS lg,
+           CAST(floor(exp(l_discount) * 1e4 + 0.5) AS BIGINT)         AS ex,
            sign(l_quantity - 25.0)                 AS sg,
            CAST(l_orderkey & 255 AS BIGINT)        AS band,
            CAST(l_orderkey | 16 AS BIGINT)         AS bor,
@@ -315,13 +315,13 @@ SUITES["fn_numeric"] = Q(
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25)                    AS a,
-           floor(sqrt(l_extendedprice) * 1e4)      AS sq,
-           floor(l_extendedprice / 100)            AS fl,
-           ceil(l_discount * 100)                  AS ce,
+           CAST(floor(sqrt(l_extendedprice) * 1e4 + 0.5) AS BIGINT)   AS sq,
+           CAST(floor(l_extendedprice / 100) AS BIGINT)               AS fl,
+           CAST(ceil(l_discount * 100) AS BIGINT)                     AS ce,
            CAST(l_orderkey % 7 AS BIGINT)          AS md,
-           floor(power(l_tax + 1, 2) * 1e6)        AS pw,
-           floor(ln(l_extendedprice + 1) * 1e4)    AS lg,
-           floor(exp(l_discount) * 1e4)            AS ex,
+           CAST(floor(power(l_tax + 1, 2) * 1e6 + 0.5) AS BIGINT)     AS pw,
+           CAST(floor(ln(l_extendedprice + 1) * 1e4 + 0.5) AS BIGINT) AS lg,
+           CAST(floor(exp(l_discount) * 1e4 + 0.5) AS BIGINT)         AS ex,
            CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
            CAST(l_orderkey & 255 AS BIGINT)        AS band,
            CAST(l_orderkey | 16 AS BIGINT)         AS bor,
