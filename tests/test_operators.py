@@ -83,6 +83,16 @@ def test_lsh_signature_properties(vecs):
     assert sigs[0] ^ sigs[3] == 2**16 - 1
 
 
+def test_lsh_signatures_vectorized_matches_hof(spark, vecs):
+    # the numpy pandas_udf kernel must be bit-identical to the Catalyst
+    # HOF formulation (which the DuckDB oracle mirrors) — including on
+    # real 64-dim float32 embeddings, not just the toy fixture
+    for df in (vecs, spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")):
+        fast = {r.vec_id: r.sig for r in S.lsh_signatures(df, bits=16).collect()}
+        ref = {r.vec_id: r.sig for r in S.lsh_signatures_hof(df, bits=16).collect()}
+        assert fast == ref
+
+
 def test_neardup_pairs(vecs):
     pairs = {(r.id_a, r.id_b) for r in S.neardup_pairs(vecs, threshold=0.95).collect()}
     assert (0, 1) in pairs and (1, 4) in pairs
