@@ -479,6 +479,102 @@ def evaluate(p: Pred, env: dict[str, Interval]) -> int:
 
 
 # ---------------------------------------------------------------------------
+# stringformat pushdown: typed predicate → string-space predicate
+# ---------------------------------------------------------------------------
+_SF_INTS = {"byte", "short", "int", "long"}
+_SF_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _sf_leaf(p: Pred, coltypes: dict[str, str]) -> tuple[str, bool] | None:
+    """Convert one leaf to (sql-over-string-columns, exact).  None = not
+    convertible.  `exact` means the string predicate selects EXACTLY the
+    typed predicate's rows; non-exact results are sound SUPERSETS."""
+    from_str = lambda v: "'" + str(v).replace("'", "''") + "'"
+    if isinstance(p, (IsNull, IsNotNull)):
+        t = coltypes.get(p.col)
+        if t is None:
+            return None
+        # we wrote every stored string from a typed value, so the
+        # cast-back never fails: nullness is preserved 1:1
+        return (f"({p.col} IS {'NOT ' if isinstance(p, IsNotNull) else ''}NULL)", True)
+    if isinstance(p, InList):
+        parts = [_sf_leaf(Comparison("=", p.col, v), coltypes) for v in p.values]
+        if any(x is None for x in parts):
+            return None
+        return ("(" + " OR ".join(s for s, _ in parts) + ")", all(e for _, e in parts))
+    if not isinstance(p, Comparison):
+        return None
+    t, v = coltypes.get(p.col), p.value
+    if t is None or v is None:
+        return None
+    if t == "string" and isinstance(v, str):
+        return (f"({p.col} {p.op} {from_str(v)})", True)
+    if t in _SF_INTS and isinstance(v, int) and not isinstance(v, bool):
+        if p.op in ("=", "!="):
+            # canonical decimal form is unique per value → exact
+            return (f"({p.col} {p.op} {from_str(v)})", True)
+        if p.op in (">", ">=") and v >= 1:
+            # x >= v (d digits) ⟹ s has ≥ d digits ⟹ s >= '10…0';
+            # negatives start '-' < '0' and are correctly excluded
+            return (f"({p.col} >= '1{'0' * (len(str(v)) - 1)}')", False)
+        if p.op in ("<", "<=") and v >= 0:
+            # only ≥(d+1)-digit strings prefixed with all 9s exceed '9…9'
+            return (f"({p.col} <= '{'9' * len(str(v))}')", False)
+        return None
+    if t == "boolean" and isinstance(v, bool) and p.op in ("=", "!="):
+        return (f"({p.col} {p.op} '{str(v).lower()}')", True)
+    if t == "date" and isinstance(v, str) and _SF_DATE_RE.match(v):
+        # canonical 'YYYY-MM-DD' is lexicographically monotone
+        return (f"({p.col} {p.op} {from_str(v)})", True)
+    return None
+
+
+def string_pushdown(p: Pred, coltypes: dict[str, str]) -> str | None:
+    """Rewrite a typed predicate into a predicate over the stringformat
+    physical layout (every column stored as its plain decimal/UTF-8
+    string) that can reach the parquet scan as a pushed filter.
+
+    The reference keeps pushdown on stringformat tables via custom typed
+    byte comparators evaluated server-side (util/comparators.scala:47-243,
+    chosen at util/DataTypeUtils.scala:154-181); the Spark-native
+    equivalent is a *string-space* predicate on the raw stored columns,
+    applied BEFORE the schema-on-read cast so Catalyst pushes it to
+    parquet (min/max page + row-group skipping, dictionary filtering).
+
+    Soundness: the caller always re-applies the full typed predicate
+    after the cast, so any SUPERSET is safe.  AND may drop unconvertible
+    conjuncts (widens); OR requires every branch (union of supersets is a
+    superset); NOT requires an EXACT child (negating a superset would
+    narrow).  Returns SQL text or None when nothing useful converts.
+    """
+
+    def conv(q: Pred) -> tuple[str, bool] | None:
+        if isinstance(q, And):
+            parts = [conv(c) for c in q.children]
+            kept = [x for x in parts if x is not None]
+            if not kept:
+                return None
+            exact = all(x is not None for x in parts) and all(e for _, e in kept)
+            return ("(" + " AND ".join(s for s, _ in kept) + ")", exact)
+        if isinstance(q, Or):
+            parts = [conv(c) for c in q.children]
+            if any(x is None for x in parts):
+                return None
+            return ("(" + " OR ".join(s for s, _ in parts) + ")", all(e for _, e in parts))
+        if isinstance(q, Not):
+            child = conv(q.child)
+            if child is None or not child[1]:
+                return None
+            return (f"(NOT {child[0]})", True)
+        if isinstance(q, Opaque):
+            return None
+        return _sf_leaf(q, coltypes)
+
+    out = conv(p)
+    return out[0] if out else None
+
+
+# ---------------------------------------------------------------------------
 # rendering (Pred → SQL text) — for per-partition residual simplification
 # ---------------------------------------------------------------------------
 def _lit_sql(v) -> str:

@@ -319,8 +319,10 @@ def _ensure_stringformat_table(spark: SparkSession, sf_dir: str) -> AstroRelatio
 
 def _astro_stringformat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = _ensure_stringformat_table(spark, sf_dir)
-    df, _res = rel.scan_where("p_partkey > 100 AND p_partkey <= 300")
-    return df.filter(F.col("p_size") >= 25).select(
+    # the non-key conjunct rides scan_where so the string-space pushdown
+    # (predicate.string_pushdown) reaches parquet on the stored strings
+    df, _res = rel.scan_where("p_partkey > 100 AND p_partkey <= 300 AND p_size >= 25")
+    return df.select(
         "p_partkey", "p_name", "p_size", F.round("p_retailprice", 2).alias("p_retailprice")
     )
 

@@ -502,7 +502,27 @@ class AstroRelation:
         # any fragment holding a given key overlaps every key range that
         # contains it, so range pruning keeps ALL versions of a surviving
         # key — merging over the pruned subset is exact
-        df = self._resolve(self.spark.read.parquet(*paths))
+        raw = self.spark.read.parquet(*paths)
+        if meta.encoding == STRING_FORMAT and not isinstance(res.predicate, Opaque):
+            # stringformat pushdown (comparators.scala:47-243 parity): a
+            # string-space superset of the typed predicate, applied to the
+            # raw stored columns BEFORE the schema-on-read cast so it
+            # reaches parquet as PushedFilters.  Sound because the full
+            # typed predicate is re-applied below.  Skipped under pending
+            # upserts: pre-merge row filtering could drop a newer version
+            # of a key while keeping an older one, corrupting the
+            # newest-cell-wins merge.
+            from spark_sql_on_hbase_spark.predicate import (
+                referenced_columns,
+                string_pushdown,
+            )
+
+            if not self.needs_merge() and referenced_columns(res.predicate) <= set(raw.columns):
+                coltypes = {c: C.normalize_type(dt) for c, dt in meta.all_columns}
+                sf_pred = string_pushdown(res.predicate, coltypes)
+                if sf_pred is not None:
+                    raw = raw.filter(F.expr(sf_pred))
+        df = self._resolve(raw)
 
         # per-partition residual simplification (HBasePartition.scala:50-79):
         # when the key-pushed conjunct is definitely TRUE over EVERY

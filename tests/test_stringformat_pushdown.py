@@ -1,0 +1,125 @@
+"""Stringformat non-key filter pushdown (comparators.scala:47-243 parity).
+
+The reference evaluates typed predicates over string-encoded storage with
+custom byte comparators server-side; our equivalent rewrites the typed
+predicate into a string-space predicate on the raw stored columns
+(predicate.string_pushdown) applied before the schema-on-read cast, so it
+reaches the parquet scan as PushedFilters.  The full typed predicate is
+always re-applied after the cast, so non-exact rewrites are sound
+supersets.
+"""
+
+import pytest
+
+from spark_sql_on_hbase_spark.predicate import parse_predicate, string_pushdown
+from spark_sql_on_hbase_spark.session import AstroSession
+
+TYPES = {
+    "k": "long",
+    "name": "string",
+    "size": "int",
+    "price": "double",
+    "flag": "boolean",
+    "d": "date",
+}
+
+
+def conv(text):
+    return string_pushdown(parse_predicate(text), TYPES)
+
+
+def test_exact_conversions():
+    assert conv("size = 25") == "(size = '25')"
+    assert conv("size != 25") == "(size != '25')"
+    assert conv("size IN (1, 20, 300)") == "((size = '1') OR (size = '20') OR (size = '300'))"
+    assert conv("name >= 'mm'") == "((name >= 'mm'))" or conv("name >= 'mm'") == "(name >= 'mm')"
+    assert conv("flag = TRUE") == "(flag = 'true')"
+    assert conv("d >= '1995-01-01'") == "(d >= '1995-01-01')"
+    assert conv("size IS NOT NULL") == "(size IS NOT NULL)"
+
+
+def test_superset_int_ranges():
+    # x >= 2500 (4 digits) ⟹ string has ≥4 digits ⟹ s >= '1000'
+    assert conv("size >= 2500") == "(size >= '1000')"
+    assert conv("size > 9") == "(size >= '1')"
+    assert conv("size <= 25") == "(size <= '99')"
+    # negative bounds don't convert
+    assert conv("size >= -5") is None
+
+
+def test_boolean_algebra_soundness():
+    # AND may drop unconvertible conjuncts (superset)
+    assert conv("size = 25 AND price > 1.5") == "((size = '25'))"
+    # OR requires every branch
+    assert conv("size = 25 OR price > 1.5") is None
+    assert conv("size = 25 OR name = 'x'") == "((size = '25') OR (name = 'x'))"
+    # NOT requires an exact child: negating a superset would narrow
+    assert conv("NOT size = 25") == "(NOT (size = '25'))"
+    assert conv("NOT size >= 2500") is None
+    assert conv("NOT (size = 1 AND price > 1.5)") is None
+    # doubles never convert (canonical formatting is engine-specific)
+    assert conv("price = 1.5") is None
+
+
+DDL = (
+    "CREATE TABLE sftab (k LONG, name STRING, size INT, price DOUBLE, "
+    "PRIMARY KEY (k)) MAPPED BY (h_sftab, COLS=[name=f.n, size=f.s, price=f.p]) "
+    "IN STRINGFORMAT"
+)
+
+
+@pytest.fixture()
+def astro(spark, tmp_path):
+    a = AstroSession(spark, str(tmp_path / "wh"))
+    a.sql(DDL)
+    df = spark.createDataFrame(
+        [(i, f"n{i:03d}", i % 200, i * 1.5) for i in range(1, 401)],
+        "k long, name string, size int, price double",
+    )
+    a.relation("sftab").write(df)
+    return a
+
+
+def _rel(astro):
+    return astro.relation("sftab")
+
+
+def test_pushed_filter_in_plan_and_exact_rows(astro):
+    rel = _rel(astro)
+    df, _res = rel.scan_where("size = 25")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(size,25)" in plan, plan
+    got = sorted(r.k for r in df.collect())
+    assert got == [25, 225]  # size = k % 200
+
+
+def test_superset_range_rows_exact(astro):
+    # the pushed filter (size >= '10') is a lexicographic superset; the
+    # re-applied typed predicate must still produce exactly x >= 10
+    rel = _rel(astro)
+    df, _res = rel.scan_where("size >= 10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(size,1" in plan, plan
+    assert df.count() == sum(1 for i in range(1, 401) if i % 200 >= 10)
+
+
+def test_mixed_key_and_nonkey_pushdown(astro):
+    rel = _rel(astro)
+    df, res = rel.scan_where("k <= 100 AND size = 25")
+    assert res.total >= res.files_read if hasattr(res, "files_read") else True
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(size,25)" in plan, plan
+    assert sorted(r.k for r in df.collect()) == [25]
+
+
+def test_pushdown_skipped_under_pending_upserts(astro):
+    rel = _rel(astro)
+    # upsert size for k=25 (newer fragment); pre-merge filtering on the
+    # old value would resurrect the stale row — pushdown must disable
+    astro.sql("INSERT INTO sftab VALUES (25, 'n025', 999, 37.5)")
+    rel = _rel(astro)
+    assert rel.needs_merge()
+    df, _res = rel.scan_where("size = 25")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(size,25)" not in plan, plan
+    assert sorted(r.k for r in df.collect()) == [225]
