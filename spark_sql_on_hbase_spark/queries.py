@@ -34,7 +34,6 @@ GRADED_ORDER = [
     "astro_skipscan_dim2",
     "astro_mixed_residual",
     "astro_prefix_agg_noshuffle",
-    "astro_table_agg",
     "astro_stringformat_scan",
     "astro_upsert_merge",
     # LLM-pipeline operators
@@ -57,6 +56,8 @@ GRADED_ORDER = [
     # streaming
     "streaming_tumbling_counts",
     "streaming_stateful_counts",
+    "streaming_dedup",
+    "streaming_join",
     "session_window_agg",
     # modern SQL
     "win_suite",
@@ -68,8 +69,7 @@ GRADED_ORDER = [
     # relational core (collapsed suites + singletons)
     "pred_sarg",
     "pred_resid",
-    "join_outer",
-    "join_semi",
+    "join_suite",
     "join_broadcast_star",
     "agg_stats",
     "agg_group",
@@ -91,6 +91,10 @@ GRADED_ORDER = [
 TAIL_ORDER = [
     "text_token_count",
     "ann_lsh_signatures",
+    # simple COUNT/SUM/AVG over the astro scan path — the same physical
+    # scan is value-verified in-window by astro_range_scan/astro_mixed_
+    # residual; demoted to make room for the streaming entries
+    "astro_table_agg",
     "dedup_minhash_signatures",
     "multimodal_binary_meta",
     "q1_pricing_summary",
@@ -119,6 +123,15 @@ def _collect() -> dict[str, Q]:
         for k, v in src.items():
             assert k not in pool, f"duplicate query name {k}"
             pool[k] = v
+    # every pool entry must be explicitly placed: in the window, in the
+    # tail, collapsed into a suite branch, or listed as superseded — a
+    # new operator silently missing from the judged registry is exactly
+    # the failure the ordering exists to prevent (ADVICE r2)
+    from spark_sql_on_hbase_spark.queries_suites import COLLAPSED, SUPERSEDED
+
+    placed = set(GRADED_ORDER) | set(TAIL_ORDER) | COLLAPSED | SUPERSEDED
+    extra = set(pool) - placed
+    assert not extra, f"queries not placed in GRADED_ORDER/TAIL_ORDER: {sorted(extra)}"
     out: dict[str, Q] = {}
     for name in GRADED_ORDER + TAIL_ORDER:
         out[name] = pool[name]

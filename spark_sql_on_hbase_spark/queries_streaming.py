@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark.queries_relational import Q
 from spark_sql_on_hbase_spark.tables import load_tables
@@ -56,6 +57,75 @@ STREAMING["streaming_stateful_counts"] = Q(
     oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
     doc="applyInPandasWithState arbitrary stateful op (update mode, one availableNow "
     "batch → per-user totals equal the batch aggregate)",
+)
+
+
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.streaming import (
+        dedup_within_watermark,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    _MEMSINK_SEQ[0] += 1
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(
+        dedup_within_watermark(stream),
+        f"q_stream_dedup_{_MEMSINK_SEQ[0]}",
+        output_mode="append",
+    )
+
+
+STREAMING["streaming_dedup"] = Q(
+    spark=_streaming_dedup,
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="watermarked dropDuplicates on a real stream (append mode, availableNow) — "
+    "bounded-state streaming dedup; key set equals the batch DISTINCT",
+)
+
+
+def _streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.streaming import (
+        read_event_stream,
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    _MEMSINK_SEQ[0] += 1
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = (
+        read_event_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts"))
+    )
+    purchases = (
+        read_event_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts"))
+    )
+    joined = stream_interval_join(clicks, purchases, gap="1 hour").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.floor((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )
+    return run_to_memory(joined, f"q_stream_join_{_MEMSINK_SEQ[0]}", output_mode="append")
+
+
+STREAMING["streaming_join"] = Q(
+    spark=_streaming_join,
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    doc="stream-stream inner join with event-time interval bound (both sides "
+    "watermarked -> bounded join state); purchase within 1h after click",
 )
 
 

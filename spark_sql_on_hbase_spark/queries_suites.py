@@ -25,6 +25,19 @@ from spark_sql_on_hbase_spark.queries_relational import RELATIONAL, Q
 
 SUITES: dict[str, Q] = {}
 
+# RELATIONAL keys whose value coverage rides a suite branch (graded via
+# the suite's checksum, so they need no registry placement of their own)
+COLLAPSED: set[str] = set()
+
+# merged by hand into the dialect-split fn_numeric / fn_temporal /
+# agg_stats suites below (still present in RELATIONAL as documentation
+# of the originals; values graded through their successor suites)
+SUPERSEDED: set[str] = {
+    "fn_math_suite", "fn_bitwise", "fn_cast", "fn_datetime", "fn_conditional",
+    "agg_basic_stats", "agg_count_distinct", "agg_approx_count_distinct",
+    "agg_median", "agg_stats_advanced", "win_running_sum", "win_frame_moving_avg",
+}
+
 _PRIMES = [1, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31]
 
 
@@ -53,6 +66,7 @@ def _branch(tag: str, qname, cols: list[tuple[str, str]]) -> tuple[str, str]:
     if isinstance(qname, tuple):
         spark_body, oracle_body = qname
     else:
+        COLLAPSED.add(qname)
         q = RELATIONAL[qname]
         assert isinstance(q.spark, str) and q.oracle, qname
         spark_body, oracle_body = q.spark, q.oracle
@@ -101,20 +115,16 @@ _suite(
 
 # --- joins ------------------------------------------------------------------
 _suite(
-    "join_outer",
-    "inner (WHERE syntax) + left/right/full outer joins with ON-clause filters",
+    "join_suite",
+    "inner (WHERE syntax) + left/right/full outer with ON-clause filters + "
+    "left-semi (EXISTS), anti (NOT EXISTS), non-equi semi, cross join "
+    "(merged from the r2 join_outer/join_semi suites to keep the graded "
+    "window within the driver's 8 KiB artifact cap)",
     [
         ("inner", "join_inner_where_syntax", [("n_name", "s"), ("r_name", "s"), ("n_cust", "i")]),
         ("left", "join_left_outer", [("c_custkey", "i"), ("n_orders", "i")]),
         ("right", "join_right_outer", [("n_name", "s"), ("n_cust", "i")]),
         ("full", "join_full_outer", [("k", "s"), ("an", "i"), ("bn", "i")]),
-    ],
-)
-
-_suite(
-    "join_semi",
-    "left-semi (EXISTS), anti (NOT EXISTS), non-equi semi, cross join",
-    [
         ("semi", "join_left_semi", [("n", "i")]),
         ("anti", "join_anti", [("n", "i")]),
         ("nonequi", "join_non_equi_semi", [("s_suppkey", "i"), ("s_acctbal", "d2")]),

@@ -8,19 +8,23 @@ exactly-once-style sinks via foreachBatch.
 """
 
 from spark_sql_on_hbase_spark.streaming.events import (
+    dedup_within_watermark,
     read_event_stream,
     run_to_memory,
     session_window_agg,
     stateful_user_counts,
+    stream_interval_join,
     tumbling_window_agg,
 )
 from spark_sql_on_hbase_spark.streaming.sink import write_stream_to_table
 
 __all__ = [
+    "dedup_within_watermark",
     "read_event_stream",
     "run_to_memory",
     "session_window_agg",
     "stateful_user_counts",
+    "stream_interval_join",
     "tumbling_window_agg",
     "write_stream_to_table",
 ]

@@ -112,6 +112,58 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication: one output row per distinct key.
+
+    On a stream, ``withWatermark + dropDuplicates`` keeps per-key state
+    only until the watermark passes the key's event time — the bounded-
+    state streaming dedup (state store size ∝ keys inside the watermark
+    horizon, not stream length).  On batch the same code is a plain
+    distinct.  Only the key columns are projected: which physical row
+    survives is nondeterministic, the key set is exact.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.dropDuplicates(list(keys)).select(*keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    gap: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval bound:
+    right row matches left row iff same key and
+    ``left_ts <= right_ts <= left_ts + gap``.
+
+    Both sides are watermarked, so the state store retains only
+    ``watermark + gap`` of history per side — the condition Spark needs
+    to garbage-collect join state (unbounded otherwise).  Batch input
+    runs the identical plan minus state.  Returns the joined rows; the
+    caller projects.
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    return l.join(
+        r,
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {gap}")),
+    ).drop(r[key])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion against the current files and
     return the materialized result (memory sink; test/bench harness)."""

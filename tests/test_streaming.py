@@ -8,10 +8,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark.streaming import (
+    dedup_within_watermark,
     read_event_stream,
     run_to_memory,
     session_window_agg,
     stateful_user_counts,
+    stream_interval_join,
     tumbling_window_agg,
 )
 from spark_sql_on_hbase_spark.streaming.events import EVENTS_RAW_SCHEMA as EVENTS_RAW_SCHEMA_TEST
@@ -104,6 +106,121 @@ def test_stream_into_astro_table(spark, tmp_path):
     rel.compact()
     assert not rel.needs_merge()
     assert astro.sql("SELECT count(*) AS n FROM ev").collect()[0].n == n_src
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, batch_events):
+    stream = read_event_stream(spark, EVENTS_PQ)
+    got = run_to_memory(dedup_within_watermark(stream), "t_dedup", output_mode="append")
+    want = batch_events.select("user_id", "event_type").distinct()
+    cols = ["user_id", "event_type"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def _write_event_file(spark, tmp_path, name, rows):
+    """rows: (event_id, epoch_sec, user_id, event_type) tuples → one parquet
+    file in nanos-as-long layout; returns its path."""
+    import glob
+
+    ns = 1_000_000_000
+    df = spark.createDataFrame(
+        [(eid, int(ts * ns), uid, et, 1.0, "{}") for eid, ts, uid, et in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    p = str(tmp_path / "staging" / name)
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    return glob.glob(os.path.join(p, "*.parquet"))[0]
+
+
+def test_streaming_dedup_state_survives_checkpointed_runs(spark, tmp_path):
+    """A key seen in run 1 must still be deduplicated in run 2: the
+    dropDuplicates state lives in the checkpointed state store."""
+    import shutil
+
+    base = 1_700_000_100
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TEST).parquet(src_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        out = dedup_within_watermark(stream, watermark="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    f1 = _write_event_file(spark, tmp_path, "b1", [(1, base, 1, "click"), (2, base, 2, "click")])
+    shutil.copy(f1, os.path.join(src_dir, "0.parquet"))
+    run_once()
+    assert sorted((r.user_id, r.event_type) for r in emitted) == [(1, "click"), (2, "click")]
+
+    # run 2: (1, click) is a duplicate within the watermark horizon →
+    # suppressed by state persisted across runs; (3, view) is new
+    f2 = _write_event_file(
+        spark, tmp_path, "b2", [(3, base + 60, 1, "click"), (4, base + 60, 3, "view")]
+    )
+    shutil.copy(f2, os.path.join(src_dir, "1.parquet"))
+    run_once()
+    assert sorted((r.user_id, r.event_type) for r in emitted) == [
+        (1, "click"), (2, "click"), (3, "view"),
+    ]
+
+
+def test_stream_interval_join_state_survives_checkpointed_runs(spark, tmp_path):
+    """A click buffered in run 1 joins a purchase arriving in run 2 (join
+    state persists in the checkpoint); a purchase outside the interval
+    never matches."""
+    import shutil
+
+    base = 1_700_000_100
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TEST).parquet(src_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+        )
+        joined = stream_interval_join(
+            clicks, purchases, gap="30 minutes", watermark="10 minutes"
+        ).select("user_id", "click_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    f1 = _write_event_file(spark, tmp_path, "j1", [(10, base, 1, "click"), (11, base, 2, "purchase")])
+    shutil.copy(f1, os.path.join(src_dir, "0.parquet"))
+    run_once()
+    assert emitted == []  # user 2's purchase has no click; user 1 has no purchase yet
+
+    # run 2: purchase 600 s after user 1's click → joins across the run
+    # boundary; user 2's second purchase at +40 min from nothing → no match
+    f2 = _write_event_file(
+        spark, tmp_path, "j2",
+        [(12, base + 600, 1, "purchase"), (13, base + 2400, 2, "purchase")],
+    )
+    shutil.copy(f2, os.path.join(src_dir, "1.parquet"))
+    run_once()
+    assert [(r.user_id, r.click_id, r.purchase_id) for r in emitted] == [(1, 10, 12)]
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
