@@ -325,4 +325,13 @@ def duplicate_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # loop exhausted with changed != 0: labels are NOT the transitive
+        # closure — returning them silently would hand back wrong
+        # cluster_ids with no signal (ADVICE r2)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the bound); raise max_iter "
+            "or switch to the large-star/small-star formulation"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -15,16 +15,22 @@ from pyspark.sql import DataFrame
 
 def _find_scans(node):
     out = []
-    if "FileSourceScan" in node.getClass().getSimpleName():
+    name = node.getClass().getSimpleName()
+    if "FileSourceScan" in name:
         out.append(node)
     ch = node.children()
     for i in range(ch.length()):
         out.extend(_find_scans(ch.apply(i)))
-    if not out:
-        try:  # AdaptiveSparkPlanExec wraps the real tree
-            out.extend(_find_scans(node.executedPlan()))
-        except Exception:
-            pass
+    # wrapper nodes whose real subtree is not in children() (ADVICE r2:
+    # descend unconditionally or scans get undercounted).  Gated by class
+    # name: py4j would happily "find" child() on unary nodes too, and that
+    # would double-count the children() traversal above.
+    if name == "AdaptiveSparkPlanExec":
+        out.extend(_find_scans(node.executedPlan()))
+    elif name.endswith("QueryStageExec"):
+        out.extend(_find_scans(node.plan()))
+    elif name == "ReusedExchangeExec":
+        out.extend(_find_scans(node.child()))
     return out
 
 
@@ -39,8 +45,9 @@ def collect_with_scan_rows(df: DataFrame) -> tuple[list, int]:
     scans = _find_scans(df._jdf.queryExecution().executedPlan())
     n = 0
     for s in scans:
-        try:
+        # only a genuinely missing metric is ignorable; anything else
+        # (py4j failure, renamed metric) should surface, not silently
+        # weaken the IO assertions built on this probe
+        if s.metrics().contains("numOutputRows"):
             n += s.metrics().apply("numOutputRows").value()
-        except Exception:
-            pass
     return rows, n

@@ -176,7 +176,13 @@ class AstroRelation:
         tag = hashlib.md5(self.catalog.root.encode()).hexdigest()[:8]
         return f"astro_{tag}_{self.meta.namespace}_{self.meta.name}".lower()
 
-    def write(self, df: DataFrame, mode: str = "overwrite", align_prefix: int | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        align_prefix: int | None = None,
+        refresh: bool = True,
+    ) -> None:
         """Total-order bulk write: range shuffle on key, sort, one parquet
         file per region, then record per-file bounds.
 
@@ -228,7 +234,8 @@ class AstroRelation:
                 ranged.sortWithinPartitions(ROWKEY_COL).write.mode(mode)
             ).parquet(out_dir)
             meta.layout = "range"
-        self._refresh_region_bounds()
+        if refresh:
+            self._refresh_region_bounds()
 
     def ensure_spark_table(self) -> str:
         """Re-register the bucketed table in a fresh session from catalog
@@ -298,13 +305,20 @@ class AstroRelation:
         """Rewrite all fragments into num_regions clean sorted regions,
         restoring the table's declared alignment (bucketed layout) if any.
 
-        Crash-safe: the merged result is written to a sibling temp
+        Data-crash-safe: the merged result is written to a sibling temp
         directory first, then swapped in with O(1) renames — the source
         files stay intact until the replacement is fully materialized, so
         executor loss / cache eviction during the rewrite can always
         recompute from the originals (never read-and-overwrite the same
         path; reference compaction is HBase-side and has the same
-        write-new-then-switch structure).
+        write-new-then-switch structure).  The catalog is only persisted
+        AFTER the swap (refresh=False suppresses the writer's interim
+        bounds refresh, which would durably record .compact.tmp paths): a
+        crash mid-compact leaves the old catalog + old data dir — a
+        consistent pre-compact table — plus orphan tmp dirs that the next
+        compact() clears.  The window between the two renames (old dir
+        moved aside, new dir not yet in place) is NOT covered: a crash
+        exactly there needs the .compact.old dir restored by hand.
         """
         import shutil
 
@@ -321,7 +335,7 @@ class AstroRelation:
             # point the writer at the temp dir by temporarily renaming the
             # physical table (data_dir derives from it)
             meta.physical_table = os.path.basename(tmp_dir)
-            self.write(df, align_prefix=meta.align_prefix or None)
+            self.write(df, align_prefix=meta.align_prefix or None, refresh=False)
         finally:
             meta.physical_table = real_phys
         os.rename(real_dir, old_dir)
