@@ -46,6 +46,7 @@ GRADED_ORDER = [
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf",
+    "topk_terms",
     "knn_bruteforce_cosine",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -67,8 +68,7 @@ GRADED_ORDER = [
     "udf_pandas_score",
     "events_suite",
     # relational core (collapsed suites + singletons)
-    "pred_sarg",
-    "pred_resid",
+    "pred_suite",
     "join_suite",
     "join_broadcast_star",
     "agg_stats",

@@ -572,6 +572,58 @@ PIPELINE["text_tfidf"] = Q(
 )
 
 
+def _topk_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.sketch import (
+        extract_terms,
+        heavy_hitters_mg,
+        term_counts,
+        topk_terms,
+    )
+
+    docs = load_tables(spark, sf)["documents"]
+    exact = topk_terms(docs, k=20).select(
+        F.lit("topk").alias("probe"), "term", F.col("cnt").cast("long").alias("cnt")
+    )
+    # Misra-Gries capture guarantee as a graded tolerance contract (like
+    # the agg_stats APPROX-distinct branch): every term with true count
+    # > N/capacity must be present in the sketch output — the oracle
+    # pins the number of missed true heavy hitters at exactly 0
+    counts = term_counts(docs)
+    mg = heavy_hitters_mg(extract_terms(docs), capacity=64)
+    tot = counts.agg(F.sum("cnt").alias("n_total"))
+    true_hh = counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("cnt") > F.col("n_total") / 64
+    )
+    missed = true_hh.join(mg, "term", "left_anti").agg(F.count("*").alias("n_missed"))
+    guarantee = missed.select(
+        F.lit("mg").alias("probe"),
+        F.lit("missed_true_hh").alias("term"),
+        F.col("n_missed").cast("long").alias("cnt"),
+    )
+    return exact.unionAll(guarantee)
+
+
+PIPELINE["topk_terms"] = Q(
+    spark=_topk_terms,
+    oracle="""
+    WITH tc AS (
+      SELECT term, count(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents) t
+      GROUP BY term
+    )
+    SELECT 'topk' AS probe, term, cnt
+    FROM (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 20) s
+    UNION ALL
+    SELECT 'mg' AS probe, 'missed_true_hh' AS term, CAST(0 AS BIGINT) AS cnt
+    """,
+    doc="frequent-term top-k: exact tier plans as TakeOrderedAndProject "
+    "(per-partition bounded heaps, no global sort) + Misra-Gries sketch "
+    "tier whose N/capacity capture guarantee is graded against a "
+    "missed-count-0 oracle (operators/sketch.py)",
+)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary-column plumbing; decode kernels are pytest-covered stubs)
 # ---------------------------------------------------------------------------

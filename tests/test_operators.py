@@ -186,6 +186,34 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.2  # nonempty, sane approximation on tiny data
 
 
+def test_topk_terms_plan_and_values(docs):
+    from spark_sql_on_hbase_spark.operators import sketch as SK
+
+    df = SK.topk_terms(docs, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bounded per-partition top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    got = [(r.term, r.cnt) for r in df.collect()]
+    exact = SK.term_counts(docs).collect()
+    want = sorted(((r.term, r.cnt) for r in exact), key=lambda t: (-t[1], t[0]))[:5]
+    assert got == want
+
+
+def test_heavy_hitters_mg_capture_guarantee(spark):
+    from spark_sql_on_hbase_spark.operators import sketch as SK
+
+    # skewed stream: term 'hot' ≫ N/capacity, many cold singletons
+    rows = [("hot",)] * 400 + [(f"cold{i}",) for i in range(2000)] + [("warm",)] * 120
+    terms = spark.createDataFrame(rows, ["term"]).repartition(4)
+    mg = {r.term: r.est_cnt for r in SK.heavy_hitters_mg(terms, capacity=16).collect()}
+    n = len(rows)
+    # every term with true count > N/capacity is captured...
+    assert "hot" in mg and "warm" in mg
+    # ...and estimates are lower bounds within N/capacity of the truth
+    assert mg["hot"] <= 400 and 400 - mg["hot"] <= n / 16
+    assert mg["warm"] <= 120 and 120 - mg["warm"] <= n / 16
+
+
 def test_tfidf_top_terms(docs):
     out = TA.tfidf_top_terms(docs, k=2).collect()
     by_doc = {}
