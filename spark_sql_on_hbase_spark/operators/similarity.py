@@ -266,11 +266,44 @@ def ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
+    seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
-    """Deterministic coarse quantizer: the n_centroids lowest-id vectors
-    serve as centroids (the seeding round of k-means||).  A trained
-    KMeans (pyspark.ml) drops in at production scale — every downstream
-    plan shape is identical; seeds keep the oracle SQL-reproducible."""
+    """Coarse quantizer for the IVF index, two modes behind one contract
+    (returns (centroid_id, centroid); downstream plans are identical):
+
+    - ``trained=False`` (default): the n_centroids lowest-id vectors are
+      the centroids — the seeding round of k-means||, deterministic and
+      plain-SQL-reproducible, which keeps the DuckDB oracle exact.
+    - ``trained=True``: real ``pyspark.ml`` KMeans (k-means|| init,
+      fixed seed).  The model is K×d floats on the driver — tiny — and
+      every downstream join still broadcasts it; this is what production
+      calls, recall@k is pinned ≥ stub mode in tests.
+    """
+    if trained:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # spherical k-means: train on L2-normalized vectors so Euclidean
+        # clustering matches the cosine geometry the index probes with
+        # (unnormalized training measurably HURTS cosine recall)
+        v = F.col(vec_col)
+        norm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        )
+        feat = vecs.filter(norm > 0).select(
+            array_to_vector(
+                F.transform(v, lambda x: x.cast("double") / norm)
+            ).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        return vecs.sparkSession.createDataFrame(
+            rows, "centroid_id long, centroid array<double>"
+        )
     return (
         vecs.orderBy(id_col)
         .limit(n_centroids)
@@ -319,6 +352,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    trained: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest inverted lists,
     exact rerank inside them.
@@ -326,9 +360,10 @@ def ivf_topk(
     Scale path: candidates shrink by ~nprobe/n_centroids versus
     brute force; the only large join is (probed clusters ⋈ assignment)
     — an equi-join on cluster_id that AQE handles, with vectors fetched
-    for candidates only.  Returns (query_id, neighbor_id, cos_sim, rank).
+    for candidates only.  ``trained=True`` swaps in the KMeans quantizer
+    (same plan shape).  Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col, trained=trained)
     assign = ivf_assign(corpus, cent, id_col, vec_col)
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
     qscored = (

@@ -186,6 +186,49 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.2  # nonempty, sane approximation on tiny data
 
 
+def test_ivf_trained_kmeans_recovers_from_degenerate_seeding(spark):
+    """The trained (spherical-KMeans) quantizer's value: the lowest-id
+    stub collapses when the first n_centroids vectors happen to share one
+    cluster — its cells then slice that cluster only, and every other
+    cluster's neighbors scatter.  Training is seed-robust: recall must
+    improve on this adversarial layout and full-probe must stay exact."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.similarity import ivf_topk, knn_bruteforce
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(4, 16)) * 3
+    rows = []
+    for ci in range(4):  # ids 0..49 are ALL cluster 0 — degenerate for the stub
+        for j in range(50):
+            v = centers[ci] + rng.normal(size=16) * 0.3
+            rows.append((ci * 50 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id").isin(10, 60, 110, 160)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, queries, k=5).collect()}
+
+    def recall(trained):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, queries, k=5, n_centroids=8, nprobe=2, trained=trained
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_stub, r_trained = recall(False), recall(True)
+    assert r_trained >= r_stub, (r_stub, r_trained)
+    assert r_trained >= 0.9, r_trained
+    # correctness invariance: probing every trained list == brute force
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8, trained=True).collect()
+    }
+    assert full == exact
+
+
 def test_topk_terms_plan_and_values(docs):
     from spark_sql_on_hbase_spark.operators import sketch as SK
 
