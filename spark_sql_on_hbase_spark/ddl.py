@@ -59,6 +59,7 @@ class ShowTables:
 class DescribeTable:
     table: str
     namespace: str = "default"
+    extended: bool = False
 
 
 @dataclass
@@ -297,10 +298,14 @@ def parse(sql: str) -> Command:
     if re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE):
         return ShowTables()
 
-    dm = re.match(r"^\s*DESC(?:RIBE)?\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
+    dm = re.match(
+        r"^\s*DESC(?:RIBE)?\s+(?:(?P<ext>EXTENDED|FORMATTED)\s+)?([\w.`]+)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
     if dm:
-        ns, t = _parse_table_name(dm.group(1))
-        return DescribeTable(table=t, namespace=ns)
+        ns, t = _parse_table_name(dm.group(2))
+        return DescribeTable(table=t, namespace=ns, extended=bool(dm.group("ext")))
 
     if up.startswith("ALTER TABLE"):
         am = _ALTER_ADD_RE.match(s)

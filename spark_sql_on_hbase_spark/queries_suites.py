@@ -136,12 +136,18 @@ SELECT l_returnflag, count(*) AS n,
        round(max(l_tax), 2) AS max_t,
        count(DISTINCT l_suppkey) AS nd_supp,
        count(DISTINCT l_partkey * 1000 + l_suppkey) AS nd_pair,
-       round(percentile(l_extendedprice, 0.5), 6) AS med_price
+       round(percentile(l_extendedprice, 0.5), 6) AS med_price,
+       abs(approx_percentile(l_extendedprice, 0.5, 1000) - percentile(l_extendedprice, 0.5))
+         <= 0.05 * percentile(l_extendedprice, 0.5) AS med_ok
 FROM lineitem GROUP BY l_returnflag
 """
 _BYFLAG_ORACLE = _BYFLAG_SPARK.replace(
     "round(percentile(l_extendedprice, 0.5), 6)",
     "round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 6)",
+).replace(
+    """abs(approx_percentile(l_extendedprice, 0.5, 1000) - percentile(l_extendedprice, 0.5))
+         <= 0.05 * percentile(l_extendedprice, 0.5)""",
+    "TRUE",
 )
 
 _GLOBAL_SPARK = """
@@ -166,13 +172,14 @@ FROM lineitem
 
 _suite(
     "agg_stats",
-    "COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT, median — one grouped pass; "
+    "COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT, exact median + tolerance-graded "
+    "approx_percentile (the 100 TB swap-in) — one grouped pass; "
     "stddev/var/corr/covar + rsd-tolerance APPROX COUNT DISTINCT — one "
     "global pass; LAST-analog max_by (each branch = one scan of its table)",
     [
         ("byflag", (_BYFLAG_SPARK, _BYFLAG_ORACLE),
          [("l_returnflag", "s"), ("n", "i"), ("sum_q", "d2"), ("avg_p", "d4"), ("min_d", "d2"),
-          ("max_t", "d2"), ("nd_supp", "i"), ("nd_pair", "i"), ("med_price", "d6")]),
+          ("max_t", "d2"), ("nd_supp", "i"), ("nd_pair", "i"), ("med_price", "d6"), ("med_ok", "b")]),
         ("global", (_GLOBAL_SPARK, _GLOBAL_ORACLE),
          [("sd", "d2"), ("vr", "d4"), ("cr", "d6"), ("cv", "d2"), ("exact_nd", "i"), ("within_tolerance", "b")]),
         ("last", "agg_last", [("o_custkey", "i"), ("last_status", "s"), ("last_price", "d2"), ("n", "i")]),

@@ -120,6 +120,28 @@ class AstroSession:
                 rows.append((name, dtype, f"KEY COLUMN ({key_order[name]})"))
             else:
                 rows.append((name, dtype, f"NON KEY COLUMN ({fq[name]})"))
+        if c.extended:
+            # physical-layout section (beyond-reference; Spark's own
+            # DESCRIBE EXTENDED analog): lets an operator see from SQL
+            # whether one-phase aggregation is currently eligible
+            # (layout=bucketed + align_prefix + no pending merge) and how
+            # the table is physically organized
+            rel = self.relation(c.table, c.namespace)
+            rows += [
+                ("", "", ""),
+                ("# Physical Layout", "", ""),
+                ("physical_table", meta.physical_table, ""),
+                ("encoding", meta.encoding, ""),
+                ("layout", meta.layout or "range", "bucketed = one-phase-agg eligible"),
+                ("align_prefix", str(meta.align_prefix or 0), "region-aligned leading key columns"),
+                ("num_regions", str(meta.num_regions), "declared region count"),
+                ("region_files", str(len(meta.regions)), "current fragment/region files"),
+                (
+                    "pending_merge",
+                    str(rel.needs_merge()).lower(),
+                    "upserts unresolved until COMPACT",
+                ),
+            ]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
 
     def _exec_AlterAddCol(self, c: ddl.AlterAddCol) -> DataFrame:

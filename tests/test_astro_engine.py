@@ -61,6 +61,29 @@ def test_create_validation(astro):
         )  # key col mapped
 
 
+def test_describe_extended_layout(loaded):
+    desc = {
+        r.col_name: (r.data_type, r.comment)
+        for r in loaded.sql("DESCRIBE EXTENDED TestTable").collect()
+    }
+    assert desc["doublecol"][1] == "KEY COLUMN (0)"  # column section intact
+    assert desc["encoding"][0] == "binaryformat"
+    assert desc["layout"][0] == "range"
+    assert desc["align_prefix"][0] == "0"
+    assert int(desc["region_files"][0]) >= 1
+    assert desc["pending_merge"][0] == "false"
+    # an upsert flips pending_merge until COMPACT restores the fast path
+    loaded.sql(
+        "INSERT INTO TestTable VALUES ('Row2', 98, 12399, 23456782, "
+        "3456789012342, 45657.82, 5678912.345682)"
+    )
+    desc = {r.col_name: r.data_type for r in loaded.sql("DESC EXTENDED TestTable").collect()}
+    assert desc["pending_merge"] == "true"
+    loaded.sql("COMPACT TABLE TestTable")
+    desc = {r.col_name: r.data_type for r in loaded.sql("DESC EXTENDED TestTable").collect()}
+    assert desc["pending_merge"] == "false"
+
+
 def test_load_and_select_all(loaded):
     rows = loaded.sql("SELECT * FROM TestTable ORDER BY strcol").collect()
     assert len(rows) == 3
