@@ -39,7 +39,11 @@ HEADLINE = [
     "text_quality_score",
     "knn_bruteforce_cosine",
     "ann_ivf_topk",
+    "ann_lsh_topk",
+    "emb_neardup_pairs",
+    "topk_terms",
     "multimodal_feature_extract",
+    "astro_stringformat_scan",
     # adapted TPC-H additions
     "q8_market_share",
     "q13_customer_distribution",

@@ -37,7 +37,12 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # the scan's input-file count stands in for partition count without
+    # the df.rdd conversion (which forces RDD plan translation just to
+    # count partitions; ADVICE r2 minor).  Non-file sources report no
+    # files → treat as narrow and spread.
+    n_parts = len(df.inputFiles()) or 1
+    if n_parts < target:
         return df.repartition(target)
     return df
 
