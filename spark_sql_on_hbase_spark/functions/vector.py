@@ -34,3 +34,51 @@ def l2_norm(a) -> Column:
 def cosine_similarity(a, b) -> Column:
     """cos(a,b) in [-1,1]; NULL if either norm is 0."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_similarity_batch(a, b) -> Column:
+    """Vectorized twin of :func:`cosine_similarity` — an Arrow
+    ``pandas_udf`` whose numpy kernel accumulates dot and norms
+    SEQUENTIALLY over dimensions in float64, i.e. the exact op order of
+    the HOF fold above (and of the DuckDB ``list_sum`` oracles), so the
+    resulting doubles are bit-identical (pinned by pytest).  Use this in
+    per-candidate rerank loops where the interpreted HOF evaluation is
+    the CPU bottleneck; the HOF form stays for one-off expressions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+
+    def _cos(ca, cb):  # no type hints: __future__ annotations breaks inference
+        va = ca.reset_index(drop=True)
+        vb = cb.reset_index(drop=True)
+        n = len(va)
+        out = np.full(n, np.nan)
+        null = (va.isna() | vb.isna()).to_numpy()
+        lens = np.array(
+            [-1 if m else (len(x) if len(x) == len(y) else -2)
+             for x, y, m in zip(va, vb, null)],
+            dtype=np.int64,
+        )
+        for d in np.unique(lens[lens >= 0]) if n else []:
+            pos = np.nonzero(lens == d)[0]
+            A = np.empty((len(pos), d)); B = np.empty((len(pos), d))
+            for r, p in enumerate(pos):
+                A[r, :] = np.asarray(va[p], dtype=np.float64)
+                B[r, :] = np.asarray(vb[p], dtype=np.float64)
+            dt = np.zeros(len(pos)); na = np.zeros(len(pos)); nb = np.zeros(len(pos))
+            for i in range(d):  # sequential == fold order → bit-identical
+                dt += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[pos] = dt / (np.sqrt(na) * np.sqrt(nb))
+        # NaN (zero norms, mismatched lengths, null inputs) must surface
+        # as SQL NULL like the HOF form, not as a float NaN
+        res = pd.Series(out).astype("object")
+        res[null | (lens == -2) | np.isnan(out)] = None
+        return res
+
+    return F.pandas_udf(_cos, "double")(a, b)

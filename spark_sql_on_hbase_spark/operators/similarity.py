@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_sql_on_hbase_spark.functions.vector import cosine_similarity
+from spark_sql_on_hbase_spark.functions.vector import cosine_similarity_batch
 
 # deterministic ±1 hyperplane pattern: sign(j, i) = +1 iff
 # ((i+1)*2654435761 + (j+1)*40503) mod 7 < 3.5 — Knuth multiplicative
@@ -52,7 +52,7 @@ def knn_bruteforce(
         .select(
             qid_col,
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(cosine_similarity_batch(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -168,7 +168,7 @@ def knn_lsh(
         .select(
             qid_col,
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(cosine_similarity_batch(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -191,7 +191,7 @@ def neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(cosine_similarity_batch(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -255,7 +255,7 @@ def neardup_pairs_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(cosine_similarity_batch(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -333,7 +333,7 @@ def ivf_assign(
         .select(
             id_col,
             "centroid_id",
-            F.round(cosine_similarity(F.col("v"), F.col("centroid")), 4).alias("cos_c"),
+            F.round(cosine_similarity_batch(F.col("v"), F.col("centroid")), 4).alias("cos_c"),
         )
     )
     return scored.groupBy(id_col).agg(
@@ -372,7 +372,7 @@ def ivf_topk(
         .select(
             qid_col,
             "centroid_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("centroid")), 4).alias("cos_c"),
+            F.round(cosine_similarity_batch(F.col("qv"), F.col("centroid")), 4).alias("cos_c"),
         )
     )
     wq = Window.partitionBy(qid_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
@@ -394,7 +394,7 @@ def ivf_topk(
         .select(
             qid_col,
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(cosine_similarity_batch(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -83,6 +83,28 @@ def test_lsh_signature_properties(vecs):
     assert sigs[0] ^ sigs[3] == 2**16 - 1
 
 
+def test_cosine_batch_bit_identical_to_hof(spark):
+    # the vectorized rerank kernel must produce bit-identical doubles to
+    # the HOF fold (which the DuckDB oracles mirror) — exact ==, no eps
+    from spark_sql_on_hbase_spark.functions.vector import (
+        cosine_similarity,
+        cosine_similarity_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") < 40).select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.filter(F.col("vec_id") < 40).select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b)
+    rows = pairs.select(
+        "ia", "ib",
+        cosine_similarity("va", "vb").alias("hof"),
+        cosine_similarity_batch("va", "vb").alias("vec"),
+    ).collect()
+    assert len(rows) == 1600
+    for r in rows:
+        assert r.hof == r.vec, (r.ia, r.ib, r.hof, r.vec)
+
+
 def test_lsh_signatures_vectorized_matches_hof(spark, vecs):
     # the numpy pandas_udf kernel must be bit-identical to the Catalyst
     # HOF formulation (which the DuckDB oracle mirrors) — including on
