@@ -147,19 +147,31 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact rerank within the query's LSH bucket.
 
     At scale the bucket join replaces the cross join — candidates shrink
-    by ~2^bits; multi-probe (flipping low-confidence bits) would recover
-    recall, noted as the production extension.
+    by ~2^bits.  ``multiprobe=True`` additionally probes every bucket at
+    Hamming distance 1 from the query signature (classic multi-probe
+    LSH): the probe fan-out explodes only the tiny broadcast QUERY side
+    ×(bits+1) — the corpus stays untouched — and buys back the recall a
+    single bucket loses, at ~(bits+1)× candidate volume.  Each corpus
+    row's signature equals at most one probe value, so no candidate
+    dedup is needed.
     """
     csig = lsh_signatures(corpus, bits=bits, id_col=id_col, vec_col=vec_col).withColumnRenamed("sig", "csig")
     qsig = lsh_signatures(queries, bits=bits, id_col=qid_col, vec_col=vec_col).withColumnRenamed("sig", "qsig")
     c = corpus.join(csig, id_col)
     q = queries.join(qsig, qid_col)
+    qside = q.select(qid_col, F.col(vec_col).alias("qv"), "qsig")
+    if multiprobe:
+        probes = F.array(
+            F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+        )
+        qside = qside.select(qid_col, "qv", F.explode(probes).alias("qsig"))
     cand = (
-        F.broadcast(q.select(qid_col, F.col(vec_col).alias("qv"), "qsig"))
+        F.broadcast(qside)
         .join(
             c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "csig"),
             F.col("qsig") == F.col("csig"),

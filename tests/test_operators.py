@@ -208,6 +208,22 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.2  # nonempty, sane approximation on tiny data
 
 
+def test_knn_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe must find at least every single-bucket
+    candidate (strict superset of buckets probed) and lift recall vs
+    brute-force truth on real embeddings."""
+    from spark_sql_on_hbase_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 15).select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, q, k=5).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in knn_lsh(emb, q, k=5, bits=8).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in knn_lsh(emb, q, k=5, bits=8, multiprobe=True).collect()}
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single, (r_single, r_multi)
+
+
 def test_ivf_trained_kmeans_recovers_from_degenerate_seeding(spark):
     """The trained (spherical-KMeans) quantizer's value: the lowest-id
     stub collapses when the first n_centroids vectors happen to share one
