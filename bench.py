@@ -168,6 +168,27 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _rows, scanned = collect_with_scan_rows(ss_df)
             out["skipscan_dim2_rows_scanned"] = scanned
             out["skipscan_dim2_rows_total"] = 120_000
+            # stringformat non-key pushdown: an equality on a non-key
+            # column of a string-encoded table must reach parquet as a
+            # string-space PushedFilter (dictionary/stats row-group
+            # skipping), not a post-cast residual full decode
+            astro.sql(
+                "CREATE TABLE bench_sf (k INT, a INT, v DOUBLE, PRIMARY KEY (k)) "
+                "MAPPED BY (bench_sf_ht, COLS=[a=f.a, v=f.v]) IN STRINGFORMAT"
+            )
+            sf_rel = astro.relation("bench_sf")
+            # `a` correlates with key order (time-correlated attribute — the
+            # realistic case where storage stats can act): pages bracket
+            # narrow a-ranges, so the pushed string filter skips most pages
+            sf_rel.write(
+                spark.range(100_000).selectExpr(
+                    "CAST(id AS INT) k", "CAST(id / 100 AS INT) a", "CAST(id AS DOUBLE) v"
+                )
+            )
+            sf_df, _ = sf_rel.scan_where("a = 123")
+            _rows, sf_scanned = collect_with_scan_rows(sf_df)
+            out["stringformat_pushdown_rows_scanned"] = sf_scanned
+            out["stringformat_pushdown_rows_total"] = 100_000
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     except Exception as ex:  # evidence is best-effort; never fail the bench

@@ -281,6 +281,7 @@ def duplicate_clusters(
     bands: int = 4,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Connected components over duplicate pairs → (id, cluster_id), with
     cluster_id = the smallest doc id reachable through dup edges.  This is
@@ -288,13 +289,17 @@ def duplicate_clusters(
     (keep cluster_id, drop the rest).
 
     Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converges in
-    ≤ diameter rounds (dup components are tiny, so 2-4 rounds in
-    practice; max_iter bounds pathologies).  Each round is one equi-join
-    + one partial-agg groupBy; ``localCheckpoint`` truncates the lineage
-    so plans stay O(1) per round.  At extreme scale swap the body for the
-    alternating large-star/small-star rounds (O(log n) convergence) — the
-    surrounding contract is unchanged.
+    takes the min of its own label and its neighbors' labels — plus, with
+    ``shortcut=True`` (default), a pointer-jumping round
+    (label ← label[label], the parallel-CC shortcutting step): chains
+    halve every round, so convergence is O(log diameter) instead of
+    O(diameter) — the property that makes the op safe on adversarial
+    long-path components at 100 TB, equivalent in effect to the
+    large-star/small-star formulation.  Each round is 2 equi-joins + one
+    partial-agg groupBy; ``localCheckpoint`` truncates lineage so plans
+    stay O(1) per round.  The invariant (label is always the id of some
+    node in the same component, and only decreases) makes the fixpoint
+    exactly the per-component minimum for every node.
 
     Convergence check is a driver-side scalar (`limit(1).count()` on the
     changed-rows diff) — O(1) data to the driver per round.
@@ -318,8 +323,21 @@ def duplicate_clusters(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
         )
+        if shortcut:
+            # pointer jump: every label is itself a node id, so chase it
+            # one hop (min keeps the decrease-only invariant)
+            new = (
+                new.alias("x")
+                .join(new.alias("y"), F.col("x.label") == F.col("y.node"), "left")
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.least(
+                        F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
+                    ).alias("label"),
+                )
+            )
+        new = new.localCheckpoint()
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -336,7 +354,7 @@ def duplicate_clusters(
         # cluster_ids with no signal (ADVICE r2)
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
-            "rounds (component diameter exceeds the bound); raise max_iter "
-            "or switch to the large-star/small-star formulation"
+            "rounds; raise max_iter (with shortcut=True convergence is "
+            "O(log diameter), so this indicates a pathological input)"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -328,6 +328,25 @@ def test_duplicate_clusters(spark, docs):
     assert out2 == {10: 10, 20: 10, 30: 10, 40: 40}
 
 
+def test_duplicate_clusters_shortcut_beats_diameter(spark):
+    """A 60-node path has diameter 59: plain min-label propagation cannot
+    converge in 10 rounds (and must RAISE, not return partial labels);
+    pointer-jumping converges in O(log n) rounds and labels the whole
+    path with its minimum."""
+    n = 60
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in D.duplicate_clusters(docs, pairs=pairs, max_iter=10, shortcut=True).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(docs, pairs=pairs, max_iter=10, shortcut=False).collect()
+
+
 def test_resize_image_contract(spark, docs):
     bdf = M.attach_binary_column(docs, "text", "blob")
     out = {r.doc_id: r for r in M.resize_image(bdf, 2, 2).collect()}
