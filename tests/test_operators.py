@@ -328,7 +328,32 @@ def test_duplicate_clusters(spark, docs):
     assert out2 == {10: 10, 20: 10, 30: 10, 40: 40}
 
 
-def test_duplicate_clusters_shortcut_beats_diameter(spark):
+def test_llm_corpus_pipeline_end_to_end(spark):
+    """The operators compose into the canonical training-data pipeline:
+    language filter → quality gate → near-dup clustering → keep one doc
+    per cluster → token budget of the surviving corpus.  One flow, no
+    collect() between stages — the shape a 100 TB run would take."""
+    import spark_sql_on_hbase_spark.operators.text_analysis as TA
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    n_docs = docs.count()
+
+    lang = TA.language_id(docs)
+    quality = TA.quality_score(docs)
+    gated = (
+        docs.join(lang.filter(F.col("lang_pred") == "en").select("doc_id"), "doc_id")
+        .join(quality.filter(F.col("quality") >= 0.2).select("doc_id"), "doc_id")
+    )
+    clusters = D.duplicate_clusters(gated, num_perm=16, bands=8)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    surviving = gated.join(keep, "doc_id")
+    tokens = TA.token_count(surviving).agg(F.sum("n_ws_tokens").alias("total")).collect()[0].total
+
+    n_gated, n_keep = gated.count(), surviving.count()
+    assert 0 < n_keep <= n_gated <= n_docs
+    assert n_keep < n_gated  # the corpus has known near-dups to drop
+    assert tokens > 0
     """A 60-node path has diameter 59: plain min-label propagation cannot
     converge in 10 rounds (and must RAISE, not return partial labels);
     pointer-jumping converges in O(log n) rounds and labels the whole
