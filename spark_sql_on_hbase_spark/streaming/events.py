@@ -140,28 +140,45 @@ def stream_interval_join(
     right_ts: str = "r_ts",
     gap: str = "1 hour",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with an event-time interval bound:
+    """Stream-stream equi-join with an event-time interval bound:
     right row matches left row iff same key and
     ``left_ts <= right_ts <= left_ts + gap``.
 
     Both sides are watermarked, so the state store retains only
     ``watermark + gap`` of history per side — the condition Spark needs
-    to garbage-collect join state (unbounded otherwise).  Batch input
-    runs the identical plan minus state.  Returns the joined rows; the
-    caller projects.
+    to garbage-collect join state (unbounded otherwise).  ``how`` may be
+    ``left_outer``/``full_outer``: the null-padded row for an unmatched
+    left row is emitted only once the watermark proves no match can
+    still arrive — the interval bound is what makes outer emission
+    decidable.  Batch input runs the identical plan minus state.
+    Returns the joined rows; the caller projects.
     """
     l, r = left, right
     if l.isStreaming:
         l = l.withWatermark(left_ts, watermark)
     if r.isStreaming:
         r = r.withWatermark(right_ts, watermark)
-    return l.join(
-        r,
-        (l[key] == r[key])
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {gap}")),
-    ).drop(r[key])
+    # qualify both sides so the join works even when they derive from the
+    # SAME stream (self-shaped lineage trips ambiguous-attribute checks)
+    la, ra = l.alias("__ij_l"), r.alias("__ij_r")
+    lc = lambda c: F.col(f"__ij_l.{c}")
+    rc = lambda c: F.col(f"__ij_r.{c}")
+    joined = la.join(
+        ra,
+        (lc(key) == rc(key))
+        & (rc(right_ts) >= lc(left_ts))
+        & (rc(right_ts) <= lc(left_ts) + F.expr(f"INTERVAL {gap}")),
+        how,
+    )
+    # one key column, non-null on whichever side a null-padded outer row
+    # kept
+    return joined.select(
+        F.coalesce(lc(key), rc(key)).alias(key),
+        *[lc(c) for c in l.columns if c != key],
+        *[rc(c) for c in r.columns if c != key],
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:

@@ -223,6 +223,70 @@ def test_stream_interval_join_state_survives_checkpointed_runs(spark, tmp_path):
     assert [(r.user_id, r.click_id, r.purchase_id) for r in emitted] == [(1, 10, 12)]
 
 
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched click is emitted
+    null-padded only after the watermark proves no purchase can still
+    arrive inside the interval."""
+    import shutil
+
+    base = 1_700_000_100
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TEST).parquet(src_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+        )
+        joined = stream_interval_join(
+            clicks, purchases, gap="30 minutes", watermark="10 minutes", how="left_outer"
+        ).select("user_id", "click_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # user 1: click + matching purchase; user 2: click with NO purchase.
+    # The global watermark is the MIN across both sides' watermarks, so
+    # the advancing events must include PURCHASES — a right side stuck at
+    # its first event pins the watermark and no left state ever expires.
+    f1 = _write_event_file(
+        spark, tmp_path, "lo1",
+        [(20, base, 1, "click"), (21, base + 300, 1, "purchase"), (22, base, 2, "click")],
+    )
+    shutil.copy(f1, os.path.join(src_dir, "0.parquet"))
+    run_once()
+    f2 = _write_event_file(
+        spark, tmp_path, "lo2",
+        [(23, base + 7200, 3, "click"), (26, base + 7200, 3, "purchase")],
+    )
+    shutil.copy(f2, os.path.join(src_dir, "1.parquet"))
+    run_once()
+    # null emission for expired state lands in the batch AFTER the
+    # watermark advances — one more batch sweeps it out
+    f3 = _write_event_file(
+        spark, tmp_path, "lo3",
+        [(24, base + 14400, 4, "click"), (27, base + 14400, 4, "purchase")],
+    )
+    shutil.copy(f3, os.path.join(src_dir, "2.parquet"))
+    run_once()
+
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in emitted}
+    assert (1, 20, 21) in got  # matched pair
+    assert (2, 22, None) in got  # unmatched click emitted null-padded post-watermark
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Hard late-data semantics: a row older than the watermark arriving in
     a later micro-batch is DROPPED — its window never reaches the sink —
