@@ -10,6 +10,7 @@ supersets.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark.predicate import parse_predicate, string_pushdown
 from spark_sql_on_hbase_spark.session import AstroSession
@@ -110,6 +111,50 @@ def test_mixed_key_and_nonkey_pushdown(astro):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(size,25)" in plan, plan
     assert sorted(r.k for r in df.collect()) == [25]
+
+
+def test_fuzz_scan_where_equals_plain_filter(astro):
+    """Soundness fuzz: for random predicates over key + non-key columns,
+    the pruned + string-pushed scan must return EXACTLY the rows of a
+    plain typed filter over the full scan — pushdown supersets and file
+    pruning can only ever be optimizations."""
+    import random
+
+    rng = random.Random(20260813)
+    rel = _rel(astro)
+    full = rel.scan()
+
+    def leaf():
+        col = rng.choice(["k", "size", "name", "price"])
+        if col == "name":
+            v = f"'n{rng.randrange(400):03d}'"
+            op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+            return f"{col} {op} {v}"
+        if col == "price":
+            return f"{col} {rng.choice(['<', '>'])} {rng.randrange(600)}.5"
+        if rng.random() < 0.3:
+            vals = ", ".join(str(rng.randrange(-10, 410)) for _ in range(3))
+            return f"{col} IN ({vals})"
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">=", "IS NOT NULL"])
+        if op == "IS NOT NULL":
+            return f"{col} IS NOT NULL"
+        return f"{col} {op} {rng.randrange(-10, 410)}"
+
+    def pred(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return leaf()
+        a, b = pred(depth - 1), pred(depth - 1)
+        if rng.random() < 0.2:
+            return f"NOT ({a})"
+        return f"({a}) {rng.choice(['AND', 'OR'])} ({b})"
+
+    for trial in range(25):
+        where = pred(2)
+        got, _res = rel.scan_where(where)
+        want = full.filter(F.expr(where))
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w, f"trial {trial}: {where}\n got={len(g)} want={len(w)}"
 
 
 def test_pushdown_skipped_under_pending_upserts(astro):
