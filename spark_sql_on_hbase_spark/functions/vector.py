@@ -32,8 +32,10 @@ def l2_norm(a) -> Column:
 
 
 def cosine_similarity(a, b) -> Column:
-    """cos(a,b) in [-1,1]; NULL if either norm is 0."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cos(a,b) in [-1,1]; NULL if either norm is 0 (try_divide — plain
+    `/` THROWS under Spark 4 ANSI on a zero-norm vector); NaN inputs
+    propagate as NaN."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_similarity_batch(a, b) -> Column:
@@ -56,6 +58,7 @@ def cosine_similarity_batch(a, b) -> Column:
         vb = cb.reset_index(drop=True)
         n = len(va)
         out = np.full(n, np.nan)
+        zero_div = np.zeros(n, dtype=bool)
         null = (va.isna() | vb.isna()).to_numpy()
         lens = np.array(
             [-1 if m else (len(x) if len(x) == len(y) else -2)
@@ -73,12 +76,15 @@ def cosine_similarity_batch(a, b) -> Column:
                 dt += A[:, i] * B[:, i]
                 na += A[:, i] * A[:, i]
                 nb += B[:, i] * B[:, i]
+            denom = np.sqrt(na) * np.sqrt(nb)
             with np.errstate(divide="ignore", invalid="ignore"):
-                out[pos] = dt / (np.sqrt(na) * np.sqrt(nb))
-        # NaN (zero norms, mismatched lengths, null inputs) must surface
-        # as SQL NULL like the HOF form, not as a float NaN
-        res = pd.Series(out).astype("object")
-        res[null | (lens == -2) | np.isnan(out)] = None
-        return res
+                out[pos] = dt / denom
+            # mirror try_divide: a ZERO denominator → NULL; NaN from NaN
+            # inputs propagates as NaN exactly like the HOF twin
+            zero_div[pos] = denom == 0.0
+        # FloatingArray with an explicit mask: NULL and NaN must remain
+        # DISTINCT through Arrow (an object Series folds NaN into null)
+        mask = null | (lens == -2) | zero_div
+        return pd.Series(pd.arrays.FloatingArray(out, mask))
 
     return F.pandas_udf(_cos, "double")(a, b)

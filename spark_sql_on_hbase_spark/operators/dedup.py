@@ -20,6 +20,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,12 +39,26 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # the scan's input-file count stands in for partition count without
-    # the df.rdd conversion (which forces RDD plan translation just to
-    # count partitions; ADVICE r2 minor).  Non-file sources report no
-    # files → treat as narrow and spread.
-    n_parts = len(df.inputFiles()) or 1
-    if n_parts < target:
+    # estimate the scan's split count without the df.rdd conversion
+    # (which forces RDD plan translation just to count partitions;
+    # ADVICE r2 minor): splittable parquet yields ~1 task per
+    # maxPartitionBytes, so ONE big file is not narrow — count bytes,
+    # not just files.  Non-file sources report no files → spread.
+    files = df.inputFiles()
+    try:
+        max_bytes = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)).rstrip("b")
+        )
+    except ValueError:
+        max_bytes = 128 << 20
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            pass
+    n_splits = max(len(files), -(-total // max_bytes)) if files else 1
+    if n_splits < target:
         return df.repartition(target)
     return df
 

@@ -13,24 +13,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _find_scans(node):
+def _find_scans(node, _seen=None):
+    # _seen guards reuse nodes: ReusedExchangeExec.child() / a reused
+    # QueryStageExec point at instances also reachable elsewhere in the
+    # tree — without identity dedup a shared scan under a self-join
+    # would be counted (and its metric summed) twice
+    if _seen is None:
+        _seen = set()
+    nid = node.id()
+    if nid in _seen:
+        return []
+    _seen.add(nid)
     out = []
     name = node.getClass().getSimpleName()
     if "FileSourceScan" in name:
         out.append(node)
     ch = node.children()
     for i in range(ch.length()):
-        out.extend(_find_scans(ch.apply(i)))
+        out.extend(_find_scans(ch.apply(i), _seen))
     # wrapper nodes whose real subtree is not in children() (ADVICE r2:
     # descend unconditionally or scans get undercounted).  Gated by class
     # name: py4j would happily "find" child() on unary nodes too, and that
     # would double-count the children() traversal above.
     if name == "AdaptiveSparkPlanExec":
-        out.extend(_find_scans(node.executedPlan()))
+        out.extend(_find_scans(node.executedPlan(), _seen))
     elif name.endswith("QueryStageExec"):
-        out.extend(_find_scans(node.plan()))
+        out.extend(_find_scans(node.plan(), _seen))
     elif name == "ReusedExchangeExec":
-        out.extend(_find_scans(node.child()))
+        out.extend(_find_scans(node.child(), _seen))
     return out
 
 

@@ -577,18 +577,21 @@ def _topk_terms(spark: SparkSession, sf: str) -> DataFrame:
         extract_terms,
         heavy_hitters_mg,
         term_counts,
-        topk_terms,
     )
 
     docs = load_tables(spark, sf)["documents"]
-    exact = topk_terms(docs, k=20).select(
-        F.lit("topk").alias("probe"), "term", F.col("cnt").cast("long").alias("cnt")
+    # ONE term-count aggregation serves both branches (the explode +
+    # groupBy is the expensive op; topk_terms would recompute it)
+    counts = term_counts(docs)
+    exact = (
+        counts.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+        .select(F.lit("topk").alias("probe"), "term", F.col("cnt").cast("long").alias("cnt"))
     )
     # Misra-Gries capture guarantee as a graded tolerance contract (like
     # the agg_stats APPROX-distinct branch): every term with true count
     # > N/capacity must be present in the sketch output — the oracle
     # pins the number of missed true heavy hitters at exactly 0
-    counts = term_counts(docs)
     mg = heavy_hitters_mg(extract_terms(docs), capacity=64)
     tot = counts.agg(F.sum("cnt").alias("n_total"))
     true_hh = counts.crossJoin(F.broadcast(tot)).filter(

@@ -79,8 +79,11 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING["streaming_dedup"] = Q(
     spark=_streaming_dedup,
     oracle="SELECT DISTINCT user_id, event_type FROM events",
-    doc="watermarked dropDuplicates on a real stream (append mode, availableNow) — "
-    "bounded-state streaming dedup; key set equals the batch DISTINCT",
+    doc="exact streaming dedup on a real stream (append mode, availableNow; "
+    "state is one entry per distinct key — the honest cost of exactness); "
+    "key set equals the batch DISTINCT.  The bounded-state variant "
+    "(dropDuplicatesWithinWatermark) is dedup_within_watermark(bounded=True), "
+    "pytest-covered",
 )
 
 

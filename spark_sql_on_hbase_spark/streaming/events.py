@@ -116,20 +116,34 @@ def dedup_within_watermark(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),
     watermark: str = "10 minutes",
+    bounded: bool = False,
 ) -> DataFrame:
-    """Streaming deduplication: one output row per distinct key.
+    """Streaming deduplication: one output row per distinct key, two
+    modes with an honest state/exactness trade:
 
-    On a stream, ``withWatermark + dropDuplicates`` keeps per-key state
-    only until the watermark passes the key's event time — the bounded-
-    state streaming dedup (state store size ∝ keys inside the watermark
-    horizon, not stream length).  On batch the same code is a plain
-    distinct.  Only the key columns are projected: which physical row
-    survives is nondeterministic, the key set is exact.
+    - exact (default): ``dropDuplicates`` on the key subset.  EXACT
+      global dedup inherently keeps one state entry per distinct key
+      forever — Spark only evicts dropDuplicates state when the
+      event-time column is part of the key subset, so the watermark does
+      NOT bound this mode's state.  Right when the key domain is bounded
+      (user×type here); the honest cost of exactness otherwise.
+    - ``bounded=True``: ``dropDuplicatesWithinWatermark`` — suppresses
+      duplicates whose event times fall within the watermark delay of
+      the first-seen event and EVICTS state as the watermark passes:
+      state ∝ keys inside the horizon, but a key re-emits when a
+      duplicate arrives after its horizon (at-least-once distinct).
+      The 100 TB default when the key domain is unbounded.
+
+    On batch input both modes are a plain distinct.  Only the key
+    columns are projected: which physical row survives is
+    nondeterministic, the key set is what's exact.
     """
-    src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
-    return src.dropDuplicates(list(keys)).select(*keys)
+        if bounded:
+            return src.dropDuplicatesWithinWatermark(list(keys)).select(*keys)
+        return src.dropDuplicates(list(keys)).select(*keys)
+    return events.dropDuplicates(list(keys)).select(*keys)
 
 
 def stream_interval_join(

@@ -103,6 +103,33 @@ def test_cosine_batch_bit_identical_to_hof(spark):
     assert len(rows) == 1600
     for r in rows:
         assert r.hof == r.vec, (r.ia, r.ib, r.hof, r.vec)
+    # edge contracts match too: zero-norm → NULL on both (HOF via
+    # try_divide — plain `/` throws under ANSI), NaN data → NaN on both
+    import math
+
+    edge = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, float("nan")]), (2, [1.0, 2.0])],
+        "id long, v array<float>",
+    )
+    er = (
+        edge.alias("x")
+        .crossJoin(edge.alias("y"))
+        .select(
+            F.col("x.id").alias("ix"), F.col("y.id").alias("iy"),
+            cosine_similarity(F.col("x.v"), F.col("y.v")).alias("hof"),
+            cosine_similarity_batch(F.col("x.v"), F.col("y.v")).alias("vec"),
+        )
+        .collect()
+    )
+    for r in er:
+        if 1 in (r.ix, r.iy):
+            # NaN contaminates the denominator (0·NaN = NaN ≠ 0), so NaN
+            # wins over the zero-norm NULL rule on both kernels
+            assert math.isnan(r.hof) and math.isnan(r.vec), r
+        elif 0 in (r.ix, r.iy):
+            assert r.hof is None and r.vec is None, r
+        else:
+            assert r.hof == r.vec is not None, r
 
 
 def test_lsh_signatures_vectorized_matches_hof(spark, vecs):
@@ -354,6 +381,9 @@ def test_llm_corpus_pipeline_end_to_end(spark):
     assert 0 < n_keep <= n_gated <= n_docs
     assert n_keep < n_gated  # the corpus has known near-dups to drop
     assert tokens > 0
+
+
+def test_duplicate_clusters_shortcut_beats_diameter(spark):
     """A 60-node path has diameter 59: plain min-label propagation cannot
     converge in 10 rounds (and must RAISE, not return partial labels);
     pointer-jumping converges in O(log n) rounds and labels the whole

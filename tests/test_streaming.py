@@ -131,6 +131,56 @@ def _write_event_file(spark, tmp_path, name, rows):
     return glob.glob(os.path.join(p, "*.parquet"))[0]
 
 
+def test_streaming_dedup_bounded_mode_horizon_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate inside the delay window
+    is suppressed; once the watermark passes a key's horizon its state is
+    EVICTED and a later duplicate re-emits — bounded state buys
+    at-least-once distinct, not exactness.  Eviction applies between
+    checkpointed runs (within one batch the prior watermark governs)."""
+    import shutil
+
+    base = 1_700_000_100
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TEST).parquet(src_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        out = dedup_within_watermark(stream, watermark="10 minutes", bounded=True)
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: duplicate 'view' 60 s apart → suppressed; the click at
+    # +7200 s advances the watermark past the view-state horizon
+    f1 = _write_event_file(
+        spark, tmp_path, "bd1",
+        [(1, base, 2, "view"), (2, base + 60, 2, "view"), (3, base + 7200, 9, "click")],
+    )
+    shutil.copy(f1, os.path.join(src_dir, "0.parquet"))
+    run_once()
+    assert sorted((r.user_id, r.event_type) for r in emitted) == [(2, "view"), (9, "click")]
+
+    # run 2: the 'view' state expired (wm ≈ +6600 s > horizon +600 s) →
+    # its duplicate RE-EMITS; the 'click' state is still live → suppressed
+    f2 = _write_event_file(
+        spark, tmp_path, "bd2",
+        [(4, base + 7000, 2, "view"), (5, base + 7050, 9, "click")],
+    )
+    shutil.copy(f2, os.path.join(src_dir, "1.parquet"))
+    run_once()
+    got = sorted((r.user_id, r.event_type) for r in emitted)
+    assert got == [(2, "view"), (2, "view"), (9, "click")], got
+
+
 def test_streaming_dedup_state_survives_checkpointed_runs(spark, tmp_path):
     """A key seen in run 1 must still be deduplicated in run 2: the
     dropDuplicates state lives in the checkpointed state store."""
