@@ -44,7 +44,11 @@ def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
     for col in _TS_COLS.get(name, ()):
         dt = df.schema[col].dataType
         if isinstance(dt, T.LongType):  # nanos-as-long
-            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+            # integer DIV, not floor(x/1000): ns epochs (~1.7e18) exceed
+            # a double's 2^53 exact-integer range, and the float rounding
+            # drifts the result by whole microseconds vs DuckDB's exact
+            # ns→µs truncation
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
         elif isinstance(dt, T.TimestampNTZType):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
