@@ -35,3 +35,30 @@ def word_ngrams(tokens, n: int) -> Column:
             lambda i: F.array_join(F.slice(tokens, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# PII-ish redaction targets: URLs, emails, digit runs.  The patterns are
+# deliberately restricted to RE2-compatible syntax (no backrefs, no
+# lookaround) so the exact same regex runs under Spark's java.util.regex
+# AND the DuckDB oracle's RE2 with identical semantics.
+REDACT_PATTERN = r"(https?://[^\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]+)"
+
+
+def normalize_ws(col) -> Column:
+    """Canonical text form: lower-case, trim, collapse runs of whitespace.
+
+    Pure codegen (no UDF); the usual first stage before hashing /
+    shingling so that formatting-only variants dedup together.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def redact_sensitive(col, replacement: str = "#") -> Column:
+    """Mask URLs / emails / digit runs with a fixed replacement token.
+
+    Spark's regexp_replace is global by default (the DuckDB oracle needs
+    the explicit 'g' flag for parity).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(col, REDACT_PATTERN, replacement)
