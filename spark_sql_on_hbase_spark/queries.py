@@ -5,7 +5,7 @@ first ~50 entries (round-1 report capped at exactly 50 entries / 8 KiB),
 so the registry leads with the graded battery — engine-path (astro_*),
 LLM-pipeline, streaming, modern-SQL, and the collapsed relational suites
 (queries_suites) — and the individually-runnable adapted TPC-H queries
-form the tail (their values are still hash-verified inside tpc_suite_a/b
+form the tail (their values are still hash-verified inside tpc_suite
 within the window).
 
 ``__spark_entry__.py`` exposes exactly this registry to the driver.
@@ -51,6 +51,8 @@ GRADED_ORDER = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_neardup_pairs",
+    "temporal_join_suite",
+    "corpus_ops_suite",
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_feature_extract",
@@ -73,18 +75,16 @@ GRADED_ORDER = [
     "join_broadcast_star",
     "agg_stats",
     "agg_group",
-    "setops",
-    "order_limit",
+    "setops_order_limit",
     "fn_string_suite",
     "fn_numeric",
     "fn_temporal",
     # adapted TPC-H, value-checksummed inside the window
-    "tpc_suite_a",
-    "tpc_suite_b",
+    "tpc_suite",
 ]
 
 # beyond the graded window: individually-runnable adapted TPC-H queries
-# (values verified via tpc_suite_a/b above) plus entries whose semantics
+# (values verified via tpc_suite above) plus entries whose semantics
 # are already hash-verified transitively — text_token_count's columns are
 # recomputed inside text_quality_score, and ann_lsh_topk's oracle
 # recomputes the ann_lsh_signatures arithmetic

@@ -749,3 +749,243 @@ PIPELINE["multimodal_feature_extract"] = Q(
     "(deterministic stub kernel, value-verified against the DuckDB byte-level "
     "recomputation; real impl = vision model pandas_udf)",
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of + binned interval join — operators/temporal.py)
+# ---------------------------------------------------------------------------
+def _temporal_join_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.temporal import (
+        asof_join,
+        interval_join_binned,
+    )
+
+    ev = load_tables(spark, sf)["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cv"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+
+    def asof_branch(probe: str, tol) -> DataFrame:
+        j = asof_join(purch, clicks, on=["user_id"], right_cols=["cv"], tolerance_us=tol)
+        matched = F.col("ts_r").isNotNull()
+        delta = F.coalesce(F.unix_micros("ts") - F.unix_micros("ts_r"), F.lit(0))
+        cv_fp = F.coalesce(F.floor(F.col("cv_r") * 10000 + 0.5).cast("long"), F.lit(0))
+        term = (
+            F.when(matched, F.lit(1)).otherwise(F.lit(-1)) * 1 + delta * 3 + cv_fp * 5
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
+        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
+
+    # incident windows: ±(10 min before / 15 min after) each 5-minute
+    # bucket containing an error event — a no-equi-key big×big interval
+    # join, planned as a binned shuffled equi-join (never a nested loop)
+    bucket = F.floor(F.unix_micros("ts") / 300_000_000)
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select(bucket.alias("b"))
+        .distinct()
+        .select(
+            "b",
+            F.timestamp_micros(F.col("b") * 300_000_000 - 600_000_000).alias("s"),
+            F.timestamp_micros(F.col("b") * 300_000_000 + 900_000_000).alias("e"),
+        )
+    )
+    pts = ev.select("event_id", F.col("ts").alias("pts"), "value")
+    per_iv = (
+        interval_join_binned(pts, incidents, "pts", "s", "e", bin_seconds=300)
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("v_fp"),
+        )
+    )
+    rng = per_iv.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("b") * 1 + F.col("n_ev") * 3 + F.col("v_fp") * 5)
+        .cast("long")
+        .alias("chk"),
+    ).select(F.lit("range").alias("probe"), "cnt", "chk")
+
+    return (
+        asof_branch("asof", None)
+        .unionAll(asof_branch("asof_tol", 600_000_000))
+        .unionAll(rng)
+    )
+
+
+PIPELINE["temporal_join_suite"] = Q(
+    spark=_temporal_join_suite,
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS cv FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purch AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.ts AS pts, c.ts AS cts, c.cv
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    iv AS (
+      SELECT DISTINCT CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) AS b
+      FROM events WHERE event_type = 'error'
+    ),
+    rj AS (
+      SELECT iv.b, ev.value
+      FROM iv JOIN events ev
+        ON ev.ts >= make_timestamp(iv.b * 300000000 - 600000000)
+       AND ev.ts <  make_timestamp(iv.b * 300000000 + 900000000)
+    ),
+    per_iv AS (
+      SELECT b, count(*) AS n_ev,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_fp
+      FROM rj GROUP BY b
+    )
+    SELECT 'asof' AS probe, count(*) AS cnt,
+           CAST(sum((CASE WHEN cts IS NOT NULL THEN 1 ELSE -1 END) * 1
+                    + coalesce(epoch_us(pts) - epoch_us(cts), 0) * 3
+                    + coalesce(CAST(floor(cv * 10000 + 0.5) AS BIGINT), 0) * 5)
+                AS BIGINT) AS chk
+    FROM j
+    UNION ALL
+    SELECT 'asof_tol' AS probe, count(*) AS cnt,
+           CAST(sum((CASE WHEN cts IS NOT NULL
+                          AND epoch_us(pts) - epoch_us(cts) <= 600000000
+                          THEN 1 ELSE -1 END) * 1
+                    + (CASE WHEN cts IS NOT NULL
+                            AND epoch_us(pts) - epoch_us(cts) <= 600000000
+                            THEN epoch_us(pts) - epoch_us(cts) ELSE 0 END) * 3
+                    + (CASE WHEN cts IS NOT NULL
+                            AND epoch_us(pts) - epoch_us(cts) <= 600000000
+                            THEN CAST(floor(cv * 10000 + 0.5) AS BIGINT)
+                            ELSE 0 END) * 5)
+                AS BIGINT) AS chk
+    FROM j
+    UNION ALL
+    SELECT 'range' AS probe, count(*) AS cnt,
+           CAST(sum(b * 1 + n_ev * 3 + v_fp * 5) AS BIGINT) AS chk
+    FROM per_iv
+    """,
+    doc="as-of join (latest click at-or-before each purchase, per user; "
+    "plain + 10-min-tolerance variants) via the single-shuffle sort-merge "
+    "window formulation, graded against DuckDB's native ASOF JOIN — an "
+    "independent implementation of the same semantics; plus a no-equi-key "
+    "interval join (events × error-incident windows) via binned equi-join "
+    "(operators/temporal.py; the oracle uses the naive range join)",
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus ops: deterministic sampling / splits / normalize / redact
+# (operators/sampling.py + functions/text.py)
+# ---------------------------------------------------------------------------
+def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.functions.text import (
+        hash60,
+        normalize_ws,
+        redact_sensitive,
+    )
+    from spark_sql_on_hbase_spark.operators.sampling import (
+        assign_split,
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = load_tables(spark, sf)["documents"]
+
+    def agg(probe: str, df: DataFrame, term) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
+        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
+
+    sample = agg(
+        "sample",
+        hash_sample(docs, "doc_id", 0.2),
+        F.col("doc_id") * 1 + F.col("n_chars") * 3 + F.length("text") * 5,
+    )
+    split = agg(
+        "split",
+        assign_split(docs, "doc_id"),
+        F.col("doc_id") * 1
+        + F.when(F.col("split") == "train", 1)
+        .when(F.col("split") == "val", 2)
+        .otherwise(3)
+        * 3,
+    )
+    strat = agg(
+        "strat",
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.25, "zh": 1.0}, default_rate=0.5
+        ),
+        F.col("doc_id") * 1 + F.col("n_chars") * 3 + F.length("lang") * 5,
+    )
+    norm = agg(
+        "normalize",
+        docs.select(normalize_ws("text").alias("nt")),
+        F.length("nt") * 1 + (hash60(F.col("nt")) % 1_000_000) * 3,
+    )
+    raw = F.concat(F.col("text"), F.lit(" "), F.col("source"))
+    red = agg(
+        "redact",
+        docs.select(
+            raw.alias("rawt"), redact_sensitive(raw).alias("rt")
+        ),
+        F.length("rt") * 1
+        + (hash60(F.col("rt")) % 1_000_000) * 3
+        + (F.length("rawt") - F.length("rt")) * 5,
+    )
+    return sample.unionAll(split).unionAll(strat).unionAll(norm).unionAll(red)
+
+
+_D_BUCKET = "(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
+
+PIPELINE["corpus_ops_suite"] = Q(
+    spark=_corpus_ops_suite,
+    oracle=f"""
+    SELECT 'sample' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + n_chars * 3 + length(text) * 5) AS BIGINT) AS chk
+    FROM documents WHERE {_D_BUCKET.format(salt="smp")} < 200000
+    UNION ALL
+    SELECT 'split' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1
+                    + (CASE WHEN {_D_BUCKET.format(salt="spl")} < 800000 THEN 1
+                            WHEN {_D_BUCKET.format(salt="spl")} < 900000 THEN 2
+                            ELSE 3 END) * 3) AS BIGINT) AS chk
+    FROM documents
+    UNION ALL
+    SELECT 'strat' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + n_chars * 3 + length(lang) * 5) AS BIGINT) AS chk
+    FROM documents
+    WHERE {_D_BUCKET.format(salt="str")} <
+          (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 1000000 ELSE 500000 END)
+    UNION ALL
+    SELECT 'normalize' AS probe, count(*) AS cnt,
+           CAST(sum(length(nt) * 1
+                    + (('0x' || substr(md5(nt), 1, 15))::BIGINT % 1000000) * 3)
+                AS BIGINT) AS chk
+    FROM (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+          FROM documents) t
+    UNION ALL
+    SELECT 'redact' AS probe, count(*) AS cnt,
+           CAST(sum(length(rt) * 1
+                    + (('0x' || substr(md5(rt), 1, 15))::BIGINT % 1000000) * 3
+                    + (length(rawt) - length(rt)) * 5) AS BIGINT) AS chk
+    FROM (SELECT rawt,
+                 regexp_replace(rawt,
+                   '(https?://[^\\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|[0-9]+)',
+                   '#', 'g') AS rt
+          FROM (SELECT text || ' ' || source AS rawt FROM documents) s) t
+    """,
+    doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
+    "and shuffle-free map-side plans: Bernoulli sample, consistent "
+    "train/val/test split, per-language stratified sample (broadcast rate "
+    "table), whitespace normalization, and URL/email/number redaction — the "
+    "DuckDB oracle reproduces every kept-set bit-for-bit "
+    "(operators/sampling.py, functions/text.py)",
+)
