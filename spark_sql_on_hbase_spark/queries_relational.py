@@ -1140,6 +1140,33 @@ _q(
     ),
 )
 
+_q(
+    "events_gapfill",
+    _both(
+        lambda d: f"""
+        WITH agg AS (
+          SELECT CAST(floor({d.epoch('ts')} / 3600) AS BIGINT) AS hb, event_type,
+                 count(*) AS n,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_fp
+          FROM events GROUP BY 1, 2
+        ), bounds AS (
+          SELECT min(hb) AS lo, max(hb) AS hi FROM agg
+        ), grid AS (
+          SELECT {"explode(sequence(lo, hi))" if d.is_spark else "unnest(range(lo, hi + 1))"} AS hb
+          FROM bounds
+        ), types AS (
+          SELECT DISTINCT event_type FROM events
+        )
+        SELECT g.hb AS bucket, t.event_type,
+               coalesce(a.n, 0) AS n,
+               coalesce(a.v_fp, 0) AS v_fp,
+               CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS gap
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN agg a ON a.hb = g.hb AND a.event_type = t.event_type
+        """
+    ),
+)
+
 
 # ---------------------------------------------------------------------------
 # remaining TPC-H-style queries, adapted to the reduced driver schema

@@ -259,6 +259,9 @@ _suite(
         ("sessionize", "events_sessionize", [("user_id", "i"), ("sess_id", "i"), ("n_events", "i")]),
         ("json", "events_json_extract", [("event_type", "s"), ("sum_k", "i"), ("n", "i")]),
         ("topk", "events_topk_per_type", [("event_type", "s"), ("event_id", "i"), ("user_id", "i"), ("v", "d4"), ("rn", "i")]),
+        # hypertable-style continuous aggregate: hourly rollup over a
+        # generated bucket grid so silent hours appear as zero rows
+        ("gapfill", "events_gapfill", [("bucket", "i"), ("event_type", "s"), ("n", "i"), ("v_fp", "i"), ("gap", "i")]),
     ],
 )
 
