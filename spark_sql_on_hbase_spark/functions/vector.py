@@ -54,12 +54,12 @@ def cosine_similarity_batch(a, b) -> Column:
     b = F.col(b) if isinstance(b, str) else b
 
     def _cos(ca, cb):  # no type hints: __future__ annotations breaks inference
-        va = ca.reset_index(drop=True)
-        vb = cb.reset_index(drop=True)
+        va = ca.reset_index(drop=True).to_numpy()
+        vb = cb.reset_index(drop=True).to_numpy()
         n = len(va)
         out = np.full(n, np.nan)
         zero_div = np.zeros(n, dtype=bool)
-        null = (va.isna() | vb.isna()).to_numpy()
+        null = (ca.isna() | cb.isna()).to_numpy()
         lens = np.array(
             [-1 if m else (len(x) if len(x) == len(y) else -2)
              for x, y, m in zip(va, vb, null)],
@@ -67,10 +67,10 @@ def cosine_similarity_batch(a, b) -> Column:
         )
         for d in np.unique(lens[lens >= 0]) if n else []:
             pos = np.nonzero(lens == d)[0]
-            A = np.empty((len(pos), d)); B = np.empty((len(pos), d))
-            for r, p in enumerate(pos):
-                A[r, :] = np.asarray(va[p], dtype=np.float64)
-                B[r, :] = np.asarray(vb[p], dtype=np.float64)
+            # one C-level stack+cast per uniform-length group — a per-row
+            # assignment loop here dominated the whole kernel's runtime
+            A = np.stack(va[pos]).astype(np.float64, copy=False)
+            B = np.stack(vb[pos]).astype(np.float64, copy=False)
             dt = np.zeros(len(pos)); na = np.zeros(len(pos)); nb = np.zeros(len(pos))
             for i in range(d):  # sequential == fold order → bit-identical
                 dt += A[:, i] * B[:, i]
