@@ -191,6 +191,41 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _rows, sf_scanned = collect_with_scan_rows(sf_df)
             out["stringformat_pushdown_rows_scanned"] = sf_scanned
             out["stringformat_pushdown_rows_total"] = 100_000
+            # temporal joins: the as-of sort-merge formulation must plan
+            # ZERO join operators (one hash exchange + window), and the
+            # binned interval join must never degrade to a nested loop
+            from pyspark.sql import functions as F
+
+            from spark_sql_on_hbase_spark.operators.temporal import (
+                asof_join,
+                interval_join_binned,
+            )
+            from spark_sql_on_hbase_spark.tables import load_tables
+
+            ev = load_tables(spark, sf_dir)["events"]
+            clicks = ev.filter("event_type = 'click'").select(
+                "user_id", "ts", F.col("value").alias("cv")
+            )
+            purch = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+            asof_plan = executed_plan(asof_join(purch, clicks, on=["user_id"], right_cols=["cv"]))
+            out["asof_join_ops"] = asof_plan.count("Join")
+            out["asof_exchanges"] = asof_plan.count("Exchange hashpartitioning")
+            b = F.floor(F.unix_micros("ts") / 300_000_000)
+            iv = (
+                ev.filter("event_type = 'error'").select(b.alias("b")).distinct()
+                .select(
+                    "b",
+                    F.timestamp_micros(F.col("b") * 300_000_000 - 600_000_000).alias("s"),
+                    F.timestamp_micros(F.col("b") * 300_000_000 + 900_000_000).alias("e"),
+                )
+            )
+            pts = ev.select("event_id", F.col("ts").alias("pts"), "value")
+            ij_plan = executed_plan(
+                interval_join_binned(pts, iv, "pts", "s", "e", bin_seconds=300)
+            )
+            out["interval_join_nested_loop"] = (
+                "NestedLoop" in ij_plan or "Cartesian" in ij_plan
+            )
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     except Exception as ex:  # evidence is best-effort; never fail the bench
