@@ -191,6 +191,23 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _rows, sf_scanned = collect_with_scan_rows(sf_df)
             out["stringformat_pushdown_rows_scanned"] = sf_scanned
             out["stringformat_pushdown_rows_total"] = 100_000
+            # z-order layout: a non-leading-dim predicate prunes FILES
+            # (per-dim boxes), where the lexicographic layout reads all
+            astro.sql(
+                "CREATE TABLE bench_z (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+                "MAPPED BY (bench_z_ht, COLS=[v=f.v]) OPTIONS(regions=16, layout=zorder)"
+            )
+            z_rel = astro.relation("bench_z")
+            z_rel.write(
+                spark.range(200_000).selectExpr(
+                    "CAST(pmod(id * 2654435761, 4096) AS INT) k1",
+                    "CAST(pmod(id * 40503, 4096) AS INT) k2",
+                    "CAST(id AS DOUBLE) v",
+                )
+            )
+            _, z_res = z_rel.scan_where("k2 BETWEEN 100 AND 200")
+            out["zorder_dim2_files_read"] = len(z_res.files)
+            out["zorder_files_total"] = z_res.total
             # temporal joins: the as-of sort-merge formulation must plan
             # ZERO join operators (one hash exchange + window), and the
             # binned interval join must never degrade to a nested loop

@@ -73,6 +73,14 @@ class RegionFile:
     max_rowkey_hex: str
     seq: int = 0
     num_keys: int = -1
+    # true per-dimension min/max boxes (numeric key columns only; None
+    # entry = no box for that dim).  Unlike min_key/max_key — which are
+    # the LEXICOGRAPHIC first/last tuples — these bound every dimension
+    # independently, which is what lets pruning act on non-leading-dim
+    # predicates under z-order (or any clustered) layouts.  None = legacy
+    # metadata without boxes.
+    dim_min: list | None = None
+    dim_max: list | None = None
 
 
 @dataclass
@@ -96,6 +104,12 @@ class TableMeta:
     # declared alignment intent: regions never split a group of the first
     # `align_prefix` key columns (0 = none); compact() restores it
     align_prefix: int = 0
+    # declared z-order intent (DDL OPTIONS(layout=zorder)): bulk writes
+    # cluster on the bit-interleaved key instead of the lexicographic
+    # rowkey, so EVERY key dimension is bounded in every region file —
+    # file-level pruning for non-leading-dim predicates; compact()
+    # restores it after appends
+    zorder: bool = False
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -210,6 +224,7 @@ class AstroCatalog:
             declared_columns=raw.get("declared_columns", []),
             layout=raw.get("layout", "range"),
             align_prefix=raw.get("align_prefix", 0),
+            zorder=raw.get("zorder", False),
         )
         self._cache[key] = meta
         return meta

@@ -42,6 +42,9 @@ class CreateTable:
     # regions — enables zero-Exchange one-phase aggregation (our
     # extension; the reference relies on manual HBase pre-splitting)
     align_prefix: int = 0
+    # OPTIONS(layout=zorder): bulk writes cluster on the bit-interleaved
+    # key so every key dimension prunes at file level (our extension)
+    zorder: bool = False
 
 
 @dataclass
@@ -269,6 +272,7 @@ def parse(sql: str) -> Command:
             raise ValueError(f"unknown format {fmt!r} (binaryformat|stringformat)")
         num_regions = 8
         align_prefix = 0
+        zorder = False
         if m.group("opts"):
             for opt in _split_top_level(m.group("opts")):
                 k, v = opt.split("=", 1)
@@ -277,6 +281,11 @@ def parse(sql: str) -> Command:
                     num_regions = int(v.strip().strip("'\""))
                 elif key in ("align", "align_prefix"):
                     align_prefix = int(v.strip().strip("'\""))
+                elif key == "layout":
+                    val = v.strip().strip("'\"").lower()
+                    if val not in ("zorder", "range"):
+                        raise ValueError(f"unknown layout {val!r} (zorder|range)")
+                    zorder = val == "zorder"
         return CreateTable(
             table=table,
             namespace=ns,
@@ -288,6 +297,7 @@ def parse(sql: str) -> Command:
             num_regions=num_regions,
             if_not_exists=bool(m.group("ine")),
             align_prefix=align_prefix,
+            zorder=zorder,
         )
 
     if up.startswith("DROP TABLE"):

@@ -82,8 +82,18 @@ def file_envelope(rf: RegionFile, meta: TableMeta) -> dict[str, Interval]:
     env: dict[str, Interval] = {}
     mins = [_coerce_bound(v, d) for v, d in zip(rf.min_key, dtypes)]
     maxs = [_coerce_bound(v, d) for v, d in zip(rf.max_key, dtypes)]
+    boxes = rf.dim_min is not None and rf.dim_max is not None
     for i, name in enumerate(names):
-        if i == 0:
+        if boxes and rf.dim_min[i] is not None and rf.dim_max[i] is not None:
+            # true per-dim box recorded at write time — always at least
+            # as tight as the lexicographic envelope, and the only sound
+            # bound under non-lexicographic (z-order) layouts where the
+            # rowkey min/max tuple brackets nothing beyond dim 0
+            env[name] = Interval(
+                _coerce_bound(rf.dim_min[i], dtypes[i]),
+                _coerce_bound(rf.dim_max[i], dtypes[i]),
+            )
+        elif i == 0:
             env[name] = Interval(mins[0], maxs[0])
         elif mins[:i] == maxs[:i]:
             # shallower dims constant across the file → dim i is tightly

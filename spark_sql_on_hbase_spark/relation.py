@@ -123,6 +123,44 @@ _SPARK_TYPES = {
 }
 
 
+# integer key widths usable as z-order dimensions (bits)
+_Z_WIDTHS = {C.BYTE: 8, C.SHORT: 16, C.INT: 32, C.LONG: 64}
+
+
+def zorder_value(meta: TableMeta) -> "F.Column":
+    """Bit-interleaved (Morton) z-value over the table's integer key columns.
+
+    Each dimension maps order-preservingly to unsigned bits (sign-bit
+    flip, the same transform the rowkey codec uses), is quantized to
+    ``62 // ndims`` bits (quantization only affects placement, never
+    correctness — pruning uses the true per-dim min/max recorded at
+    write), and the bits interleave round-robin.  Pure codegen column
+    arithmetic — no UDF in the write path.  Same technique as the
+    public Delta/Iceberg Z-ORDER clustering feature; the reference
+    engine has no analog (its layout is always lexicographic).
+    """
+    dims = [(k, C.normalize_type(d)) for k, d in zip(meta.key_names, meta.key_dtypes)]
+    assert len(dims) >= 2, "z-order needs a composite (≥2-column) key"
+    bad = [k for k, d in dims if d not in _Z_WIDTHS]
+    assert not bad, f"z-order supports integer key columns only; not: {bad}"
+    b = 62 // len(dims)  # bits per dim; total < 63 keeps the z-value positive
+    quants = []
+    for k, d in dims:
+        w = _Z_WIDTHS[d]
+        if d == C.LONG:
+            # flip the sign bit, then logical-shift the top b bits down
+            q = F.expr(f"shiftrightunsigned(`{k}` ^ -9223372036854775808, {64 - b})")
+        else:
+            u = F.col(k).cast("long") + F.lit(2 ** (w - 1))
+            q = F.shiftright(u, w - b) if w > b else F.shiftleft(u, b - w)
+        quants.append(q)
+    z = F.lit(0).cast("long")
+    for i in range(b):
+        for j, q in enumerate(quants):
+            z = z + F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(dims) + j)
+    return z
+
+
 def spark_type(dtype: str) -> T.DataType:
     return _SPARK_TYPES[C.normalize_type(dtype)]
 
@@ -182,6 +220,7 @@ class AstroRelation:
         mode: str = "overwrite",
         align_prefix: int | None = None,
         refresh: bool = True,
+        zorder: bool | None = None,
     ) -> None:
         """Total-order bulk write: range shuffle on key, sort, one parquet
         file per region, then record per-file bounds.
@@ -202,8 +241,32 @@ class AstroRelation:
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
         n = max(1, meta.num_regions)
+        if zorder is None:
+            zorder = bool(meta.zorder) and not align_prefix
+        assert not (zorder and align_prefix), "zorder and align= are exclusive layouts"
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(0))
+        if zorder:
+            # cluster on the bit-interleaved key: every dimension becomes
+            # range-bounded in every region file (recorded as dim_min/
+            # dim_max boxes), so a predicate on ANY key dim — not just a
+            # leading prefix — prunes files.  Identical rowkeys map to one
+            # z-value → one partition, so single-generation z-order files
+            # never share a key (needs_merge relies on this).
+            zed = keyed.withColumn("__z", zorder_value(meta))
+            (
+                _layout_options(
+                    zed.repartitionByRange(n, F.col("__z"))
+                    .sortWithinPartitions("__z", ROWKEY_COL)
+                    .drop("__z")
+                    .write.mode(mode)
+                ).parquet(out_dir)
+            )
+            meta.layout = "zorder"
+            meta.align_prefix = 0
+            if refresh:
+                self._refresh_region_bounds()
+            return
         if align_prefix:
             part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
         else:
@@ -355,6 +418,24 @@ class AstroRelation:
         raw = self.spark.read.parquet(out_dir)
         if SEQ_COL not in raw.columns:  # legacy fragments
             raw = raw.withColumn(SEQ_COL, F.lit(0))
+        key_dtypes = meta.key_dtypes
+        # true per-dim boxes for numeric key columns (binaryformat stores
+        # them typed; stringformat's string-ordered min/max would be
+        # unsound for numerics) — same single aggregation pass
+        _NUMERIC = {C.BYTE, C.SHORT, C.INT, C.LONG, C.FLOAT, C.DOUBLE}
+        box_dims = (
+            [
+                (i, k)
+                for i, (k, d) in enumerate(zip(meta.key_names, key_dtypes))
+                if C.normalize_type(d) in _NUMERIC
+            ]
+            if meta.encoding != STRING_FORMAT
+            else []
+        )
+        box_aggs = []
+        for i, k in box_dims:
+            box_aggs.append(F.min(F.col(k)).alias(f"__bmin{i}"))
+            box_aggs.append(F.max(F.col(k)).alias(f"__bmax{i}"))
         rows = (
             raw.groupBy(F.input_file_name().alias("file"))
             .agg(
@@ -363,14 +444,22 @@ class AstroRelation:
                 F.max(ROWKEY_COL).alias("max_rk"),
                 F.max(SEQ_COL).alias("seq"),
                 F.countDistinct(ROWKEY_COL).alias("nkeys"),
+                *box_aggs,
             )
             .collect()
         )
-        key_dtypes = meta.key_dtypes
         regions = []
         for r in rows:
             min_t = C.decode_key(bytes(r.min_rk), key_dtypes)
             max_t = C.decode_key(bytes(r.max_rk), key_dtypes)
+            if box_dims:
+                dim_min: list | None = [None] * len(key_dtypes)
+                dim_max: list | None = [None] * len(key_dtypes)
+                for i, _k in box_dims:
+                    dim_min[i] = r[f"__bmin{i}"]
+                    dim_max[i] = r[f"__bmax{i}"]
+            else:
+                dim_min = dim_max = None
             regions.append(
                 RegionFile(
                     path=r.file,
@@ -381,6 +470,8 @@ class AstroRelation:
                     max_rowkey_hex=bytes(r.max_rk).hex(),
                     seq=r.seq,
                     num_keys=r.nkeys,
+                    dim_min=dim_min,
+                    dim_max=dim_max,
                 )
             )
         self.catalog.update_regions(meta, regions)
@@ -394,6 +485,12 @@ class AstroRelation:
         regs = self.meta.regions
         if any(r.num_keys >= 0 and r.num_keys != r.num_rows for r in regs):
             return True
+        if self.meta.layout == "zorder" and len({r.seq for r in regs}) <= 1:
+            # z-ordered files overlap in ROWKEY space by design, but a
+            # single overwrite-write cannot split one rowkey across files
+            # (identical key → identical z-value → one range partition),
+            # so per-file key uniqueness (checked above) is global
+            return False
         rs = sorted(regs, key=lambda r: r.min_rowkey_hex)
         # hex-of-bytes compares identically to unsigned byte order
         return any(a.max_rowkey_hex >= b.min_rowkey_hex for a, b in zip(rs, rs[1:]))
@@ -442,8 +539,8 @@ class AstroRelation:
         if self.meta.regions:
             self.append(typed)
         else:
-            # first load honors the table's declared alignment (DDL
-            # OPTIONS(align=K)) so one-phase aggregation works from SQL
+            # first load honors the table's declared layout (DDL
+            # OPTIONS(align=K) / OPTIONS(layout=zorder))
             self.write(typed, align_prefix=self.meta.align_prefix or None)
 
     # -- read ---------------------------------------------------------------

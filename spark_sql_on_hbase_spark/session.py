@@ -92,9 +92,25 @@ class AstroSession:
             num_regions=c.num_regions,
             declared_columns=declared,
             align_prefix=c.align_prefix,
+            zorder=c.zorder,
         )
         if c.align_prefix and c.align_prefix > len(c.key_columns):
             raise ValueError("align= exceeds the number of key columns")
+        if c.zorder:
+            if c.align_prefix:
+                raise ValueError("layout=zorder and align= are exclusive")
+            from spark_sql_on_hbase_spark.relation import _Z_WIDTHS
+
+            bad = [
+                k.name
+                for k in meta.key_columns
+                if k.dtype not in _Z_WIDTHS
+            ]
+            if len(meta.key_columns) < 2 or bad:
+                raise ValueError(
+                    "layout=zorder needs a composite key of integer columns"
+                    + (f"; unsupported: {bad}" if bad else "")
+                )
         self.catalog.create_table(meta, if_not_exists=c.if_not_exists)
         self.spark.createDataFrame([], table_schema(meta)).createOrReplaceTempView(c.table)
         return self._ok(f"created {c.namespace}.{c.table}")
@@ -132,7 +148,7 @@ class AstroSession:
                 ("# Physical Layout", "", ""),
                 ("physical_table", meta.physical_table, ""),
                 ("encoding", meta.encoding, ""),
-                ("layout", meta.layout or "range", "bucketed = one-phase-agg eligible"),
+                ("layout", meta.layout or "range", "bucketed = one-phase-agg eligible; zorder = all-dim file pruning"),
                 ("align_prefix", str(meta.align_prefix or 0), "region-aligned leading key columns"),
                 ("num_regions", str(meta.num_regions), "declared region count"),
                 ("region_files", str(len(meta.regions)), "current fragment/region files"),
