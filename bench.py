@@ -68,7 +68,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
-        .config("spark.ui.enabled", "false")
+        # UI stays on for the REST stage-metrics probe (per-query shuffle
+        # bytes / stage counts — the scale-adjudication evidence)
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -201,6 +201,22 @@ class AstroCatalog:
             raise ValueError(f"unknown encoding {meta.encoding}")
         if not re.match(r"^\w+$", meta.physical_table.replace(".", "_")):
             raise ValueError(f"bad physical table name {meta.physical_table}")
+        # many-to-one (doc §16.1.1): logical tables sharing one physical
+        # table share its row key, so their key schemas and encoding must
+        # agree — non-key subsets are free to differ (schema-on-read)
+        for ns, tbl in self.list_tables(meta.namespace):
+            other = self.get_table(tbl, ns)
+            if other.physical_table != meta.physical_table or other.name == meta.name:
+                continue
+            same_keys = [(k.name, C.normalize_type(k.dtype), k.order) for k in other.key_columns] == [
+                (k.name, C.normalize_type(k.dtype), k.order) for k in meta.key_columns
+            ]
+            if not same_keys or other.encoding != meta.encoding:
+                raise ValueError(
+                    f"table {meta.name} maps physical table "
+                    f"{meta.physical_table} already mapped by {other.name} "
+                    "with a different key schema or encoding"
+                )
 
     def get_table(self, table: str, namespace: str = "default") -> TableMeta:
         key = f"{namespace}.{table}"

@@ -958,12 +958,28 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("tot") * 5
         + (hash60(F.col("source")) % 1_000_000) * 7,
     )
+    # salted skew-join branch: row-for-row identical to the plain
+    # equi-join (the operator's contract), so the oracle is the plain
+    # SQL join — hot keys (top-2 langs) get salted/replicated, the rest
+    # ride salt 0
+    from spark_sql_on_hbase_spark.operators.skew import salted_join
+
+    lang_cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_cnt"))
+    hot = lang_cnt.orderBy(F.desc("lang_cnt"), F.asc("lang")).limit(2).select("lang")
+    skew = agg(
+        "skew",
+        salted_join(
+            docs.select("doc_id", "lang"), lang_cnt, ["lang"], buckets=8, hot_keys=hot
+        ),
+        F.col("doc_id") * 1 + F.col("lang_cnt") * 3,
+    )
     return (
         sample.unionAll(split)
         .unionAll(strat)
         .unionAll(norm)
         .unionAll(red)
         .unionAll(pack)
+        .unionAll(skew)
     )
 
 
@@ -1029,6 +1045,12 @@ PIPELINE["corpus_ops_suite"] = Q(
       SELECT source, pack_id, count(*) AS n_docs, sum(n_chars) AS tot
       FROM packed GROUP BY source, pack_id
     ) packs
+    UNION ALL
+    SELECT 'skew' AS probe, count(*) AS cnt,
+           CAST(sum(d.doc_id * 1 + r.lang_cnt * 3) AS BIGINT) AS chk
+    FROM documents d
+    JOIN (SELECT lang, count(*) AS lang_cnt FROM documents GROUP BY lang) r
+      ON d.lang = r.lang
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
     "and shuffle-free map-side plans: Bernoulli sample, consistent "
@@ -1037,5 +1059,7 @@ PIPELINE["corpus_ops_suite"] = Q(
     "greedy sequence packing into 1000-char budgets (Arrow applyInPandas "
     "kernel vs a recursive-CTE oracle) — the DuckDB oracle reproduces every "
     "kept-set and pack assignment bit-for-bit (operators/sampling.py, "
-    "operators/packing.py, functions/text.py)",
+    "operators/packing.py, functions/text.py); plus the skew-resilient "
+    "salted join (operators/skew.py) graded row-for-row against the plain "
+    "equi-join it must be identical to",
 )

@@ -334,7 +334,11 @@ class AstroRelation:
         seq = max((r.seq for r in meta.regions), default=-1) + 1
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(seq))
-        n = min(max(1, meta.num_regions), max(1, df.rdd.getNumPartitions()))
+        # cap fragment count at the region count; empty range partitions
+        # write no files, so a tiny INSERT still produces few fragments
+        # (no .rdd here — converting the plan to RDD just to count
+        # partitions forces an extra analysis pass)
+        n = max(1, meta.num_regions)
         if meta.layout == "bucketed":
             # plain fragment files break the bucket-file invariant; demote
             # the layout (one-phase agg falls back to 2-phase) until
@@ -409,15 +413,52 @@ class AstroRelation:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
         self._refresh_region_bounds()
 
+    def _file_schema(self) -> T.StructType:
+        """Explicit read schema for region fragments.  Many-to-one logical
+        tables over one physical table (doc §16.1.1; ta/tb over ht,
+        TestBaseWithSplitData.scala:34-92) may write fragments with
+        different non-key subsets; declaring the schema — instead of
+        letting Spark sample one file's footer — makes every fragment
+        contribute the columns it has and null-fill the rest, without a
+        mergeSchema footer sweep (O(#files) driver work at 100 TB)."""
+        fields = []
+        for c, dt in self.meta.all_columns:
+            t = T.StringType() if self.meta.encoding == STRING_FORMAT else spark_type(dt)
+            fields.append(T.StructField(c, t, True))
+        fields.append(T.StructField(ROWKEY_COL, T.BinaryType(), True))
+        fields.append(T.StructField(SEQ_COL, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    def _read_fragments(self, *paths: str) -> DataFrame:
+        """Read region fragments under the declared physical schema; a
+        fragment written without ``_seq`` (legacy) reads as generation 0."""
+        df = self.spark.read.schema(self._file_schema()).parquet(*paths)
+        return df.withColumn(SEQ_COL, F.coalesce(F.col(SEQ_COL), F.lit(0)))
+
+    def _ensure_fresh_regions(self) -> None:
+        """Region-info freshness for many-to-one tables: a sibling logical
+        table over the same physical store may have appended fragments this
+        meta hasn't seen.  One driver-side directory listing (the
+        reference's region-cache refresh analog, HBaseRelation.scala:
+        199-243); the stats job only runs when the file set drifted —
+        the single-writer fast path stays listing-only."""
+        import os
+
+        out_dir = self.catalog.data_dir(self.meta)
+        if not os.path.isdir(out_dir):
+            return
+        on_disk = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+        known = {os.path.basename(r.path) for r in self.meta.regions}
+        if on_disk != known:
+            self._refresh_region_bounds()
+
     def _refresh_region_bounds(self) -> None:
         """One aggregate job → per-file (min,max) key bounds + generation
         + distinct-key count into catalog.  All stats ride the same
         map-side-combinable pass: O(#files) driver memory, never rows."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
-        raw = self.spark.read.parquet(out_dir)
-        if SEQ_COL not in raw.columns:  # legacy fragments
-            raw = raw.withColumn(SEQ_COL, F.lit(0))
+        raw = self._read_fragments(out_dir)
         key_dtypes = meta.key_dtypes
         # true per-dim boxes for numeric key columns (binaryformat stores
         # them typed; stringformat's string-ordered min/max would be
@@ -549,8 +590,9 @@ class AstroRelation:
         pushdown reach parquet via Catalyst; row-group skipping on key
         columns comes from the sorted layout.  Upserted keys are resolved
         newest-cell-wins only when metadata says fragments may collide."""
+        self._ensure_fresh_regions()
         out_dir = self.catalog.data_dir(self.meta)
-        df = self.spark.read.parquet(out_dir)
+        df = self._read_fragments(out_dir)
         return self._resolve(df, with_rowkey=with_rowkey)
 
     def _resolve(self, df: DataFrame, with_rowkey: bool = False) -> DataFrame:
@@ -595,6 +637,7 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.predicate import Opaque
         from spark_sql_on_hbase_spark.pruning import PruneResult, prune_files
 
+        self._ensure_fresh_regions()
         meta = self.meta
         try:
             res = prune_files(meta, where)
@@ -613,7 +656,7 @@ class AstroRelation:
         # any fragment holding a given key overlaps every key range that
         # contains it, so range pruning keeps ALL versions of a surviving
         # key — merging over the pruned subset is exact
-        raw = self.spark.read.parquet(*paths)
+        raw = self._read_fragments(*paths)
         if meta.encoding == STRING_FORMAT and not isinstance(res.predicate, Opaque):
             # stringformat pushdown (comparators.scala:47-243 parity): a
             # string-space superset of the typed predicate, applied to the

@@ -112,7 +112,18 @@ class AstroSession:
                     + (f"; unsupported: {bad}" if bad else "")
                 )
         self.catalog.create_table(meta, if_not_exists=c.if_not_exists)
-        self.spark.createDataFrame([], table_schema(meta)).createOrReplaceTempView(c.table)
+        import os
+
+        # many-to-one mapping (doc §16.1.1): another logical table may
+        # already have populated the shared physical store — surface it
+        # immediately (schema-on-read)
+        stored = self.catalog.get_table(c.table, c.namespace)
+        rel = AstroRelation(self.catalog, stored, self.spark)
+        if os.path.isdir(self.catalog.data_dir(stored)):
+            rel._ensure_fresh_regions()
+            rel.register_view(c.table)
+        else:
+            self.spark.createDataFrame([], table_schema(stored)).createOrReplaceTempView(c.table)
         return self._ok(f"created {c.namespace}.{c.table}")
 
     def _exec_DropTable(self, c: ddl.DropTable) -> DataFrame:

@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.ts is TIMESTAMP(NANOS) parquet; streamed with nanosAsLong and
-# normalized to TimestampType here (same trick as tables.load_tables)
+# Legacy fixture layout: events with ts stored as nanos-as-long INT64.
+# Only the checkpointed-fixture tests declare this directly; real reads go
+# through read_event_stream, which sniffs the file's actual encoding.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -34,13 +35,38 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Sniff the physical encoding of ``ts`` from the parquet footer via a
+    batch read (same dual-path as ``tables._normalize_timestamps``): with
+    ``nanosAsLong=true`` a TIMESTAMP(NANOS) file surfaces as LongType while
+    TIMESTAMP(MICROS) surfaces as Timestamp/TimestampNTZ.  The file source
+    requires a user-supplied schema, so declare whichever the data actually
+    is — declaring LongType against a micros file silently reads the raw
+    INT64 micros and any ÷1000 then compresses event time 1000×."""
+    batch = spark.read.parquet(path).schema
+    ts_type = batch["ts"].dataType
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (stand-in for Kafka —
-    the transformations downstream are source-agnostic)."""
+    the transformations downstream are source-agnostic).  ``ts`` is
+    normalized to session-TZ TimestampType whatever the file's physical
+    encoding (nanos-as-long legacy or micros timestamp)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = _events_stream_schema(spark, path)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
@@ -49,7 +75,14 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer DIV, not floor(x/1000): ns epochs exceed a double's 2^53
+        # exact range and float rounding drifts whole microseconds
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_window_agg(

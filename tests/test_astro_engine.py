@@ -206,6 +206,56 @@ def test_many_to_one_mapping(astro, tmp_path):
     assert astro.sql("SELECT count(*) AS n FROM tb").collect()[0].n == 2
 
 
+def test_many_to_one_different_column_subsets(astro, tmp_path):
+    """Schema-on-read over one physical table with DIFFERENT non-key
+    subsets per logical table (doc §16.1.1; ta/tb over ht,
+    TestBaseWithSplitData.scala:34-92): each side projects the columns it
+    maps, writes through either side are visible through both, a column
+    the other writer never populated reads as NULL (absent cell), and
+    pruned point lookups work through the second table."""
+    astro.sql(
+        "CREATE TABLE m2o_a (k INT, a STRING, b DOUBLE, PRIMARY KEY (k)) "
+        "MAPPED BY (shared_m2o, COLS=[a=cf.qa, b=cf.qb])"
+    )
+    astro.sql("INSERT INTO m2o_a VALUES (1, 'x', 1.5)")
+    astro.sql("INSERT INTO m2o_a VALUES (2, 'y', 2.5)")
+    # second logical table created AFTER data exists: narrower subset
+    astro.sql(
+        "CREATE TABLE m2o_b (k INT, a STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (shared_m2o, COLS=[a=cf.qa])"
+    )
+    desc_tables = {t for _, t in astro.catalog.list_tables()}
+    assert {"m2o_a", "m2o_b"} <= desc_tables
+    rows = astro.sql("SELECT k, a FROM m2o_b ORDER BY k").collect()
+    assert [(r.k, r.a) for r in rows] == [(1, "x"), (2, "y")]
+    assert astro.sql("SELECT * FROM m2o_b").columns == ["k", "a"]
+
+    # write through the NARROW table: visible through both; the column
+    # m2o_b doesn't map (b) reads NULL for that row through m2o_a
+    astro.sql("INSERT INTO m2o_b VALUES (3, 'z')")
+    rows = astro.sql("SELECT k, a, b FROM m2o_a ORDER BY k").collect()
+    assert [(r.k, r.a, r.b) for r in rows] == [
+        (1, "x", 1.5), (2, "y", 2.5), (3, "z", None),
+    ]
+    # pruned point lookup through the second table (stale-region refresh)
+    rel_b = astro.relation("m2o_b")
+    df, res = rel_b.scan_where("k = 3")
+    assert [(r.k, r.a) for r in df.collect()] == [(3, "z")]
+    assert len(res.files) < res.total or res.total == 1
+    # upsert through m2o_b resolves newest-cell-wins through m2o_a too,
+    # and b survives (absent cell never erases)
+    astro.sql("INSERT INTO m2o_b VALUES (1, 'xx')")
+    r1 = astro.sql("SELECT a, b FROM m2o_a WHERE k = 1").collect()[0]
+    assert (r1.a, r1.b) == ("xx", 1.5)
+    # a third mapping with a DIFFERENT key schema over the same physical
+    # table must be rejected (the row key is shared)
+    with pytest.raises(ValueError):
+        astro.sql(
+            "CREATE TABLE m2o_bad (k STRING, a STRING, PRIMARY KEY (k)) "
+            "MAPPED BY (shared_m2o, COLS=[a=cf.qa])"
+        )
+
+
 def test_upsert_overwrites_by_key(loaded):
     # HBase Put semantics: re-inserting an existing row key upserts
     # (newest cell wins per column, HBaseRelation.scala:911-941)
