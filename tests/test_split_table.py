@@ -139,3 +139,31 @@ def test_negative_key_region_pruning(astro):
     meta = astro.catalog.get_table("ta")
     if len(meta.regions) > 2:
         assert len(res.files) < len(meta.regions)
+
+
+def test_bulk_load_over_128_regions(spark, tmp_path_factory):
+    """>128 regions: the reference switches its region-router from linear
+    probe to binary search above 128 regions and pins it with a 131-region
+    bulk load (HBasePartitioner.scala:49-57,
+    HBaseBulkLoadIntoTableSuite.scala:414).  Our analog: a 131-region
+    range layout must still bulk-load correctly, keep per-file key bounds,
+    and prune a point lookup to ONE file out of >128."""
+    wh = tmp_path_factory.mktemp("wide_wh")
+    astro = AstroSession(spark, str(wh))
+    astro.sql(
+        "CREATE TABLE wide_t (k INT, v INT, PRIMARY KEY (k)) "
+        "MAPPED BY (h_wide, COLS=[v=f.v]) OPTIONS (regions=131)"
+    )
+    csv = wh / "wide.txt"
+    csv.write_text("".join(f"{i},{i * 2}\n" for i in range(1, 3001)))
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE wide_t")
+    rel = astro.relation("wide_t")
+    assert len(rel.meta.regions) > 128
+    df, res = rel.scan_where("k = 1500")
+    assert len(res.files) == 1
+    assert [(r.k, r.v) for r in df.collect()] == [(1500, 3000)]
+    assert astro.sql("SELECT count(*) AS n FROM wide_t").collect()[0].n == 3000
+    # range scan touches only the files bracketing the range
+    df, res = rel.scan_where("k BETWEEN 1000 AND 1100")
+    assert df.count() == 101
+    assert len(res.files) <= 8
