@@ -16,6 +16,7 @@ from spark_sql_on_hbase_spark.streaming.events import (
     stream_interval_join,
     tumbling_window_agg,
 )
+from spark_sql_on_hbase_spark.streaming.sessions import sessionize_stateful
 from spark_sql_on_hbase_spark.streaming.sink import write_stream_to_table
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "read_event_stream",
     "run_to_memory",
     "session_window_agg",
+    "sessionize_stateful",
     "stateful_user_counts",
     "stream_interval_join",
     "tumbling_window_agg",

@@ -406,3 +406,91 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # resurrected, and the accepted t=3300/t=3600 windows are still open
     assert buckets == {base: 1}
     assert base + 1200 not in buckets
+
+
+def test_sessionize_stateful_closes_on_watermark(spark, tmp_path):
+    """Timeout-driven sessionization (applyInPandasWithState with
+    EventTimeTimeout): a session closes and emits EXACTLY ONE row once
+    the watermark passes last_event + gap; state and the pending timeout
+    persist across checkpointed runs; an open session emits nothing."""
+    import shutil
+
+    from spark_sql_on_hbase_spark.streaming.sessions import sessionize_stateful
+
+    base = 1_700_000_100
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TEST).parquet(src_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        out = sessionize_stateful(stream, gap="30 minutes", watermark="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: user 1 two events 60 s apart (one session), user 2 one event;
+    # nothing can close yet (watermark ≈ +60 - 600 s < any gap horizon)
+    f1 = _write_event_file(
+        spark, tmp_path, "s1",
+        [(1, base, 1, "click"), (2, base + 60, 1, "view"), (3, base + 60, 2, "click")],
+    )
+    shutil.copy(f1, os.path.join(src_dir, "0.parquet"))
+    run_once()
+    assert emitted == []
+
+    # run 2: a far-future event (user 3) advances the watermark past both
+    # sessions' horizons (+1860/+1860 s << +7200-600 s) → both close with
+    # exactly one row each; user 3's own session stays open
+    f2 = _write_event_file(spark, tmp_path, "s2", [(4, base + 7200, 3, "click")])
+    shutil.copy(f2, os.path.join(src_dir, "1.parquet"))
+    run_once()
+    got = sorted(
+        (r.user_id, int(r.session_start.timestamp()), int(r.session_end.timestamp()), r.n_events, r.sum_v)
+        for r in emitted
+    )
+    assert got == [
+        (1, base, base + 60, 2, 2.0),
+        (2, base + 60, base + 60, 1, 1.0),
+    ], got
+
+    # run 3: an even later event closes user 3's session from run 2
+    f3 = _write_event_file(spark, tmp_path, "s3", [(5, base + 14400, 4, "click")])
+    shutil.copy(f3, os.path.join(src_dir, "2.parquet"))
+    run_once()
+    assert (3, base + 7200, base + 7200, 1, 1.0) in {
+        (r.user_id, int(r.session_start.timestamp()), int(r.session_end.timestamp()), r.n_events, r.sum_v)
+        for r in emitted
+    }
+
+
+def test_sessionize_stateful_matches_session_window(spark, batch_events):
+    """Closed-session parity with the built-in session_window over the
+    driver events data: every session the timeout operator emits must
+    match a session_window group exactly (start, n_events, sum)."""
+    from spark_sql_on_hbase_spark.streaming.sessions import sessionize_stateful
+
+    stream = read_event_stream(spark, EVENTS_PQ)
+    got = run_to_memory(
+        sessionize_stateful(stream, gap="30 minutes", watermark="10 minutes"),
+        "t_state_sessions",
+        output_mode="append",
+    )
+    rows = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events, round(r.sum_v, 2))
+        for r in got.collect()
+    }
+    assert len(rows) > 0
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.sum_v)
+        for r in session_window_agg(batch_events, gap="30 minutes").collect()
+    }
+    assert rows <= want, list(rows - want)[:5]
