@@ -114,6 +114,11 @@ TAIL_ORDER = [
     "q19_disjunctive_predicates",
     "q21_waiting_suppliers",
     "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_excess_availability",
 ]
 
 

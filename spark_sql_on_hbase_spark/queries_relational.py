@@ -1340,6 +1340,136 @@ _q(
 )
 
 
+# ---- partsupp-family TPC-H queries over a DERIVED partsupp -----------------
+# The driver testdata ships no partsupp table; q2/q9/q11/q16/q20 are the
+# TPC-H queries that need one.  Both engines derive the SAME deterministic
+# partsupp from lineitem's distinct (l_partkey, l_suppkey) pairs — exactly
+# the pairs the fact table joins on, so the q9/q20 joins are dense — with
+# availqty/supplycost as fixed integer-arithmetic functions of the keys.
+# This grades the full query shapes (correlated min-subquery, HAVING vs
+# scalar total, NOT IN, nested correlated sum) against DuckDB with zero
+# synthetic input files.
+_PS_CTE = """partsupp AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 (l_partkey * 7 + l_suppkey * 11) % 9999 + 1 AS ps_availqty,
+                 CAST((l_partkey * 31 + l_suppkey * 17) % 100000 AS DOUBLE) / 100.0 + 1.0
+                   AS ps_supplycost
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        )"""
+
+_q(
+    "q2_min_cost_supplier",
+    Q(
+        spark=f"""
+        WITH {_PS_CTE}
+        SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+        FROM part, supplier, partsupp, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM partsupp ps2, supplier s2, nation n2, region r2
+            WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+        """,
+        oracle=None,
+        doc="TPC-H Q2 minimum-cost supplier (correlated scalar-min subquery "
+        "over the derived partsupp; adapted: driver part has no p_mfgr)",
+    ),
+)
+
+_q(
+    "q9_product_type_profit",
+    Q(
+        spark=f"""
+        WITH {_PS_CTE}
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+          FROM part, supplier, lineitem, partsupp, orders, nation
+          WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+            AND ps_partkey = l_partkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        """,
+        oracle=None,
+        doc="TPC-H Q9 product-type profit (6-way join through the derived "
+        "partsupp on the composite (partkey, suppkey))",
+    ),
+)
+
+_q(
+    "q11_important_stock",
+    Q(
+        spark=f"""
+        WITH {_PS_CTE}
+        SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS val
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+        GROUP BY ps_partkey
+        HAVING sum(ps_supplycost * ps_availqty) > (
+          SELECT sum(ps_supplycost * ps_availqty) * 0.001
+          FROM partsupp, supplier, nation
+          WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_3')
+        """,
+        oracle=None,
+        doc="TPC-H Q11 important stock (HAVING against an uncorrelated "
+        "scalar fraction-of-total subquery)",
+    ),
+)
+
+_q(
+    "q16_supplier_part_count",
+    Q(
+        spark=f"""
+        WITH {_PS_CTE}
+        SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """,
+        oracle=None,
+        doc="TPC-H Q16 supplier-part counts (NOT IN null-safe anti-semantics; "
+        "negative acctbal stands in for the complaints filter — driver "
+        "supplier has no comment column)",
+    ),
+)
+
+_q(
+    "q20_excess_availability",
+    Q(
+        spark=f"""
+        WITH {_PS_CTE}
+        SELECT s_name, n_name
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'b%')
+              AND ps_availqty > (
+                SELECT 0.5 * sum(l_quantity) FROM lineitem
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'))
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        """,
+        oracle=None,
+        doc="TPC-H Q20 excess availability (IN-subquery chain with a "
+        "doubly-nested correlated sum over the shipping year)",
+    ),
+)
+
+
 # complex types: array build/index/size + struct field access over temp
 # arrays (reference exercises these on temp tables only,
 # HBaseSQLQuerySuite.scala:157-178,612-691)

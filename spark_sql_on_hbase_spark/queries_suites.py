@@ -288,7 +288,11 @@ _suite(
 _suite(
     "tpc_suite",
     "adapted TPC-H q1/q4/q5/q6/q7/q8/q10/q12/q13/q14/q15/q17/q18/q19/q21/q22 "
-    "value-checksummed (q3 stays an individual DataFrame-DSL entry)",
+    "value-checksummed (q3 stays an individual DataFrame-DSL entry), plus "
+    "the partsupp family q2/q9/q11/q16/q20 over a deterministic partsupp "
+    "DERIVED from lineitem's distinct (partkey, suppkey) pairs — both "
+    "engines compute the identical derived table, so the full query "
+    "shapes grade without a partsupp input file",
     [
         ("q1", "q1_pricing_summary", [("l_returnflag", "s"), ("l_linestatus", "s"), ("sum_qty", "d2"), ("sum_base_price", "d2"), ("sum_disc_price", "d2"), ("sum_charge", "d2"), ("avg_qty", "d4"), ("avg_price", "d4"), ("avg_disc", "d6"), ("count_order", "i")]),
         ("q4", "q4_order_priority", [("o_orderpriority", "s"), ("order_count", "i")]),
@@ -306,6 +310,12 @@ _suite(
         ("q19", "q19_disjunctive_predicates", [("revenue", "d2"), ("n", "i")]),
         ("q21", "q21_waiting_suppliers", [("s_name", "s"), ("numwait", "i")]),
         ("q22", "q22_global_sales", [("cntrycode", "i"), ("numcust", "i"), ("totacctbal", "d2")]),
+        # partsupp family over the DERIVED partsupp (see queries_relational)
+        ("q2", "q2_min_cost_supplier", [("s_acctbal", "d2"), ("s_name", "s"), ("n_name", "s"), ("p_partkey", "i"), ("ps_supplycost", "d2")]),
+        ("q9", "q9_product_type_profit", [("nation", "s"), ("o_year", "i"), ("sum_profit", "d2")]),
+        ("q11", "q11_important_stock", [("ps_partkey", "i"), ("val", "d2")]),
+        ("q16", "q16_supplier_part_count", [("p_brand", "s"), ("p_type", "s"), ("p_size", "i"), ("supplier_cnt", "i")]),
+        ("q20", "q20_excess_availability", [("s_name", "s"), ("n_name", "s")]),
     ],
 )
 
