@@ -316,6 +316,49 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             out["interval_join_nested_loop"] = (
                 "NestedLoop" in ij_plan or "Cartesian" in ij_plan
             )
+            # salted-join shuffle balance: a 90%-hot key makes the plain
+            # key exchange put ~90% of rows in one partition; the salt
+            # spreads the hot key across buckets.  max/avg partition rows
+            # is the direct evidence the salted join exists to produce.
+            skew_src = spark.range(200_000).select(
+                F.when(F.col("id") % 10 < 9, F.lit("hot"))
+                .otherwise(F.col("id").cast("string"))
+                .alias("k"),
+                F.col("id").alias("v"),
+            )
+            from pyspark.sql import functions as _F
+
+            def _balance(df):
+                parts = (
+                    df.withColumn("__p", _F.spark_partition_id())
+                    .groupBy("__p")
+                    .count()
+                    .agg(_F.max("count").alias("mx"), _F.avg("count").alias("av"))
+                    .collect()[0]
+                )
+                return round(parts.mx / parts.av, 1)
+
+            salt = _F.pmod(_F.xxhash64("k", "v"), _F.lit(64))
+            out["plain_shuffle_balance_max_over_avg"] = _balance(
+                skew_src.repartition(32, _F.col("k"))
+            )
+            out["salted_shuffle_balance_max_over_avg"] = _balance(
+                skew_src.withColumn("__s", salt).repartition(32, _F.col("k"), _F.col("__s"))
+            )
+            # quantize path stays pure codegen (no Python/Arrow eval)
+            from spark_sql_on_hbase_spark.operators.quantize import (
+                dequantize,
+                scalar_quantize,
+            )
+
+            emb = load_tables(spark, sf_dir)["embeddings"]
+            qplan = (
+                dequantize(scalar_quantize(emb), out_col="hat")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            out["quantize_python_eval"] = "EvalPython" in qplan
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     except Exception as ex:  # evidence is best-effort; never fail the bench
