@@ -187,12 +187,30 @@ SELECT round(stddev_samp(l_extendedprice), 2) AS sd,
 FROM lineitem
 """
 
+# mergeable-sketch workflow: per-group HLL sketches UNIONED at query
+# time — the 100 TB pre-aggregation pattern (store sketches per
+# partition/day, merge on read; no re-scan of raw data).  Graded by the
+# union estimate landing within 5% of the exact global distinct.
+_HLL_SPARK = """
+SELECT CAST(count_d AS BIGINT) AS exact_nd,
+       abs(est - count_d) <= 0.05 * count_d AS hll_ok
+FROM (
+  SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est,
+         (SELECT count(DISTINCT l_partkey) FROM lineitem) AS count_d
+  FROM (SELECT l_returnflag, hll_sketch_agg(l_partkey) AS sk
+        FROM lineitem GROUP BY l_returnflag) g
+) t
+"""
+_HLL_ORACLE = "SELECT count(DISTINCT l_partkey) AS exact_nd, TRUE AS hll_ok FROM lineitem"
+
 _suite(
     "agg_stats",
     "COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT, exact median + tolerance-graded "
     "approx_percentile (the 100 TB swap-in) — one grouped pass; "
     "stddev/var/corr/covar + rsd-tolerance APPROX COUNT DISTINCT — one "
-    "global pass; LAST-analog max_by (each branch = one scan of its table)",
+    "global pass; LAST-analog max_by (each branch = one scan of its table); "
+    "mergeable per-group HLL sketches unioned at query time (5%-tolerance "
+    "vs exact distinct)",
     [
         ("byflag", (_BYFLAG_SPARK, _BYFLAG_ORACLE),
          [("l_returnflag", "s"), ("n", "i"), ("sum_q", "d2"), ("avg_p", "d4"), ("min_d", "d2"),
@@ -200,6 +218,7 @@ _suite(
         ("global", (_GLOBAL_SPARK, _GLOBAL_ORACLE),
          [("sd", "d2"), ("vr", "d4"), ("cr", "d6"), ("cv", "d2"), ("exact_nd", "i"), ("within_tolerance", "b")]),
         ("last", "agg_last", [("o_custkey", "i"), ("last_status", "s"), ("last_price", "d2"), ("n", "i")]),
+        ("hll", (_HLL_SPARK, _HLL_ORACLE), [("exact_nd", "i"), ("hll_ok", "b")]),
     ],
 )
 
