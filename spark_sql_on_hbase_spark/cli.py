@@ -37,7 +37,33 @@ def _print_df(df, max_rows: int, out=sys.stdout) -> None:
         print(f"(showing first {max_rows} rows)", file=out)
 
 
+# HELP topics — HBaseSQLCliDriver.printHelp (HBaseSQLCliDriver.scala:140-178)
+_HELP = {
+    "CREATE": "CREATE TABLE table_name (col_name data_type, ..., PRIMARY KEY(col_name, ...))\n"
+    "  MAPPED BY (htable_name, COLS=[col_name=family_name.qualifier]) [IN stringformat]",
+    "DROP": "DROP TABLE table_name",
+    "ALTER": "ALTER TABLE table_name ADD col_name data_type MAPPED BY (family_name.qualifier)\n"
+    "ALTER TABLE table_name DROP col_name",
+    "LOAD": "LOAD [PARALL] DATA [LOCAL] INPATH file_path [OVERWRITE] INTO TABLE table_name "
+    "[FIELDS TERMINATED BY char]",
+    "SELECT": "SELECT [DISTINCT] select_expr, ... FROM table_reference [WHERE ...] "
+    "[GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]",
+    "INSERT": "INSERT INTO table_name SELECT ... | INSERT INTO table_name VALUES (...)",
+    "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
+    "SHOW": "SHOW TABLES",
+}
+
+
+def _print_help(token: list[str], out) -> None:
+    if len(token) > 1 and token[1].upper() in _HELP:
+        print(_HELP[token[1].upper()], file=out)
+    else:
+        print("Available commands: " + " ".join(sorted(_HELP)) + " — HELP <command> for syntax", file=out)
+
+
 def repl(astro, out=sys.stdout, inp=sys.stdin, max_rows: int = 50) -> None:
+    import time as _time
+
     buf: list[str] = []
     prompt = "astro> "
     cont = "     > "
@@ -49,6 +75,9 @@ def repl(astro, out=sys.stdout, inp=sys.stdin, max_rows: int = 50) -> None:
         line = line.strip()
         if not buf and line.lower() in ("exit", "quit", "exit;", "quit;"):
             break
+        if not buf and line.rstrip(";").upper().split()[:1] == ["HELP"]:
+            _print_help(line.rstrip(";").split(), out)
+            continue
         if not line:
             continue
         buf.append(line)
@@ -59,7 +88,9 @@ def repl(astro, out=sys.stdout, inp=sys.stdin, max_rows: int = 50) -> None:
         if not stmt:
             continue
         try:
+            t0 = _time.time()
             _print_df(astro.sql(stmt), max_rows, out=out)
+            print(f"Time taken: {_time.time() - t0:.3f} seconds", file=out)
         except Exception as ex:  # keep the shell alive on bad SQL
             print(f"Error: {ex}", file=out)
 

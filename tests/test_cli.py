@@ -25,3 +25,22 @@ def test_repl_roundtrip(spark, tmp_path):
     assert "tableName" in text
     assert "Error:" in text
     assert text.index("Error:") < text.rindex("| 2 ")  # statement after error ran
+
+
+def test_repl_help_and_timing(spark, tmp_path):
+    """HELP [command] prints syntax (HBaseSQLCliDriver.scala:140-178
+    parity) and each statement reports its wall time."""
+    astro = AstroSession(spark, str(tmp_path / "wh"))
+    astro.sql("CREATE TABLE th (k INT, PRIMARY KEY(k)) MAPPED BY (hth)")
+    out = io.StringIO()
+    inp = io.StringIO(
+        "HELP;\n"
+        "HELP CREATE;\n"
+        "SHOW TABLES;\n"
+        "exit\n"
+    )
+    repl(astro, out=out, inp=inp)
+    text = out.getvalue()
+    assert "Available commands:" in text
+    assert "MAPPED BY" in text  # HELP CREATE syntax block
+    assert "Time taken:" in text
