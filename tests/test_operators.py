@@ -417,3 +417,27 @@ def test_resize_image_contract(spark, docs):
     # target larger than source → no upscale, blob unchanged
     big = {r.doc_id: r for r in M.resize_image(bdf, 10000, 10000).collect()}
     assert big[1].new_len == n and bytes(big[1].resized)[:5] == b"the q"
+
+
+def test_hll_sketch_persist_and_merge(spark, tmp_path):
+    """The 100 TB pre-aggregation workflow: per-group HLL sketches are
+    PERSISTED as a binary column (one tiny parquet per 'day'), re-read
+    later, and hll_union_agg'd — the merged estimate must land within 5%
+    of the exact distinct over the raw data, with no re-scan of it."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # build per-(lang) sketches in two separate "ingest batches" and
+    # persist each — the merge must work across independently-written files
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    for i, half in enumerate((half1, half2)):
+        (half.groupBy("lang").agg(F.hll_sketch_agg("source").alias("sk"))
+         .write.mode("overwrite").parquet(str(tmp_path / f"day{i}")))
+    merged = (
+        spark.read.parquet(str(tmp_path / "day0"), str(tmp_path / "day1"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0].est
+    )
+    exact = docs.select("source").distinct().count()
+    assert abs(merged - exact) <= max(1, 0.05 * exact), (merged, exact)

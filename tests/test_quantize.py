@@ -92,3 +92,28 @@ def test_quantized_topk_recall_vs_exact(spark, emb):
     # 8-bit codes + 5x rerank headroom recover the exact top-5 nearly
     # always; the floor guards against borderline ties
     assert recall >= 0.8, recall
+
+
+def test_roundtrip_property_random_vectors(spark):
+    """Property test: for arbitrary float vectors (negatives, tiny spans,
+    huge magnitudes), reconstruction stays within half a quantization
+    step per dimension."""
+    from hypothesis import given, settings, strategies as st
+
+
+    finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.lists(finite, min_size=1, max_size=16), min_size=1, max_size=8))
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>",
+        )
+        out = dequantize(scalar_quantize(df), out_col="hat").collect()
+        for r in out:
+            span = (max(r.embedding) - min(r.embedding)) / 255.0
+            for x, h in zip(r.embedding, r.hat):
+                assert abs(x - h) <= span / 2 + 1e-6 * max(1.0, abs(x)), (x, h, span)
+
+    check()
