@@ -91,6 +91,7 @@ GRADED_ORDER = [
 TAIL_ORDER = [
     "text_token_count",
     "ann_lsh_signatures",
+    "streaming_sessionize",
     # simple COUNT/SUM/AVG over the astro scan path — the same physical
     # scan is value-verified in-window by astro_range_scan/astro_mixed_
     # residual; demoted to make room for the streaming entries

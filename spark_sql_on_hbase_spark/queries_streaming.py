@@ -162,3 +162,64 @@ STREAMING["session_window_agg"] = Q(
     """,
     doc="session_window gap-merge aggregation (30 min gap; lag/cumsum batch-idiom oracle)",
 )
+
+
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the custom stateful sessionizer: under
+    availableNow the emitted set is deterministic — exactly the sessions
+    whose close horizon (last event + gap) the final watermark
+    (max ts - delay) has passed — so a full value oracle exists even for
+    this non-declarative operator."""
+    from spark_sql_on_hbase_spark.streaming import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stateful,
+    )
+
+    _MEMSINK_SEQ[0] += 1
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = run_to_memory(
+        sessionize_stateful(stream, gap="30 minutes", watermark="10 minutes"),
+        f"q_stream_sessionize_{_MEMSINK_SEQ[0]}",
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "n_events",
+        "sum_v",
+    )
+
+
+STREAMING["streaming_sessionize"] = Q(
+    spark=_streaming_sessionize,
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM g
+    ), sess AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+             count(*) AS n_events, round(sum(value), 2) AS sum_v
+      FROM s GROUP BY user_id, sess_id
+    ), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id,
+           CAST(floor(epoch(t0)) AS BIGINT) AS session_start,
+           CAST(floor(epoch(t1)) AS BIGINT) AS session_end,
+           n_events, sum_v
+    FROM sess, wm
+    WHERE t1 + INTERVAL 30 MINUTE < w
+    """,
+    doc="custom stateful sessionization (applyInPandasWithState, event-time "
+    "timeout close) run as a REAL stream; the availableNow emitted set is "
+    "deterministic (close horizon behind the final watermark), so even "
+    "this non-declarative operator gets a full DuckDB value oracle",
+)
