@@ -355,6 +355,36 @@ def ivf_assign(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = True,
+) -> None:
+    """Persist the IVF index — centroids plus the inverted-list
+    assignment — to parquet.  At 100 TB the assignment pass (one scored
+    scan of the corpus) is the expensive step; building the index pays
+    it ONCE per corpus version instead of once per query batch.  The
+    assignment is ``partitionBy(cluster_id)``, so a query that probes
+    nprobe lists touches only those partition directories (static or
+    dynamic partition pruning — the inverted-index property realized in
+    the file layout)."""
+    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col, trained=trained)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = ivf_assign(corpus, cent, id_col, vec_col)
+    assign.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/assign")
+
+
+def ivf_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) back from ``ivf_build_index`` output."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assign"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -365,6 +395,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     trained: bool = False,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest inverted lists,
     exact rerank inside them.
@@ -373,10 +404,15 @@ def ivf_topk(
     brute force; the only large join is (probed clusters ⋈ assignment)
     — an equi-join on cluster_id that AQE handles, with vectors fetched
     for candidates only.  ``trained=True`` swaps in the KMeans quantizer
-    (same plan shape).  Returns (query_id, neighbor_id, cos_sim, rank).
+    (same plan shape).  ``index=(centroids, assignment)`` (from
+    ``ivf_load_index``) skips training and assignment entirely.
+    Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col, trained=trained)
-    assign = ivf_assign(corpus, cent, id_col, vec_col)
+    if index is not None:
+        cent, assign = index
+    else:
+        cent = ivf_centroids(corpus, n_centroids, id_col, vec_col, trained=trained)
+        assign = ivf_assign(corpus, cent, id_col, vec_col)
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
     qscored = (
         F.broadcast(q)

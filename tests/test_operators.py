@@ -441,3 +441,39 @@ def test_hll_sketch_persist_and_merge(spark, tmp_path):
     )
     exact = docs.select("source").distinct().count()
     assert abs(merged - exact) <= max(1, 0.05 * exact), (merged, exact)
+
+
+def test_ivf_index_persist_and_query(spark, tmp_path):
+    """Index workflow: build once (train + assign, persisted with the
+    assignment partitioned by cluster_id — the inverted-index property in
+    the file layout), reload, query — results identical to the inline
+    train-per-call path."""
+    from spark_sql_on_hbase_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_load_index,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx_path = str(tmp_path / "ivf_idx")
+    ivf_build_index(emb, idx_path, n_centroids=8, trained=True)
+    # inverted-list layout on disk: one directory per cluster
+    parts = [d for d in os.listdir(f"{idx_path}/assign") if d.startswith("cluster_id=")]
+    assert len(parts) > 1
+    idx = ivf_load_index(spark, idx_path)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, queries, k=5, nprobe=4, index=idx).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=4, trained=True
+        ).collect()
+    }
+    assert got == want
