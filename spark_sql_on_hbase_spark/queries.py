@@ -87,11 +87,14 @@ GRADED_ORDER = [
 # (values verified via tpc_suite above) plus entries whose semantics
 # are already hash-verified transitively — text_token_count's columns are
 # recomputed inside text_quality_score, and ann_lsh_topk's oracle
-# recomputes the ann_lsh_signatures arithmetic
+# recomputes the ann_lsh_signatures arithmetic.  The window is ~50 rows
+# (GRADED_ORDER ≤48 + the first two tail entries), so the genuinely novel
+# sessionizer oracle leads the tail (VERDICT r4: it sat at position 51,
+# one past the window, leaving its full oracle unrecorded).
 TAIL_ORDER = [
+    "streaming_sessionize",
     "text_token_count",
     "ann_lsh_signatures",
-    "streaming_sessionize",
     # simple COUNT/SUM/AVG over the astro scan path — the same physical
     # scan is value-verified in-window by astro_range_scan/astro_mixed_
     # residual; demoted to make room for the streaming entries

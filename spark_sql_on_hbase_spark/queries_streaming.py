@@ -145,7 +145,7 @@ STREAMING["session_window_agg"] = Q(
     WITH g AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     ), s AS (
@@ -198,7 +198,7 @@ STREAMING["streaming_sessionize"] = Q(
     WITH g AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     ), s AS (

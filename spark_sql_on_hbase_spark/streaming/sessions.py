@@ -69,6 +69,18 @@ def sessionize_stateful(
     gap_ms = int(num) * _UNIT_MS[unit]
 
     def fn(key, pdfs, state: GroupState):
+        # pyspark's applyInPandasWithState serializer pads every output
+        # batch with an all-NA frame before pd.concat (serializers.py,
+        # count-alignment) — ITS concat raises the pandas FutureWarning,
+        # not ours; our emitted frames are never empty / all-NA.  Filter
+        # in the worker so runs are warning-free.
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore",
+            message="The behavior of DataFrame concatenation with empty or all-NA",
+            category=FutureWarning,
+        )
         wm = state.getCurrentWatermarkMs()
         frags: list[list] = []
         if state.exists:
@@ -77,7 +89,14 @@ def sessionize_stateful(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+            # normalize to ns BEFORE the int64 view: pandas 2 can surface
+            # Arrow timestamps as datetime64[us], and a raw astype("int64")
+            # would then be microseconds — ÷1e6 compresses event time
+            # 1000× and silently merges all sessions (the read-side twin
+            # of the encoding sniff in streaming/events.py)
+            ts_ms = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).to_numpy()
             for t, v in zip(ts_ms, pdf["value"].to_numpy()):
                 frags.append([int(t), int(t), 1, float(v)])
         # merge fragments whose gaps close (sort by start; single pass)
@@ -91,11 +110,15 @@ def sessionize_stateful(
                 m[3] += f[3]
             else:
                 merged.append(f)
-        # a fragment is CLOSED iff no event before the watermark can
-        # extend it: wm ≥ last + gap (same closure rule session_window
-        # applies before moving a window out of state)
-        closed = [f for f in merged if f[1] + gap_ms <= wm]
-        still_open = [f for f in merged if f[1] + gap_ms > wm]
+        # a fragment is CLOSED iff no admissible event can extend it.
+        # One convention end-to-end (ADVICE r4): merge at <= gap (events
+        # exactly gap apart MERGE — session_window parity, verified
+        # empirically), so an on-time event at ts == last + gap can still
+        # extend; with ts >= wm admissible, extension is possible iff
+        # wm <= last + gap, hence close STRICTLY when wm > last + gap —
+        # matching the oracle's `t1 + gap < w`.
+        closed = [f for f in merged if f[1] + gap_ms < wm]
+        still_open = [f for f in merged if f[1] + gap_ms >= wm]
         if still_open:
             state.update(
                 (
@@ -105,8 +128,14 @@ def sessionize_stateful(
                     [f[3] for f in still_open],
                 )
             )
-            # earliest horizon still pending; > wm by construction
-            state.setTimeoutTimestamp(min(f[1] for f in still_open) + gap_ms)
+            # earliest horizon still pending; clamp to wm + 1 — a
+            # fragment at exactly wm == last + gap is still open (close
+            # is strict) but Spark rejects timeout timestamps at/behind
+            # the watermark, and any future watermark advance re-fires
+            # the closure check anyway
+            state.setTimeoutTimestamp(
+                max(min(f[1] for f in still_open) + gap_ms, wm + 1)
+            )
         elif state.exists:
             state.remove()
         if closed:

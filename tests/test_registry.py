@@ -39,6 +39,15 @@ def test_registry_is_exactly_graded_plus_tail():
     assert len(set(reg)) == len(reg)
 
 
+def test_sessionize_oracle_inside_driver_window():
+    """The custom stateful sessionizer is the one tail entry with a novel
+    full oracle (not transitively recomputed by an in-window row) — it
+    must sit within the driver's ~50-row artifact window (VERDICT r4:
+    at position 51 its oracle never ran under the driver)."""
+    pos = (GRADED_ORDER + TAIL_ORDER).index("streaming_sessionize")
+    assert pos < 50, f"streaming_sessionize at position {pos + 1} > 50"
+
+
 def test_operator_families_all_in_window():
     joined = " ".join(GRADED_ORDER)
     for fam in ("astro_", "dedup_", "text_", "knn_", "ann_", "emb_", "multimodal_",
