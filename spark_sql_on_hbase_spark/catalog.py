@@ -217,6 +217,33 @@ class AstroCatalog:
                     f"{meta.physical_table} already mapped by {other.name} "
                     "with a different key schema or encoding"
                 )
+            # shared NON-key columns must agree too (ADVICE r4): a sibling
+            # mapping the same column name — or the same family.qualifier
+            # cell — with a conflicting dtype would pass CREATE and then
+            # hit a parquet type mismatch (or misread stringformat values)
+            # at scan time under the declared-schema read
+            # (relation._file_schema); reject at CREATE instead.
+            mine = {c.name: c for c in meta.nonkey_columns}
+            mine_cell = {(c.family, c.qualifier): c for c in meta.nonkey_columns}
+            for oc in other.nonkey_columns:
+                mc = mine.get(oc.name)
+                if mc is not None and (
+                    C.normalize_type(mc.dtype) != C.normalize_type(oc.dtype)
+                    or (mc.family, mc.qualifier) != (oc.family, oc.qualifier)
+                ):
+                    raise ValueError(
+                        f"table {meta.name} maps shared column {oc.name} of "
+                        f"physical table {meta.physical_table} as "
+                        f"{mc.dtype}@{mc.family}.{mc.qualifier} but sibling "
+                        f"{other.name} maps it as {oc.dtype}@{oc.family}.{oc.qualifier}"
+                    )
+                cc = mine_cell.get((oc.family, oc.qualifier))
+                if cc is not None and C.normalize_type(cc.dtype) != C.normalize_type(oc.dtype):
+                    raise ValueError(
+                        f"table {meta.name} maps cell {oc.family}.{oc.qualifier} of "
+                        f"physical table {meta.physical_table} as {cc.dtype} but "
+                        f"sibling {other.name} maps it as {oc.dtype}"
+                    )
 
     def get_table(self, table: str, namespace: str = "default") -> TableMeta:
         key = f"{namespace}.{table}"

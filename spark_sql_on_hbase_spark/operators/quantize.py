@@ -98,31 +98,41 @@ def quantized_topk(
 
     from spark_sql_on_hbase_spark.functions.vector import cosine_similarity_batch
 
+    # coarse pass carries ONLY (qid, neighbor_id, approx_sim): the wide
+    # scan reads 1-byte codes, never the exact float vectors — those are
+    # re-joined below for just the top-`rerank` candidate rows per query
+    # (ADVICE r4: projecting cv through the coarse window materialized
+    # full vectors per candidate pair, voiding the IO claim)
     deq = dequantize(scalar_quantize(corpus, vec_col), out_col="__hat")
-    c = deq.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__hat").alias("cv_hat"),
-        F.col(vec_col).alias("cv"),
-    )
+    c = deq.select(F.col(id_col).alias("neighbor_id"), F.col("__hat").alias("cv_hat"))
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
     coarse = (
-        F.broadcast(q)
+        F.broadcast(q.select(qid_col, F.col("qv").alias("__cq")))
         .crossJoin(c)
         .filter(F.col(qid_col) != F.col("neighbor_id"))
         .select(
             qid_col,
             "neighbor_id",
-            "cv",
-            "qv",
-            cosine_similarity_batch(F.col("qv"), F.col("cv_hat")).alias("approx_sim"),
+            cosine_similarity_batch(F.col("__cq"), F.col("cv_hat")).alias("approx_sim"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    cand = coarse.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= rerank)
-    exact = cand.select(
-        qid_col,
-        "neighbor_id",
-        F.round(cosine_similarity_batch(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+    cand = (
+        coarse.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select(qid_col, "neighbor_id")
+    )
+    exact = (
+        cand.join(F.broadcast(q), qid_col)
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(cosine_similarity_batch(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
     )
     w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -43,8 +43,16 @@ def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
     requires a user-supplied schema, so declare whichever the data actually
     is — declaring LongType against a micros file silently reads the raw
     INT64 micros and any ÷1000 then compresses event time 1000×."""
-    batch = spark.read.parquet(path).schema
-    ts_type = batch["ts"].dataType
+    try:
+        batch = spark.read.parquet(path).schema
+        ts_type = batch["ts"].dataType
+    except Exception:
+        # empty-at-start source directory (files arrive later — the
+        # normal file-source pattern): nothing to sniff yet, so fall
+        # back to the legacy nanos-as-long layout the static schema
+        # always declared (ADVICE r4: the eager probe raised
+        # 'unable to infer schema' and stream construction failed)
+        ts_type = T.LongType()
     return T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),

@@ -254,6 +254,26 @@ def test_many_to_one_different_column_subsets(astro, tmp_path):
             "CREATE TABLE m2o_bad (k STRING, a STRING, PRIMARY KEY (k)) "
             "MAPPED BY (shared_m2o, COLS=[a=cf.qa])"
         )
+    # shared NON-key columns must also agree (ADVICE r4): a conflicting
+    # dtype for the same column name — or the same cf.qualifier cell
+    # under a different name — would only surface as a parquet type
+    # mismatch at scan time; reject at CREATE instead
+    with pytest.raises(ValueError, match="shared column a"):
+        astro.sql(
+            "CREATE TABLE m2o_bad2 (k INT, a INT, PRIMARY KEY (k)) "
+            "MAPPED BY (shared_m2o, COLS=[a=cf.qa])"
+        )
+    with pytest.raises(ValueError, match=r"cell cf\.qb"):
+        astro.sql(
+            "CREATE TABLE m2o_bad3 (k INT, b2 STRING, PRIMARY KEY (k)) "
+            "MAPPED BY (shared_m2o, COLS=[b2=cf.qb])"
+        )
+    # same subset re-mapped consistently under a new logical name is fine
+    astro.sql(
+        "CREATE TABLE m2o_c (k INT, a STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (shared_m2o, COLS=[a=cf.qa])"
+    )
+    assert astro.sql("SELECT count(*) AS n FROM m2o_c").collect()[0].n == 3
 
 
 def test_upsert_overwrites_by_key(loaded):

@@ -45,6 +45,28 @@ def test_driver_data_stream_batch_ts_parity(spark, batch_events):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_read_event_stream_empty_at_start_source(spark, tmp_path):
+    """An empty source directory (files arrive later — the normal
+    file-source pattern) must not fail stream construction: the encoding
+    sniff has nothing to read, so it falls back to the legacy
+    nanos-as-long schema (ADVICE r4), and files landing afterwards in
+    that layout flow through normally."""
+    import shutil
+
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    stream = read_event_stream(spark, src_dir)  # must not raise
+    assert stream.isStreaming and stream.schema["ts"].dataType.typeName() == "timestamp"
+    f1 = _write_event_file(
+        spark, tmp_path, "e0", [(1, 1_700_000_100, 7, "click"), (2, 1_700_000_160, 8, "view")]
+    )
+    shutil.copy(f1, os.path.join(src_dir, "0.parquet"))
+    got = run_to_memory(
+        stream.select("event_id", "user_id", "ts"), "t_empty_start", output_mode="append"
+    )
+    assert sorted((r.event_id, r.user_id) for r in got.collect()) == [(1, 7), (2, 8)]
+
+
 def test_stream_tumbling_equals_batch(spark, batch_events):
     stream = read_event_stream(spark, EVENTS_PQ)
     assert stream.isStreaming
