@@ -42,20 +42,28 @@ def scalar_quantize(
 
     A constant vector (max == min) quantizes to all-zero codes with
     span 0 and reconstructs exactly.  NULL vectors stay NULL.
+
+    All arithmetic is in DOUBLE space (operands explicitly widened
+    BEFORE subtraction/division): mixed float/double expressions round
+    differently per engine — Spark computed float(max-min)/double(255)
+    while DuckDB's decimal literal kept the whole thing in float,
+    skewing reconstructions by 1 ulp at floor boundaries — and the
+    double-space convention makes the codes and reconstructions
+    bit-identical on any engine given identical stored vectors.
     """
     v = F.col(vec_col)
-    mn = F.array_min(v)
-    span = (F.array_max(v) - mn) / F.lit(255.0)
+    mn = F.array_min(v).cast("double")
+    span = (F.array_max(v).cast("double") - mn) / F.lit(255.0)
     code = F.when(
         span > 0,
         F.transform(
             v,
-            lambda x: F.floor((x - mn) / span + F.lit(0.5)).cast("smallint"),
+            lambda x: F.floor((x.cast("double") - mn) / span + F.lit(0.5)).cast("smallint"),
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("smallint")))
     return (
-        vecs.withColumn(f"{code_col}_min", mn.cast("double"))
-        .withColumn(f"{code_col}_span", span.cast("double"))
+        vecs.withColumn(f"{code_col}_min", mn)
+        .withColumn(f"{code_col}_span", span)
         .withColumn(code_col, code)
     )
 

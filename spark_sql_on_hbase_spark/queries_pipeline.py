@@ -973,6 +973,28 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("doc_id") * 1 + F.col("lang_cnt") * 3,
     )
+    # scalar-quantization branch (operators/quantize.py): the SQ8 code
+    # assignment AND the dequantized reconstruction are engine-exact
+    # arithmetic (floor((x-min)/span + 0.5); min + c*span), so both are
+    # checksummed against DuckDB computing the identical expressions —
+    # codes summed as ints, reconstructions fixed-pointed at 1e4
+    from spark_sql_on_hbase_spark.operators.quantize import dequantize, scalar_quantize
+
+    emb = load_tables(spark, sf)["embeddings"]
+    qz = dequantize(scalar_quantize(emb), out_col="__hat")
+    code_sum = F.aggregate(
+        F.col("qcode"), F.lit(0).cast("bigint"), lambda a, c: a + c.cast("bigint")
+    )
+    hat_fp = F.aggregate(
+        F.col("__hat"),
+        F.lit(0).cast("bigint"),
+        lambda a, h: a + F.floor(h * 10000 + F.lit(0.5)).cast("bigint"),
+    )
+    quant = agg(
+        "quantize",
+        qz.select(F.col("vec_id"), code_sum.alias("cs"), hat_fp.alias("hf")),
+        F.col("vec_id") * 1 + F.col("cs") * 3 + F.col("hf") * 5,
+    )
     return (
         sample.unionAll(split)
         .unionAll(strat)
@@ -980,6 +1002,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(red)
         .unionAll(pack)
         .unionAll(skew)
+        .unionAll(quant)
     )
 
 
@@ -1051,6 +1074,34 @@ PIPELINE["corpus_ops_suite"] = Q(
     FROM documents d
     JOIN (SELECT lang, count(*) AS lang_cnt FROM documents GROUP BY lang) r
       ON d.lang = r.lang
+    UNION ALL
+    SELECT 'quantize' AS probe, count(*) AS cnt,
+           CAST(sum(vec_id * 1 + cs * 3 + hf * 5) AS BIGINT) AS chk
+    FROM (
+      SELECT vec_id,
+             list_sum(list_transform(qcode, c -> CAST(c AS BIGINT))) AS cs,
+             list_sum(list_transform(qcode,
+               c -> CAST(floor((mn + CAST(c AS DOUBLE) * span) * 10000 + 0.5)
+                         AS BIGINT))) AS hf
+      FROM (
+        -- double-space arithmetic exactly as the operator: operands
+        -- widened to DOUBLE before subtract/divide (mixed float/decimal
+        -- expressions round differently per engine)
+        SELECT vec_id, mn,
+               CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+                    ELSE 0.0 END AS span,
+               CASE WHEN mx > mn THEN
+                 list_transform(embedding, x -> CAST(floor(
+                   (CAST(x AS DOUBLE) - mn)
+                   / ((mx - mn) / CAST(255.0 AS DOUBLE))
+                   + 0.5) AS SMALLINT))
+               ELSE list_transform(embedding, x -> CAST(0 AS SMALLINT)) END AS qcode
+        FROM (SELECT vec_id, embedding,
+                     CAST(list_min(embedding) AS DOUBLE) AS mn,
+                     CAST(list_max(embedding) AS DOUBLE) AS mx
+              FROM embeddings)
+      )
+    )
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
     "and shuffle-free map-side plans: Bernoulli sample, consistent "
@@ -1061,5 +1112,8 @@ PIPELINE["corpus_ops_suite"] = Q(
     "kept-set and pack assignment bit-for-bit (operators/sampling.py, "
     "operators/packing.py, functions/text.py); plus the skew-resilient "
     "salted join (operators/skew.py) graded row-for-row against the plain "
-    "equi-join it must be identical to",
+    "equi-join it must be identical to, and the SQ8 embedding quantizer "
+    "(operators/quantize.py) — code assignment and dequantized "
+    "reconstruction checksummed against DuckDB computing the identical "
+    "floor((x-min)/span+0.5) / min+c*span arithmetic",
 )

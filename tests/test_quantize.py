@@ -58,13 +58,16 @@ def test_codes_match_duckdb_arithmetic(spark, emb):
         for vid, code in duckdb.sql(
             f"""
             SELECT vec_id,
-                   CASE WHEN list_max(embedding) > list_min(embedding) THEN
+                   CASE WHEN mx > mn THEN
                      list_transform(embedding, x -> CAST(floor(
-                       (x - list_min(embedding))
-                       / ((list_max(embedding) - list_min(embedding)) / 255.0)
+                       (CAST(x AS DOUBLE) - mn)
+                       / ((mx - mn) / CAST(255.0 AS DOUBLE))
                        + 0.5) AS SMALLINT))
                    ELSE list_transform(embedding, x -> CAST(0 AS SMALLINT)) END AS qcode
-            FROM '{EMB_PQ}'
+            FROM (SELECT vec_id, embedding,
+                         CAST(list_min(embedding) AS DOUBLE) AS mn,
+                         CAST(list_max(embedding) AS DOUBLE) AS mx
+                  FROM '{EMB_PQ}')
             """
         ).fetchall()
     }
