@@ -1,8 +1,14 @@
 """Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+The FINAL stdout line is the compact parseable contract (≤ ~1.5 KiB —
+the caller captures only a ~2 KiB tail):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+   "plan_shapes": {...trimmed...}, "detail_file": "BENCH_DETAIL_rN.json"}
+
+Full evidence (per-query stage/shuffle/task-time deltas, all plan
+shapes, host-noise calibration) goes to BENCH_DETAIL_r{N}.json beside
+this script, and to an earlier stdout line.
 
 Each query materializes fully JVM-side via the noop sink (no driver
 collect), on local[$SPARK_GRAFT_CPUS] with AQE on — the same plan shapes
@@ -144,20 +150,109 @@ def main() -> None:
         if best > 0:
             total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (noop sink, warmed session)",
-                "value": round(total, 3),
-                "unit": "sec",
-                "timing": f"min of {runs} runs per query",
-                "queries": timings,
-                "query_metrics": query_metrics,
-                "sf": sf,
-                "plan_shapes": _plan_shapes(spark, sf_dir),
-            }
-        )
+    plan_shapes = _plan_shapes(spark, sf_dir)
+
+    # full evidence → side file (+ its own stdout line, which may be
+    # truncated by the caller's capture window — the side file is the
+    # durable copy).  The FINAL stdout line is the compact parseable
+    # contract and must stay ≤ ~1.5 KiB: r4's enlarged single line
+    # overflowed the driver's ~2 KiB tail capture and the round's
+    # official bench artifact recorded nothing (VERDICT r4 #1).
+    detail = {
+        "metric": "headline query wall time (noop sink, warmed session)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "timing": f"min of {runs} runs per query",
+        "queries": timings,
+        "query_metrics": query_metrics,
+        "sf": sf,
+        "plan_shapes": plan_shapes,
+        "calibration": _calibration(),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_DETAIL_r{_round_no():02d}.json",
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as ex:
+        print(f"bench detail write failed: {ex}", file=sys.stderr)
+    print(json.dumps({"detail": detail}, separators=(",", ":")))
+
+    compact_shapes = {
+        k: plan_shapes[k]
+        for k in (
+            "point_lookup_files_read",
+            "region_files_total",
+            "prefix_agg_exchanges",
+            "skipscan_dim2_rows_scanned",
+            "stringformat_pushdown_rows_scanned",
+            "zorder_dim2_files_read",
+            "asof_join_ops",
+            "interval_join_nested_loop",
+            "plain_shuffle_balance_max_over_avg",
+            "salted_shuffle_balance_max_over_avg",
+            "quantize_python_eval",
+            "ivf_probe_partitions_read",
+            "ivf_partitions_total",
+            "error",
+        )
+        if k in plan_shapes
+    }
+    compact = {
+        "metric": "headline query wall time (noop sink, warmed session)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "timing": f"min of {runs} runs per query",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "plan_shapes": compact_shapes,
+        "detail_file": os.path.basename(detail_path),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:  # belt and braces: never overflow the capture
+        compact.pop("plan_shapes", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+
+
+def _round_no() -> int:
+    """Current round number: 1 + the highest BENCH_r{N}.json already on
+    disk (the driver writes that artifact AFTER this run), overridable
+    via SPARK_GRAFT_ROUND."""
+    import glob
+    import re
+
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        return int(os.environ["SPARK_GRAFT_ROUND"])
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return max(ns, default=0) + 1
+
+
+def _calibration() -> dict:
+    """Host-noise context for cross-round comparison (VERDICT r4 #6:
+    r3's four false weak-perf marks were hypervisor steal): 1- and
+    5-minute load averages plus a fixed single-thread spin (1e7 python
+    loop iterations) whose wall time scales with steal+contention."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    spin = _t.perf_counter() - t0
+    la = os.getloadavg()
+    return {
+        "load_avg_1m": round(la[0], 2),
+        "load_avg_5m": round(la[1], 2),
+        "spin_1e7_sec": round(spin, 3),
+    }
 
 
 def _stage_totals(spark) -> dict | None:
@@ -364,6 +459,27 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
                 .toString()
             )
             out["quantize_python_eval"] = "EvalPython" in qplan
+            # persisted IVF index: probing nprobe of 16 inverted lists
+            # must read ONLY the probed lists' partition directories
+            # (static pruning over the partitionBy(cluster_id) layout)
+            from spark_sql_on_hbase_spark.operators.similarity import (
+                ivf_build_index,
+                ivf_load_index,
+                ivf_topk,
+            )
+            from spark_sql_on_hbase_spark.plans.metrics import scan_partition_files
+
+            idx_path = os.path.join(wh, "ivf_idx")
+            ivf_build_index(emb, idx_path, n_centroids=16, trained=False)
+            ivq = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            ivdf = ivf_topk(emb, ivq, k=5, nprobe=4, index=ivf_load_index(spark, idx_path))
+            ivdf.write.mode("overwrite").format("noop").save()
+            ivf_parts, ivf_files = scan_partition_files(ivdf, "ivf_idx/assign")
+            out["ivf_probe_partitions_read"] = ivf_parts
+            out["ivf_probe_files_read"] = ivf_files
+            out["ivf_partitions_total"] = 16
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     except Exception as ex:  # evidence is best-effort; never fail the bench

@@ -407,6 +407,7 @@ def ivf_topk(
     qid_col: str = "query_id",
     trained: bool = False,
     index: tuple[DataFrame, DataFrame] | None = None,
+    prune_partitions: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest inverted lists,
     exact rerank inside them.
@@ -416,7 +417,13 @@ def ivf_topk(
     — an equi-join on cluster_id that AQE handles, with vectors fetched
     for candidates only.  ``trained=True`` swaps in the KMeans quantizer
     (same plan shape).  ``index=(centroids, assignment)`` (from
-    ``ivf_load_index``) skips training and assignment entirely.
+    ``ivf_load_index``) skips training and assignment entirely; with
+    ``prune_partitions`` (default) the tiny probed-cluster set (≤
+    |Q|·nprobe ints — centroids are K driver-size rows) is collected
+    and applied as a LITERAL partition filter on the assignment scan,
+    so the ``partitionBy(cluster_id)`` index layout reads ONLY the
+    probed lists' directories (static partition pruning — the
+    inverted-index property realized at the file level).
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     if index is not None:
@@ -440,6 +447,17 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(qid_col, F.col("centroid_id").alias("cluster_id"))
     )
+    if index is not None and prune_partitions:
+        # the probe set is tiny (queries × centroids are both broadcast
+        # inputs), so collecting the distinct cluster ids is a driver
+        # round-trip of ≤ |Q|·nprobe ints — the price of turning the
+        # cluster_id equi-join into a static partition filter the scan
+        # can prune directories with (same pattern as skew.py's
+        # hot-key detection)
+        probed = sorted(
+            r.cluster_id for r in probe.select("cluster_id").distinct().collect()
+        )
+        assign = assign.filter(F.col("cluster_id").isin(probed))
     cand = probe.join(assign, "cluster_id").select(
         qid_col, F.col(id_col).alias("neighbor_id")
     )

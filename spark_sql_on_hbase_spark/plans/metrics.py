@@ -44,6 +44,22 @@ def _find_scans(node, _seen=None):
     return out
 
 
+def scan_partition_files(df: DataFrame, path_substr: str) -> tuple[int, int]:
+    """(partitions read, files read) for the FileSourceScan whose root
+    path contains ``path_substr``, from the executed plan's partition
+    listing (``selectedPartitions`` reflects partition pruning — the
+    observable for a ``partitionBy`` layout like the IVF inverted lists,
+    where probing nprobe of K lists must touch only those directories).
+    Execute the DataFrame first (e.g. noop write); raises if no scan
+    matches."""
+    for s in _find_scans(df._jdf.queryExecution().executedPlan()):
+        paths = s.relation().location().rootPaths().mkString(",")
+        if path_substr in paths:
+            sel = s.selectedPartitions()
+            return sel.partitionCount(), sel.totalNumberOfFiles()
+    raise ValueError(f"no FileSourceScan matching {path_substr!r} in executed plan")
+
+
 def collect_with_scan_rows(df: DataFrame) -> tuple[list, int]:
     """Run the query; return (rows, total FileSourceScan output rows).
 

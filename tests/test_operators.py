@@ -477,3 +477,22 @@ def test_ivf_index_persist_and_query(spark, tmp_path):
         ).collect()
     }
     assert got == want
+    # partition pruning on the probed lists: the assignment scan must
+    # touch only the probed clusters' directories, not all of them
+    from spark_sql_on_hbase_spark.plans.metrics import scan_partition_files
+
+    pruned_df = ivf_topk(emb, queries, k=5, nprobe=4, index=ivf_load_index(spark, idx_path))
+    pruned_df.write.mode("overwrite").format("noop").save()
+    nparts, nfiles = scan_partition_files(pruned_df, "ivf_idx/assign")
+    # 3 queries × nprobe=4 probe ≤ 12 distinct lists but ≥ 4; strictly
+    # fewer than the 8 on disk proves directory-level pruning
+    assert 0 < nparts < len(parts), (nparts, len(parts))
+    assert nfiles < len(parts) * 1 + 64  # sanity: bounded by pruned dirs
+    # and the unpruned path reads every list directory
+    full_df = ivf_topk(
+        emb, queries, k=5, nprobe=4,
+        index=ivf_load_index(spark, idx_path), prune_partitions=False,
+    )
+    full_df.write.mode("overwrite").format("noop").save()
+    nparts_full, _ = scan_partition_files(full_df, "ivf_idx/assign")
+    assert nparts_full == len(parts), (nparts_full, len(parts))
