@@ -108,6 +108,10 @@ def main() -> None:
         warm_udf(F.col("id").cast("double"))
     ).write.mode("overwrite").format("noop").save()
 
+    # pre-run calibration: load here reflects the HOST's ambient noise;
+    # the post-run sample is confounded by the bench's own 32 threads
+    calib_pre = _calibration()
+
     qs = spark_queries()
     timings: dict[str, float] = {}
     query_metrics: dict[str, dict] = {}
@@ -167,7 +171,8 @@ def main() -> None:
         "query_metrics": query_metrics,
         "sf": sf,
         "plan_shapes": plan_shapes,
-        "calibration": _calibration(),
+        "calibration_pre": calib_pre,
+        "calibration_post": _calibration(),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -995,6 +995,28 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         qz.select(F.col("vec_id"), code_sum.alias("cs"), hat_fp.alias("hf")),
         F.col("vec_id") * 1 + F.col("cs") * 3 + F.col("hf") * 5,
     )
+    # end-to-end quantized retrieval: coarse top-25 on the 8-bit
+    # reconstructions, exact top-5 rerank — the coarse ORDERING key is
+    # the unrounded cosine, safe to grade because the Arrow kernel and
+    # DuckDB's list_sum fold are bit-identical sequential accumulations
+    # (pinned since r2 for LSH signatures); the oracle reproduces the
+    # full two-stage pipeline
+    from spark_sql_on_hbase_spark.operators.quantize import quantized_topk
+
+    qt = quantized_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+        rerank=25,
+    )
+    quant_topk = agg(
+        "quantized_topk",
+        qt,
+        F.col("query_id") * 1
+        + F.col("neighbor_id") * 3
+        + F.floor(F.col("cos_sim") * 10000 + F.lit(0.5)).cast("bigint") * 5
+        + F.col("rank") * 7,
+    )
     return (
         sample.unionAll(split)
         .unionAll(strat)
@@ -1003,6 +1025,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(pack)
         .unionAll(skew)
         .unionAll(quant)
+        .unionAll(quant_topk)
     )
 
 
@@ -1101,6 +1124,63 @@ PIPELINE["corpus_ops_suite"] = Q(
                      CAST(list_max(embedding) AS DOUBLE) AS mx
               FROM embeddings)
       )
+    )
+    UNION ALL
+    SELECT 'quantized_topk' AS probe, count(*) AS cnt,
+           CAST(sum(query_id * 1 + neighbor_id * 3
+                    + CAST(floor(cos_sim * 10000 + 0.5) AS BIGINT) * 5
+                    + rank * 7) AS BIGINT) AS chk
+    FROM (
+      WITH base AS (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings
+      ), hat AS (
+        -- dequantized reconstruction, double-space (same as the
+        -- quantize probe above)
+        SELECT vec_id,
+               list_transform(
+                 CASE WHEN mx > mn THEN
+                   list_transform(embedding, x -> CAST(floor(
+                     (CAST(x AS DOUBLE) - mn)
+                     / ((mx - mn) / CAST(255.0 AS DOUBLE))
+                     + 0.5) AS SMALLINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS SMALLINT)) END,
+                 c -> mn + CAST(c AS DOUBLE)
+                      * (CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+                              ELSE 0.0 END)) AS h
+        FROM base
+      ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+      ), coarse AS (
+        -- sequential list_sum fold == the Arrow kernel's accumulation
+        -- order → bit-identical unrounded ordering key
+        SELECT q.query_id, h.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(h.h) + 1),
+                                       i -> CAST(q.qv[i] AS DOUBLE) * h.h[i]))
+               / (sqrt(list_sum(list_transform(q.qv,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(h.h, x -> x * x)))) AS approx_sim
+        FROM q CROSS JOIN hat h
+        WHERE h.vec_id <> q.query_id
+      ), cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_sim DESC, neighbor_id) AS cr
+          FROM coarse) WHERE cr <= 25
+      ), exact AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_D_COS.format(a='q.qv', b='e.embedding')}, 4) AS cos_sim
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.neighbor_id
+      )
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM exact QUALIFY rank <= 5
     )
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
