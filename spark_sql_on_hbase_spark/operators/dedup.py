@@ -175,6 +175,36 @@ def minhash_signatures(
     return wide.selectExpr(id_col, f"stack({num_perm}, {stack}) AS (perm, minhash)")
 
 
+def band_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH band signatures as (id, band, bsig) — band signature = the
+    band's minhashes joined in perm order, built straight from the wide
+    row (no groupBy — the signature is already on one row), then
+    exploded for the band-bucketed equi-join.  Shared by the self-join
+    candidate pass and the incremental batch-vs-corpus pass."""
+    rows_per_band = num_perm // bands
+    wide = minhash_wide(docs, text_col, id_col, num_perm, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{j * rows_per_band + i}").cast("string") for i in range(rows_per_band)],
+            ).alias("bsig"),
+        )
+        for j in range(bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -189,24 +219,7 @@ def minhash_lsh_candidates(
     roughly j ≈ (1/4)^(1/4) ≈ 0.71 Jaccard.  Returns (id_a, id_b) with
     id_a < id_b, distinct.
     """
-    rows_per_band = num_perm // bands
-    wide = minhash_wide(docs, text_col, id_col, num_perm, shingle_n)
-    # band signature = the band's minhashes joined in perm order; built
-    # straight from the wide row (no groupBy — the signature is already
-    # on one row), then exploded to (id, band, bsig) for the equi-join
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                ",",
-                *[F.col(f"m{j * rows_per_band + i}").cast("string") for i in range(rows_per_band)],
-            ).alias("bsig"),
-        )
-        for j in range(bands)
-    ]
-    band_sig = wide.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    band_sig = band_signatures(docs, text_col, id_col, num_perm, bands, shingle_n)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (
@@ -374,3 +387,129 @@ def duplicate_clusters(
             "O(log diameter), so this indicates a pathological input)"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+def minhash_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus LSH index — band signatures partitioned by
+    ``band`` — so incremental ingestion pays the corpus shingling cost
+    ONCE per corpus version, not once per arriving batch.
+
+    Layout mirrors the IVF index (similarity.py): ``partitionBy(band)``
+    keeps each band's signature dictionary in its own directory, and the
+    batch-side probe join reads only the bands it has signatures for
+    (all of them in the normal case, but band-pruned repair/debug scans
+    stay cheap).  At 100 TB the index is ~num_perm longs per doc — three
+    orders of magnitude smaller than the text it summarizes."""
+    sigs = band_signatures(docs, text_col, id_col, num_perm, bands, shingle_n)
+    texth = docs.select(
+        F.col(id_col), hash60(F.col(text_col)).alias("texth")
+    )
+    sigs.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    texth.write.mode("overwrite").parquet(f"{path}/texth")
+
+
+def minhash_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted LSH index: (band_signatures, text_hashes)."""
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/texth"),
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame | None,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Classify an arriving BATCH against an existing CORPUS — the
+    steady-state shape of a training-data pipeline, where the corpus is
+    three orders of magnitude larger than any increment and re-running
+    full-corpus dedup per batch is unaffordable.
+
+    Returns one row per batch doc: (id, verdict) with verdict one of
+
+    - ``dup_corpus_exact`` — exact text twin already in the corpus
+      (via the 60-bit text hash; no text is ever shuffled);
+    - ``dup_corpus_near``  — shares an LSH band signature with a corpus
+      doc (same 16-perm/4-band threshold as minhash_lsh_candidates,
+      j ≈ 0.71);
+    - ``dup_batch``        — duplicate WITHIN the batch: an exact-text
+      or band-signature twin with a smaller id wins (deterministic
+      keep-min, no transitive closure — each doc is judged against
+      its own candidates only);
+    - ``novel``            — none of the above; safe to append.
+
+    Precedence: exact > near > batch (a doc that is both is reported
+    against the corpus — that is the actionable fact for ingestion).
+
+    Scale shape: every pass is an equi-join on (band, bsig) or on the
+    text hash — bucketed, AQE-skew-safe, never all-pairs; the batch
+    (small side) broadcasts when it fits.  With ``corpus_index`` (from
+    ``minhash_index_build``) the corpus is never re-shingled — the
+    probe touches only signature parquet.
+    """
+    if corpus_index is not None:
+        c_sigs, c_texth = corpus_index
+        c_sigs = c_sigs.select(F.col(id_col), "band", "bsig")
+    else:
+        assert corpus is not None, "need corpus or corpus_index"
+        c_sigs = band_signatures(corpus, text_col, id_col, num_perm, bands, shingle_n)
+        c_texth = corpus.select(F.col(id_col), hash60(F.col(text_col)).alias("texth"))
+    b_sigs = band_signatures(batch, text_col, id_col, num_perm, bands, shingle_n)
+    b_texth = batch.select(F.col(id_col), hash60(F.col(text_col)).alias("texth"))
+
+    def _mark(ids: DataFrame, flag: str) -> DataFrame:
+        return ids.select(id_col).distinct().withColumn(flag, F.lit(True))
+
+    exact_c = _mark(b_texth.join(c_texth.select("texth"), "texth", "left_semi"), "x_exact")
+    near_c = _mark(
+        b_sigs.join(c_sigs.select("band", "bsig"), ["band", "bsig"], "left_semi"),
+        "x_near",
+    )
+    # within-batch: an exact/band twin with a SMALLER id exists
+    bt, bs = b_texth.alias("a"), b_sigs.alias("a")
+    batch_exact = bt.join(
+        b_texth.alias("b"),
+        (F.col("a.texth") == F.col("b.texth"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        "left_semi",
+    )
+    batch_near = bs.join(
+        b_sigs.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        "left_semi",
+    )
+    dup_b = _mark(
+        batch_exact.select(id_col).unionByName(batch_near.select(id_col)), "x_batch"
+    )
+    verdict = (
+        F.when(F.col("x_exact"), F.lit("dup_corpus_exact"))
+        .when(F.col("x_near"), F.lit("dup_corpus_near"))
+        .when(F.col("x_batch"), F.lit("dup_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_c, id_col, "left")
+        .join(near_c, id_col, "left")
+        .join(dup_b, id_col, "left")
+        .select(F.col(id_col), verdict.alias("verdict"))
+    )

@@ -73,6 +73,59 @@ def assign_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    weights_ppm: Mapping[str, int],
+    total: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample toward a target MIXTURE: pick ~``total`` rows whose domain
+    shares match ``weights_ppm`` (parts-per-million, summing to 1e6).
+
+    Unlike ``stratified_sample`` (caller supplies per-stratum rates),
+    this SOLVES for the rates from the corpus itself: domain d with
+    ``n_d`` rows and target share ``w_d`` gets rate
+    ``min(1, total * w_d / n_d)`` — i.e. the per-domain Bernoulli rate
+    that yields ``total * w_d`` expected rows, clamped when the corpus
+    cannot supply the demand (no upsampling; the shortfall is reported
+    honestly by the output size).  This is the standard mixture-weights
+    step of an LLM training-data pipeline (domain/source reweighting).
+
+    Scale shape: ONE map-side-combinable count per domain (domains are
+    vocabulary-sized), broadcast back as a rate table, then the usual
+    shuffle-free deterministic hash filter.  The corpus itself is never
+    shuffled, and the whole assignment is retry-safe and
+    oracle-reproducible because the rate arithmetic is pure integers:
+    ``thresh_ppm = least(1e6, (total * w_ppm) // n_d)``.
+    """
+    assert sum(weights_ppm.values()) == RESOLUTION, "weights_ppm must sum to 1e6"
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        sorted(weights_ppm.items()), f"{domain} string, __w_ppm long"
+    )
+    counts = df.groupBy(domain).agg(F.count(F.lit(1)).alias("__n_d"))
+    rates = (
+        counts.join(F.broadcast(w_df), domain, "inner")
+        .select(
+            domain,
+            # `div` = exact integer floor division on longs (matches the
+            # oracle's `//`); a double `/` could round x.999… up before
+            # truncation
+            F.least(
+                F.lit(RESOLUTION).cast("long"),
+                F.expr(f"({int(total)} * __w_ppm) div __n_d"),
+            ).alias("__thresh"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), domain, "inner")
+        .filter(sample_bucket(F.col(key), salt) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key: str,

@@ -218,6 +218,56 @@ PIPELINE["dedup_clusters"] = Q(
 )
 
 
+def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.dedup import incremental_dedup
+
+    docs = load_tables(spark, sf)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 10 < 7)
+    batch = docs.filter(F.col("doc_id") % 10 >= 7)
+    return incremental_dedup(corpus, batch)
+
+
+PIPELINE["dedup_incremental"] = Q(
+    spark=_dedup_incremental,
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    {_minhash_cte(16)},
+    bandsig AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             array_to_string(array_agg(minhash::VARCHAR ORDER BY perm), ',') AS bsig
+      FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
+    ),
+    texth AS (SELECT doc_id, {_dh("text")} AS h FROM documents)
+    SELECT b.doc_id AS doc_id,
+      CASE
+        WHEN EXISTS (SELECT 1 FROM texth c
+                     WHERE c.doc_id % 10 < 7 AND c.h = bt.h)
+          THEN 'dup_corpus_exact'
+        WHEN EXISTS (SELECT 1 FROM bandsig cs JOIN bandsig bs
+                       ON cs.band = bs.band AND cs.bsig = bs.bsig
+                     WHERE cs.doc_id % 10 < 7 AND bs.doc_id = b.doc_id)
+          THEN 'dup_corpus_near'
+        WHEN EXISTS (SELECT 1 FROM texth t2
+                     WHERE t2.doc_id % 10 >= 7 AND t2.h = bt.h
+                       AND t2.doc_id < b.doc_id)
+          OR EXISTS (SELECT 1 FROM bandsig s1 JOIN bandsig s2
+                       ON s1.band = s2.band AND s1.bsig = s2.bsig
+                     WHERE s1.doc_id = b.doc_id AND s2.doc_id % 10 >= 7
+                       AND s2.doc_id < b.doc_id)
+          THEN 'dup_batch'
+        ELSE 'novel'
+      END AS verdict
+    FROM documents b JOIN texth bt ON bt.doc_id = b.doc_id
+    WHERE b.doc_id % 10 >= 7
+    """,
+    doc="incremental batch-vs-corpus dedup (the steady-state ingestion shape): "
+    "classify each arriving doc as corpus-exact / corpus-near (LSH band hit) / "
+    "within-batch dup (smaller-id twin) / novel — equi-joins on text-hash and "
+    "(band, bsig) only, never all-pairs; corpus signatures persistable via "
+    "minhash_index_build",
+)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -925,6 +975,29 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("doc_id") * 1 + F.col("n_chars") * 3 + F.length("lang") * 5,
     )
+    # mixture branch: SOLVE per-language rates from corpus counts to hit
+    # target shares (rate_d = min(1, total*w_d/n_d), exact integer ppm
+    # arithmetic) — the domain-reweighting step of a training pipeline
+    from spark_sql_on_hbase_spark.operators.sampling import mixture_sample
+
+    mix_w = {"de": 100_000, "en": 400_000, "es": 100_000, "fr": 100_000, "zh": 300_000}
+    mix = agg(
+        "mixture",
+        mixture_sample(docs, "doc_id", "lang", mix_w, total=200),
+        F.col("doc_id") * 1 + F.col("n_chars") * 3,
+    )
+    # shard branch: global cumulative-bytes shard cut via the two-phase
+    # distributed prefix sum (frozen quantile buckets + per-bucket
+    # offsets) — must equal the oracle's single-partition window
+    from spark_sql_on_hbase_spark.operators.sharding import assign_shards
+
+    shard = agg(
+        "shard",
+        assign_shards(
+            docs.select("doc_id", "n_chars"), "doc_id", "n_chars", target_bytes=5000
+        ),
+        F.col("doc_id") * 1 + F.col("shard_id") * 3,
+    )
     norm = agg(
         "normalize",
         docs.select(normalize_ws("text").alias("nt")),
@@ -1026,6 +1099,8 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(skew)
         .unionAll(quant)
         .unionAll(quant_topk)
+        .unionAll(mix)
+        .unionAll(shard)
     )
 
 
@@ -1182,6 +1257,23 @@ PIPELINE["corpus_ops_suite"] = Q(
                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM exact QUALIFY rank <= 5
     )
+    UNION ALL
+    SELECT 'mixture' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + n_chars * 3) AS BIGINT) AS chk
+    FROM documents d
+    JOIN (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang) c USING (lang)
+    WHERE {_D_BUCKET.format(salt="mix")} <
+          least(1000000,
+                (200 * (CASE lang WHEN 'de' THEN 100000 WHEN 'en' THEN 400000
+                                  WHEN 'es' THEN 100000 WHEN 'fr' THEN 100000
+                                  WHEN 'zh' THEN 300000 END)) // n_d)
+    UNION ALL
+    SELECT 'shard' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + ((cb - n_chars) // 5000) * 3) AS BIGINT) AS chk
+    FROM (SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cb
+          FROM documents)
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
     "and shuffle-free map-side plans: Bernoulli sample, consistent "
@@ -1195,5 +1287,8 @@ PIPELINE["corpus_ops_suite"] = Q(
     "equi-join it must be identical to, and the SQ8 embedding quantizer "
     "(operators/quantize.py) — code assignment and dequantized "
     "reconstruction checksummed against DuckDB computing the identical "
-    "floor((x-min)/span+0.5) / min+c*span arithmetic",
+    "floor((x-min)/span+0.5) / min+c*span arithmetic; the mixture sampler "
+    "(per-domain rates SOLVED from corpus counts, exact ppm integer math) "
+    "and the size-bounded shard assigner (two-phase distributed prefix sum "
+    "vs the oracle's global window, operators/sharding.py)",
 )

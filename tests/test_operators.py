@@ -496,3 +496,82 @@ def test_ivf_index_persist_and_query(spark, tmp_path):
     full_df.write.mode("overwrite").format("noop").save()
     nparts_full, _ = scan_partition_files(full_df, "ivf_idx/assign")
     assert nparts_full == len(parts), (nparts_full, len(parts))
+
+
+def test_incremental_dedup_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # corpus exact
+            # near dup of corpus doc 1: jaccard 0.875, band-collides at
+            # 16 perm / 4 bands (verified against the fixed hash params)
+            (11, "the quick brown fox jumps over the lazy dog again"),
+            (12, "entirely novel words that match nothing else here"),
+            (13, "entirely novel words that match nothing else here"),  # batch dup of 12
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.verdict for r in D.incremental_dedup(corpus, batch).collect()}
+    assert out == {
+        10: "dup_corpus_exact",
+        11: "dup_corpus_near",
+        12: "novel",
+        13: "dup_batch",
+    }
+
+
+def test_incremental_dedup_via_persisted_index(spark, tmp_path):
+    """Probing a persisted LSH index must classify identically to the
+    inline corpus pass — the corpus is never re-shingled."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely novel words that match nothing else here"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "lsh_index")
+    D.minhash_index_build(corpus, path)
+    idx = D.minhash_index_load(spark, path)
+    got = {r.doc_id: r.verdict for r in
+           D.incremental_dedup(None, batch, corpus_index=idx).collect()}
+    want = {r.doc_id: r.verdict for r in
+            D.incremental_dedup(corpus, batch).collect()}
+    assert got == want == {10: "dup_corpus_exact", 11: "novel"}
+    # index layout: band signatures are partitioned by band directory
+    import os
+
+    assert any(d.startswith("band=") for d in os.listdir(f"{path}/bands"))
+
+
+def test_mixture_sample_solves_rates(spark):
+    """Domain rates derive from corpus counts: abundant domains get
+    downsampled toward the target share, scarce ones are clamped at 1."""
+    from spark_sql_on_hbase_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    out = mixture_sample(
+        df, "doc_id", "dom", {"big": 500_000, "small": 500_000}, total=200
+    )
+    by_dom = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # small: rate clamps to 1.0 → all 100 kept; big: rate 100/900 ≈ 0.111
+    assert by_dom["small"] == 100
+    assert 60 <= by_dom["big"] <= 140  # hash-Bernoulli around 100
+    # deterministic: re-running yields the identical kept set
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in out.collect())
+    assert ids1 == ids2
