@@ -50,7 +50,11 @@ HEADLINE = [
     "topk_terms",
     "temporal_join_suite",
     "corpus_ops_suite",
+    # keep the r1-comparable row; multimodal_suite adds resize+frames
     "multimodal_feature_extract",
+    "multimodal_suite",
+    "decontaminate",
+    "text_repetition",
     "astro_stringformat_scan",
     # adapted TPC-H additions
     "q8_market_share",
@@ -476,7 +480,10 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
 
             idx_path = os.path.join(wh, "ivf_idx")
             ivf_build_index(emb, idx_path, n_centroids=16, trained=False)
-            ivq = emb.filter(F.col("vec_id") < 5).select(
+            # ONE query vector: the partitions-read count is then directly
+            # comparable to nprobe (a multi-query batch reads the UNION of
+            # probed lists, which muddies the pruning evidence — r4's 13/16)
+            ivq = emb.filter(F.col("vec_id") == 0).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
             ivdf = ivf_topk(emb, ivq, k=5, nprobe=4, index=ivf_load_index(spark, idx_path))

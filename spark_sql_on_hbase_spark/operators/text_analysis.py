@@ -126,6 +126,78 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 Table A1 uses the
+# same signal family — fraction of duplicate n-grams and most-common-word
+# share); tuned conservative for whitespace corpora.
+REP_MAX_TOKEN_FRAC = 0.20
+REP_DUP_2GRAM_FRAC = 0.15
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals for quality filtering.
+
+    Returns ``(id, n_tokens, unique_token_ratio, max_token_frac,
+    dup_2gram_frac, repetitive)``:
+
+    - ``unique_token_ratio`` — distinct tokens / total tokens,
+    - ``max_token_frac``     — share of the single most frequent token,
+    - ``dup_2gram_frac``     — fraction of word-bigram OCCURRENCES whose
+      bigram appears more than once (token-level analog of Gopher's
+      duplicate n-gram fraction),
+    - ``repetitive``         — true when either fraction crosses its
+      threshold (`REP_*` constants).
+
+    Scale shape: unigrams and bigrams explode map-side into one tagged
+    stream; the (id, tag, gram) count aggregates with map-side partial
+    combine BEFORE the exchange, so the shuffle carries reduced
+    (id, gram_hash, cnt) rows, never text; the per-doc rollup then keys
+    on ``id`` alone.  A per-doc HOF formulation would be shuffle-free
+    but O(distinct·len) per row — quadratic on long documents, which is
+    exactly what a repetition filter meets; the explode stays linear.
+
+    All ratios are 1e-6 fixed-point floors (cross-engine exact).
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    grams = base.select(
+        id_col, F.lit("u").alias("tag"), F.explode_outer("_toks").alias("gram")
+    ).unionAll(
+        base.select(
+            id_col, F.lit("b").alias("tag"), F.explode_outer(word_ngrams(F.col("_toks"), 2)).alias("gram")
+        )
+    )
+    counts = (
+        grams.select(id_col, "tag", hash60(F.col("gram")).alias("gh"))
+        .groupBy(id_col, "tag", "gh")
+        .agg(F.count("gh").alias("cnt"))  # count(gh): NULL rows (gram-less docs) → 0
+    )
+    per_tag = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("tag") == "u", F.col("cnt"))).alias("n_tok"),
+        F.count(F.when((F.col("tag") == "u") & F.col("gh").isNotNull(), 1)).alias("d_tok"),
+        F.max(F.when(F.col("tag") == "u", F.col("cnt"))).alias("m_tok"),
+        F.sum(F.when(F.col("tag") == "b", F.col("cnt"))).alias("n_big"),
+        # duplicate-bigram occurrences: occurrences belonging to grams seen >1×
+        F.sum(F.when((F.col("tag") == "b") & (F.col("cnt") > 1), F.col("cnt"))).alias("dup_big"),
+    )
+
+    def _frac(num, den):
+        return F.when(den > 0, F.floor(num / den * 1000000) / 1000000).otherwise(F.lit(0.0))
+
+    utr = _frac(F.col("d_tok"), F.col("n_tok"))
+    mtf = _frac(F.col("m_tok"), F.col("n_tok"))
+    dbf = _frac(F.coalesce(F.col("dup_big"), F.lit(0)), F.col("n_big"))
+    return per_tag.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        utr.alias("unique_token_ratio"),
+        mtf.alias("max_token_frac"),
+        dbf.alias("dup_2gram_frac"),
+        ((mtf > REP_MAX_TOKEN_FRAC) | (dbf > REP_DUP_2GRAM_FRAC)).alias("repetitive"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -44,8 +44,10 @@ GRADED_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_incremental",
+    "decontaminate",
     "text_language_id",
     "text_quality_score",
+    "text_repetition",
     "text_fingerprint",
     "text_tfidf",
     "topk_terms",
@@ -55,9 +57,10 @@ GRADED_ORDER = [
     "emb_neardup_pairs",
     "temporal_join_suite",
     "corpus_ops_suite",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_feature_extract",
+    # one checksummed row covering frame-sample + resize + feature-extract
+    # (the three originals stay individually runnable in the tail; their
+    # row counts AND values are graded through this suite's branches)
+    "multimodal_suite",
     # streaming
     "streaming_tumbling_counts",
     "streaming_stateful_counts",
@@ -103,6 +106,10 @@ TAIL_ORDER = [
     "astro_table_agg",
     "dedup_minhash_signatures",
     "multimodal_binary_meta",
+    # collapsed into multimodal_suite (in-window); still runnable solo
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_feature_extract",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -801,6 +801,183 @@ PIPELINE["multimodal_feature_extract"] = Q(
 )
 
 
+def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-budget collapse of the three multimodal rows (frame-sample /
+    resize / feature-extract) into one checksummed suite: each branch is
+    the EXACT original query wrapped in (probe, cnt, chk) — row counts and
+    every output value stay hash-verified, one registry slot instead of
+    three.  The originals remain individually runnable in the tail."""
+    frames = _multimodal_frames(spark, sf)
+    resize = _multimodal_resize(spark, sf)
+    feats = _multimodal_features(spark, sf)
+
+    def agg(probe: str, df: DataFrame, term) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
+        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
+
+    fr = agg(
+        "frames",
+        frames,
+        F.col("doc_id") * 1 + F.col("frame_idx") * 3 + F.col("frame_off") * 5 + F.col("blob_len") * 7,
+    )
+    rz = agg(
+        "resize",
+        resize,
+        F.col("doc_id") * 1
+        + F.col("new_w") * 3
+        + F.col("new_h") * 5
+        + F.col("new_len") * 7
+        + F.when(F.col("len_ok"), 1).otherwise(-1) * 11,
+    )
+    fe = agg(
+        "features",
+        feats,
+        F.col("doc_id") * 1 + F.floor(F.col("f0") * 10000 + 0.5).cast("long") * 3,
+    )
+    return fr.unionAll(rz).unionAll(fe)
+
+
+PIPELINE["multimodal_suite"] = Q(
+    spark=_multimodal_suite,
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id,
+             CAST(f AS INT) AS frame_idx,
+             CAST(f * 100 AS BIGINT) AS frame_off,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blob_len
+      FROM documents,
+           unnest(range(greatest(octet_length(encode(text)) // 100, 1))) AS t(f)
+      WHERE doc_id < 500
+    ),
+    rz AS (
+      SELECT doc_id,
+             least(w, 96) AS new_w,
+             least(h, 96) AS new_h,
+             CAST(ceil(n * least(1.0, 9216 / (w * h))) AS BIGINT) AS new_len
+      FROM (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 640 + 1 AS w,
+               octet_length(encode(text)) % 480 + 1 AS h
+        FROM documents WHERE doc_id < 300
+      )
+    ),
+    fe AS (
+      SELECT doc_id,
+             coalesce(round(list_sum(list_transform(
+                 range(0, octet_length(encode(text)), 4),
+                 i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT / 255.0)), 4),
+               0.0) AS f0
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT 'frames' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + frame_idx * 3 + frame_off * 5 + blob_len * 7) AS BIGINT) AS chk
+    FROM fr
+    UNION ALL
+    SELECT 'resize' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + new_w * 3 + new_h * 5 + new_len * 7 + 11) AS BIGINT) AS chk
+    FROM rz
+    UNION ALL
+    SELECT 'features' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + CAST(floor(f0 * 10000 + 0.5) AS BIGINT) * 3) AS BIGINT) AS chk
+    FROM fe
+    """,
+    doc="multimodal plumbing suite: frame-sample explode, mapInPandas resize "
+    "byte-contract (len_ok must hold on the actual binary column — a False "
+    "row flips its checksum term to -11 vs the oracle's constant +11), and "
+    "the byte-histogram feature kernel vs DuckDB's hex-level recomputation",
+)
+
+
+# ---------------------------------------------------------------------------
+# decontamination + repetition filtering (operators/decontam.py,
+# operators/text_analysis.repetition_signals)
+# ---------------------------------------------------------------------------
+def _decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.decontam import contamination_flags
+
+    docs = load_tables(spark, sf)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 7)  # stand-in eval set
+    return contamination_flags(corpus, benchmark, n=4)
+
+
+PIPELINE["decontaminate"] = Q(
+    spark=_decontaminate,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents),
+    grams AS (SELECT DISTINCT doc_id,
+                     {_dh("g")} AS gh
+              FROM (SELECT doc_id,
+                           unnest(CASE WHEN len(t) >= 4
+                                       THEN list_transform(range(1, len(t) - 2),
+                                                           i -> array_to_string(t[i:i+3], ' '))
+                                       ELSE [] END) AS g
+                    FROM toks)),
+    bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 10 = 7),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(b.gh) AS n_hits
+      FROM grams g LEFT JOIN bench b USING (gh)
+      WHERE g.doc_id % 10 != 7
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_hits, 0) AS n_hits,
+           coalesce(floor(p.n_hits / p.n_grams * 1000000) / 1000000, 0.0) AS hit_ratio,
+           coalesce(p.n_hits > 0, FALSE) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 7) d
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="benchmark decontamination: flag corpus docs sharing any word 4-gram "
+    "with the eval set — benchmark gram hashes broadcast, corpus text never "
+    "shuffles (operators/decontam.py); oracle joins the same hash60 grams",
+)
+
+
+def _text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(load_tables(spark, sf)["documents"])
+
+
+PIPELINE["text_repetition"] = Q(
+    spark=_text_repetition,
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    big AS (SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                                   i -> array_to_string(t[i:i+1], ' '))
+                               ELSE [] END) AS g
+            FROM toks),
+    uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+    ua AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS d_tok, max(c) AS m_tok
+           FROM uc GROUP BY doc_id),
+    ba AS (SELECT doc_id, sum(c) AS n_big,
+                  coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_big
+           FROM bc GROUP BY doc_id)
+    SELECT ua.doc_id,
+           CAST(ua.n_tok AS BIGINT) AS n_tokens,
+           floor(ua.d_tok / ua.n_tok * 1000000) / 1000000 AS unique_token_ratio,
+           floor(ua.m_tok / ua.n_tok * 1000000) / 1000000 AS max_token_frac,
+           coalesce(floor(ba.dup_big / ba.n_big * 1000000) / 1000000, 0.0) AS dup_2gram_frac,
+           (floor(ua.m_tok / ua.n_tok * 1000000) / 1000000 > 0.20
+            OR coalesce(floor(ba.dup_big / ba.n_big * 1000000) / 1000000, 0.0) > 0.15)
+             AS repetitive
+    FROM ua LEFT JOIN ba USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals: unique-token ratio, most-common-"
+    "token share, duplicate-bigram occurrence fraction — tagged unigram+"
+    "bigram explode with map-side partial combine, shuffling (id, hash, cnt) "
+    "rows only (operators/text_analysis.repetition_signals)",
+)
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of + binned interval join — operators/temporal.py)
 # ---------------------------------------------------------------------------

@@ -575,3 +575,53 @@ def test_mixture_sample_solves_rates(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in out.collect())
     assert ids1 == ids2
+
+
+def test_contamination_flags(spark):
+    """Docs sharing a 4-gram with the benchmark are flagged; others and
+    gram-less (short) docs are not."""
+    from spark_sql_on_hbase_spark.operators.decontam import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated set of training words here"),
+            (3, "too short"),  # < 4 tokens → zero grams, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox in this eval question")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in contamination_flags(corpus, bench, n=4).collect()}
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert out[3].n_grams == 0 and not out[3].contaminated and out[3].hit_ratio == 0.0
+    kept = sorted(r.doc_id for r in decontaminate(corpus, bench, n=4).collect())
+    assert kept == [2, 3]
+
+
+def test_repetition_signals(spark):
+    from spark_sql_on_hbase_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),  # one token repeated
+            (2, "all words here are fully distinct tokens friend"),
+            (3, "one"),  # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].repetitive and out[1].max_token_frac == 1.0
+    assert out[1].dup_2gram_frac == 1.0  # "spam spam" x7 occurrences all dup
+    assert not out[2].repetitive and out[2].unique_token_ratio == 1.0
+    assert out[2].dup_2gram_frac == 0.0
+    # degenerate single-token doc: max_token_frac is trivially 1.0 and
+    # crosses the threshold — length gating is quality_score's job
+    assert out[3].n_tokens == 1 and out[3].dup_2gram_frac == 0.0
+    assert out[3].max_token_frac == 1.0 and out[3].repetitive
