@@ -40,8 +40,8 @@ GRADED_ORDER = [
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # one checksummed row covering simhash + ngram-jaccard (originals in tail)
+    "dedup_suite",
     "dedup_clusters",
     "dedup_incremental",
     "decontaminate",
@@ -55,6 +55,7 @@ GRADED_ORDER = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_neardup_pairs",
+    "semantic_dedup",
     "temporal_join_suite",
     "corpus_ops_suite",
     # one checksummed row covering frame-sample + resize + feature-extract
@@ -105,6 +106,9 @@ TAIL_ORDER = [
     # residual; demoted to make room for the streaming entries
     "astro_table_agg",
     "dedup_minhash_signatures",
+    # collapsed into dedup_suite (in-window); still runnable solo
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "multimodal_binary_meta",
     # collapsed into multimodal_suite (in-window); still runnable solo
     "multimodal_frame_sample",

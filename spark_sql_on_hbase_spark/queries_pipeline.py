@@ -29,6 +29,9 @@ def _dh(x: str) -> str:
     return _D_HASH60.format(x=x)
 
 
+_D_COS = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
 # distinct (doc_id, s) word-3gram shingles of lower-cased whitespace tokens
 _D_SHINGLES = """
   toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents),
@@ -178,6 +181,106 @@ PIPELINE["dedup_ngram_jaccard"] = Q(
     """,
     doc="exact n-gram Jaccard ≥0.8 via inverted-index self-join",
 )
+
+def _dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-budget collapse of the simhash + ngram-jaccard rows into one
+    checksummed suite (same pattern as multimodal_suite): both originals'
+    full outputs stay value-verified through the branch checksums and
+    remain individually runnable in the tail."""
+    sim = _dedup_simhash(spark, sf)
+    jac = _dedup_ngram_jaccard(spark, sf)
+
+    def agg(probe: str, df: DataFrame, term) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
+        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
+
+    s = agg("simhash", sim, F.col("doc_id") * 1 + F.col("simhash") * 3)
+    j = agg(
+        "jaccard",
+        jac,
+        F.col("id_a") * 1
+        + F.col("id_b") * 3
+        + F.floor(F.col("jaccard") * 10000 + 0.5).cast("long") * 5,
+    )
+    return s.unionAll(j)
+
+
+PIPELINE["dedup_suite"] = Q(
+    spark=_dedup_suite,
+    oracle=f"""
+    WITH sims AS ({_simhash_oracle(16)}),
+    {_D_SHINGLES},
+    shh AS (SELECT DISTINCT doc_id, {_dh('s')} AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+    )
+    SELECT 'simhash' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + simhash * 3) AS BIGINT) AS chk
+    FROM sims
+    UNION ALL
+    SELECT 'jaccard' AS probe, count(*) AS cnt,
+           CAST(sum(id_a * 1 + id_b * 3
+                    + CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) * 5) AS BIGINT) AS chk
+    FROM jacc
+    """,
+    doc="dedup suite: 16-bit SimHash signatures + exact n-gram Jaccard ≥0.8 "
+    "pairs, each branch checksummed over the original query's full output",
+)
+
+
+def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf)
+    return semantic_dedup(t["embeddings"], n_clusters=16, threshold=0.35)
+
+
+PIPELINE["semantic_dedup"] = Q(
+    spark=_semantic_dedup,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_D_COS.format(a='e.embedding', b='c.centroid')}, 4) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_D_COS.format(a='ea.embedding', b='eb.embedding')}, 4) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    dup AS (
+      SELECT id_b AS vec_id, min(id_a) AS dup_of
+      FROM pairs WHERE cos_sim >= 0.35 GROUP BY id_b
+    )
+    SELECT a.vec_id, a.cluster_id, d.dup_of, d.dup_of IS NULL AS kept
+    FROM assign a LEFT JOIN dup d USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic dedup: broadcast-centroid cluster assignment, "
+    "near-dup search WITHIN clusters only (equi-join on cluster_id, never "
+    "cross-cluster all-pairs), min-id representative per duplicate set "
+    "(operators/similarity.semantic_dedup)",
+)
+
 
 def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from spark_sql_on_hbase_spark.operators.dedup import duplicate_clusters
@@ -394,7 +497,6 @@ PIPELINE["text_fingerprint"] = Q(
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
-_D_COS = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 def _knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:

@@ -625,3 +625,26 @@ def test_repetition_signals(spark):
     # crosses the threshold — length gating is quality_score's job
     assert out[3].n_tokens == 1 and out[3].dup_2gram_frac == 0.0
     assert out[3].max_token_frac == 1.0 and out[3].repetitive
+
+
+def test_semantic_dedup(spark):
+    """Near-identical vectors in the same cluster dedup to the min-id
+    representative; cross-cluster similarity is never even examined."""
+    from spark_sql_on_hbase_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid seed B
+        (2, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 0 (cluster A)
+        (3, [0.0, 0.98, 0.02, 0.0]),  # near-dup of 1 (cluster B)
+        (4, [0.6, 0.8, 0.0, 0.0]),    # cluster B-ish but not a dup at 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(df, n_clusters=2, threshold=0.99).collect()}
+    assert len(out) == 5  # every input vector gets a verdict row
+    assert out[0].kept and out[0].dup_of is None
+    assert not out[2].kept and out[2].dup_of == 0
+    assert not out[3].kept and out[3].dup_of == 1
+    assert out[4].kept  # similar-ish but below threshold
+    assert out[2].cluster_id == out[0].cluster_id
+    assert out[3].cluster_id == out[1].cluster_id
