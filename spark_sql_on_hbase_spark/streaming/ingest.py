@@ -1,0 +1,67 @@
+"""Streaming corpus ingestion: classify ARRIVING documents against the
+persisted corpus dedup index, continuously.
+
+This is the streaming face of ``operators.dedup.incremental_dedup`` —
+the steady-state shape of a training-data pipeline where documents
+arrive as files (crawl drops, upload batches) and each must be admitted
+or rejected against a corpus that is orders of magnitude larger.
+
+Design: ``foreachBatch`` running the BATCH classifier per micro-batch.
+The alternative — expressing the verdict joins stream-natively — would
+need a streaming aggregation for the "any band hit" fold (watermark +
+append-mode latency for a computation that has no event-time meaning),
+while ``foreachBatch`` gives every micro-batch the full batch planner
+(broadcast of the small arriving side, AQE, the same equi-join-only
+plan shape) plus exactly-once via the checkpoint, and is the documented
+Spark pattern for incremental-merge logic.  The corpus index is static
+within a run: band signatures parquet partitioned by band
+(``minhash_index_build``), loaded once, re-read per batch only as
+cheap parquet scans of the probed partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from spark_sql_on_hbase_spark.operators.dedup import incremental_dedup
+
+
+def incremental_dedup_stream(
+    stream_docs: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    sink_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Wire a document stream through the incremental classifier into a
+    parquet verdict log.  Returns the (unstarted) DataStreamWriter —
+    callers pick the trigger (``availableNow`` for catch-up runs,
+    processing-time for continuous ingestion).
+
+    Each micro-batch emits (id, verdict) rows; exactly-once delivery
+    comes from the checkpointed epoch id + parquet sink idempotence.
+    """
+
+    def _classify(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = incremental_dedup(
+            None,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            corpus_index=corpus_index,
+        )
+        out.write.mode("append").parquet(sink_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_classify)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -516,3 +516,54 @@ def test_sessionize_stateful_matches_session_window(spark, batch_events):
         for r in session_window_agg(batch_events, gap="30 minutes").collect()
     }
     assert rows <= want, list(rows - want)[:5]
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streamed ingestion classification == the batch classifier, with
+    exactly-once across a checkpointed re-run (streaming/ingest.py)."""
+    from spark_sql_on_hbase_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_index_build,
+        minhash_index_load,
+    )
+    from spark_sql_on_hbase_spark.streaming.ingest import incremental_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an established corpus document with enough words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path / "lsh_idx")
+    minhash_index_build(corpus, idx_path)
+
+    arriving = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # corpus exact
+            (11, "a genuinely novel arriving document nothing matches"),
+            (12, "a genuinely novel arriving document nothing matches"),  # batch dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    arriving.write.parquet(src)
+
+    idx = minhash_index_load(spark, idx_path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    sink = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_dedup_stream(stream, idx, sink, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r.verdict for r in spark.read.parquet(sink).collect()}
+    want = {r.doc_id: r.verdict for r in incremental_dedup(None, arriving, corpus_index=idx).collect()}
+    assert got == want
+    assert got[10] == "dup_corpus_exact" and got[11] == "novel" and got[12] == "dup_batch"
+
+    # exactly-once: a second availableNow run over the same checkpoint
+    # sees no new files and appends nothing
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = incremental_dedup_stream(stream2, idx, sink, ckpt).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 3
