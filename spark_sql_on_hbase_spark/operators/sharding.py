@@ -37,6 +37,8 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_sql_on_hbase_spark.functions.text import hash60
+
 
 def assign_shards(
     df: DataFrame,
@@ -44,10 +46,12 @@ def assign_shards(
     bytes_col: str,
     target_bytes: int,
     out_col: str = "shard_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col``: the 0-based shard index of each row under a
     global cumulative-bytes cut at ``target_bytes``, ordered by
-    ``order_col`` (numeric and unique — it defines the export order)."""
+    ``order_col`` (numeric; ``tiebreak_col`` makes the order total when
+    ``order_col`` alone is not unique — e.g. a hash key)."""
     assert target_bytes > 0
     spark = df.sparkSession
     n_buckets = spark.sparkContext.defaultParallelism
@@ -85,7 +89,8 @@ def assign_shards(
     )
     # stage 3: intra-bucket running sum + frozen offset — the window
     # partitions by bucket, so the sort is per-bucket, never global
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
     cum = F.sum(F.col(bytes_col)).over(w) + F.col("__offset")
     return (
         with_pid.join(off_df, "__pid", "left")
@@ -144,3 +149,38 @@ def write_shards(
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic, reproducible global shuffle order for training.
+
+    Every row gets a 0-based global rank under the order of
+    ``hash60(seed ⊕ id)`` — a seeded permutation that is identical
+    across re-runs and resumable mid-epoch (the trainer seeks to a
+    rank), unlike ``orderBy(rand())``.  Changing ``seed`` yields an
+    independent epoch order.
+
+    Computed with the same two-phase distributed prefix sum as
+    :func:`assign_shards` (bytes ≡ 1, target = 1 → the cumulative count
+    BEFORE each row IS its rank): frozen quantile buckets over the hash
+    key, per-bucket offsets, intra-bucket window — never a global
+    single-partition sort.  Hash ties (60-bit; ~n²/2⁶¹) fall back to id
+    order, keeping the permutation total and deterministic.
+    """
+    sk = hash60(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    ranked = assign_shards(
+        df.withColumn("__sk", sk).withColumn("__one", F.lit(1)),
+        "__sk",
+        "__one",
+        1,
+        out_col=out_col,
+        tiebreak_col=id_col,
+    )
+    return ranked.drop("__sk", "__one")

@@ -1369,6 +1369,18 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.floor(F.col("cos_sim") * 10000 + F.lit(0.5)).cast("bigint") * 5
         + F.col("rank") * 7,
     )
+    # deterministic global training-order shuffle: the seeded-permutation
+    # rank must equal the oracle's single-partition row_number — the
+    # doc_id×rank checksum term pins the PERMUTATION, not just the set
+    from spark_sql_on_hbase_spark.operators.sharding import global_shuffle
+
+    shuf = agg(
+        "shuffle",
+        global_shuffle(docs.select("doc_id"), "doc_id", seed=1),
+        F.col("doc_id") * 1
+        + F.col("shuffle_rank") * 3
+        + F.col("doc_id") * F.col("shuffle_rank") * 5,
+    )
     return (
         sample.unionAll(split)
         .unionAll(strat)
@@ -1380,6 +1392,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(quant_topk)
         .unionAll(mix)
         .unionAll(shard)
+        .unionAll(shuf)
     )
 
 
@@ -1552,6 +1565,14 @@ PIPELINE["corpus_ops_suite"] = Q(
     FROM (SELECT doc_id, n_chars,
                  sum(n_chars) OVER (ORDER BY doc_id
                                     ROWS UNBOUNDED PRECEDING) AS cb
+          FROM documents)
+    UNION ALL
+    SELECT 'shuffle' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + rk * 3 + doc_id * rk * 5) AS BIGINT) AS chk
+    FROM (SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY ('0x' || substr(md5('1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id) - 1 AS rk
           FROM documents)
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "

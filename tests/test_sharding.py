@@ -57,3 +57,17 @@ def test_write_shards_manifest(spark, tmp_path):
     assert on_disk == manifest
     back = spark.read.parquet(path)
     assert back.count() == 100
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    from spark_sql_on_hbase_spark.operators.sharding import global_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out1 = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed=1).collect()}
+    out2 = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed=1).collect()}
+    assert out1 == out2  # reproducible across runs
+    assert sorted(out1.values()) == list(range(500))  # a true permutation
+    assert out1 != {i: i for i in range(500)}  # actually shuffled
+    other = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed=2).collect()}
+    assert other != out1  # seeds give independent epoch orders
+    assert sorted(other.values()) == list(range(500))
