@@ -1,0 +1,96 @@
+"""Property tests: the r5 pipeline operators vs pure-Python references.
+
+Random corpora through the DISTRIBUTED implementations must equal a
+20-line single-process reference — the same adversarial-oracle strategy
+the DuckDB battery uses, but over hypothesis-generated inputs that hit
+edge shapes the fixed tables never do (single-token docs, all-duplicate
+docs, empty overlap, duplicate quantile boundaries).
+"""
+
+import math
+import re
+from collections import Counter
+from hashlib import md5
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["a", "b", "c", "dd", "ee", "fff", "gg", "quick"]
+DOC = st.lists(st.sampled_from(WORDS), min_size=1, max_size=25).map(" ".join)
+
+
+def _f6(num: int, den: int) -> float:
+    return math.floor(num / den * 1000000) / 1000000 if den > 0 else 0.0
+
+
+def _ref_repetition(text: str):
+    toks = re.split(r"\s+", text.lower())
+    n = len(toks)
+    c = Counter(toks)
+    bigrams = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+    cb = Counter(bigrams)
+    dup = sum(v for v in cb.values() if v > 1)
+    utr, mtf, dbf = _f6(len(c), n), _f6(max(c.values()), n), _f6(dup, len(bigrams))
+    return (n, utr, mtf, dbf, mtf > 0.20 or dbf > 0.15)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=12))
+def test_repetition_signals_match_reference(spark, texts):
+    from spark_sql_on_hbase_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.unique_token_ratio, r.max_token_frac,
+                   r.dup_2gram_frac, r.repetitive)
+        for r in repetition_signals(df).collect()
+    }
+    want = {i: _ref_repetition(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+def _ref_grams(text: str, n: int) -> set:
+    toks = re.split(r"\s+", text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=10), st.lists(DOC, min_size=0, max_size=4))
+def test_contamination_flags_match_reference(spark, corpus_texts, bench_texts):
+    from spark_sql_on_hbase_spark.operators.decontam import contamination_flags
+
+    n = 3
+    corpus = spark.createDataFrame(list(enumerate(corpus_texts)), ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)] or [(1000, "")],
+        ["doc_id", "text"],
+    )
+    bset = set().union(*(_ref_grams(t, n) for t in bench_texts)) if bench_texts else set()
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.hit_ratio, r.contaminated)
+        for r in contamination_flags(corpus, bench, n=n).collect()
+    }
+    want = {}
+    for i, t in enumerate(corpus_texts):
+        grams = _ref_grams(t, n)
+        hits = len(grams & bset)
+        want[i] = (len(grams), hits, _f6(hits, len(grams)), hits > 0)
+    assert got == want
+
+
+def _hash60(s: str) -> int:
+    return int(md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 10**9), unique=True, min_size=1, max_size=80),
+       st.integers(0, 3))
+def test_global_shuffle_matches_reference(spark, ids, seed):
+    from spark_sql_on_hbase_spark.operators.sharding import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed=seed).collect()}
+    order = sorted(ids, key=lambda i: (_hash60(f"{seed}\x1f{i}"), i))
+    want = {i: rank for rank, i in enumerate(order)}
+    assert got == want
