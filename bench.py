@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "emb_neardup_pairs",
+    "semantic_dedup",
     "topk_terms",
     "temporal_join_suite",
     "corpus_ops_suite",

@@ -54,13 +54,33 @@ def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+# per-session plan cache: building the 10 DataFrames costs ~10 schema
+# round-trips to the JVM (~0.8 s measured) and every battery query calls
+# load_tables — uncached, that overhead dominated wall time over actual
+# task time at small SF.  The parquet inputs are immutable driver data,
+# so the logical plans are safely reusable; views are re-pointed when
+# the same session switches sf_dir.  Keyed weakly so a stopped session
+# doesn't pin its plans.
+import weakref
+
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register all driver tables as temp views; returns name → DataFrame."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        df = _normalize_timestamps(name, spark.read.parquet(path))
-        df.createOrReplaceTempView(name)
-        out[name] = df
+    sf_dir = os.path.abspath(sf_dir)
+    state = _CACHE.setdefault(spark, {"dirs": {}, "active": None})
+    out = state["dirs"].get(sf_dir)
+    if out is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        out = {}
+        for name in TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            out[name] = _normalize_timestamps(name, spark.read.parquet(path))
+        state["dirs"][sf_dir] = out
+        state["active"] = None  # force (re-)registration below
+    if state["active"] != sf_dir:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
+        state["active"] = sf_dir
     return out
