@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+from spark_sql_on_hbase_spark.operators.dedup import _spread
 
 
 def ngram_hash_set(docs: DataFrame, *, text_col: str = "text", n: int = 4) -> DataFrame:
@@ -41,7 +42,7 @@ def ngram_hash_set(docs: DataFrame, *, text_col: str = "text", n: int = 4) -> Da
     """
     toks = whitespace_tokens(F.col(text_col))
     return (
-        docs.select(F.explode(word_ngrams(toks, n)).alias("gram"))
+        _spread(docs).select(F.explode(word_ngrams(toks, n)).alias("gram"))
         .select(hash60(F.col("gram")).alias("gram_hash"))
         .distinct()
     )
@@ -68,19 +69,23 @@ def contamination_flags(
     bench_idx = ngram_hash_set(benchmark, text_col=text_col, n=n)
 
     toks = whitespace_tokens(F.col(text_col))
-    grams = (
-        corpus.select(F.col(id_col), F.explode_outer(word_ngrams(toks, n)).alias("gram"))
-        .select(id_col, hash60(F.col("gram")).alias("gram_hash"))
-        .distinct()
-    )
+    # _spread: a small parquet corpus arrives as 1-2 splits, putting the
+    # whole explode+hash map stage on one core (see dedup._spread; no-op
+    # at real scale where the input already has thousands of splits)
+    grams = _spread(corpus).select(
+        F.col(id_col), F.explode_outer(word_ngrams(toks, n)).alias("gram")
+    ).select(id_col, hash60(F.col("gram")).alias("gram_hash"))
     hits = grams.join(
         F.broadcast(bench_idx.withColumn("_hit", F.lit(1))), "gram_hash", "left"
     )
+    # countDistinct dedups repeated grams inside the aggregation itself
+    # (partial-distinct before the exchange) — a separate .distinct()
+    # would add a full extra shuffle of the exploded gram rows.
+    # explode_outer emits one NULL-gram row for gram-less docs; its hash
+    # is NULL, never matches, and countDistinct ignores it.
     per_doc = hits.groupBy(id_col).agg(
-        # explode_outer emits one NULL-gram row for gram-less docs; its
-        # hash is NULL so it never matches and must not count as a gram
-        F.count("gram_hash").alias("n_grams"),
-        F.count("_hit").alias("n_hits"),
+        F.countDistinct("gram_hash").alias("n_grams"),
+        F.countDistinct(F.when(F.col("_hit").isNotNull(), F.col("gram_hash"))).alias("n_hits"),
     )
     ratio = F.when(
         F.col("n_grams") > 0,

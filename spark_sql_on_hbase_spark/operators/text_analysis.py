@@ -159,8 +159,12 @@ def repetition_signals(
 
     All ratios are 1e-6 fixed-point floors (cross-engine exact).
     """
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
+
     toks = whitespace_tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    # _spread: parallelize the tokenize/explode map stage when the scan
+    # arrives as 1-2 splits (no-op at real scale)
+    base = _spread(docs).select(F.col(id_col), toks.alias("_toks"))
     grams = base.select(
         id_col, F.lit("u").alias("tag"), F.explode_outer("_toks").alias("gram")
     ).unionAll(
