@@ -91,12 +91,17 @@ def contamination_flags(
         F.col("n_grams") > 0,
         F.floor(F.col("n_hits") / F.col("n_grams") * 1000000) / 1000000,
     ).otherwise(F.lit(0.0))
+    # the verdict compares on EXACT counts (n_hits > max_ratio·n_grams ⇔
+    # n_hits/n_grams > max_ratio), never the floored report ratio — a doc
+    # with >10⁶ grams and one hit floors to 0.0 and would silently escape
+    # the "any shared n-gram" contract at max_hit_ratio = 0
+    contaminated = F.col("n_hits") > F.lit(max_hit_ratio) * F.col("n_grams")
     return per_doc.select(
         F.col(id_col),
         F.col("n_grams"),
         F.col("n_hits"),
         ratio.alias("hit_ratio"),
-        (ratio > F.lit(max_hit_ratio)).alias("contaminated"),
+        contaminated.alias("contaminated"),
     )
 
 

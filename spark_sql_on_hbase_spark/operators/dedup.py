@@ -417,14 +417,40 @@ def minhash_index_build(
     )
     sigs.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
     texth.write.mode("overwrite").parquet(f"{path}/texth")
+    import json
+
+    with open(os.path.join(path, "_PARAMS.json"), "w") as f:
+        json.dump(
+            {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n}, f
+        )
+
+
+class MinhashIndex(tuple):
+    """(band_signatures, text_hashes) with the build parameters attached —
+    unpacks like the plain 2-tuple the callers already use, while letting
+    :func:`incremental_dedup` reject a probe whose num_perm/bands/
+    shingle_n disagree with how the index was built (a silent mismatch
+    classifies every near-dup as novel)."""
+
+    params: dict | None = None
 
 
 def minhash_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted LSH index: (band_signatures, text_hashes)."""
-    return (
-        spark.read.parquet(f"{path}/bands"),
-        spark.read.parquet(f"{path}/texth"),
+    idx = MinhashIndex(
+        (
+            spark.read.parquet(f"{path}/bands"),
+            spark.read.parquet(f"{path}/texth"),
+        )
     )
+    import json
+
+    try:
+        with open(os.path.join(path, "_PARAMS.json")) as f:
+            idx.params = json.load(f)
+    except OSError:  # pre-r5 index without the params sidecar
+        idx.params = None
+    return idx
 
 
 def incremental_dedup(
@@ -465,6 +491,15 @@ def incremental_dedup(
     probe touches only signature parquet.
     """
     if corpus_index is not None:
+        got = getattr(corpus_index, "params", None)
+        want = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n}
+        if got is not None and got != want:
+            raise ValueError(
+                f"corpus_index was built with {got} but the probe uses {want}: "
+                "band signatures would never match and every near-dup would "
+                "silently classify as novel — rebuild the index or pass "
+                "matching parameters"
+            )
         c_sigs, c_texth = corpus_index
         c_sigs = c_sigs.select(F.col(id_col), "band", "bsig")
     else:

@@ -90,7 +90,14 @@ def assign_shards(
     # stage 3: intra-bucket running sum + frozen offset — the window
     # partitions by bucket, so the sort is per-bucket, never global
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    # explicit ROWS frame: the default RANGE frame includes ORDER-BY
+    # peers, so duplicate order keys would double-count each other's
+    # bytes in the running sum and silently shift shard boundaries
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(F.col(bytes_col)).over(w) + F.col("__offset")
     return (
         with_pid.join(off_df, "__pid", "left")

@@ -449,14 +449,17 @@ def ivf_topk(
     )
     if index is not None and prune_partitions:
         # the probe set is tiny (queries × centroids are both broadcast
-        # inputs), so collecting the distinct cluster ids is a driver
-        # round-trip of ≤ |Q|·nprobe ints — the price of turning the
-        # cluster_id equi-join into a static partition filter the scan
-        # can prune directories with (same pattern as skew.py's
-        # hot-key detection)
-        probed = sorted(
-            r.cluster_id for r in probe.select("cluster_id").distinct().collect()
-        )
+        # inputs), so collecting it is a driver round-trip of ≤
+        # |Q|·nprobe rows — the price of turning the cluster_id
+        # equi-join into a static partition filter the scan can prune
+        # directories with (same pattern as skew.py's hot-key
+        # detection).  The collected rows also REBUILD the probe as a
+        # literal local relation, so the qscored/window subplan executes
+        # exactly once (not a second time inside the candidate join).
+        probe_schema = probe.schema
+        probe_rows = [(r[0], r[1]) for r in probe.collect()]
+        probe = corpus.sparkSession.createDataFrame(probe_rows, probe_schema)
+        probed = sorted({c for _, c in probe_rows})
         assign = assign.filter(F.col("cluster_id").isin(probed))
     cand = probe.join(assign, "cluster_id").select(
         qid_col, F.col(id_col).alias("neighbor_id")

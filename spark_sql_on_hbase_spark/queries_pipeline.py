@@ -32,6 +32,16 @@ def _dh(x: str) -> str:
 _D_COS = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
+def _probe_agg(probe: str, df: DataFrame, term) -> DataFrame:
+    """One checksummed suite-branch row: (probe, cnt, chk) with chk a
+    prime-weighted fixed-point sum over the branch's full output — the
+    single definition every UNION-suite (dedup/multimodal/corpus-ops)
+    shares, so the convention the oracles mirror can't silently fork."""
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
+    ).select(F.lit(probe).alias("probe"), "cnt", "chk")
+
+
 # distinct (doc_id, s) word-3gram shingles of lower-cased whitespace tokens
 _D_SHINGLES = """
   toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t FROM documents),
@@ -190,13 +200,8 @@ def _dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
     sim = _dedup_simhash(spark, sf)
     jac = _dedup_ngram_jaccard(spark, sf)
 
-    def agg(probe: str, df: DataFrame, term) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
-        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
-
-    s = agg("simhash", sim, F.col("doc_id") * 1 + F.col("simhash") * 3)
-    j = agg(
+    s = _probe_agg("simhash", sim, F.col("doc_id") * 1 + F.col("simhash") * 3)
+    j = _probe_agg(
         "jaccard",
         jac,
         F.col("id_a") * 1
@@ -913,17 +918,12 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
     resize = _multimodal_resize(spark, sf)
     feats = _multimodal_features(spark, sf)
 
-    def agg(probe: str, df: DataFrame, term) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
-        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
-
-    fr = agg(
+    fr = _probe_agg(
         "frames",
         frames,
         F.col("doc_id") * 1 + F.col("frame_idx") * 3 + F.col("frame_off") * 5 + F.col("blob_len") * 7,
     )
-    rz = agg(
+    rz = _probe_agg(
         "resize",
         resize,
         F.col("doc_id") * 1
@@ -932,7 +932,7 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("new_len") * 7
         + F.when(F.col("len_ok"), 1).otherwise(-1) * 11,
     )
-    fe = agg(
+    fe = _probe_agg(
         "features",
         feats,
         F.col("doc_id") * 1 + F.floor(F.col("f0") * 10000 + 0.5).cast("long") * 3,
@@ -1228,17 +1228,12 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_tables(spark, sf)["documents"]
 
-    def agg(probe: str, df: DataFrame, term) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum(term).cast("long").alias("chk")
-        ).select(F.lit(probe).alias("probe"), "cnt", "chk")
-
-    sample = agg(
+    sample = _probe_agg(
         "sample",
         hash_sample(docs, "doc_id", 0.2),
         F.col("doc_id") * 1 + F.col("n_chars") * 3 + F.length("text") * 5,
     )
-    split = agg(
+    split = _probe_agg(
         "split",
         assign_split(docs, "doc_id"),
         F.col("doc_id") * 1
@@ -1247,7 +1242,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(3)
         * 3,
     )
-    strat = agg(
+    strat = _probe_agg(
         "strat",
         stratified_sample(
             docs, "doc_id", "lang", {"en": 0.25, "zh": 1.0}, default_rate=0.5
@@ -1260,7 +1255,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
     from spark_sql_on_hbase_spark.operators.sampling import mixture_sample
 
     mix_w = {"de": 100_000, "en": 400_000, "es": 100_000, "fr": 100_000, "zh": 300_000}
-    mix = agg(
+    mix = _probe_agg(
         "mixture",
         mixture_sample(docs, "doc_id", "lang", mix_w, total=200),
         F.col("doc_id") * 1 + F.col("n_chars") * 3,
@@ -1270,20 +1265,20 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
     # offsets) — must equal the oracle's single-partition window
     from spark_sql_on_hbase_spark.operators.sharding import assign_shards
 
-    shard = agg(
+    shard = _probe_agg(
         "shard",
         assign_shards(
             docs.select("doc_id", "n_chars"), "doc_id", "n_chars", target_bytes=5000
         ),
         F.col("doc_id") * 1 + F.col("shard_id") * 3,
     )
-    norm = agg(
+    norm = _probe_agg(
         "normalize",
         docs.select(normalize_ws("text").alias("nt")),
         F.length("nt") * 1 + (hash60(F.col("nt")) % 1_000_000) * 3,
     )
     raw = F.concat(F.col("text"), F.lit(" "), F.col("source"))
-    red = agg(
+    red = _probe_agg(
         "redact",
         docs.select(
             raw.alias("rawt"), redact_sensitive(raw).alias("rt")
@@ -1302,7 +1297,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "pack_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("tot"))
     )
-    pack = agg(
+    pack = _probe_agg(
         "pack",
         packs,
         F.col("pack_id") * 1
@@ -1318,7 +1313,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
 
     lang_cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_cnt"))
     hot = lang_cnt.orderBy(F.desc("lang_cnt"), F.asc("lang")).limit(2).select("lang")
-    skew = agg(
+    skew = _probe_agg(
         "skew",
         salted_join(
             docs.select("doc_id", "lang"), lang_cnt, ["lang"], buckets=8, hot_keys=hot
@@ -1342,7 +1337,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda a, h: a + F.floor(h * 10000 + F.lit(0.5)).cast("bigint"),
     )
-    quant = agg(
+    quant = _probe_agg(
         "quantize",
         qz.select(F.col("vec_id"), code_sum.alias("cs"), hat_fp.alias("hf")),
         F.col("vec_id") * 1 + F.col("cs") * 3 + F.col("hf") * 5,
@@ -1361,7 +1356,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         rerank=25,
     )
-    quant_topk = agg(
+    quant_topk = _probe_agg(
         "quantized_topk",
         qt,
         F.col("query_id") * 1
@@ -1374,7 +1369,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
     # doc_id×rank checksum term pins the PERMUTATION, not just the set
     from spark_sql_on_hbase_spark.operators.sharding import global_shuffle
 
-    shuf = agg(
+    shuf = _probe_agg(
         "shuffle",
         global_shuffle(docs.select("doc_id"), "doc_id", seed=1),
         F.col("doc_id") * 1

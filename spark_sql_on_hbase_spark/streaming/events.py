@@ -43,15 +43,25 @@ def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
     requires a user-supplied schema, so declare whichever the data actually
     is — declaring LongType against a micros file silently reads the raw
     INT64 micros and any ÷1000 then compresses event time 1000×."""
+    from pyspark.errors import AnalysisException
+
     try:
         batch = spark.read.parquet(path).schema
         ts_type = batch["ts"].dataType
-    except Exception:
+    except AnalysisException as ex:
         # empty-at-start source directory (files arrive later — the
         # normal file-source pattern): nothing to sniff yet, so fall
         # back to the legacy nanos-as-long layout the static schema
         # always declared (ADVICE r4: the eager probe raised
-        # 'unable to infer schema' and stream construction failed)
+        # 'unable to infer schema' and stream construction failed).
+        # ONLY the empty/missing-source analysis errors may fall back —
+        # a transient IO/permission failure against a micros-encoded
+        # source must raise, not silently declare LongType and compress
+        # event time 1000× (the exact bug the sniff exists to prevent)
+        msg = str(ex)
+        if not ("UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg
+                or "unable to infer schema" in msg.lower()):
+            raise
         ts_type = T.LongType()
     return T.StructType(
         [

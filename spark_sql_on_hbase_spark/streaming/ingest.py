@@ -42,24 +42,36 @@ def incremental_dedup_stream(
     callers pick the trigger (``availableNow`` for catch-up runs,
     processing-time for continuous ingestion).
 
-    Each micro-batch emits (id, verdict) rows; exactly-once delivery
-    comes from the checkpointed epoch id + parquet sink idempotence.
+    Each micro-batch emits (id, verdict) rows under
+    ``sink_path/epoch=<id>/``.  Exactly-once delivery: foreachBatch is
+    inherently at-least-once (a batch can re-run if the driver dies
+    after the write but before the checkpoint commit), so the write is
+    made IDEMPOTENT — each epoch overwrites only its own partition
+    directory, and a replayed epoch replaces identical rows instead of
+    appending duplicates.
     """
 
     def _classify(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        out = incremental_dedup(
-            None,
-            batch_df,
-            text_col=text_col,
-            id_col=id_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_n=shingle_n,
-            corpus_index=corpus_index,
-        )
-        out.write.mode("append").parquet(sink_path)
+        # the classifier references the batch ~5× (text-hash side twice,
+        # band-signature side twice, id spine); persist so the arriving
+        # files are read and shingled once per epoch
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            out = incremental_dedup(
+                None,
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_n=shingle_n,
+                corpus_index=corpus_index,
+            )
+            out.write.mode("overwrite").parquet(f"{sink_path}/epoch={int(epoch_id)}")
+        finally:
+            batch_df.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_classify)

@@ -59,17 +59,21 @@ def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
 # load_tables — uncached, that overhead dominated wall time over actual
 # task time at small SF.  The parquet inputs are immutable driver data,
 # so the logical plans are safely reusable; views are re-pointed when
-# the same session switches sf_dir.  Keyed weakly so a stopped session
-# doesn't pin its plans.
-import weakref
-
-_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+# the same session switches sf_dir.  The cache hangs off the session
+# OBJECT (not a module global): its lifetime is exactly the session's —
+# a global registry would pin every session forever, since each cached
+# DataFrame strongly references its session (even weak KEYS can't evict
+# when the values point back at the keys).
+_CACHE_ATTR = "_astro_driver_table_cache"
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register all driver tables as temp views; returns name → DataFrame."""
     sf_dir = os.path.abspath(sf_dir)
-    state = _CACHE.setdefault(spark, {"dirs": {}, "active": None})
+    state = getattr(spark, _CACHE_ATTR, None)
+    if state is None:
+        state = {"dirs": {}, "active": None}
+        setattr(spark, _CACHE_ATTR, state)
     out = state["dirs"].get(sf_dir)
     if out is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

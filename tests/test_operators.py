@@ -648,3 +648,48 @@ def test_semantic_dedup(spark):
     assert out[4].kept  # similar-ish but below threshold
     assert out[2].cluster_id == out[0].cluster_id
     assert out[3].cluster_id == out[1].cluster_id
+
+
+def test_incremental_dedup_rejects_mismatched_index_params(spark, tmp_path):
+    from spark_sql_on_hbase_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_index_build,
+        minhash_index_load,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "an established corpus document with enough words here")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx32")
+    minhash_index_build(corpus, path, num_perm=8, bands=2)
+    idx = minhash_index_load(spark, path)
+    batch = spark.createDataFrame([(10, "some arriving text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="built with"):
+        incremental_dedup(None, batch, corpus_index=idx)  # defaults 16/4
+    # matching parameters pass
+    assert incremental_dedup(None, batch, num_perm=8, bands=2, corpus_index=idx).count() == 1
+
+
+def test_contamination_threshold_exact_at_boundary(spark):
+    """The verdict compares exact counts (n_hits > ratio*n_grams), not the
+    1e-6-floored report ratio — a ratio exactly AT the threshold is not
+    contaminated, one above is."""
+    from spark_sql_on_hbase_spark.operators.decontam import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            # 5 tokens → 2 distinct 4-grams; bench shares exactly 1 → ratio 0.5
+            (1, "the quick brown fox jumps"),
+            # bench shares both grams → ratio 1.0
+            (2, "quick brown fox jumps over"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over nothing")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in
+           contamination_flags(corpus, bench, n=4, max_hit_ratio=0.5).collect()}
+    assert out[1].n_grams == 2 and out[1].n_hits == 1 and not out[1].contaminated
+    assert out[2].contaminated

@@ -71,3 +71,17 @@ def test_global_shuffle_is_deterministic_permutation(spark):
     other = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed=2).collect()}
     assert other != out1  # seeds give independent epoch orders
     assert sorted(other.values()) == list(range(500))
+
+
+def test_assign_shards_duplicate_order_keys_rows_frame(spark):
+    """Duplicate order keys must not double-count peers' bytes (the
+    default RANGE window frame would put every tied row in the last
+    shard); the explicit ROWS frame yields even target-sized shards."""
+    from spark_sql_on_hbase_spark.operators.sharding import assign_shards
+
+    df = spark.createDataFrame([(5, 10)] * 100, "k long, nbytes long")
+    out = assign_shards(df, "k", "nbytes", target_bytes=100)
+    sizes = sorted(
+        r.n for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [10] * 10
