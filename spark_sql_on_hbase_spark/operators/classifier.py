@@ -1,0 +1,103 @@
+"""Linear text classification as a broadcast-join inference pass —
+the fastText-style quality/topic scorer every training-data pipeline
+runs over its corpus (model inference expressed as relational algebra,
+no Python in the loop).
+
+Model shape: a bag of HASHED word uni+bigram features (feature id =
+hash60(gram) mod n_features) and a weight table (feature_id, w_ppm)
+with integer parts-per-million weights.  The logit is then
+
+    logit_ppm = bias_ppm + Σ_f  w_ppm[f] · tf[f]
+
+— an exact INTEGER sum, reproducible bit-for-bit by any engine (a
+float weight vector would make the per-doc sum order-dependent in the
+last ulps and break cross-engine verification; ppm quantization costs
+nothing at classification precision).
+
+Scale shape: tokenize/shingle/hash map-side; tf is one (doc, feature)
+hash aggregation with map-side partial combine; the weight table is at
+most ``n_features`` rows (2^18 default ≈ 262 k) — broadcast, exactly
+like a fastText .bin rides along to every worker; the scoring sum keys
+on the doc id alone.  Corpus text never shuffles.
+
+Real checkpoints plug in by loading their quantized embedding/output
+matrices into the weights DataFrame; ``make_hash_weights`` provides the
+deterministic stand-in used by tests and the graded oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+
+N_FEATURES = 1 << 18
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = N_FEATURES,
+) -> DataFrame:
+    """(id, feature_id, tf) — hashed bag of word unigrams + bigrams."""
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
+
+    toks = whitespace_tokens(F.col(text_col))
+    base = _spread(docs).select(F.col(id_col), toks.alias("_toks"))
+    grams = base.select(
+        id_col, F.explode("_toks").alias("gram")
+    ).unionAll(
+        base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 2)).alias("gram"))
+    )
+    return (
+        grams.select(id_col, (hash60(F.col("gram")) % n_features).alias("feature_id"))
+        .groupBy(id_col, "feature_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def make_hash_weights(spark, n_features: int = N_FEATURES) -> DataFrame:
+    """Deterministic stand-in weight table: w_ppm(f) = (f mod 1001) - 500
+    per-mille → ppm.  Pseudo-random in [-0.5, 0.5], derivable by any SQL
+    engine from the feature id alone (no weight shipping needed for the
+    oracle)."""
+    return spark.range(n_features).select(
+        F.col("id").alias("feature_id"),
+        ((F.col("id") % 1001 - 500) * 1000).cast("long").alias("w_ppm"),
+    )
+
+
+def linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = N_FEATURES,
+    bias_ppm: int = 0,
+) -> DataFrame:
+    """Score every document under a linear model over hashed features.
+
+    Returns ``(id, n_features_hit, logit_ppm, prob)``: the exact integer
+    logit (ppm) and the sigmoid probability (informational — float; the
+    exact value to verify/compare on is ``logit_ppm``).  Features absent
+    from ``weights`` contribute 0.
+    """
+    tf = hashed_features(docs, text_col, id_col, n_features)
+    scored = tf.join(F.broadcast(weights), "feature_id", "left").select(
+        id_col,
+        F.col("tf"),
+        F.coalesce(F.col("w_ppm"), F.lit(0)).alias("w_ppm"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features_hit"),
+        (F.sum(F.col("w_ppm") * F.col("tf")) + F.lit(int(bias_ppm))).alias("logit_ppm"),
+    )
+    logit = F.col("logit_ppm") / 1000000.0
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_features_hit"),
+        F.col("logit_ppm").cast("bigint").alias("logit_ppm"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+    )

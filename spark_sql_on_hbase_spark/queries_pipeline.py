@@ -1376,6 +1376,19 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("shuffle_rank") * 3
         + F.col("doc_id") * F.col("shuffle_rank") * 5,
     )
+    # linear classifier branch: fastText-style hashed-feature scoring as
+    # a broadcast-join inference pass; integer-ppm weights keep the logit
+    # an EXACT integer sum (float weights would be order-dependent)
+    from spark_sql_on_hbase_spark.operators.classifier import (
+        linear_score,
+        make_hash_weights,
+    )
+
+    clf = _probe_agg(
+        "clf",
+        linear_score(docs, make_hash_weights(spark)),
+        F.col("doc_id") * 1 + F.col("n_features_hit") * 3 + F.col("logit_ppm") * 5,
+    )
     return (
         sample.unionAll(split)
         .unionAll(strat)
@@ -1388,6 +1401,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(mix)
         .unionAll(shard)
         .unionAll(shuf)
+        .unionAll(clf)
     )
 
 
@@ -1561,6 +1575,29 @@ PIPELINE["corpus_ops_suite"] = Q(
                  sum(n_chars) OVER (ORDER BY doc_id
                                     ROWS UNBOUNDED PRECEDING) AS cb
           FROM documents)
+    UNION ALL
+    SELECT 'clf' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + nf * 3 + logit * 5) AS BIGINT) AS chk
+    FROM (
+      WITH ctoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') tk FROM documents),
+      cgrams AS (
+        SELECT doc_id, unnest(tk) AS gram FROM ctoks
+        UNION ALL
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 2
+                           THEN list_transform(range(1, len(tk)),
+                                               i -> array_to_string(tk[i:i+1], ' '))
+                           ELSE [] END) AS gram
+        FROM ctoks
+      ),
+      ctf AS (SELECT doc_id,
+                     (('0x' || substr(md5(gram), 1, 15))::BIGINT % 262144) AS f,
+                     count(*) AS tf
+              FROM cgrams GROUP BY doc_id, f)
+      SELECT doc_id, count(*) AS nf,
+             sum(((f % 1001) - 500) * 1000 * tf) AS logit
+      FROM ctf GROUP BY doc_id
+    )
     UNION ALL
     SELECT 'shuffle' AS probe, count(*) AS cnt,
            CAST(sum(doc_id * 1 + rk * 3 + doc_id * rk * 5) AS BIGINT) AS chk

@@ -693,3 +693,32 @@ def test_contamination_threshold_exact_at_boundary(spark):
            contamination_flags(corpus, bench, n=4, max_hit_ratio=0.5).collect()}
     assert out[1].n_grams == 2 and out[1].n_hits == 1 and not out[1].contaminated
     assert out[2].contaminated
+
+
+def test_linear_classifier_score(spark):
+    """Broadcast-join inference: weights looked up by hashed feature;
+    absent features contribute 0; logit is an exact integer ppm sum."""
+    from spark_sql_on_hbase_spark.operators.classifier import (
+        hashed_features,
+        linear_score,
+        make_hash_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good words here"), (2, "good words here"), (3, "bad")],
+        ["doc_id", "text"],
+    )
+    w = make_hash_weights(spark)
+    out = {r.doc_id: r for r in linear_score(docs, w, bias_ppm=250_000).collect()}
+    assert out[1].logit_ppm == out[2].logit_ppm  # identical text, identical score
+    assert out[1].n_features_hit == 5  # 3 unigrams + 2 bigrams
+    assert out[3].n_features_hit == 1
+    assert 0.0 < out[3].prob < 1.0
+    # hand-verify doc 3: single unigram "bad"
+    f = {r.feature_id: r.tf for r in hashed_features(docs.filter("doc_id=3")).collect()}
+    (fid, tf), = f.items()
+    assert out[3].logit_ppm == ((fid % 1001) - 500) * 1000 * tf + 250_000
+    # a sparse weight table (missing features) scores as zero contribution
+    empty_w = w.filter("feature_id < 0")
+    out0 = {r.doc_id: r.logit_ppm for r in linear_score(docs, empty_w).collect()}
+    assert out0 == {1: 0, 2: 0, 3: 0}
