@@ -244,3 +244,67 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score_fp", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    min_df: int = 10,
+    sep: str = r"\s+",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate dictionary: segments (lines/sentences —
+    whatever ``sep`` splits on) appearing in ≥ ``min_df`` DISTINCT
+    documents, CCNet-style.  Returns (seg_hash, df) — hashes only, tiny
+    relative to the corpus, broadcastable downstream.
+
+    Scale shape: split/explode map-side; the df count is a two-level
+    aggregation on (seg_hash) with partial combine — countDistinct over
+    the doc id never materializes per-segment id lists.
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), sep)).alias("seg"),
+    ).filter(F.col("seg") != "")
+    return (
+        segs.select(id_col, hash60(F.col("seg")).alias("seg_hash"))
+        .groupBy("seg_hash")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    sep: str = r"\s+",
+    join_sep: str = " ",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every boilerplate segment from every document, preserving
+    the remaining segments' order.  Returns (id, clean_text, n_removed).
+
+    The boilerplate dictionary (hashes) broadcasts; filtering happens
+    INSIDE a higher-order filter over the split array — per-row, no
+    explode/re-group round trip, no shuffle at all when the dictionary
+    fits the broadcast threshold (it is seg_hash+df only).
+    """
+    bp = F.broadcast(boilerplate.select("seg_hash"))
+    # collect the dictionary into an array ONCE per plan via a cross join
+    # of the 1-row aggregated array — stays a BroadcastNestedLoopJoin of
+    # a single row, not a per-row subquery
+    bp_arr = bp.agg(F.array_sort(F.collect_set("seg_hash")).alias("_bp"))
+    segs = F.filter(
+        F.split(F.lower(F.col(text_col)), sep), lambda s: s != F.lit("")
+    )
+    kept = F.filter(
+        segs,
+        lambda s: ~F.array_contains(F.col("_bp"), hash60(s)),
+    )
+    return docs.crossJoin(F.broadcast(bp_arr)).select(
+        F.col(id_col),
+        F.array_join(kept, join_sep).alias(out_col),
+        (F.size(segs) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

@@ -1080,6 +1080,60 @@ PIPELINE["text_repetition"] = Q(
 )
 
 
+def _text_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import (
+        boilerplate_segments,
+        strip_boilerplate,
+    )
+
+    docs = load_tables(spark, sf)["documents"]
+    bp = boilerplate_segments(docs, min_df=390)
+    return strip_boilerplate(docs, bp)
+
+
+PIPELINE["text_boilerplate"] = Q(
+    spark=_text_boilerplate,
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         s -> s != '') AS arr
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, arr[CAST(i AS INT)] AS seg, i AS ord
+      FROM base, unnest(range(1, len(arr) + 1)) AS t(i)
+    ),
+    bp AS (
+      SELECT seg FROM (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+      ) WHERE df >= 390
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg, s.ord
+      FROM segs s LEFT JOIN bp b USING (seg) WHERE b.seg IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             array_to_string(array_agg(seg ORDER BY ord), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(t.n_segs - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    JOIN tot t USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="CCNet-style boilerplate removal: corpus-level segment dictionary "
+    "(df >= min_df, hashes only) broadcast into a higher-order filter over "
+    "each doc's split array — per-doc work is shuffle-free "
+    "(operators/text_analysis.boilerplate_segments/strip_boilerplate)",
+)
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of + binned interval join — operators/temporal.py)
 # ---------------------------------------------------------------------------

@@ -722,3 +722,43 @@ def test_linear_classifier_score(spark):
     empty_w = w.filter("feature_id < 0")
     out0 = {r.doc_id: r.logit_ppm for r in linear_score(docs, empty_w).collect()}
     assert out0 == {1: 0, 2: 0, 3: 0}
+
+
+def test_boilerplate_strip(spark):
+    """Segments repeated across >= min_df docs are stripped everywhere,
+    order of survivors preserved; rare segments stay."""
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe now unique alpha content"),
+            (2, "subscribe now beta words"),
+            (3, "subscribe now gamma stuff"),
+            (4, "delta only rare things"),
+        ],
+        ["doc_id", "text"],
+    )
+    bp = TA.boilerplate_segments(docs, min_df=3)
+    hits = {r.seg_hash: r.df for r in bp.collect()}
+    assert len(hits) == 2 and set(hits.values()) == {3}  # "subscribe", "now"
+    out = {r.doc_id: r for r in TA.strip_boilerplate(docs, bp).collect()}
+    assert out[1].clean_text == "unique alpha content" and out[1].n_removed == 2
+    assert out[2].clean_text == "beta words"
+    assert out[4].clean_text == "delta only rare things" and out[4].n_removed == 0
+    # empty dictionary → no-op
+    out0 = {r.doc_id: r.n_removed for r in
+            TA.strip_boilerplate(docs, bp.filter("df < 0")).collect()}
+    assert set(out0.values()) == {0}
+    # shuffle-free strip: with a materialized dictionary (the usual case —
+    # built once per corpus version) the per-doc filtering plan has no
+    # shuffle Exchange, only the dictionary broadcast
+    bp_mat = spark.createDataFrame([(h,) for h in hits], "seg_hash long")
+    plan = (
+        TA.strip_boilerplate(docs, bp_mat)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only permitted shuffle is the dictionary's own 1-row
+    # collect_set fold (SinglePartition over seg hashes); the DOC side
+    # must never hash-partition
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row dictionary rides broadcast
