@@ -101,3 +101,74 @@ def linear_score(
         F.col("logit_ppm").cast("bigint").alias("logit_ppm"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
     )
+
+
+def ngram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Perplexity-style quality scoring: mean bigram log-probability of
+    each document under the corpus's own bigram model (add-k smoothing)
+    — the KenLM-filter pattern with the model TRAINED ON and APPLIED TO
+    the corpus in one relational plan.
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1·) + k·V),  V = distinct bigrams'
+    prefix vocabulary; score = Σ ln P over the doc's bigram occurrences
+    (``logprob_fp``, per-term 1e-6 fixed-point floors summed exactly so
+    the value is engine-reproducible), plus the float mean for human use.
+
+    Scale shape: two corpus count aggregations (bigram, prefix) with
+    map-side combine; model size = distinct-bigram rows, joined back to
+    the docs' bigram stream on the bigram hash — an equi-join that AQE
+    broadcasts when the vocabulary fits, else a plain hash join.  Corpus
+    text never shuffles; only hashes and counts move.
+
+    Returns (id, n_bigrams, logprob_fp, avg_logprob).
+    """
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
+
+    toks = whitespace_tokens(F.col(text_col))
+    base = _spread(docs).select(F.col(id_col), toks.alias("_toks"))
+    bigrams = base.select(
+        id_col, F.explode(word_ngrams(F.col("_toks"), 2)).alias("bg")
+    ).select(
+        id_col,
+        hash60(F.col("bg")).alias("bgh"),
+        hash60(F.split(F.col("bg"), " ").getItem(0)).alias("w1h"),
+    )
+    c_bg = bigrams.groupBy("bgh").agg(
+        F.count(F.lit(1)).alias("c2"), F.first("w1h").alias("w1h")
+    )
+    c_w1 = c_bg.groupBy("w1h").agg(F.sum("c2").alias("c1"))
+    vocab = c_bg.select(F.countDistinct("bgh").alias("v"))  # 1 row, broadcast
+    model = (
+        c_bg.join(c_w1, "w1h")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bgh",
+            F.floor(
+                F.log(
+                    (F.col("c2") + F.lit(k_smooth))
+                    / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+                )
+                * 1000000
+            ).cast("long").alias("lp_fp"),
+        )
+    )
+    scored = bigrams.join(model, "bgh")  # every corpus bigram is in the model
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_fp").alias("logprob_fp"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("logprob_fp").cast("bigint").alias("logprob_fp"),
+        # floor convention, not round(): see quality_score's note on
+        # cross-engine HALF_UP drift at exact-decimal boundaries
+        (F.floor(F.col("logprob_fp") / 1000000.0 / F.col("n_bigrams") * 10000) / 10000).alias(
+            "avg_logprob"
+        ),
+    )

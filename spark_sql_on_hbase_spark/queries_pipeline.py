@@ -1134,6 +1134,49 @@ PIPELINE["text_boilerplate"] = Q(
 )
 
 
+def _text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.classifier import ngram_logprob
+
+    return ngram_logprob(load_tables(spark, sf)["documents"], k_smooth=0.5)
+
+
+PIPELINE["text_perplexity"] = Q(
+    spark=_text_perplexity,
+    # ln() parity note: per-bigram floors at 1e-6 then EXACT integer sums
+    # — same convention text_tfidf has graded green since r2
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') tk FROM documents),
+    bgs AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2
+                         THEN list_transform(range(1, len(tk)),
+                                             i -> array_to_string(tk[i:i+1], ' '))
+                         ELSE [] END) AS bg
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgs),
+    c_bg AS (SELECT bg, any_value(w1) AS w1, count(*) AS c2 FROM occ GROUP BY bg),
+    c_w1 AS (SELECT w1, sum(c2) AS c1 FROM c_bg GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM c_bg),
+    model AS (
+      SELECT bg,
+             CAST(floor(ln((c2 + 0.5) / (c1 + 0.5 * v.v)) * 1000000) AS BIGINT) AS lp_fp
+      FROM c_bg JOIN c_w1 USING (w1) CROSS JOIN v
+    )
+    SELECT o.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(m.lp_fp) AS BIGINT) AS logprob_fp,
+           floor(sum(m.lp_fp) / 1000000.0 / count(*) * 10000) / 10000 AS avg_logprob
+    FROM occ o JOIN model m USING (bg)
+    GROUP BY o.doc_id
+    """,
+    doc="perplexity-style quality scoring: per-doc mean bigram log-prob under "
+    "the corpus's own add-k bigram model — the KenLM-filter pattern as one "
+    "relational plan; docs with no bigrams are excluded "
+    "(operators/classifier.ngram_logprob)",
+)
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of + binned interval join — operators/temporal.py)
 # ---------------------------------------------------------------------------

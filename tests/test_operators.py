@@ -762,3 +762,25 @@ def test_boilerplate_strip(spark):
     # must never hash-partition
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row dictionary rides broadcast
+
+
+def test_ngram_logprob(spark):
+    """Repeated (predictable) bigrams score higher than rare ones; the
+    fixed-point sum is exact and reproducible."""
+    from spark_sql_on_hbase_spark.operators.classifier import ngram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # one dominant bigram pattern
+            (2, "c d e f g h i j"),   # all-singleton bigrams
+            (3, "solo"),              # no bigrams → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ngram_logprob(docs).collect()}
+    assert 3 not in out and set(out) == {1, 2}
+    assert out[1].n_bigrams == 7 and out[2].n_bigrams == 7
+    # "a b" has count 4 of 14 bigram tokens; every doc-2 bigram is 1/14-ish
+    assert out[1].avg_logprob > out[2].avg_logprob
+    rerun = {r.doc_id: r.logprob_fp for r in ngram_logprob(docs).collect()}
+    assert rerun == {k: v.logprob_fp for k, v in out.items()}
