@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens
 
 N_FEATURES = 1 << 18
 
@@ -42,15 +42,17 @@ def hashed_features(
     n_features: int = N_FEATURES,
 ) -> DataFrame:
     """(id, feature_id, tf) — hashed bag of word unigrams + bigrams."""
-    from spark_sql_on_hbase_spark.operators.dedup import _spread
+    from spark_sql_on_hbase_spark.operators.dedup import _shingles, _spread
 
+    wide = _spread(docs)
     toks = whitespace_tokens(F.col(text_col))
-    base = _spread(docs).select(F.col(id_col), toks.alias("_toks"))
-    grams = base.select(
-        id_col, F.explode("_toks").alias("gram")
-    ).unionAll(
-        base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 2)).alias("gram"))
+    unis = wide.select(F.col(id_col), F.explode(toks).alias("gram"))
+    # bigrams via the compiled NGram shingler (HOF shingling is
+    # interpreted per element — see dedup._shingles)
+    bis = _shingles(wide, text_col, id_col, 2, distinct=False).select(
+        id_col, F.col("s").alias("gram")
     )
+    grams = unis.unionAll(bis)
     return (
         grams.select(id_col, (hash60(F.col("gram")) % n_features).alias("feature_id"))
         .groupBy(id_col, "feature_id")
@@ -127,12 +129,10 @@ def ngram_logprob(
 
     Returns (id, n_bigrams, logprob_fp, avg_logprob).
     """
-    from spark_sql_on_hbase_spark.operators.dedup import _spread
+    from spark_sql_on_hbase_spark.operators.dedup import _shingles, _spread
 
-    toks = whitespace_tokens(F.col(text_col))
-    base = _spread(docs).select(F.col(id_col), toks.alias("_toks"))
-    bigrams = base.select(
-        id_col, F.explode(word_ngrams(F.col("_toks"), 2)).alias("bg")
+    bigrams = _shingles(_spread(docs), text_col, id_col, 2, distinct=False).select(
+        F.col(id_col), F.col("s").alias("bg")
     ).select(
         id_col,
         hash60(F.col("bg")).alias("bgh"),

@@ -30,20 +30,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
-from spark_sql_on_hbase_spark.operators.dedup import _spread
+from spark_sql_on_hbase_spark.functions.text import hash60
+from spark_sql_on_hbase_spark.operators.dedup import _shingles, _spread
 
 
-def ngram_hash_set(docs: DataFrame, *, text_col: str = "text", n: int = 4) -> DataFrame:
+def ngram_hash_set(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 4
+) -> DataFrame:
     """Distinct 60-bit hashes of the word *n*-grams across all of ``docs``.
 
     This is the benchmark-side index: one column ``gram_hash``, distinct,
     small enough to broadcast.
     """
-    toks = whitespace_tokens(F.col(text_col))
+    # compiled-Scala NGram shingling (see dedup._shingles: the HOF
+    # formulation is interpreted per element and ~10x slower)
     return (
-        _spread(docs).select(F.explode(word_ngrams(toks, n)).alias("gram"))
-        .select(hash60(F.col("gram")).alias("gram_hash"))
+        _shingles(_spread(docs), text_col, id_col, n, distinct=False)
+        .select(hash60(F.col("s")).alias("gram_hash"))
         .distinct()
     )
 
@@ -66,15 +69,13 @@ def contamination_flags(
     and ``contaminated`` is true when ``hit_ratio > max_hit_ratio`` (so
     the default 0.0 flags ANY shared n-gram — the conservative standard).
     """
-    bench_idx = ngram_hash_set(benchmark, text_col=text_col, n=n)
+    bench_idx = ngram_hash_set(benchmark, text_col=text_col, id_col=id_col, n=n)
 
-    toks = whitespace_tokens(F.col(text_col))
-    # _spread: a small parquet corpus arrives as 1-2 splits, putting the
-    # whole explode+hash map stage on one core (see dedup._spread; no-op
-    # at real scale where the input already has thousands of splits)
-    grams = _spread(corpus).select(
-        F.col(id_col), F.explode_outer(word_ngrams(toks, n)).alias("gram")
-    ).select(id_col, hash60(F.col("gram")).alias("gram_hash"))
+    # compiled NGram shingling + _spread (small inputs arrive as 1-2
+    # splits; see dedup._shingles/_spread); outer keeps gram-less docs
+    grams = _shingles(
+        _spread(corpus), text_col, id_col, n, distinct=False, outer=True
+    ).select(id_col, hash60(F.col("s")).alias("gram_hash"))
     hits = grams.join(
         F.broadcast(bench_idx.withColumn("_hit", F.lit(1))), "gram_hash", "left"
     )

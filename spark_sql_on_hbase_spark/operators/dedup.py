@@ -76,7 +76,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True) -> DataFrame:
+def _shingles(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    distinct: bool = True,
+    outer: bool = False,
+) -> DataFrame:
     """(id, shingle) pairs of word n-grams.
 
     Shingling uses the ML ``NGram`` transformer — compiled Scala, ~10×
@@ -88,14 +95,17 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int, distinct: boo
     ``distinct=False`` skips the set-semantics shuffle — correct whenever
     the consumer is duplicate-insensitive (min over a multiset == min
     over its set), which keeps shingle TEXT entirely map-local.
+    ``outer=True`` keeps docs shorter than *n* tokens as one NULL-shingle
+    row (consumers that must report every doc).
     """
     from pyspark.ml.feature import NGram
 
     toks = docs.select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks"))
+    exploder = F.explode_outer if outer else F.explode
     sh = (
         NGram(n=n, inputCol="_toks", outputCol="_sh")
         .transform(toks)
-        .select(id_col, F.explode("_sh").alias("s"))
+        .select(id_col, exploder("_sh").alias("s"))
     )
     return sh.distinct() if distinct else sh
 

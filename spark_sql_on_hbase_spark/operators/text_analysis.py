@@ -159,17 +159,18 @@ def repetition_signals(
 
     All ratios are 1e-6 fixed-point floors (cross-engine exact).
     """
-    from spark_sql_on_hbase_spark.operators.dedup import _spread
+    from spark_sql_on_hbase_spark.operators.dedup import _shingles, _spread
 
-    toks = whitespace_tokens(F.col(text_col))
     # _spread: parallelize the tokenize/explode map stage when the scan
-    # arrives as 1-2 splits (no-op at real scale)
-    base = _spread(docs).select(F.col(id_col), toks.alias("_toks"))
-    grams = base.select(
-        id_col, F.lit("u").alias("tag"), F.explode_outer("_toks").alias("gram")
+    # arrives as 1-2 splits (no-op at real scale); bigrams via the
+    # compiled NGram shingler (HOF shingling is interpreted per element)
+    wide = _spread(docs)
+    toks = whitespace_tokens(F.col(text_col))
+    grams = wide.select(
+        F.col(id_col), F.lit("u").alias("tag"), F.explode_outer(toks).alias("gram")
     ).unionAll(
-        base.select(
-            id_col, F.lit("b").alias("tag"), F.explode_outer(word_ngrams(F.col("_toks"), 2)).alias("gram")
+        _shingles(wide, text_col, id_col, 2, distinct=False, outer=True).select(
+            F.col(id_col), F.lit("b").alias("tag"), F.col("s").alias("gram")
         )
     )
     counts = (
