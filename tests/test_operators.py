@@ -784,3 +784,38 @@ def test_ngram_logprob(spark):
     assert out[1].avg_logprob > out[2].avg_logprob
     rerun = {r.doc_id: r.logprob_fp for r in ngram_logprob(docs).collect()}
     assert rerun == {k: v.logprob_fp for k, v in out.items()}
+
+
+def test_r5_operator_plan_shapes(spark):
+    """Scale-shape guards: the r5 operators must plan broadcast/equi
+    joins — never a cartesian product, and never a nested loop on the
+    corpus side."""
+    from spark_sql_on_hbase_spark.operators.classifier import (
+        linear_score,
+        make_hash_weights,
+        ngram_logprob,
+    )
+    from spark_sql_on_hbase_spark.operators.decontam import contamination_flags
+    from spark_sql_on_hbase_spark.operators.similarity import semantic_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(contamination_flags(docs, docs.limit(50)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p  # benchmark gram index rides broadcast
+
+    p = plan(semantic_dedup(emb, n_clusters=4, threshold=0.5))
+    # the only nested-loop/cartesian allowed is the broadcast of the K
+    # centroids (4 rows); the corpus-pair stage must be an equi-join
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    p = plan(linear_score(docs, make_hash_weights(spark, n_features=1 << 12), n_features=1 << 12))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+
+    p = plan(ngram_logprob(docs))
+    assert "CartesianProduct" not in p, p
