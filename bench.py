@@ -318,6 +318,12 @@ def _stage_totals(spark, since: int | None) -> dict | None:
         "spill_disk_mb": 0.0,
         "task_time_sec": 0.0,
     }
+    # eviction detection: the store drops OLDEST stages first, so if the
+    # smallest retained id is past our marker+1 the query's own earliest
+    # stages were evicted and these sums are PARTIAL — flag, don't guess
+    min_present = min((s.get("stageId", 1 << 60) for s in data), default=None)
+    if min_present is not None and min_present > since + 1:
+        tot["partial"] = True
     for s in data:
         if s.get("stageId", -1) <= since:
             continue

@@ -25,7 +25,13 @@ def whitespace_tokens(col) -> Column:
 
 
 def word_ngrams(tokens, n: int) -> Column:
-    """Word n-gram shingles from a token array (space-joined)."""
+    """Word n-gram shingles from a token array (space-joined).
+
+    Public helper for ad-hoc column expressions; the operators package
+    shingles via ``operators.dedup._shingles`` (compiled ML NGram) —
+    this HOF formulation evaluates interpreted per element and is ~10×
+    slower on corpus-sized inputs.
+    """
     tokens = F.col(tokens) if isinstance(tokens, str) else tokens
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     return F.when(

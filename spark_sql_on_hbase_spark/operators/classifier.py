@@ -87,14 +87,15 @@ def linear_score(
     from ``weights`` contribute 0.
     """
     tf = hashed_features(docs, text_col, id_col, n_features)
-    scored = tf.join(F.broadcast(weights), "feature_id", "left").select(
-        id_col,
-        F.col("tf"),
-        F.coalesce(F.col("w_ppm"), F.lit(0)).alias("w_ppm"),
-    )
+    scored = tf.join(F.broadcast(weights), "feature_id", "left")
+    # n_features_hit counts features PRESENT in the weight table (the
+    # coverage signal a sparse real checkpoint needs); misses score 0
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_features_hit"),
-        (F.sum(F.col("w_ppm") * F.col("tf")) + F.lit(int(bias_ppm))).alias("logit_ppm"),
+        F.count(F.col("w_ppm")).alias("n_features_hit"),
+        (
+            F.sum(F.coalesce(F.col("w_ppm"), F.lit(0)) * F.col("tf"))
+            + F.lit(int(bias_ppm))
+        ).alias("logit_ppm"),
     )
     logit = F.col("logit_ppm") / 1000000.0
     return per_doc.select(
@@ -142,7 +143,7 @@ def ngram_logprob(
         F.count(F.lit(1)).alias("c2"), F.first("w1h").alias("w1h")
     )
     c_w1 = c_bg.groupBy("w1h").agg(F.sum("c2").alias("c1"))
-    vocab = c_bg.select(F.countDistinct("bgh").alias("v"))  # 1 row, broadcast
+    vocab = c_bg.select(F.count(F.lit(1)).alias("v"))  # bgh already unique; 1 row
     model = (
         c_bg.join(c_w1, "w1h")
         .crossJoin(F.broadcast(vocab))

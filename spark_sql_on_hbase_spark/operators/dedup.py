@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -100,7 +100,16 @@ def _shingles(
     """
     from pyspark.ml.feature import NGram
 
-    toks = docs.select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks"))
+    # NULL text → NULL token array, which NGram's transform UDF NPEs on
+    # (Seq.iterator on null); coalesce to an empty array so a NULL doc
+    # degrades to zero shingles (one NULL row under outer=True) exactly
+    # like the old null-safe HOF shingler did
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
     exploder = F.explode_outer if outer else F.explode
     sh = (
         NGram(n=n, inputCol="_toks", outputCol="_sh")

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens, word_ngrams
+from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens
 
 # marker stopwords per language for the n-gram/stopword language-ID
 # heuristic; ties break by this declaration order.
@@ -296,9 +296,14 @@ def strip_boilerplate(
     # collect the dictionary into an array ONCE per plan via a cross join
     # of the 1-row aggregated array — stays a BroadcastNestedLoopJoin of
     # a single row, not a per-row subquery
-    bp_arr = bp.agg(F.array_sort(F.collect_set("seg_hash")).alias("_bp"))
+    bp_arr = bp.agg(F.collect_set("seg_hash").alias("_bp"))
+    # coalesce: NULL text degrades to zero segments (clean_text = '',
+    # n_removed = 0) instead of NULL-propagating size() = -1 artifacts
     segs = F.filter(
-        F.split(F.lower(F.col(text_col)), sep), lambda s: s != F.lit("")
+        F.coalesce(
+            F.split(F.lower(F.col(text_col)), sep), F.array().cast("array<string>")
+        ),
+        lambda s: s != F.lit(""),
     )
     kept = F.filter(
         segs,

@@ -1122,9 +1122,9 @@ PIPELINE["text_boilerplate"] = Q(
     tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
     SELECT d.doc_id,
            coalesce(a.clean_text, '') AS clean_text,
-           CAST(t.n_segs - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+           CAST(coalesce(t.n_segs, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
     FROM documents d
-    JOIN tot t USING (doc_id)
+    LEFT JOIN tot t USING (doc_id)
     LEFT JOIN agg a USING (doc_id)
     """,
     doc="CCNet-style boilerplate removal: corpus-level segment dictionary "

@@ -819,3 +819,25 @@ def test_r5_operator_plan_shapes(spark):
 
     p = plan(ngram_logprob(docs))
     assert "CartesianProduct" not in p, p
+
+
+def test_null_text_degrades_not_crashes(spark):
+    """NULL text must degrade to zero grams/segments everywhere the NGram
+    shingler runs — the ML transformer NPEs on a NULL token array unless
+    the array is coalesced (regression guard for the _shingles switch)."""
+    from spark_sql_on_hbase_spark.operators.classifier import linear_score, make_hash_weights
+    from spark_sql_on_hbase_spark.operators.decontam import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(1, "real words in this document here"), (2, None)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "unrelated eval words")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in contamination_flags(docs, bench, n=3).collect()}
+    assert out[2].n_grams == 0 and not out[2].contaminated
+    rep = {r.doc_id: r for r in TA.repetition_signals(docs).collect()}
+    assert rep[2].n_tokens == 0 and rep[2].dup_2gram_frac == 0.0
+    sb = {r.doc_id: r for r in TA.strip_boilerplate(
+        docs, spark.createDataFrame([(123,)], "seg_hash long")).collect()}
+    assert sb[2].clean_text == "" and sb[2].n_removed == 0
+    clf = {r.doc_id: r for r in linear_score(docs, make_hash_weights(spark, 1 << 12), n_features=1 << 12).collect()}
+    assert clf[1].n_features_hit > 0  # doc 2 has no features → absent is fine
