@@ -314,3 +314,66 @@ def strip_boilerplate(
         F.array_join(kept, join_sep).alias(out_col),
         (F.size(segs) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+def truncate_tokens(
+    docs: DataFrame,
+    max_tokens: int,
+    mode: str = "head",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "trunc_text",
+) -> DataFrame:
+    """Token-budget truncation — the standard preprocessing cut before
+    tokenizer/packing stages.  ``mode="head"`` keeps the first
+    ``max_tokens``; ``mode="head_tail"`` keeps ⌈max/2⌉ from the front
+    and ⌊max/2⌋ from the end (preserves document endings — titles AND
+    conclusions — the common long-doc recipe).
+
+    Pure codegen (split/slice/concat/array_join — no lambda HOFs, no
+    Python), map-side only.  Returns (id, out_col, n_tokens, truncated).
+    """
+    assert mode in ("head", "head_tail") and max_tokens > 0
+    toks = F.coalesce(
+        whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    n = F.size(toks)
+    if mode == "head":
+        kept = F.slice(toks, 1, max_tokens)
+    else:
+        h = (max_tokens + 1) // 2
+        t = max_tokens // 2
+        kept = F.when(
+            n > max_tokens,
+            F.concat(F.slice(toks, 1, h), F.slice(toks, -t, t)),
+        ).otherwise(toks)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(out_col),
+        n.cast("bigint").alias("n_tokens"),
+        (n > max_tokens).alias("truncated"),
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus rollup for dataset cards: doc/token counts, vocab
+    of langs/sources, and the exact-duplicate doc count (docs minus
+    distinct text hashes) — a single aggregation pass, partial-combined
+    map-side; the only data movement is the final 1-row reduce."""
+    toks = F.coalesce(
+        whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_nt"),
+        F.col("lang"),
+        F.col("source"),
+        hash60(F.col(text_col)).alias("_th"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens_total"),
+        (F.floor(F.sum("_nt") / F.count(F.lit(1)) * 10000) / 10000).alias("avg_doc_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("_th")).cast("bigint").alias("n_exact_dup_docs"),
+    )

@@ -105,6 +105,8 @@ TAIL_ORDER = [
     # outside the 50-row window only for slot budget
     "text_boilerplate",
     "text_perplexity",
+    "text_truncate",
+    "corpus_stats",
     # simple COUNT/SUM/AVG over the astro scan path — the same physical
     # scan is value-verified in-window by astro_range_scan/astro_mixed_
     # residual; demoted to make room for the streaming entries

@@ -1177,6 +1177,53 @@ PIPELINE["text_perplexity"] = Q(
 )
 
 
+def _text_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import truncate_tokens
+
+    docs = load_tables(spark, sf)["documents"]
+    return truncate_tokens(docs, max_tokens=20, mode="head_tail")
+
+
+PIPELINE["text_truncate"] = Q(
+    spark=_text_truncate,
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(tk) > 20
+                THEN array_to_string(tk[1:10] || tk[len(tk)-9:len(tk)], ' ')
+                ELSE array_to_string(tk, ' ') END AS trunc_text,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           len(tk) > 20 AS truncated
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents)
+    """,
+    doc="token-budget truncation (head_tail: keep 10 front + 10 back of a "
+    "20-token budget) — pure codegen slice/concat, map-side only "
+    "(operators/text_analysis.truncate_tokens)",
+)
+
+
+def _corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import corpus_stats
+
+    return corpus_stats(load_tables(spark, sf)["documents"])
+
+
+PIPELINE["corpus_stats"] = Q(
+    spark=_corpus_stats,
+    oracle=f"""
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(tk)) AS BIGINT) AS n_tokens_total,
+           floor(sum(len(tk)) / count(*) * 10000) / 10000 AS avg_doc_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(count(*) - count(DISTINCT {_dh('text')}) AS BIGINT) AS n_exact_dup_docs
+    FROM (SELECT *, string_split_regex(lower(text), '\\s+') AS tk FROM documents)
+    """,
+    doc="dataset-card rollup: doc/token counts, lang/source vocab, exact-dup "
+    "doc count — one partial-combined aggregation pass "
+    "(operators/text_analysis.corpus_stats)",
+)
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of + binned interval join — operators/temporal.py)
 # ---------------------------------------------------------------------------

@@ -841,3 +841,28 @@ def test_null_text_degrades_not_crashes(spark):
     assert sb[2].clean_text == "" and sb[2].n_removed == 0
     clf = {r.doc_id: r for r in linear_score(docs, make_hash_weights(spark, 1 << 12), n_features=1 << 12).collect()}
     assert clf[1].n_features_hit > 0  # doc 2 has no features → absent is fine
+
+
+def test_truncate_tokens_and_corpus_stats(spark):
+    from spark_sql_on_hbase_spark.operators.text_analysis import (
+        corpus_stats,
+        truncate_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)), "en", "s0"),
+         (2, "short doc", "fr", "s1"),
+         (3, "short doc", "fr", "s0")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    head = {r.doc_id: r for r in truncate_tokens(docs, 8, mode="head").collect()}
+    assert head[1].trunc_text == " ".join(f"w{i}" for i in range(8)) and head[1].truncated
+    assert head[2].trunc_text == "short doc" and not head[2].truncated
+    ht = {r.doc_id: r for r in truncate_tokens(docs, 8, mode="head_tail").collect()}
+    assert ht[1].trunc_text == "w0 w1 w2 w3 w26 w27 w28 w29"
+    assert ht[2].trunc_text == "short doc"
+
+    st = corpus_stats(docs).collect()[0]
+    assert st.n_docs == 3 and st.n_tokens_total == 34
+    assert st.n_langs == 2 and st.n_sources == 2
+    assert st.n_exact_dup_docs == 1  # docs 2 and 3 share text
