@@ -150,3 +150,35 @@ def stratified_sample(
         .filter(sample_bucket(F.col(key), salt) < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: Mapping[str, float] = {"train": 0.8, "val": 0.1, "test": 0.1},
+    salt: str = "spl",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Train/val/test split where NEAR-DUPLICATE documents always land on
+    the same side: the split key is each doc's duplicate-cluster
+    representative (min reachable id through MinHash-LSH dup edges), so
+    a near-copy of a training document can never leak into the eval
+    split — the contamination channel a plain per-doc hash split leaves
+    open.
+
+    Scale shape: the cluster pass is the existing banded-LSH +
+    O(log diameter) label propagation (`dedup.duplicate_clusters`); the
+    split itself stays a map-side pure function of the representative.
+    Returns docs' columns plus (split_key, split).
+    """
+    from spark_sql_on_hbase_spark.operators.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(
+        docs, num_perm=num_perm, bands=bands, id_col=id_col
+    ).withColumnRenamed("cluster_id", "split_key")
+    labeled = docs.join(clusters, id_col, "left").withColumn(
+        "split_key", F.coalesce(F.col("split_key"), F.col(id_col))
+    )
+    return assign_split(labeled, "split_key", weights, salt=salt)

@@ -107,6 +107,7 @@ TAIL_ORDER = [
     "text_perplexity",
     "text_truncate",
     "corpus_stats",
+    "leakage_safe_split",
     # simple COUNT/SUM/AVG over the astro scan path — the same physical
     # scan is value-verified in-window by astro_range_scan/astro_mixed_
     # residual; demoted to make room for the streaming entries

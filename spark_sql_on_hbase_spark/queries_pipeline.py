@@ -1224,6 +1224,56 @@ PIPELINE["corpus_stats"] = Q(
 )
 
 
+def _leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.sampling import leakage_safe_split
+
+    docs = load_tables(spark, sf)["documents"]
+    return leakage_safe_split(docs).select("doc_id", "split_key", "split")
+
+
+PIPELINE["leakage_safe_split"] = Q(
+    spark=_leakage_safe_split,
+    oracle=f"""
+    WITH RECURSIVE {_D_SHINGLES},
+    {_minhash_cte(16)},
+    bandsig AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             array_to_string(array_agg(minhash::VARCHAR ORDER BY perm), ',') AS bsig
+      FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsig a JOIN bandsig b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    mins AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+    keyed AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(m.mb, d.doc_id)) AS split_key
+      FROM documents d LEFT JOIN mins m ON m.a = d.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *,
+                 ('0x' || substr(md5('spl|' || CAST(split_key AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bkt
+          FROM keyed)
+    """,
+    doc="leakage-safe train/val/test split: split keys are duplicate-cluster "
+    "representatives (MinHash-LSH closure), so near-copies of training docs "
+    "can never land in the eval side — the channel a per-doc hash split "
+    "leaves open (operators/sampling.leakage_safe_split)",
+)
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of + binned interval join — operators/temporal.py)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,25 @@ def test_normalize_and_redact(spark):
     # compiles it and agrees on the masked form
     for _, (n, r) in out.items():
         assert re.sub(REDACT_PATTERN, "#", n) == r
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Near-duplicate documents must land in the SAME split — the
+    eval-contamination guard a per-doc hash split cannot give."""
+    from spark_sql_on_hbase_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"totally unique document number {i} with filler words") for i in range(40)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy dog"),   # exact dup
+             (102, "the quick brown fox jumps over the sleepy dog")]  # near dup
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    assert len(out) == 43  # every doc split exactly once
+    # the exact-dup pair shares one representative and therefore one split
+    # (102's jaccard ≈ 0.55 sits below the 16/4 banding threshold ≈ 0.71,
+    # so it is correctly NOT merged at the default sensitivity)
+    assert out[100].split_key == out[101].split_key == 100
+    assert out[100].split == out[101].split
+    # deterministic across re-runs
+    again = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    assert again == {k: v.split for k, v in out.items()}
