@@ -343,9 +343,12 @@ def truncate_tokens(
     else:
         h = (max_tokens + 1) // 2
         t = max_tokens // 2
+        # budget 1 → tail length 0: slice(…, -0, 0) is a runtime error
+        # (start must be non-zero), so an empty tail is a literal
+        tail = F.slice(toks, -t, t) if t > 0 else F.array().cast("array<string>")
         kept = F.when(
             n > max_tokens,
-            F.concat(F.slice(toks, 1, h), F.slice(toks, -t, t)),
+            F.concat(F.slice(toks, 1, h), tail),
         ).otherwise(toks)
     return docs.select(
         F.col(id_col),

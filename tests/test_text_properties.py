@@ -94,3 +94,26 @@ def test_global_shuffle_matches_reference(spark, ids, seed):
     order = sorted(ids, key=lambda i: (_hash60(f"{seed}\x1f{i}"), i))
     want = {i: rank for rank, i in enumerate(order)}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=10), st.integers(1, 12),
+       st.sampled_from(["head", "head_tail"]))
+def test_truncate_tokens_matches_reference(spark, texts, budget, mode):
+    from spark_sql_on_hbase_spark.operators.text_analysis import truncate_tokens
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: (r.trunc_text, r.n_tokens, r.truncated)
+           for r in truncate_tokens(df, budget, mode=mode).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.lower())
+        if len(toks) <= budget:
+            kept = toks
+        elif mode == "head":
+            kept = toks[:budget]
+        else:
+            h, tl = (budget + 1) // 2, budget // 2
+            kept = toks[:h] + toks[len(toks) - tl:]
+        want[i] = (" ".join(kept), len(toks), len(toks) > budget)
+    assert got == want
