@@ -117,3 +117,28 @@ def test_truncate_tokens_matches_reference(spark, texts, budget, mode):
             kept = toks[:h] + toks[len(toks) - tl:]
         want[i] = (" ".join(kept), len(toks), len(toks) > budget)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=12), st.integers(2, 4))
+def test_boilerplate_strip_matches_reference(spark, texts, min_df):
+    from spark_sql_on_hbase_spark.operators.text_analysis import (
+        boilerplate_segments,
+        strip_boilerplate,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    bp = boilerplate_segments(df, min_df=min_df)
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in strip_boilerplate(df, bp).collect()}
+    seg_docs = {}
+    for i, t in enumerate(texts):
+        for seg in set(s for s in re.split(r"\s+", t.lower()) if s):
+            seg_docs.setdefault(seg, set()).add(i)
+    bset = {s for s, d in seg_docs.items() if len(d) >= min_df}
+    want = {}
+    for i, t in enumerate(texts):
+        segs = [s for s in re.split(r"\s+", t.lower()) if s]
+        kept = [s for s in segs if s not in bset]
+        want[i] = (" ".join(kept), len(segs) - len(kept))
+    assert got == want
