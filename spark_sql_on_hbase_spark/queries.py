@@ -48,7 +48,10 @@ GRADED_ORDER = [
     "text_language_id",
     "text_quality_score",
     "text_repetition",
-    "text_fingerprint",
+    # one checksummed row covering boilerplate strip / perplexity /
+    # truncation / corpus rollup / leakage-safe split / fingerprint
+    # (the six originals stay individually runnable in the tail)
+    "text_ops_suite",
     "text_tfidf",
     "topk_terms",
     "knn_bruteforce_cosine",
@@ -101,8 +104,9 @@ TAIL_ORDER = [
     "streaming_sessionize",
     "text_token_count",
     "ann_lsh_signatures",
-    # full oracle, locally value-verified (tools/check_correctness) —
-    # outside the 50-row window only for slot budget
+    # full oracles, individually runnable; their row counts AND values
+    # grade in-window through text_ops_suite's checksummed branches
+    "text_fingerprint",
     "text_boilerplate",
     "text_perplexity",
     "text_truncate",

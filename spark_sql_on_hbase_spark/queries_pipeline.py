@@ -1820,3 +1820,133 @@ PIPELINE["corpus_ops_suite"] = Q(
     "and the size-bounded shard assigner (two-phase distributed prefix sum "
     "vs the oracle's global window, operators/sharding.py)",
 )
+
+
+# ---------------------------------------------------------------------------
+# text-ops suite: the r5 tail operators rotated into the graded window
+# (VERDICT r5 item 2) — CCNet boilerplate strip, corpus-LM perplexity,
+# token truncation, dataset-card rollup, leakage-safe split, plus the
+# bottom-sketch fingerprint (collapsed from its former graded singleton
+# to keep GRADED_ORDER <= 49).  Each branch re-runs the tail entry's
+# exact Spark callable and checksums its FULL output (probe/cnt/chk,
+# prime-weighted, strings as length + hash60 mod 1e6, doubles as 1e4
+# fixed point) against the same wrap of the tail entry's DuckDB oracle.
+# ---------------------------------------------------------------------------
+def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.functions.text import hash60
+
+    def h6(c: str):
+        return hash60(F.col(c)) % 1_000_000
+
+    def fp4(c: str):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("bigint")
+
+    boiler = _probe_agg(
+        "boiler",
+        PIPELINE["text_boilerplate"].spark(spark, sf),
+        F.col("doc_id") * 1 + F.length("clean_text") * 3 + h6("clean_text") * 5
+        + F.col("n_removed") * 7,
+    )
+    perp = _probe_agg(
+        "perplexity",
+        PIPELINE["text_perplexity"].spark(spark, sf),
+        F.col("doc_id") * 1 + F.col("n_bigrams") * 3 + F.col("logprob_fp") * 5
+        + fp4("avg_logprob") * 7,
+    )
+    trunc = _probe_agg(
+        "truncate",
+        PIPELINE["text_truncate"].spark(spark, sf),
+        F.col("doc_id") * 1 + F.length("trunc_text") * 3 + h6("trunc_text") * 5
+        + F.col("n_tokens") * 7
+        + F.when(F.col("truncated"), 1).otherwise(-1) * 11,
+    )
+    stats = _probe_agg(
+        "stats",
+        PIPELINE["corpus_stats"].spark(spark, sf),
+        F.col("n_docs") * 1 + F.col("n_tokens_total") * 3 + fp4("avg_doc_tokens") * 5
+        + F.col("n_langs") * 7 + F.col("n_sources") * 11
+        + F.col("n_exact_dup_docs") * 13,
+    )
+    leak = _probe_agg(
+        "leak",
+        PIPELINE["leakage_safe_split"].spark(spark, sf),
+        F.col("doc_id") * 1 + F.col("split_key") * 3
+        + F.when(F.col("split") == "train", 1)
+        .when(F.col("split") == "val", 2)
+        .otherwise(3)
+        * 5,
+    )
+    fing = _probe_agg(
+        "fingerprint",
+        PIPELINE["text_fingerprint"].spark(spark, sf),
+        F.col("doc_id") * 1 + (F.col("min_shingle_hash") % 1_000_000) * 3
+        + F.col("n_shingles") * 5 + (F.col("text_hash") % 1_000_000) * 7,
+    )
+    return (
+        boiler.unionAll(perp).unionAll(trunc).unionAll(stats)
+        .unionAll(leak).unionAll(fing)
+    )
+
+
+def _tos_wrap(tag: str, body: str, chk: str) -> str:
+    return (
+        f"SELECT '{tag}' AS probe, count(*) AS cnt, "
+        f"CAST(sum({chk}) AS BIGINT) AS chk FROM ({body}\n) t"
+    )
+
+
+_TOS_ORACLE = "\nUNION ALL\n".join(
+    [
+        _tos_wrap(
+            "boiler",
+            PIPELINE["text_boilerplate"].oracle,
+            f"doc_id * 1 + length(clean_text) * 3 + ({_dh('clean_text')} % 1000000) * 5"
+            " + n_removed * 7",
+        ),
+        _tos_wrap(
+            "perplexity",
+            PIPELINE["text_perplexity"].oracle,
+            "doc_id * 1 + n_bigrams * 3 + logprob_fp * 5"
+            " + CAST(floor(avg_logprob * 10000 + 0.5) AS BIGINT) * 7",
+        ),
+        _tos_wrap(
+            "truncate",
+            PIPELINE["text_truncate"].oracle,
+            f"doc_id * 1 + length(trunc_text) * 3 + ({_dh('trunc_text')} % 1000000) * 5"
+            " + n_tokens * 7 + (CASE WHEN truncated THEN 1 ELSE -1 END) * 11",
+        ),
+        _tos_wrap(
+            "stats",
+            PIPELINE["corpus_stats"].oracle,
+            "n_docs * 1 + n_tokens_total * 3"
+            " + CAST(floor(avg_doc_tokens * 10000 + 0.5) AS BIGINT) * 5"
+            " + n_langs * 7 + n_sources * 11 + n_exact_dup_docs * 13",
+        ),
+        _tos_wrap(
+            "leak",
+            PIPELINE["leakage_safe_split"].oracle,
+            "doc_id * 1 + split_key * 3"
+            " + (CASE split WHEN 'train' THEN 1 WHEN 'val' THEN 2 ELSE 3 END) * 5",
+        ),
+        _tos_wrap(
+            "fingerprint",
+            PIPELINE["text_fingerprint"].oracle,
+            "doc_id * 1 + (min_shingle_hash % 1000000) * 3 + n_shingles * 5"
+            " + (text_hash % 1000000) * 7",
+        ),
+    ]
+)
+
+PIPELINE["text_ops_suite"] = Q(
+    spark=_text_ops_suite,
+    oracle=_TOS_ORACLE,
+    doc="graded-window rollup of the r5 text/corpus tail operators "
+    "(VERDICT r5 item 2): CCNet boilerplate strip (broadcast-hash-join "
+    "dictionary probe), corpus bigram-LM perplexity, head_tail token "
+    "truncation, dataset-card corpus rollup, duplicate-cluster-keyed "
+    "leakage-safe split, and the bottom-sketch fingerprint — each branch "
+    "checksums the tail entry's full output against the identical wrap "
+    "of its DuckDB oracle, so all six stay value-graded inside the "
+    "driver's 50-row artifact window while remaining individually "
+    "runnable from the tail",
+)
