@@ -276,6 +276,62 @@ def test_many_to_one_different_column_subsets(astro, tmp_path):
     assert astro.sql("SELECT count(*) AS n FROM m2o_c").collect()[0].n == 3
 
 
+def test_incremental_region_stats_refresh(astro, monkeypatch):
+    """Sibling appends in many-to-one mappings must trigger an
+    INCREMENTAL stats job — reading only the unseen fragment files, not
+    the whole table (VERDICT r5 item 3: at 10⁵-10⁶ files a full restat
+    per sibling append is the scale-killer)."""
+    import os
+
+    from spark_sql_on_hbase_spark.relation import AstroRelation
+
+    astro.sql(
+        "CREATE TABLE inc_a (k INT, v DOUBLE, PRIMARY KEY (k)) "
+        "MAPPED BY (inc_shared, COLS=[v=cf.v])"
+    )
+    astro.sql("INSERT INTO inc_a VALUES (1, 1.5)")
+    astro.sql("INSERT INTO inc_a VALUES (2, 2.5)")
+    astro.sql(
+        "CREATE TABLE inc_b (k INT, v DOUBLE, PRIMARY KEY (k)) "
+        "MAPPED BY (inc_shared, COLS=[v=cf.v])"
+    )
+    rel_b = astro.relation("inc_b")
+    rel_b._ensure_fresh_regions()  # sync b's view before the append
+    known = {os.path.basename(r.path) for r in rel_b.meta.regions}
+    assert len(known) == 2
+    # sibling appends a third fragment b hasn't seen
+    astro.sql("INSERT INTO inc_a VALUES (3, 3.5)")
+
+    stat_reads: list[tuple[str, ...]] = []
+    orig = AstroRelation._read_fragments
+
+    def spy(self, *paths):
+        stat_reads.append(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(AstroRelation, "_read_fragments", spy)
+    rel_b._ensure_fresh_regions()
+    monkeypatch.setattr(AstroRelation, "_read_fragments", orig)
+    # the stats job read ONLY the new fragment file(s), never the dir
+    assert len(stat_reads) == 1
+    statted = {os.path.basename(p) for p in stat_reads[0]}
+    assert statted and not (statted & known), stat_reads
+    # merged metadata is complete and correct: 3 regions, scans exact
+    assert len(rel_b.meta.regions) == 3
+    rows = astro.sql("SELECT k, v FROM inc_b ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 1.5), (2, 2.5), (3, 3.5)]
+    df, res = rel_b.scan_where("k = 3")
+    assert [r.k for r in df.collect()] == [3]
+    assert len(res.files) == 1  # pruning still exact after the merge
+    # VANISHED files (sibling compaction) fall back to a full restat
+    astro.sql("COMPACT TABLE inc_a")
+    rel_b2 = astro.relation("inc_b")
+    rel_b2._ensure_fresh_regions()
+    assert sum(r.num_rows for r in rel_b2.meta.regions) == 3
+    rows = astro.sql("SELECT k, v FROM inc_b ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 1.5), (2, 2.5), (3, 3.5)]
+
+
 def test_upsert_overwrites_by_key(loaded):
     # HBase Put semantics: re-inserting an existing row key upserts
     # (newest cell wins per column, HBaseRelation.scala:911-941)

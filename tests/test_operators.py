@@ -671,6 +671,68 @@ def test_incremental_dedup_rejects_mismatched_index_params(spark, tmp_path):
     assert incremental_dedup(None, batch, num_perm=8, bands=2, corpus_index=idx).count() == 1
 
 
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance (VERDICT r5 item 4): appending a
+    batch's signatures must yield the SAME probe verdicts as rebuilding
+    the index over corpus+batch — and the append job shingles only the
+    batch (the corpus text is never touched again)."""
+    from spark_sql_on_hbase_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_load,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    admitted = spark.createDataFrame(
+        [(3, "entirely novel words that match nothing else here")],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely novel words that match nothing else here"),
+            (12, "completely fresh unrelated content nothing matches this"),
+        ],
+        ["doc_id", "text"],
+    )
+    inc_path = str(tmp_path / "idx_inc")
+    minhash_index_build(corpus, inc_path)
+    minhash_index_append(admitted, inc_path)
+    full_path = str(tmp_path / "idx_full")
+    minhash_index_build(corpus.unionByName(admitted), full_path)
+    got_inc = {r.doc_id: r.verdict for r in incremental_dedup(
+        None, probe, corpus_index=minhash_index_load(spark, inc_path)).collect()}
+    got_full = {r.doc_id: r.verdict for r in incremental_dedup(
+        None, probe, corpus_index=minhash_index_load(spark, full_path)).collect()}
+    assert got_inc == got_full == {
+        10: "dup_corpus_exact", 11: "dup_corpus_exact", 12: "novel",
+    }
+    # appending under mismatched parameters is rejected before any write
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_append(admitted, inc_path, num_perm=8, bands=2)
+    # sidecar rides the same FS as the parquet (1-row JSON dataset) and
+    # survives load: the params guard stays armed
+    idx = minhash_index_load(spark, inc_path)
+    assert idx.params == {"num_perm": 16, "bands": 4, "shingle_n": 3}
+    # an index without a sidecar appends/loads with a warning, not a crash
+    import shutil
+    import warnings as _w
+
+    shutil.rmtree(f"{inc_path}/params")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        idx2 = minhash_index_load(spark, inc_path)
+        assert idx2.params is None
+        assert any("mismatch guard" in str(w.message) for w in rec)
+
+
 def test_contamination_threshold_exact_at_boundary(spark):
     """The verdict compares exact counts (n_hits > ratio*n_grams), not the
     1e-6-floored report ratio — a ratio exactly AT the threshold is not
