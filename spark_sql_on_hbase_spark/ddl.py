@@ -16,6 +16,11 @@ Covered statements (reference citation per command class):
       [FIELDS TERMINATED BY 'x']                   :211-222
   INSERT INTO [TABLE] t VALUES (...)               :67-75
   INSERT INTO [TABLE] t SELECT ...                 (InsertableRelation path)
+  INSERT OVERWRITE [TABLE] t VALUES (...)|SELECT … (ours — atomic replace;
+      the reference appends only, HBaseRelation.scala:660-663)
+  MERGE INTO t [AS a] USING (src|(SELECT …)) [AS b] ON cond
+      [WHEN MATCHED THEN UPDATE SET c=e, … | DELETE]
+      [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)]   (ours)
 
 Everything else falls through to Spark SQL, exactly as the reference
 falls through to the stock Spark 1.4 parser (HBaseSQLParser.scala:39).
@@ -98,12 +103,38 @@ class InsertValues:
     table: str
     values: list[list]
     namespace: str = "default"
+    # INSERT OVERWRITE: atomically replace the table contents
+    # (beyond-reference — HBaseRelation.scala:660-663 appends only)
+    overwrite: bool = False
 
 
 @dataclass
 class InsertSelect:
     table: str
     select_sql: str
+    namespace: str = "default"
+    overwrite: bool = False
+
+
+@dataclass
+class MergeInto:
+    """MERGE INTO target USING source ON cond WHEN [NOT] MATCHED …
+    (beyond-reference write op; SURVEY §2.2 left the decision to us —
+    the LSM upsert layout makes UPDATE/INSERT a plain append and DELETE
+    an atomic rewrite).  ``source_from`` is a ready FROM-clause fragment
+    (``(SELECT …) alias`` or ``table alias``)."""
+
+    table: str
+    target_alias: str
+    source_from: str
+    source_alias: str
+    on: str
+    update_set: dict[str, str] | None  # col → expr; None = no UPDATE clause
+    insert_cols: list[str] | None  # None with insert_star → INSERT *
+    insert_exprs: list[str] | None
+    insert_star: bool = False
+    has_insert: bool = False
+    delete_matched: bool = False
     namespace: str = "default"
 
 
@@ -178,12 +209,25 @@ _LOAD_RE = re.compile(
 )
 
 _INSERT_VALUES_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+VALUES\s*\((?P<vals>.*)\)\s*;?\s*$",
+    r"^\s*INSERT\s+(?P<over>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+VALUES\s*\((?P<vals>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 _INSERT_SELECT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+(?P<select>SELECT\s+.*)$",
+    r"^\s*INSERT\s+(?P<over>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[\w.`]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"USING\s+(?P<src>\(.*?\)|[\w.`]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"ON\s+(?P<on>.+?)\s+"
+    r"(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MERGE_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.*?)(?=\s*WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -356,11 +400,89 @@ def parse(sql: str) -> Command:
         if m:
             ns, t = _parse_table_name(m.group("name"))
             vals = [_parse_literal(v) for v in _split_top_level(m.group("vals"))]
-            return InsertValues(table=t, namespace=ns, values=[vals])
+            return InsertValues(
+                table=t, namespace=ns, values=[vals],
+                overwrite=m.group("over").upper() == "OVERWRITE",
+            )
         m = _INSERT_SELECT_RE.match(s)
         if m:
             ns, t = _parse_table_name(m.group("name"))
-            return InsertSelect(table=t, namespace=ns, select_sql=m.group("select"))
+            return InsertSelect(
+                table=t, namespace=ns, select_sql=m.group("select"),
+                overwrite=m.group("over").upper() == "OVERWRITE",
+            )
         raise ValueError(f"malformed INSERT: {sql!r}")
 
+    if up.startswith("MERGE"):
+        return _parse_merge(s)
+
     return PassThrough(sql=sql)
+
+
+def _parse_merge(s: str) -> MergeInto:
+    m = _MERGE_RE.match(s)
+    if not m:
+        raise ValueError(f"malformed MERGE INTO: {s!r}")
+    ns, table = _parse_table_name(m.group("name"))
+    talias = (m.group("talias") or table).strip("`")
+    src = m.group("src").strip()
+    salias = m.group("salias")
+    if src.startswith("("):
+        if not salias:
+            raise ValueError("MERGE USING (subquery) requires an alias")
+        source_from = f"{src} {salias}"
+    else:
+        salias = salias or src.strip("`")
+        source_from = f"{src} {salias}"
+    update_set: dict[str, str] | None = None
+    insert_cols: list[str] | None = None
+    insert_exprs: list[str] | None = None
+    insert_star = False
+    has_insert = False
+    delete_matched = False
+    for cm in _MERGE_CLAUSE_RE.finditer(m.group("clauses")):
+        action = cm.group("action").strip()
+        if cm.group("not"):
+            im = re.match(
+                r"^INSERT\s*(?:\*|(?:\((?P<cols>.*?)\)\s*VALUES\s*\((?P<exprs>.*)\)))\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise ValueError(f"unsupported WHEN NOT MATCHED action {action!r}")
+            has_insert = True
+            if im.group("cols") is None:
+                insert_star = True
+            else:
+                insert_cols = [c.strip().strip("`") for c in _split_top_level(im.group("cols"))]
+                insert_exprs = _split_top_level(im.group("exprs"))
+                if len(insert_cols) != len(insert_exprs):
+                    raise ValueError("INSERT column/value count mismatch")
+        elif re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+            delete_matched = True
+        else:
+            um = re.match(r"^UPDATE\s+SET\s+(?P<sets>.*)$", action, re.IGNORECASE | re.DOTALL)
+            if not um:
+                raise ValueError(f"unsupported WHEN MATCHED action {action!r}")
+            update_set = {}
+            for pair in _split_top_level(um.group("sets")):
+                col, expr = pair.split("=", 1)
+                update_set[col.strip().strip("`").split(".")[-1]] = expr.strip()
+    if update_set is not None and delete_matched:
+        raise ValueError("MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
+    if update_set is None and not delete_matched and not has_insert:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    return MergeInto(
+        table=table,
+        namespace=ns,
+        target_alias=talias,
+        source_from=source_from,
+        source_alias=salias,
+        on=m.group("on").strip(),
+        update_set=update_set,
+        insert_cols=insert_cols,
+        insert_exprs=insert_exprs,
+        insert_star=insert_star,
+        has_insert=has_insert,
+        delete_matched=delete_matched,
+    )

@@ -387,6 +387,26 @@ class AstroRelation:
         moved aside, new dir not yet in place) is NOT covered: a crash
         exactly there needs the .compact.old dir restored by hand.
         """
+        df = self.scan().select(*[c for c, _ in self.meta.all_columns])
+        self._rewrite_with(df)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """INSERT OVERWRITE …: atomically replace the table's contents
+        with ``df`` (beyond-reference write op — the reference explicitly
+        lacks it, HBaseRelation.scala:660-663 supports append only).
+        Same write-new-then-switch structure and crash-safety envelope as
+        :meth:`compact`; the result lands as clean sorted regions in the
+        table's declared layout, so the shuffle-free scan path holds."""
+        df = df.select(*[c for c, _ in self.meta.all_columns])
+        if not self.meta.regions and not os.path.isdir(self.catalog.data_dir(self.meta)):
+            self.write(df, align_prefix=self.meta.align_prefix or None)
+            return
+        self._rewrite_with(df)
+
+    def _rewrite_with(self, df: DataFrame) -> None:
+        """Write ``df`` as the table's new full contents into a sibling
+        temp directory, then swap with O(1) renames (see :meth:`compact`
+        for the crash-safety discussion)."""
         import shutil
 
         meta = self.meta
@@ -396,7 +416,6 @@ class AstroRelation:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(old_dir, ignore_errors=True)
 
-        df = self.scan().select(*[c for c, _ in meta.all_columns])
         real_dir, real_phys = out_dir, meta.physical_table
         try:
             # point the writer at the temp dir by temporarily renaming the

@@ -200,12 +200,14 @@ class AstroSession:
                 [self._coerce(v, dt) for v, (_, dt) in zip(row, rel.meta.all_columns)]
             )
         df = self.spark.createDataFrame(coerced, schema)
-        if rel.meta.regions:
+        if c.overwrite:
+            rel.overwrite(df)
+        elif rel.meta.regions:
             rel.append(df)
         else:
             rel.write(df)
         rel.register_view()
-        return self._ok("inserted 1 row")
+        return self._ok("overwrote 1 row" if c.overwrite else "inserted 1 row")
 
     @staticmethod
     def _coerce(v, dtype: str):
@@ -228,12 +230,93 @@ class AstroSession:
         cast = named.select(
             *[named[n].cast(table_schema(rel.meta)[n].dataType) for n, _ in rel.meta.all_columns]
         )
-        if rel.meta.regions:
+        if c.overwrite:
+            rel.overwrite(cast)
+        elif rel.meta.regions:
             rel.append(cast)
         else:
             rel.write(cast)
         rel.register_view()
-        return self._ok(f"inserted into {c.table}")
+        return self._ok(f"{'overwrote' if c.overwrite else 'inserted into'} {c.table}")
+
+    def _exec_MergeInto(self, c: ddl.MergeInto) -> DataFrame:
+        """MERGE INTO over the LSM layout (beyond-reference; the reference
+        appends only, HBaseRelation.scala:660-663).
+
+        UPDATE compiles to full target rows with the SET expressions
+        applied (unassigned columns carry the target's current values),
+        and INSERT to anti-joined source rows — both land through the
+        append/upsert path, where newest-generation-wins resolution gives
+        exact MERGE semantics with NO table rewrite.  DELETE has no
+        tombstone in the layout, so matched-delete merges rewrite the
+        survivors atomically via :meth:`AstroRelation.overwrite`.
+
+        Multiple source rows matching one target key resolve like any
+        upsert burst: one winner per key per column (deterministic only
+        if the source is key-unique — the standard MERGE cardinality
+        caveat, which ANSI engines raise an error for and we document)."""
+        self._register_all()
+        rel = self.relation(c.table, c.namespace)
+        cols = [n for n, _ in rel.meta.all_columns]
+        keyset = {k.name for k in rel.meta.key_columns}
+        t, s = c.target_alias, c.source_alias
+        schema = table_schema(rel.meta)
+        parts: list[DataFrame] = []
+
+        def _cast(df: DataFrame) -> DataFrame:
+            return df.select(*[df[n].cast(schema[n].dataType) for n in cols])
+
+        if c.update_set is not None:
+            bad = set(c.update_set) - set(cols)
+            if bad:
+                raise ValueError(f"UPDATE SET on undeclared columns {sorted(bad)}")
+            if set(c.update_set) & keyset:
+                raise ValueError("UPDATE SET may not assign key columns")
+            proj = ", ".join(
+                f"{c.update_set.get(col, f'{t}.`{col}`')} AS `{col}`" for col in cols
+            )
+            parts.append(
+                _cast(self.spark.sql(
+                    f"SELECT {proj} FROM {c.table} {t} JOIN {c.source_from} ON {c.on}"
+                ))
+            )
+        if c.has_insert:
+            if c.insert_star:
+                proj = ", ".join(f"{s}.`{col}` AS `{col}`" for col in cols)
+            else:
+                assign = dict(zip(c.insert_cols or [], c.insert_exprs or []))
+                missing = keyset - set(assign)
+                if missing:
+                    raise ValueError(f"INSERT must assign key columns {sorted(missing)}")
+                proj = ", ".join(
+                    f"{assign.get(col, 'NULL')} AS `{col}`" for col in cols
+                )
+            parts.append(
+                _cast(self.spark.sql(
+                    f"SELECT {proj} FROM {c.source_from} "
+                    f"LEFT ANTI JOIN {c.table} {t} ON {c.on}"
+                ))
+            )
+        if c.delete_matched:
+            # survivors = target rows with NO source match; atomic rewrite
+            survivors = self.spark.sql(
+                f"SELECT {', '.join(f'{t}.`{col}`' for col in cols)} "
+                f"FROM {c.table} {t} LEFT ANTI JOIN {c.source_from} ON {c.on}"
+            )
+            out = _cast(survivors)
+            for p in parts:
+                out = out.unionByName(p)
+            rel.overwrite(out)
+        else:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            if rel.meta.regions:
+                rel.append(merged)
+            else:
+                rel.write(merged)
+        rel.register_view()
+        return self._ok(f"merged into {c.table}")
 
     def _exec_CompactTable(self, c: ddl.CompactTable) -> DataFrame:
         rel = self.relation(c.table, c.namespace)

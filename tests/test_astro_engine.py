@@ -423,3 +423,94 @@ def test_ddl_align_option_enables_one_phase(astro, tmp_path):
             "CREATE TABLE bad_align (a INT, PRIMARY KEY (a)) "
             "MAPPED BY (hba) OPTIONS (align=2)"
         )
+
+
+def test_insert_overwrite(astro):
+    """INSERT OVERWRITE atomically replaces the table's contents (ours —
+    the reference appends only, HBaseRelation.scala:660-663)."""
+    astro.sql(
+        "CREATE TABLE ow (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (ow_ht)"
+    )
+    astro.sql("INSERT INTO ow VALUES (1, 'a')")
+    astro.sql("INSERT INTO ow VALUES (2, 'b')")
+    astro.sql("INSERT OVERWRITE ow VALUES (9, 'z')")
+    rows = astro.sql("SELECT k, v FROM ow ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(9, "z")]
+    # OVERWRITE ... SELECT, including self-referencing source (reads the
+    # pre-overwrite files: the swap writes to a sibling temp dir first)
+    astro.sql("INSERT INTO ow VALUES (10, 'y')")
+    astro.sql(
+        "INSERT OVERWRITE TABLE ow SELECT k + 100, upper(v) FROM ow WHERE k >= 10"
+    )
+    rows = astro.sql("SELECT k, v FROM ow ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(110, "Y")]
+    # overwrite of an EMPTY table is a plain first write
+    astro.sql(
+        "CREATE TABLE ow2 (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (ow2_ht)"
+    )
+    astro.sql("INSERT OVERWRITE ow2 VALUES (1, 'x')")
+    assert astro.sql("SELECT count(*) AS n FROM ow2").collect()[0].n == 1
+    # scans stay merge-free after the rewrite (clean sorted regions)
+    assert not astro.relation("ow").needs_merge()
+
+
+def test_merge_into(astro):
+    """MERGE INTO: UPDATE via the LSM upsert path (no rewrite), INSERT
+    via anti-join, DELETE via atomic rewrite — parity with the
+    astro_upsert_merge newest-wins semantics."""
+    astro.sql(
+        "CREATE TABLE tgt (k INT, v STRING, n INT, PRIMARY KEY (k)) MAPPED BY (tgt_ht)"
+    )
+    for k, v, n in [(1, "a", 10), (2, "b", 20), (3, "c", 30)]:
+        astro.sql(f"INSERT INTO tgt VALUES ({k}, '{v}', {n})")
+    astro.sql(
+        "CREATE TABLE src (k INT, v STRING, n INT, PRIMARY KEY (k)) MAPPED BY (src_ht)"
+    )
+    for k, v, n in [(2, "B", 200), (4, "D", 400)]:
+        astro.sql(f"INSERT INTO src VALUES ({k}, '{v}', {n})")
+
+    astro.sql(
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n + t.n "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = astro.sql("SELECT k, v, n FROM tgt ORDER BY k").collect()
+    assert [(r.k, r.v, r.n) for r in rows] == [
+        (1, "a", 10), (2, "B", 220), (3, "c", 30), (4, "D", 400),
+    ]
+    # partial-column INSERT: unassigned columns land NULL; key required
+    astro.sql(
+        "MERGE INTO tgt t USING (SELECT 5 AS kk, 'E' AS vv) s ON t.k = s.kk "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.kk, s.vv)"
+    )
+    r5 = astro.sql("SELECT v, n FROM tgt WHERE k = 5").collect()[0]
+    assert (r5.v, r5.n) == ("E", None)
+    # matched DELETE: survivors rewritten atomically
+    astro.sql(
+        "MERGE INTO tgt t USING (SELECT 1 AS kk UNION ALL SELECT 4 AS kk) s "
+        "ON t.k = s.kk WHEN MATCHED THEN DELETE"
+    )
+    rows = astro.sql("SELECT k FROM tgt ORDER BY k").collect()
+    assert [r.k for r in rows] == [2, 3, 5]
+    # grammar guards
+    import pytest as _pt
+
+    from spark_sql_on_hbase_spark import ddl as _ddl
+
+    with _pt.raises(ValueError, match="requires an alias"):
+        _ddl.parse("MERGE INTO tgt USING (SELECT 1) ON k = 1 WHEN MATCHED THEN DELETE")
+    with _pt.raises(ValueError, match="one WHEN MATCHED action"):
+        _ddl.parse(
+            "MERGE INTO tgt USING src s ON tgt.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v WHEN MATCHED THEN DELETE"
+        )
+    with _pt.raises(ValueError, match="key columns"):
+        astro.sql(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)"
+        )
+    with _pt.raises(ValueError, match="may not assign key"):
+        astro.sql(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k + 1"
+        )
