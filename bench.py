@@ -31,6 +31,7 @@ HEADLINE = [
     # steady-state cost.  The sub-second TPC-H rows at the tail are fine
     # on a single run if the budget runs out.
     "corpus_ops_suite",
+    "text_ops_suite",
     "decontaminate",
     "dedup_minhash_lsh",
     "emb_neardup_pairs",
@@ -176,10 +177,20 @@ def main() -> None:
     # contract and must stay ≤ ~1.5 KiB: r4's enlarged single line
     # overflowed the driver's ~2 KiB tail capture and the round's
     # official bench artifact recorded nothing (VERDICT r4 #1).
+    # PRIMARY regression signal: summed executor task time of each
+    # query's best run — wall time on this host swings ±2× with
+    # hypervisor steal while task time tracks the actual work scheduled
+    # (VERDICT r5 item 7); wall stays as the secondary, human-facing
+    # number ("value", for cross-round continuity of the driver artifact)
+    task_total = round(
+        sum(m.get("task_time_sec", 0.0) for m in query_metrics.values()), 2
+    )
     detail = {
         "metric": "headline query wall time (noop sink, warmed session)",
         "value": round(total, 3),
         "unit": "sec",
+        "task_time_sec": task_total,
+        "primary_signal": "task_time_sec (wall is host-noise-confounded)",
         "timing": f"min of {runs} runs per query",
         "queries": timings,
         "query_metrics": query_metrics,
@@ -223,6 +234,7 @@ def main() -> None:
         "metric": "headline query wall time (noop sink, warmed session)",
         "value": round(total, 3),
         "unit": "sec",
+        "task_time_sec": task_total,
         "timing": f"min of {runs} runs per query",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
@@ -274,7 +286,7 @@ def _calibration() -> dict:
     }
 
 
-def _fetch_stages(spark) -> list | None:
+def _fetch_stages(spark, status: str = "complete") -> list | None:
     import json as _json
     import urllib.request
 
@@ -282,7 +294,7 @@ def _fetch_stages(spark) -> list | None:
     if not ui:
         return None
     try:
-        url = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages?status=complete"
+        url = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages?status={status}"
         return _json.load(urllib.request.urlopen(url, timeout=10))
     except Exception:
         return None
@@ -318,12 +330,21 @@ def _stage_totals(spark, since: int | None) -> dict | None:
         "spill_disk_mb": 0.0,
         "task_time_sec": 0.0,
     }
-    # eviction detection: the store drops OLDEST stages first, so if the
-    # smallest retained id is past our marker+1 the query's own earliest
-    # stages were evicted and these sums are PARTIAL — flag, don't guess
-    min_present = min((s.get("stageId", 1 << 60) for s in data), default=None)
+    # eviction detection: the store drops OLDEST stages first, so a gap
+    # at the low end of the id range suggests the query's own earliest
+    # stages were evicted and these sums are PARTIAL.  But stage-id gaps
+    # also come from SKIPPED stages (reused shuffle output) which never
+    # enter the complete list — confirm against status=skipped before
+    # flagging (ADVICE r5); unexplained gaps still flag, don't guess.
+    present = {s.get("stageId", -1) for s in data}
+    min_present = min(present, default=None)
     if min_present is not None and min_present > since + 1:
-        tot["partial"] = True
+        skipped = {
+            s.get("stageId", -1) for s in (_fetch_stages(spark, "skipped") or [])
+        }
+        gap = set(range(since + 1, min_present)) - skipped
+        if gap:
+            tot["partial"] = True
     for s in data:
         if s.get("stageId", -1) <= since:
             continue

@@ -58,10 +58,31 @@ def _events_stream_schema(spark: SparkSession, path: str) -> T.StructType:
         # a transient IO/permission failure against a micros-encoded
         # source must raise, not silently declare LongType and compress
         # event time 1000× (the exact bug the sniff exists to prevent)
-        msg = str(ex)
-        if not ("UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg
-                or "unable to infer schema" in msg.lower()):
-            raise
+        # prefer the structured error class (exact match, upgrade-stable)
+        # over substring checks on the rendered message (ADVICE r5: a
+        # renamed message would turn an empty source dir back into a
+        # stream-construction failure); the substring check stays as the
+        # fallback for Spark builds whose exceptions carry no error class
+        klass = None
+        for attr in ("getCondition", "getErrorClass"):  # 4.x name, then legacy
+            get_klass = getattr(ex, attr, None)
+            if callable(get_klass):
+                try:
+                    klass = get_klass()
+                except Exception:
+                    klass = None
+                if klass is not None:
+                    break
+        _EMPTY_SOURCE = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
+        if klass is not None:
+            if klass.split(".")[0] not in _EMPTY_SOURCE:
+                raise
+        else:
+            msg = str(ex)
+            if not any(k in msg for k in _EMPTY_SOURCE) and (
+                "unable to infer schema" not in msg.lower()
+            ):
+                raise
         ts_type = T.LongType()
     return T.StructType(
         [

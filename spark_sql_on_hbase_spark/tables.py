@@ -68,7 +68,17 @@ _CACHE_ATTR = "_astro_driver_table_cache"
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register all driver tables as temp views; returns name → DataFrame."""
+    """Register all driver tables as temp views; returns name → DataFrame.
+
+    CONTRACT (ADVICE r5): the parquet under ``sf_dir`` is assumed
+    immutable for the session's lifetime — the cache pins each dir's
+    DataFrames (and their file-index snapshots), so regenerating inputs
+    in-place mid-session leaves cached plans reading stale/missing files.
+    Regenerate into a NEW directory (the driver's sf-dir-per-scale layout
+    does exactly this), or call :func:`invalidate_tables` after an
+    in-place rewrite.  External ``createOrReplaceTempView``/
+    ``dropTempView`` calls on these names likewise desync ``active`` —
+    route view changes through this module."""
     sf_dir = os.path.abspath(sf_dir)
     state = getattr(spark, _CACHE_ATTR, None)
     if state is None:
@@ -88,3 +98,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
         state["active"] = sf_dir
     return out
+
+
+def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop cached plans for ``sf_dir`` (or all dirs) after an in-place
+    rewrite of the parquet inputs; the next load_tables re-reads footers
+    and re-registers views."""
+    state = getattr(spark, _CACHE_ATTR, None)
+    if state is None:
+        return
+    if sf_dir is None:
+        state["dirs"].clear()
+    else:
+        state["dirs"].pop(os.path.abspath(sf_dir), None)
+    state["active"] = None

@@ -1,0 +1,150 @@
+"""Property test: the stringformat pushdown envelope is a sound superset
+(VERDICT r5 item 8; comparators.scala:47-243 parity surface).
+
+``string_pushdown`` rewrites a typed predicate into a predicate over the
+raw stored STRING columns so it reaches parquet as a PushedFilter; the
+full typed predicate re-applies after the schema-on-read cast.  The
+soundness contract is therefore: for EVERY predicate and EVERY row set,
+the rows selected by the typed predicate are a SUBSET of the rows the
+string-space predicate keeps — a pushed filter that drops a typed match
+silently loses rows.
+
+Fuzzed here over 5 types (long/int/string/boolean/date) × the full
+operator surface (=, !=, <, <=, >, >=, IN, IS [NOT] NULL, AND, OR, NOT)
+against DuckDB as the independent evaluator of both spaces, on a row set
+that pins the known-sharp boundaries (digit-count edges 9/10/99/100,
+negatives, empty string, NULLs).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_sql_on_hbase_spark.predicate import parse_predicate, string_pushdown
+
+TYPES = {"k": "long", "name": "string", "size": "int", "flag": "boolean", "d": "date"}
+
+# boundary-heavy row pool: digit-count edges for the superset int-range
+# rewrites, negatives (excluded by the '10…0' lower bound), NULLs per
+# column, empty + quote-free strings, dates around comparison pivots
+_ROWS = [
+    (-100, "", -5, True, "1994-12-31"),
+    (-5, "a", 0, False, "1995-01-01"),
+    (0, "mm", 1, None, "1995-01-02"),
+    (1, "n05", 9, True, "1999-12-31"),
+    (9, "n100", 10, False, "2000-06-15"),
+    (10, "zz", 25, True, None),
+    (25, None, 99, False, "2000-06-15"),
+    (99, "mm", 100, None, "1994-12-31"),
+    (100, "a", 123, True, "1995-01-01"),
+    (123, "", 2500, False, "2099-01-01"),
+    (2500, "n05", 9999, True, None),
+    (9999, "zz", None, False, "2000-06-15"),
+    (None, "mm", 25, True, "1995-01-01"),
+    (None, None, None, None, None),
+]
+
+
+def _make_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tt (rid INT, k BIGINT, name VARCHAR, size INT, "
+        "flag BOOLEAN, d DATE)"
+    )
+    # the stringformat physical layout: every value stored as its plain
+    # decimal / UTF-8 / 'true'/'false' / 'YYYY-MM-DD' string
+    con.execute(
+        "CREATE TABLE st (rid INT, k VARCHAR, name VARCHAR, size VARCHAR, "
+        "flag VARCHAR, d VARCHAR)"
+    )
+    for rid, (k, name, size, flag, d) in enumerate(_ROWS):
+        con.execute("INSERT INTO tt VALUES (?, ?, ?, ?, ?, ?)", [rid, k, name, size, flag, d])
+        con.execute(
+            "INSERT INTO st VALUES (?, ?, ?, ?, ?, ?)",
+            [
+                rid,
+                None if k is None else str(k),
+                name,
+                None if size is None else str(size),
+                None if flag is None else str(flag).lower(),
+                d,
+            ],
+        )
+    return con
+
+
+_CON = _make_con()
+
+_INTS = st.sampled_from([-100, -5, 0, 1, 5, 9, 10, 25, 99, 100, 123, 2500, 9999])
+_NAMES = st.sampled_from(["", "a", "mm", "n05", "zz"])
+_DATES = st.sampled_from(["1994-12-31", "1995-01-01", "2000-06-15"])
+_OPS = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+
+
+@st.composite
+def _leaf(draw) -> str:
+    col = draw(st.sampled_from(sorted(TYPES)))
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        return f"{col} IS NULL"
+    if kind == 1:
+        return f"{col} IS NOT NULL"
+    if kind == 2 and col in ("k", "size"):
+        vals = draw(st.lists(_INTS, min_size=1, max_size=3, unique=True))
+        return f"{col} IN ({', '.join(map(str, vals))})"
+    op = draw(_OPS)
+    if col in ("k", "size"):
+        return f"{col} {op} {draw(_INTS)}"
+    if col == "name":
+        return f"{col} {op} '{draw(_NAMES)}'"
+    if col == "flag":
+        return f"{col} {op} {draw(st.sampled_from(['TRUE', 'FALSE']))}"
+    return f"{col} {op} '{draw(_DATES)}'"
+
+
+_PRED = st.recursive(
+    _leaf(),
+    lambda ch: st.one_of(
+        st.builds(lambda a, b: f"({a}) AND ({b})", ch, ch),
+        st.builds(lambda a, b: f"({a}) OR ({b})", ch, ch),
+        st.builds(lambda a: f"NOT ({a})", ch),
+    ),
+    max_leaves=5,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(text=_PRED)
+def test_pushdown_is_sound_superset(text: str):
+    pushed = string_pushdown(parse_predicate(text), TYPES)
+    typed = {r[0] for r in _CON.execute(f"SELECT rid FROM tt WHERE {text}").fetchall()}
+    if pushed is None:
+        return  # nothing pushed: trivially sound (full scan + residual)
+    kept = {r[0] for r in _CON.execute(f"SELECT rid FROM st WHERE {pushed}").fetchall()}
+    assert typed <= kept, (
+        f"pushed filter DROPPED typed matches {sorted(typed - kept)}: "
+        f"predicate {text!r} → pushed {pushed!r}"
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=_leaf())
+def test_exact_leaves_select_exactly(text: str):
+    """Leaves the converter marks exact (equality / string / boolean /
+    date / null checks) must select EXACTLY the typed rows — an exact
+    claim that widens would be harmless, but one that narrows feeds the
+    NOT-rewrite and breaks soundness (negating a superset narrows)."""
+    from spark_sql_on_hbase_spark.predicate import _sf_leaf
+
+    p = parse_predicate(text)
+    got = _sf_leaf(p, TYPES) if not hasattr(p, "children") else None
+    if got is None or not got[1]:
+        return
+    typed = {r[0] for r in _CON.execute(f"SELECT rid FROM tt WHERE {text}").fetchall()}
+    kept = {r[0] for r in _CON.execute(f"SELECT rid FROM st WHERE {got[0]}").fetchall()}
+    assert typed == kept, (
+        f"leaf claimed exact but selects differently: {text!r} → {got[0]!r} "
+        f"(typed {sorted(typed)} vs string-space {sorted(kept)})"
+    )
