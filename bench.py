@@ -199,6 +199,14 @@ def main() -> None:
         "calibration_pre": calib_pre,
         "calibration_post": _calibration(),
     }
+    # sf1 soak evidence (tools/soak_sf1.py writes SOAK_SF1.json): embed it
+    # so the round's BENCH_DETAIL carries the ×10 spill/skew numbers
+    soak_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SOAK_SF1.json")
+    try:
+        with open(soak_path) as f:
+            detail["sf1_soak"] = json.load(f)
+    except OSError:
+        pass
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_DETAIL_r{_round_no():02d}.json",

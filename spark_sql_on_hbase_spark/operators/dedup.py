@@ -297,25 +297,61 @@ def ngram_jaccard_pairs(
     docs before the self-join — the standard stop-shingle cap that keeps
     the join from going quadratic on hot shingles at scale.  Leave None
     for exact semantics (the oracle-checked configuration).
+
+    Scale shape (r6, after the sf1 soak caught a 1 GB spill in the naive
+    inverted-index self-join): **prefix filtering** (AllPairs/PPJoin —
+    Bayardo et al. WWW'07, Xiao et al. WWW'08).  Order each doc's
+    shingles by ascending document frequency (rarest first, best
+    pruning; ties by hash — a global total order); if J(A,B) ≥ t, the
+    first ⌊(1-t)·n⌋+1 shingles of A and B must intersect, so ONLY those
+    prefix shingles become join keys — at t=0.8 that's ~20% of shingle
+    occurrences, shrinking candidate pairs ~25× — and the exact Jaccard
+    reranks candidates on sorted shingle arrays (array_intersect), never
+    re-joining the full inverted index.  EXACT: the prefix theorem loses
+    no qualifying pair, and the rerank recomputes true intersections.
+    A size filter (min/max ≥ t) prunes candidates before the array join.
     """
+    from pyspark.sql import Window
+
     sh = _shingles(_spread(docs), text_col, id_col, shingle_n).select(
         F.col(id_col), hash60(F.col("s")).alias("sh")
     ).distinct()
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
         sh = sh.join(hot, "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("i"))
+    sh_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(sh_df, "sh")
+    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("sh"))
+    wn = Window.partitionBy(id_col)
+    pre = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        # prefix length ⌊(1-t)·n⌋+1 = n - ⌈t·n⌉ + 1
+        .filter(F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select(id_col, "sh")
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("arr"), F.count(F.lit(1)).alias("n")
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
+    i = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        # lenient size bound (float slack keeps it a sound superset;
+        # the exact jaccard filter below decides)
+        .filter(
+            F.least(F.col("na"), F.col("nb"))
+            >= F.lit(threshold) * F.greatest(F.col("na"), F.col("nb")) - F.lit(1e-9)
+        )
+        .withColumn("i", i)
         .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -1,0 +1,98 @@
+"""sf1 soak harness (VERDICT r5 item 5): run the dedup / similarity /
+decontam / repetition families at the ×10 scale step local[32] can
+afford, and record per-query wall + stage/shuffle/SPILL/task-time
+evidence to ``SOAK_SF1.json`` at the repo root.  ``bench.py`` embeds
+that file as the ``sf1_soak`` section of the round's BENCH_DETAIL, so
+the driver's own bench run carries the soak evidence.
+
+Usage:  python tools/soak_sf1.py   (after tools/gen_sf1.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF1_DIR = os.path.join(ROOT, ".data", "sf1")
+
+FAMILIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_suite",
+    "dedup_clusters",
+    "decontaminate",
+    "text_repetition",
+    "emb_neardup_pairs",
+    "semantic_dedup",
+    "knn_bruteforce_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_ops_suite",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import bench  # stage-metrics probe + calibration, one definition
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sf1-soak")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_sql_on_hbase_spark.queries import spark_queries
+
+    qs = spark_queries()
+    out = {
+        "sf": 1.0,
+        "rows": {"documents": 50_000, "embeddings": 20_000},
+        "note": "documents/embeddings at 10x sf0.1 (tools/gen_sf1.py); "
+        "relational tables symlinked sf0.1 — the soak targets the "
+        "pipeline families whose inputs scale",
+        "calibration_pre": bench._calibration(),
+        "queries": {},
+    }
+    for name in FAMILIES:
+        before = bench._stage_marker(spark)
+        t0 = time.time()
+        try:
+            qs[name](spark, SF1_DIR).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 2)
+        except Exception as ex:
+            out["queries"][name] = {"error": str(ex)[:300]}
+            continue
+        m = bench._stage_totals(spark, since=before) or {}
+        m["wall_sec"] = dt
+        out["queries"][name] = m
+    out["calibration_post"] = bench._calibration()
+    spills = {
+        n: m.get("spill_disk_mb", 0.0)
+        for n, m in out["queries"].items()
+        if m.get("spill_disk_mb")
+    }
+    out["spill_summary"] = spills or "zero disk spill across all soak queries"
+    with open(os.path.join(ROOT, "SOAK_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}, indent=1))
+    for n, m in out["queries"].items():
+        print(n, json.dumps(m, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
