@@ -48,7 +48,12 @@ _HELP = {
     "[FIELDS TERMINATED BY char]",
     "SELECT": "SELECT [DISTINCT] select_expr, ... FROM table_reference [WHERE ...] "
     "[GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]",
-    "INSERT": "INSERT INTO table_name SELECT ... | INSERT INTO table_name VALUES (...)",
+    "INSERT": "INSERT INTO table_name SELECT ... | INSERT INTO table_name VALUES (...)\n"
+    "INSERT OVERWRITE [TABLE] table_name SELECT ... | VALUES (...)   (atomic replace)",
+    "MERGE": "MERGE INTO target [AS t] USING (source | (SELECT ...)) [AS s] ON cond\n"
+    "  [WHEN MATCHED THEN UPDATE SET col = expr, ... | DELETE]\n"
+    "  [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)]",
+    "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
     "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
     "SHOW": "SHOW TABLES",
 }
