@@ -219,8 +219,11 @@ _INSERT_SELECT_RE = re.compile(
 )
 
 _MERGE_RE = re.compile(
+    # src: GREEDY paren match — a non-greedy `\(.*?\)` truncates a
+    # subquery at its first inner `)` (WHERE f(x)=1, inner JOIN … ON);
+    # greedy + backtracking anchors on the mandatory ` ON … WHEN ` tail
     r"^\s*MERGE\s+INTO\s+(?P<name>[\w.`]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
-    r"USING\s+(?P<src>\(.*?\)|[\w.`]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"USING\s+(?P<src>\(.*\)|[\w.`]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
     r"ON\s+(?P<on>.+?)\s+"
     r"(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,

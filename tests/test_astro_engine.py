@@ -514,3 +514,23 @@ def test_merge_into(astro):
             "MERGE INTO tgt t USING src s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET k = s.k + 1"
         )
+
+
+def test_merge_grammar_nested_parens():
+    """The USING subquery may contain nested parens and its own inner
+    JOIN … ON — the greedy paren match must anchor on the outer
+    `ON … WHEN` tail, not truncate at the first `)`."""
+    from spark_sql_on_hbase_spark import ddl
+
+    c = ddl.parse(
+        "MERGE INTO tgt t USING (SELECT x.k AS kk, coalesce(y.v, 'z') AS vv "
+        "FROM x JOIN y ON x.k = y.k WHERE abs(x.n) > 1) s ON t.k = s.kk "
+        "WHEN MATCHED THEN UPDATE SET v = s.vv "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.kk, upper(s.vv))"
+    )
+    assert c.source_from.endswith(") s") and "JOIN y ON x.k = y.k" in c.source_from
+    assert c.on == "t.k = s.kk"
+    assert c.update_set == {"v": "s.vv"}
+    assert c.insert_cols == ["k", "v"] and c.insert_exprs == ["s.kk", "upper(s.vv)"]
+    c2 = ddl.parse("MERGE INTO tgt USING src s ON (tgt.k = s.k) WHEN MATCHED THEN DELETE")
+    assert c2.on == "(tgt.k = s.k)" and c2.delete_matched

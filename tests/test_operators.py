@@ -937,3 +937,14 @@ def test_truncate_tokens_and_corpus_stats(spark):
     assert st.n_docs == 3 and st.n_tokens_total == 34
     assert st.n_langs == 2 and st.n_sources == 2
     assert st.n_exact_dup_docs == 1  # docs 2 and 3 share text
+
+
+def test_corpus_stats_optional_metadata_columns(spark):
+    """corpus_stats on a corpus without lang/source columns must degrade
+    (0 distinct) instead of raising AnalysisException (ADVICE r5)."""
+    bare = spark.createDataFrame([(1, "one two"), (2, "three")], ["doc_id", "text"])
+    r = TA.corpus_stats(bare, lang_col=None, source_col=None).collect()[0]
+    assert (r.n_docs, r.n_tokens_total, r.n_langs, r.n_sources) == (2, 3, 0, 0)
+    renamed = bare.withColumn("language", F.lit("en"))
+    r2 = TA.corpus_stats(renamed, lang_col="language", source_col=None).collect()[0]
+    assert r2.n_langs == 1 and r2.n_sources == 0

@@ -142,3 +142,21 @@ def test_boilerplate_strip_matches_reference(spark, texts, min_df):
         kept = [s for s in segs if s not in bset]
         want[i] = (" ".join(kept), len(segs) - len(kept))
     assert got == want
+
+
+def test_invalidate_tables_drops_cached_plans(spark, tmp_path):
+    """In-place regeneration of inputs needs an explicit invalidation —
+    load_tables pins per-dir plans for the session lifetime (the
+    documented immutability contract)."""
+    import shutil
+
+    from spark_sql_on_hbase_spark.tables import invalidate_tables, load_tables
+
+    d = tmp_path / "sfX"
+    shutil.copytree("/root/testdata/sf0.001", d)
+    t1 = load_tables(spark, str(d))
+    assert t1["region"].count() > 0
+    assert load_tables(spark, str(d))["region"] is t1["region"]  # cached
+    invalidate_tables(spark, str(d))
+    t2 = load_tables(spark, str(d))
+    assert t2["region"] is not t1["region"]  # fresh plan after invalidation
