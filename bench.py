@@ -218,23 +218,26 @@ def main() -> None:
         print(f"bench detail write failed: {ex}", file=sys.stderr)
     print(json.dumps({"detail": detail}, separators=(",", ":")))
 
+    # short keys for the size-capped compact line; full names in the
+    # detail file's plan_shapes
     compact_shapes = {
-        k: plan_shapes[k]
-        for k in (
-            "point_lookup_files_read",
-            "region_files_total",
-            "prefix_agg_exchanges",
-            "skipscan_dim2_rows_scanned",
-            "stringformat_pushdown_rows_scanned",
-            "zorder_dim2_files_read",
-            "asof_join_ops",
-            "interval_join_nested_loop",
-            "plain_shuffle_balance_max_over_avg",
-            "salted_shuffle_balance_max_over_avg",
-            "quantize_python_eval",
-            "ivf_probe_partitions_read",
-            "ivf_partitions_total",
-            "error",
+        short: plan_shapes[k]
+        for k, short in (
+            ("point_lookup_files_read", "point_files"),
+            ("region_files_total", "files_total"),
+            ("prefix_agg_exchanges", "prefix_agg_exch"),
+            ("skipscan_dim2_rows_scanned", "skipscan_rows"),
+            ("stringformat_pushdown_rows_scanned", "sf_pushdown_rows"),
+            ("zorder_dim2_files_read", "zorder_files"),
+            ("asof_join_ops", "asof_joins"),
+            ("interval_join_nested_loop", "ivjoin_nl"),
+            ("plain_shuffle_balance_max_over_avg", "skew_plain"),
+            ("salted_shuffle_balance_max_over_avg", "skew_salted"),
+            ("quantize_python_eval", "quant_py"),
+            ("boilerplate_probe_bhj", "boiler_bhj"),
+            ("ivf_probe_partitions_read", "ivf_parts_read"),
+            ("ivf_partitions_total", "ivf_parts_total"),
+            ("error", "error"),
         )
         if k in plan_shapes
     }
@@ -522,6 +525,26 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             out["salted_shuffle_balance_max_over_avg"] = _balance(
                 skew_src.withColumn("__s", salt).repartition(32, _F.col("k"), _F.col("__s"))
             )
+            # boilerplate strip: the dictionary probe must be a compiled
+            # BroadcastHashJoin (r6 rewrite), never the interpreted
+            # array_contains HOF, with exactly one doc-side exchange
+            from spark_sql_on_hbase_spark.operators.text_analysis import (
+                boilerplate_segments,
+                strip_boilerplate,
+            )
+
+            bp_docs = load_tables(spark, sf_dir)["documents"]
+            bp_plan = (
+                strip_boilerplate(bp_docs, boilerplate_segments(bp_docs, min_df=390))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            out["boilerplate_probe_bhj"] = "BroadcastHashJoin" in bp_plan
+            out["boilerplate_probe_doc_exchanges"] = bp_plan.count(
+                "Exchange hashpartitioning(doc_id"
+            )
+            out["boilerplate_probe_array_contains"] = "array_contains" in bp_plan
             # quantize path stays pure codegen (no Python/Arrow eval)
             from spark_sql_on_hbase_spark.operators.quantize import (
                 dequantize,
