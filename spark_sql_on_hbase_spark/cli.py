@@ -54,6 +54,8 @@ _HELP = {
     "  [WHEN MATCHED THEN UPDATE SET col = expr, ... | DELETE]\n"
     "  [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)]",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
+    "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
+    "DELETE": "DELETE FROM table_name [WHERE cond]",
     "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
     "SHOW": "SHOW TABLES",
 }

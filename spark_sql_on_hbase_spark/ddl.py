@@ -21,6 +21,8 @@ Covered statements (reference citation per command class):
   MERGE INTO t [AS a] USING (src|(SELECT …)) [AS b] ON cond
       [WHEN MATCHED THEN UPDATE SET c=e, … | DELETE]
       [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)]   (ours)
+  UPDATE t SET c=e, … [WHERE cond]                 (ours — upsert append)
+  DELETE FROM t [WHERE cond]                       (ours — atomic rewrite)
 
 Everything else falls through to Spark SQL, exactly as the reference
 falls through to the stock Spark 1.4 parser (HBaseSQLParser.scala:39).
@@ -114,6 +116,28 @@ class InsertSelect:
     select_sql: str
     namespace: str = "default"
     overwrite: bool = False
+
+
+@dataclass
+class UpdateTable:
+    """UPDATE t SET col = expr[, …] [WHERE cond] — sugar over the MERGE
+    machinery: matched rows re-land as full rows through the upsert
+    append (no rewrite)."""
+
+    table: str
+    update_set: dict[str, str]
+    where: str | None = None
+    namespace: str = "default"
+
+
+@dataclass
+class DeleteFrom:
+    """DELETE FROM t [WHERE cond] — survivors rewritten atomically (the
+    LSM layout has no tombstones; same path as MERGE's matched-DELETE)."""
+
+    table: str
+    where: str | None = None
+    namespace: str = "default"
 
 
 @dataclass
@@ -418,6 +442,29 @@ def parse(sql: str) -> Command:
 
     if up.startswith("MERGE"):
         return _parse_merge(s)
+
+    um = re.match(
+        r"^\s*UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if um:
+        ns, t = _parse_table_name(um.group("name"))
+        sets: dict[str, str] = {}
+        for pair in _split_top_level(um.group("sets")):
+            col, expr = pair.split("=", 1)
+            sets[col.strip().strip("`")] = expr.strip()
+        return UpdateTable(table=t, namespace=ns, update_set=sets, where=um.group("where"))
+
+    dm = re.match(
+        r"^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if dm:
+        ns, t = _parse_table_name(dm.group("name"))
+        return DeleteFrom(table=t, namespace=ns, where=dm.group("where"))
 
     return PassThrough(sql=sql)
 

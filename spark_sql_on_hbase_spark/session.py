@@ -239,6 +239,54 @@ class AstroSession:
         rel.register_view()
         return self._ok(f"{'overwrote' if c.overwrite else 'inserted into'} {c.table}")
 
+    def _exec_UpdateTable(self, c: ddl.UpdateTable) -> DataFrame:
+        """UPDATE … SET … [WHERE]: matched rows re-land as full rows
+        through the upsert append (newest-generation-wins), exactly the
+        MERGE matched-UPDATE path — no table rewrite.  Non-astro tables
+        fall through to Spark SQL (DSv2 sources may support it)."""
+        if not self.catalog.table_exists(c.table, c.namespace):
+            return self.spark.sql(
+                f"UPDATE {c.table} SET "
+                + ", ".join(f"{k} = {v}" for k, v in c.update_set.items())
+                + (f" WHERE {c.where}" if c.where else "")
+            )
+        self._register_all()
+        rel = self.relation(c.table, c.namespace)
+        cols = [n for n, _ in rel.meta.all_columns]
+        keyset = {k.name for k in rel.meta.key_columns}
+        bad = set(c.update_set) - set(cols)
+        if bad:
+            raise ValueError(f"UPDATE SET on undeclared columns {sorted(bad)}")
+        if set(c.update_set) & keyset:
+            raise ValueError("UPDATE SET may not assign key columns")
+        schema = table_schema(rel.meta)
+        proj = ", ".join(f"{c.update_set.get(col, f'`{col}`')} AS `{col}`" for col in cols)
+        df = self.spark.sql(
+            f"SELECT {proj} FROM {c.table}" + (f" WHERE {c.where}" if c.where else "")
+        )
+        cast = df.select(*[df[n].cast(schema[n].dataType) for n in cols])
+        rel.append(cast)
+        rel.register_view()
+        return self._ok(f"updated {c.table}")
+
+    def _exec_DeleteFrom(self, c: ddl.DeleteFrom) -> DataFrame:
+        """DELETE FROM … [WHERE]: survivors rewritten atomically (no
+        tombstones in the LSM layout — MERGE's matched-DELETE path)."""
+        if not self.catalog.table_exists(c.table, c.namespace):
+            return self.spark.sql(
+                f"DELETE FROM {c.table}" + (f" WHERE {c.where}" if c.where else "")
+            )
+        self._register_all()
+        rel = self.relation(c.table, c.namespace)
+        cols = ", ".join(f"`{n}`" for n, _ in rel.meta.all_columns)
+        survivors = self.spark.sql(
+            f"SELECT {cols} FROM {c.table}"
+            + (f" WHERE NOT coalesce({c.where}, false)" if c.where else " WHERE false")
+        )
+        rel.overwrite(survivors)
+        rel.register_view()
+        return self._ok(f"deleted from {c.table}")
+
     def _exec_MergeInto(self, c: ddl.MergeInto) -> DataFrame:
         """MERGE INTO over the LSM layout (beyond-reference; the reference
         appends only, HBaseRelation.scala:660-663).

@@ -534,3 +534,35 @@ def test_merge_grammar_nested_parens():
     assert c.insert_cols == ["k", "v"] and c.insert_exprs == ["s.kk", "upper(s.vv)"]
     c2 = ddl.parse("MERGE INTO tgt USING src s ON (tgt.k = s.k) WHEN MATCHED THEN DELETE")
     assert c2.on == "(tgt.k = s.k)" and c2.delete_matched
+
+
+def test_update_and_delete_statements(astro):
+    """UPDATE/DELETE sugar over the MERGE machinery (ours — the reference
+    appends only): UPDATE lands via the upsert append, DELETE rewrites
+    survivors atomically."""
+    astro.sql(
+        "CREATE TABLE ud (k INT, v STRING, n INT, PRIMARY KEY (k)) MAPPED BY (ud_ht)"
+    )
+    for k, v, n in [(1, "a", 10), (2, "b", 20), (3, "c", 30)]:
+        astro.sql(f"INSERT INTO ud VALUES ({k}, '{v}', {n})")
+    astro.sql("UPDATE ud SET v = upper(v), n = n + 1 WHERE k >= 2")
+    rows = astro.sql("SELECT k, v, n FROM ud ORDER BY k").collect()
+    assert [(r.k, r.v, r.n) for r in rows] == [(1, "a", 10), (2, "B", 21), (3, "C", 31)]
+    # unfiltered UPDATE touches every row
+    astro.sql("UPDATE ud SET n = 0")
+    assert {r.n for r in astro.sql("SELECT n FROM ud").collect()} == {0}
+    astro.sql("DELETE FROM ud WHERE k = 2")
+    assert [r.k for r in astro.sql("SELECT k FROM ud ORDER BY k").collect()] == [1, 3]
+    # NULL-predicate rows survive a delete (WHERE NULL is not a match)
+    astro.sql("INSERT INTO ud VALUES (4, NULL, 5)")
+    astro.sql("DELETE FROM ud WHERE v = 'zzz'")
+    assert [r.k for r in astro.sql("SELECT k FROM ud ORDER BY k").collect()] == [1, 3, 4]
+    astro.sql("DELETE FROM ud")
+    assert astro.sql("SELECT count(*) AS n FROM ud").collect()[0].n == 0
+    # guards
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="may not assign key"):
+        astro.sql("UPDATE ud SET k = 9")
+    with _pt.raises(ValueError, match="undeclared"):
+        astro.sql("UPDATE ud SET nosuch = 1")
