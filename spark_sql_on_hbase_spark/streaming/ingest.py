@@ -77,3 +77,68 @@ def incremental_dedup_stream(
         stream_docs.writeStream.foreachBatch(_classify)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def astro_table_sink(
+    stream_df: DataFrame,
+    astro,
+    table: str,
+    checkpoint: str,
+    namespace: str = "default",
+):
+    """Continuous ingestion into an Astro table: each micro-batch lands
+    through the LSM upsert append (``AstroRelation.append``) — the
+    streaming face of ``INSERT INTO``, bridging the engine's storage
+    half and its streaming half (the reference has no streaming at all;
+    its closest analog is batched Puts, HBaseRelation.scala:657-708).
+
+    Returns the unstarted ``DataStreamWriter`` — callers pick the
+    trigger (``availableNow`` for catch-up, processing-time for
+    continuous).
+
+    Delivery semantics: foreachBatch is at-least-once (a batch re-runs
+    if the driver dies after the write but before the checkpoint
+    commit).  Two layers make that safe here:
+
+    - a per-batch marker file under the table's data dir skips a batch
+      id that already landed, so the COMMON replay (restart after a
+      committed write) appends nothing twice;
+    - the storage layout itself is keyed upsert (newest generation wins
+      per column), so even the narrow crash window between append and
+      marker only re-upserts the SAME rows — by-key reads are unchanged,
+      and the duplicate fragment folds away at the next COMPACT.  This
+      is the property that makes the sink exactly-once *by key* without
+      a transaction log.
+
+    The stream's columns must match the table's declared columns
+    (same order as ``CREATE TABLE``); casts apply per the table schema.
+    """
+    import os
+
+    from spark_sql_on_hbase_spark.relation import table_schema
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        rel = astro.relation(table, namespace)
+        data_dir = astro.catalog.data_dir(rel.meta)
+        marker = os.path.join(data_dir, ".batches", f"{int(epoch_id)}.done")
+        if os.path.exists(marker):
+            return  # committed replay: this batch already landed
+        if batch_df.isEmpty():
+            return
+        schema = table_schema(rel.meta)
+        cols = [n for n, _ in rel.meta.all_columns]
+        cast = batch_df.select(
+            *[batch_df[n].cast(schema[n].dataType) for n in cols]
+        )
+        if rel.meta.regions:
+            rel.append(cast)
+        else:
+            rel.write(cast)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+        rel.register_view()
+
+    return stream_df.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
