@@ -160,3 +160,54 @@ def test_invalidate_tables_drops_cached_plans(spark, tmp_path):
     invalidate_tables(spark, str(d))
     t2 = load_tables(spark, str(d))
     assert t2["region"] is not t1["region"]  # fresh plan after invalidation
+
+
+def _ref_jaccard_pairs(texts: list[str], n: int, t: float):
+    """Brute-force exact n-gram Jaccard over ALL pairs — the reference
+    the prefix-filtered distributed implementation must equal."""
+    import itertools
+
+    def shingles(s: str) -> set[str]:
+        toks = re.split(r"\s+", s.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(s) for i, s in enumerate(texts)}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = round(inter / (len(sa) + len(sb) - inter), 4)
+        if j >= t:
+            out[(a, b)] = j
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS[:5]), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+def test_ngram_jaccard_prefix_filter_is_exact(spark, texts, threshold):
+    """The AllPairs/PPJoin prefix filter (r6 rewrite) must lose NO
+    qualifying pair and invent none — fuzzed against brute-force
+    all-pairs Jaccard, across thresholds (prefix length ⌊(1-t)n⌋+1 has
+    a classic off-by-one failure mode this pins down).  The tiny
+    5-word vocabulary forces heavy shingle sharing — the adversarial
+    case for candidate generation."""
+    from spark_sql_on_hbase_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, shingle_n=3, threshold=threshold).collect()
+    }
+    want = _ref_jaccard_pairs(texts, 3, threshold)
+    assert got == want, (sorted(set(want) - set(got)), sorted(set(got) - set(want)))
