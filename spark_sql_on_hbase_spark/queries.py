@@ -104,6 +104,10 @@ TAIL_ORDER = [
     "streaming_sessionize",
     "text_token_count",
     "ann_lsh_signatures",
+    # the r6 write surface (INSERT OVERWRITE / UPDATE / DELETE / MERGE)
+    # end-to-end with a full oracle — tail for slot budget; pytest
+    # covers each statement individually
+    "astro_write_ops",
     # full oracles, individually runnable; their row counts AND values
     # grade in-window through text_ops_suite's checksummed branches
     "text_fingerprint",

@@ -351,3 +351,86 @@ ASTRO["astro_upsert_merge"] = Q(
     "newer insert is an absent cell and preserves the older value "
     "(HBase Put/getColumnLatestCell semantics, HBaseRelation.scala:911-941)",
 )
+
+
+def _ensure_write_ops_table(spark: SparkSession, sf_dir: str):
+    """Exercise the FULL r6 write surface through the SQL session —
+    INSERT INTO → INSERT OVERWRITE (atomic swap) → UPDATE (upsert
+    append) → DELETE (survivor rewrite) → MERGE (matched update +
+    anti-join insert) — leaving a deterministic table the DuckDB oracle
+    recomputes from the orders parquet.  Cached per sf_dir (the mutation
+    sequence runs once; reruns scan the finished table)."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_wo_v1"
+    astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
+    done = os.path.join(_WAREHOUSE, tag, ".write_ops_done")
+    if not os.path.exists(done):
+        load_tables(spark, sf_dir)  # `orders` temp view for the sources
+        astro.sql(
+            "CREATE TABLE IF NOT EXISTS astro_wo (o_orderkey LONG, "
+            "o_totalprice DOUBLE, o_orderstatus STRING, PRIMARY KEY (o_orderkey)) "
+            "MAPPED BY (h_wo, COLS=[o_totalprice=f.tp, o_orderstatus=f.st])"
+        )
+        astro.sql(
+            "INSERT INTO astro_wo SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"
+        )
+        astro.sql(
+            "INSERT OVERWRITE astro_wo SELECT o_orderkey, o_totalprice, o_orderstatus "
+            "FROM orders WHERE o_orderkey <= 2000"
+        )
+        astro.sql(
+            "UPDATE astro_wo SET o_totalprice = o_totalprice + 500 WHERE o_orderkey < 100"
+        )
+        astro.sql("DELETE FROM astro_wo WHERE o_orderkey % 10 = 0")
+        astro.sql(
+            "MERGE INTO astro_wo t USING (SELECT o_orderkey AS k, o_totalprice AS tp, "
+            "o_orderstatus AS st FROM orders WHERE o_orderkey <= 2200) s "
+            "ON t.o_orderkey = s.k "
+            "WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1 "
+            "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus) "
+            "VALUES (s.k, s.tp, s.st)"
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return astro
+
+
+def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    astro = _ensure_write_ops_table(spark, sf_dir)
+    return astro.sql(
+        "SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderstatus "
+        "FROM astro_wo"
+    )
+
+
+ASTRO["astro_write_ops"] = Q(
+    spark=_astro_write_ops,
+    oracle="""
+    WITH base AS (
+      -- OVERWRITE kept keys <= 2000; UPDATE added 500 below key 100;
+      -- DELETE removed keys % 10 = 0; MERGE then +1 every survivor
+      -- (all survivors <= 2000 <= the source's 2200 cutoff)
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 100 THEN o_totalprice + 500
+                  ELSE o_totalprice END AS tp,
+             o_orderstatus
+      FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 != 0
+    ),
+    ins AS (
+      -- MERGE NOT MATCHED re-inserts the deleted keys and adds 2000<k<=2200
+      SELECT o.o_orderkey, o.o_totalprice AS tp, o.o_orderstatus
+      FROM orders o LEFT JOIN base b USING (o_orderkey)
+      WHERE o.o_orderkey <= 2200 AND b.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, round(tp + 1, 2) AS totalprice, o_orderstatus FROM base
+    UNION ALL
+    SELECT o_orderkey, round(tp, 2) AS totalprice, o_orderstatus FROM ins
+    """,
+    doc="the r6 write surface end-to-end through the SQL session: INSERT "
+    "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "
+    "rewrite) -> MERGE (matched update + anti-join insert) — the final "
+    "table contents recomputed independently by the oracle from orders "
+    "(ddl.py/session.py; beyond-reference, HBaseRelation.scala:660-663)",
+)
