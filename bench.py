@@ -202,10 +202,12 @@ def main() -> None:
     # sf1 soak evidence (tools/soak_sf1.py writes SOAK_SF1.json): embed it
     # so the round's BENCH_DETAIL carries the ×10 spill/skew numbers
     soak_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SOAK_SF1.json")
+    # ValueError too: a corrupt/truncated soak file must not kill the
+    # bench after the full sweep, before the contract line prints
     try:
         with open(soak_path) as f:
             detail["sf1_soak"] = json.load(f)
-    except OSError:
+    except (OSError, ValueError):
         pass
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -245,18 +245,61 @@ _INSERT_SELECT_RE = re.compile(
 _MERGE_RE = re.compile(
     # src: GREEDY paren match — a non-greedy `\(.*?\)` truncates a
     # subquery at its first inner `)` (WHERE f(x)=1, inner JOIN … ON);
-    # greedy + backtracking anchors on the mandatory ` ON … WHEN ` tail
+    # greedy + backtracking anchors on the mandatory ` ON ` tail.  The
+    # ON-condition / WHEN-clause boundary is NOT split here: a lazy
+    # `(?P<on>.+?)\s+WHEN` truncates `ON k = CASE WHEN …` at the CASE's
+    # WHEN — _parse_merge splits on the first top-level `WHEN [NOT]
+    # MATCHED` instead (quote/paren-aware).
     r"^\s*MERGE\s+INTO\s+(?P<name>[\w.`]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
     r"USING\s+(?P<src>\(.*\)|[\w.`]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
-    r"ON\s+(?P<on>.+?)\s+"
-    r"(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    r"ON\s+(?P<tail>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 _MERGE_CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.*?)(?=\s*WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+    r"\s*WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.*?)(?=\s*WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
+
+_WHEN_MATCHED_RE = re.compile(r"WHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
+
+
+def _find_top_level(s: str, pattern: re.Pattern) -> int:
+    """Index of the first ``pattern`` match at paren depth 0 outside
+    string quotes, or -1.  The boundary finder for statement parts that
+    lazy regexes get wrong (WHERE inside a literal/subquery, CASE WHEN
+    inside a MERGE ON condition)."""
+    depth, quote = 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and pattern.match(s, i)
+        ):
+            return i
+    return -1
+
+
+_TOP_WHERE_RE = re.compile(r"WHERE\b", re.IGNORECASE)
+
+
+def _split_top_level_where(s: str) -> tuple[str, str | None]:
+    """Split ``s`` at the first top-level WHERE keyword (outside quotes
+    and parens) → (head, where-or-None)."""
+    i = _find_top_level(s, _TOP_WHERE_RE)
+    if i < 0:
+        return s.strip(), None
+    return s[:i].strip(), s[i + len("WHERE"):].strip() or None
 
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+ADD\s+(?P<col>\w+)\s+(?P<dtype>\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
@@ -444,27 +487,39 @@ def parse(sql: str) -> Command:
         return _parse_merge(s)
 
     um = re.match(
-        r"^\s*UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        r"^\s*UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if um:
         ns, t = _parse_table_name(um.group("name"))
+        # split SET exprs from WHERE at the first TOP-LEVEL keyword —
+        # a lazy regex splits at a WHERE inside a string literal or a
+        # subquery in the SET expression
+        sets_text, where = _split_top_level_where(um.group("rest"))
         sets: dict[str, str] = {}
-        for pair in _split_top_level(um.group("sets")):
+        for pair in _split_top_level(sets_text):
             col, expr = pair.split("=", 1)
-            sets[col.strip().strip("`")] = expr.strip()
-        return UpdateTable(table=t, namespace=ns, update_set=sets, where=um.group("where"))
+            # strip an alias/table qualifier like the MERGE parser does
+            # (`UPDATE t SET t.v = 1` names column v)
+            sets[col.strip().strip("`").split(".")[-1].strip("`")] = expr.strip()
+        return UpdateTable(table=t, namespace=ns, update_set=sets, where=where)
 
     dm = re.match(
-        r"^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        r"^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)(?P<rest>\s+.+?)?\s*;?\s*$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if dm:
         ns, t = _parse_table_name(dm.group("name"))
-        return DeleteFrom(table=t, namespace=ns, where=dm.group("where"))
+        rest = (dm.group("rest") or "").strip()
+        if rest:
+            head, where = _split_top_level_where(rest)
+            if head or where is None:
+                raise ValueError(f"malformed DELETE: {sql!r}")
+        else:
+            where = None
+        return DeleteFrom(table=t, namespace=ns, where=where)
 
     return PassThrough(sql=sql)
 
@@ -484,13 +539,33 @@ def _parse_merge(s: str) -> MergeInto:
     else:
         salias = salias or src.strip("`")
         source_from = f"{src} {salias}"
+    # split the ON condition from the WHEN clauses at the first
+    # TOP-LEVEL `WHEN [NOT] MATCHED` (quote/paren-aware): a lazy regex
+    # truncates `ON t.k = CASE WHEN … END` at the CASE's own WHEN
+    tail = m.group("tail")
+    w = _find_top_level(tail, _WHEN_MATCHED_RE)
+    if w < 0:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    on, clauses = tail[:w].strip(), tail[w:].strip()
     update_set: dict[str, str] | None = None
     insert_cols: list[str] | None = None
     insert_exprs: list[str] | None = None
     insert_star = False
     has_insert = False
     delete_matched = False
-    for cm in _MERGE_CLAUSE_RE.finditer(m.group("clauses")):
+    # every character of the clause text must be consumed by a supported
+    # WHEN variant — silently dropping e.g. `WHEN MATCHED AND cond THEN
+    # DELETE` (conditional clauses are unsupported) and executing the
+    # rest would report success while skipping requested work
+    consumed_to = 0
+    for cm in _MERGE_CLAUSE_RE.finditer(clauses):
+        if cm.start() != consumed_to:
+            raise ValueError(
+                f"unsupported MERGE clause text {clauses[consumed_to:cm.start()]!r} "
+                "(conditional WHEN … AND … and WHEN NOT MATCHED BY SOURCE "
+                "are not supported)"
+            )
+        consumed_to = cm.end()
         action = cm.group("action").strip()
         if cm.group("not"):
             im = re.match(
@@ -518,6 +593,12 @@ def _parse_merge(s: str) -> MergeInto:
             for pair in _split_top_level(um.group("sets")):
                 col, expr = pair.split("=", 1)
                 update_set[col.strip().strip("`").split(".")[-1]] = expr.strip()
+    if clauses[consumed_to:].strip():
+        raise ValueError(
+            f"unsupported MERGE clause text {clauses[consumed_to:].strip()!r} "
+            "(conditional WHEN … AND … and WHEN NOT MATCHED BY SOURCE "
+            "are not supported)"
+        )
     if update_set is not None and delete_matched:
         raise ValueError("MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
     if update_set is None and not delete_matched and not has_insert:
@@ -528,7 +609,7 @@ def _parse_merge(s: str) -> MergeInto:
         target_alias=talias,
         source_from=source_from,
         source_alias=salias,
-        on=m.group("on").strip(),
+        on=on,
         update_set=update_set,
         insert_cols=insert_cols,
         insert_exprs=insert_exprs,

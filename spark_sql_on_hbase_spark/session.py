@@ -239,6 +239,23 @@ class AstroSession:
         rel.register_view()
         return self._ok(f"{'overwrote' if c.overwrite else 'inserted into'} {c.table}")
 
+    @staticmethod
+    def _update_projection(rel: AstroRelation, update_set: dict[str, str], cur_prefix: str) -> str:
+        """Validated full-row SELECT list for an UPDATE-style write: SET
+        expressions where assigned, the current value (``cur_prefix`` =
+        alias qualifier or '') elsewhere.  One definition for UPDATE and
+        MERGE so their semantics can't drift (r6 review)."""
+        cols = [n for n, _ in rel.meta.all_columns]
+        keyset = {k.name for k in rel.meta.key_columns}
+        bad = set(update_set) - set(cols)
+        if bad:
+            raise ValueError(f"UPDATE SET on undeclared columns {sorted(bad)}")
+        if set(update_set) & keyset:
+            raise ValueError("UPDATE SET may not assign key columns")
+        return ", ".join(
+            f"{update_set.get(col, f'{cur_prefix}`{col}`')} AS `{col}`" for col in cols
+        )
+
     def _exec_UpdateTable(self, c: ddl.UpdateTable) -> DataFrame:
         """UPDATE … SET … [WHERE]: matched rows re-land as full rows
         through the upsert append (newest-generation-wins), exactly the
@@ -253,14 +270,8 @@ class AstroSession:
         self._register_all()
         rel = self.relation(c.table, c.namespace)
         cols = [n for n, _ in rel.meta.all_columns]
-        keyset = {k.name for k in rel.meta.key_columns}
-        bad = set(c.update_set) - set(cols)
-        if bad:
-            raise ValueError(f"UPDATE SET on undeclared columns {sorted(bad)}")
-        if set(c.update_set) & keyset:
-            raise ValueError("UPDATE SET may not assign key columns")
         schema = table_schema(rel.meta)
-        proj = ", ".join(f"{c.update_set.get(col, f'`{col}`')} AS `{col}`" for col in cols)
+        proj = self._update_projection(rel, c.update_set, "")
         df = self.spark.sql(
             f"SELECT {proj} FROM {c.table}" + (f" WHERE {c.where}" if c.where else "")
         )
@@ -315,14 +326,7 @@ class AstroSession:
             return df.select(*[df[n].cast(schema[n].dataType) for n in cols])
 
         if c.update_set is not None:
-            bad = set(c.update_set) - set(cols)
-            if bad:
-                raise ValueError(f"UPDATE SET on undeclared columns {sorted(bad)}")
-            if set(c.update_set) & keyset:
-                raise ValueError("UPDATE SET may not assign key columns")
-            proj = ", ".join(
-                f"{c.update_set.get(col, f'{t}.`{col}`')} AS `{col}`" for col in cols
-            )
+            proj = self._update_projection(rel, c.update_set, f"{t}.")
             parts.append(
                 _cast(self.spark.sql(
                     f"SELECT {proj} FROM {c.table} {t} JOIN {c.source_from} ON {c.on}"

@@ -100,9 +100,14 @@ def astro_table_sink(
     if the driver dies after the write but before the checkpoint
     commit).  Two layers make that safe here:
 
-    - a per-batch marker file under the table's data dir skips a batch
-      id that already landed, so the COMMON replay (restart after a
-      committed write) appends nothing twice;
+    - a per-batch marker file under the CHECKPOINT dir skips a batch id
+      that already landed, so the COMMON replay (restart after a
+      committed write) appends nothing twice.  The markers live beside
+      the checkpoint — NOT inside the table's data dir, which COMPACT /
+      INSERT OVERWRITE / DELETE atomically swap away (r6 review: a
+      marker lost to a rewrite would resurrect rows on replay) — and
+      share the checkpoint's lifetime; markers more than 100 epochs old
+      are pruned (only the uncommitted tail can ever replay);
     - the storage layout itself is keyed upsert (newest generation wins
       per column), so even the narrow crash window between append and
       marker only re-upserts the SAME rows — by-key reads are unchanged,
@@ -117,14 +122,15 @@ def astro_table_sink(
 
     from spark_sql_on_hbase_spark.relation import table_schema
 
+    marker_dir = os.path.join(checkpoint, "astro_batches")
+
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        rel = astro.relation(table, namespace)
-        data_dir = astro.catalog.data_dir(rel.meta)
-        marker = os.path.join(data_dir, ".batches", f"{int(epoch_id)}.done")
+        marker = os.path.join(marker_dir, f"{int(epoch_id)}.done")
         if os.path.exists(marker):
             return  # committed replay: this batch already landed
         if batch_df.isEmpty():
             return
+        rel = astro.relation(table, namespace)
         schema = table_schema(rel.meta)
         cols = [n for n, _ in rel.meta.all_columns]
         cast = batch_df.select(
@@ -134,9 +140,16 @@ def astro_table_sink(
             rel.append(cast)
         else:
             rel.write(cast)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("ok")
+        # bounded marker set: replays only reach the uncommitted tail
+        for old in os.listdir(marker_dir):
+            try:
+                if int(old.split(".")[0]) < int(epoch_id) - 100:
+                    os.unlink(os.path.join(marker_dir, old))
+            except (ValueError, OSError):
+                continue
         rel.register_view()
 
     return stream_df.writeStream.foreachBatch(_ingest).option(

@@ -566,3 +566,47 @@ def test_update_and_delete_statements(astro):
         astro.sql("UPDATE ud SET k = 9")
     with _pt.raises(ValueError, match="undeclared"):
         astro.sql("UPDATE ud SET nosuch = 1")
+
+
+def test_write_grammar_review_regressions():
+    """r6 self-review repros: lazy-regex boundary bugs in the write
+    grammar must stay fixed (WHERE inside literals/subqueries, CASE WHEN
+    in MERGE ON, silently-dropped unsupported WHEN variants)."""
+    from spark_sql_on_hbase_spark import ddl
+
+    # WHERE inside a string literal is NOT the clause boundary
+    c = ddl.parse("UPDATE t SET note = 'delete where needed' WHERE k = 1")
+    assert c.update_set == {"note": "'delete where needed'"} and c.where == "k = 1"
+    # WHERE inside a subquery in the SET expression stays in the expr
+    c = ddl.parse("UPDATE t SET v = (SELECT max(x) FROM u WHERE u.k = 1)")
+    assert c.update_set == {"v": "(SELECT max(x) FROM u WHERE u.k = 1)"}
+    assert c.where is None
+    # alias-qualified SET column names resolve like MERGE's do
+    c = ddl.parse("UPDATE t SET t.v = 1 WHERE t.k > 2")
+    assert c.update_set == {"v": "1"} and c.where == "t.k > 2"
+    # CASE WHEN inside the MERGE ON condition is not a clause boundary
+    c = ddl.parse(
+        "MERGE INTO tgt t USING src s "
+        "ON t.k = (CASE WHEN s.a > 0 THEN s.k ELSE -1 END) "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert c.on == "t.k = (CASE WHEN s.a > 0 THEN s.k ELSE -1 END)"
+    assert c.delete_matched
+    # unsupported WHEN variants raise instead of silently dropping work
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported MERGE clause"):
+        ddl.parse(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED AND s.flag = 1 THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with _pt.raises(ValueError, match="unsupported MERGE clause"):
+        ddl.parse(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    # DELETE with trailing garbage is malformed, not a silent full delete
+    with _pt.raises(ValueError, match="malformed DELETE"):
+        ddl.parse("DELETE FROM t USING u WHERE t.k = u.k")

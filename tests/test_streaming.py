@@ -608,7 +608,9 @@ def test_astro_table_sink_stream_ingest(spark, tmp_path):
 
     rel = astro.relation("sink_t")
     n_before = len(rel.meta.regions)
-    marker_dir = os.path.join(astro.catalog.data_dir(rel.meta), ".batches")
+    # markers live under the CHECKPOINT (table rewrites must not destroy
+    # them — r6 review), one per landed micro-batch
+    marker_dir = os.path.join(ckpt, "astro_batches")
     assert os.path.isdir(marker_dir) and len(os.listdir(marker_dir)) >= 2
     before_rows = astro.sql("SELECT count(*) AS n FROM sink_t").collect()[0].n
     replay = spark.createDataFrame([(2, "B", 200), (3, "c", 30)], "k int, v string, n int")

@@ -87,8 +87,12 @@ def main() -> None:
         if m.get("spill_disk_mb")
     }
     out["spill_summary"] = spills or "zero disk spill across all soak queries"
-    with open(os.path.join(ROOT, "SOAK_SF1.json"), "w") as f:
+    # atomic write: a soak killed mid-dump must not leave truncated JSON
+    # for bench.py to trip over
+    dst = os.path.join(ROOT, "SOAK_SF1.json")
+    with open(dst + ".tmp", "w") as f:
         json.dump(out, f, indent=1)
+    os.replace(dst + ".tmp", dst)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}, indent=1))
     for n, m in out["queries"].items():
         print(n, json.dumps(m, separators=(",", ":")))
