@@ -128,16 +128,23 @@ class UpdateTable:
     update_set: dict[str, str]
     where: str | None = None
     namespace: str = "default"
+    # the original statement text: non-astro tables fall through to
+    # Spark SQL VERBATIM (a reconstruction would drop the namespace
+    # qualifier and re-normalize SET targets — r6 review)
+    raw: str = ""
 
 
 @dataclass
 class DeleteFrom:
-    """DELETE FROM t [WHERE cond] — survivors rewritten atomically (the
-    LSM layout has no tombstones; same path as MERGE's matched-DELETE)."""
+    """DELETE FROM t [AS a] [WHERE cond] — survivors rewritten atomically
+    (the LSM layout has no tombstones; same path as MERGE's
+    matched-DELETE)."""
 
     table: str
     where: str | None = None
+    alias: str | None = None
     namespace: str = "default"
+    raw: str = ""
 
 
 @dataclass
@@ -256,26 +263,28 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_MERGE_CLAUSE_RE = re.compile(
-    r"\s*WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.*?)(?=\s*WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
-    re.IGNORECASE | re.DOTALL,
-)
-
 _WHEN_MATCHED_RE = re.compile(r"WHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
 
 
-def _find_top_level(s: str, pattern: re.Pattern) -> int:
+def _find_top_level(s: str, pattern: re.Pattern, start: int = 0) -> int:
     """Index of the first ``pattern`` match at paren depth 0 outside
-    string quotes, or -1.  The boundary finder for statement parts that
+    quoted regions, or -1.  The boundary finder for statement parts that
     lazy regexes get wrong (WHERE inside a literal/subquery, CASE WHEN
-    inside a MERGE ON condition)."""
+    inside a MERGE ON condition).  Quote-aware for '…', "…", AND
+    backtick identifiers (a column named `where` is not a clause
+    boundary), with backslash escapes honored inside string quotes
+    (Spark literals support \\' by default)."""
     depth, quote = 0, None
-    for i, ch in enumerate(s):
+    i = start
+    while i < len(s):
+        ch = s[i]
         if quote:
+            if ch == "\\" and quote != "`":
+                i += 2
+                continue
             if ch == quote:
                 quote = None
-            continue
-        if ch in "'\"":
+        elif ch in "'\"`":
             quote = ch
         elif ch in "([":
             depth += 1
@@ -287,7 +296,19 @@ def _find_top_level(s: str, pattern: re.Pattern) -> int:
             and pattern.match(s, i)
         ):
             return i
+        i += 1
     return -1
+
+
+def _norm_set_target(col: str, owners: tuple[str, ...]) -> str:
+    """Normalize an UPDATE/MERGE SET target: strip backticks per path
+    segment, and drop a single leading qualifier ONLY when it names the
+    statement's own table/alias — `addr.city` (a struct path or a wrong
+    qualifier) must NOT silently collapse to `city` (r6 review)."""
+    segs = [p.strip().strip("`") for p in col.strip().split(".")]
+    if len(segs) == 2 and segs[0].lower() in {o.lower() for o in owners}:
+        return segs[1]
+    return ".".join(segs)
 
 
 _TOP_WHERE_RE = re.compile(r"WHERE\b", re.IGNORECASE)
@@ -499,11 +520,11 @@ def parse(sql: str) -> Command:
         sets_text, where = _split_top_level_where(um.group("rest"))
         sets: dict[str, str] = {}
         for pair in _split_top_level(sets_text):
+            if "=" not in pair:
+                return PassThrough(sql=sql)  # not our UPDATE shape
             col, expr = pair.split("=", 1)
-            # strip an alias/table qualifier like the MERGE parser does
-            # (`UPDATE t SET t.v = 1` names column v)
-            sets[col.strip().strip("`").split(".")[-1].strip("`")] = expr.strip()
-        return UpdateTable(table=t, namespace=ns, update_set=sets, where=where)
+            sets[_norm_set_target(col, (t,))] = expr.strip()
+        return UpdateTable(table=t, namespace=ns, update_set=sets, where=where, raw=s)
 
     dm = re.match(
         r"^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)(?P<rest>\s+.+?)?\s*;?\s*$",
@@ -513,13 +534,19 @@ def parse(sql: str) -> Command:
     if dm:
         ns, t = _parse_table_name(dm.group("name"))
         rest = (dm.group("rest") or "").strip()
+        alias = None
+        am = re.match(r"^(?:AS\s+)?(?!WHERE\b)(`?\w+`?)\b\s*(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if am:
+            alias, rest = am.group(1).strip("`"), am.group(2).strip()
+        where = None
         if rest:
             head, where = _split_top_level_where(rest)
             if head or where is None:
-                raise ValueError(f"malformed DELETE: {sql!r}")
-        else:
-            where = None
-        return DeleteFrom(table=t, namespace=ns, where=where)
+                # DELETE shapes we don't model (e.g. DELETE … USING):
+                # fall through verbatim — Spark may support them on DSv2
+                # sources, and pre-r6 behavior was pass-through
+                return PassThrough(sql=sql)
+        return DeleteFrom(table=t, namespace=ns, where=where, alias=alias, raw=s)
 
     return PassThrough(sql=sql)
 
@@ -553,19 +580,35 @@ def _parse_merge(s: str) -> MergeInto:
     insert_star = False
     has_insert = False
     delete_matched = False
-    # every character of the clause text must be consumed by a supported
-    # WHEN variant — silently dropping e.g. `WHEN MATCHED AND cond THEN
-    # DELETE` (conditional clauses are unsupported) and executing the
-    # rest would report success while skipping requested work
-    consumed_to = 0
-    for cm in _MERGE_CLAUSE_RE.finditer(clauses):
-        if cm.start() != consumed_to:
+    # segment the clause text at TOP-LEVEL `WHEN [NOT] MATCHED`
+    # boundaries (the same quote/paren-aware scanner the ON split uses —
+    # a string literal containing 'WHEN MATCHED' must not split a
+    # clause), then require every segment to be a supported variant:
+    # silently dropping e.g. `WHEN MATCHED AND cond THEN DELETE`
+    # (conditional clauses are unsupported) and executing the rest would
+    # report success while skipping requested work
+    bounds = [0]
+    off = len("WHEN")
+    while True:
+        i = _find_top_level(clauses, _WHEN_MATCHED_RE, off)
+        if i < 0:
+            break
+        bounds.append(i)
+        off = i + len("WHEN")
+    segments = [
+        clauses[a:b].strip() for a, b in zip(bounds, bounds[1:] + [len(clauses)])
+    ]
+    for seg in segments:
+        cm = re.match(
+            r"^WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.+)$",
+            seg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
             raise ValueError(
-                f"unsupported MERGE clause text {clauses[consumed_to:cm.start()]!r} "
-                "(conditional WHEN … AND … and WHEN NOT MATCHED BY SOURCE "
-                "are not supported)"
+                f"unsupported MERGE clause {seg!r} (conditional WHEN … AND … "
+                "and WHEN NOT MATCHED BY SOURCE are not supported)"
             )
-        consumed_to = cm.end()
         action = cm.group("action").strip()
         if cm.group("not"):
             im = re.match(
@@ -592,13 +635,7 @@ def _parse_merge(s: str) -> MergeInto:
             update_set = {}
             for pair in _split_top_level(um.group("sets")):
                 col, expr = pair.split("=", 1)
-                update_set[col.strip().strip("`").split(".")[-1]] = expr.strip()
-    if clauses[consumed_to:].strip():
-        raise ValueError(
-            f"unsupported MERGE clause text {clauses[consumed_to:].strip()!r} "
-            "(conditional WHEN … AND … and WHEN NOT MATCHED BY SOURCE "
-            "are not supported)"
-        )
+                update_set[_norm_set_target(col, (talias, table))] = expr.strip()
     if update_set is not None and delete_matched:
         raise ValueError("MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
     if update_set is None and not delete_matched and not has_insert:

@@ -260,13 +260,11 @@ class AstroSession:
         """UPDATE … SET … [WHERE]: matched rows re-land as full rows
         through the upsert append (newest-generation-wins), exactly the
         MERGE matched-UPDATE path — no table rewrite.  Non-astro tables
-        fall through to Spark SQL (DSv2 sources may support it)."""
+        fall through to Spark SQL VERBATIM (DSv2 sources may support it;
+        a reconstruction would drop the namespace qualifier and
+        re-normalize SET targets — r6 review)."""
         if not self.catalog.table_exists(c.table, c.namespace):
-            return self.spark.sql(
-                f"UPDATE {c.table} SET "
-                + ", ".join(f"{k} = {v}" for k, v in c.update_set.items())
-                + (f" WHERE {c.where}" if c.where else "")
-            )
+            return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
         cols = [n for n, _ in rel.meta.all_columns]
@@ -281,17 +279,17 @@ class AstroSession:
         return self._ok(f"updated {c.table}")
 
     def _exec_DeleteFrom(self, c: ddl.DeleteFrom) -> DataFrame:
-        """DELETE FROM … [WHERE]: survivors rewritten atomically (no
-        tombstones in the LSM layout — MERGE's matched-DELETE path)."""
+        """DELETE FROM … [AS a] [WHERE]: survivors rewritten atomically
+        (no tombstones in the LSM layout — MERGE's matched-DELETE path).
+        Non-astro tables fall through to Spark SQL verbatim."""
         if not self.catalog.table_exists(c.table, c.namespace):
-            return self.spark.sql(
-                f"DELETE FROM {c.table}" + (f" WHERE {c.where}" if c.where else "")
-            )
+            return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
-        cols = ", ".join(f"`{n}`" for n, _ in rel.meta.all_columns)
+        a = c.alias or c.table
+        cols = ", ".join(f"{a}.`{n}`" for n, _ in rel.meta.all_columns)
         survivors = self.spark.sql(
-            f"SELECT {cols} FROM {c.table}"
+            f"SELECT {cols} FROM {c.table} {a}"
             + (f" WHERE NOT coalesce({c.where}, false)" if c.where else " WHERE false")
         )
         rel.overwrite(survivors)

@@ -607,6 +607,41 @@ def test_write_grammar_review_regressions():
             "WHEN MATCHED THEN UPDATE SET v = s.v "
             "WHEN NOT MATCHED BY SOURCE THEN DELETE"
         )
-    # DELETE with trailing garbage is malformed, not a silent full delete
-    with _pt.raises(ValueError, match="malformed DELETE"):
-        ddl.parse("DELETE FROM t USING u WHERE t.k = u.k")
+    # DELETE shapes we don't model fall through to Spark verbatim
+    # (pre-r6 behavior — DSv2 sources may support them)
+    c = ddl.parse("DELETE FROM t USING u WHERE t.k = u.k")
+    assert isinstance(c, ddl.PassThrough)
+    # --- second-review repros ---
+    # struct-field / wrong-qualifier SET targets are NOT collapsed to a
+    # bare column (silent wrong-column update); only the table's own
+    # qualifier strips
+    c = ddl.parse("UPDATE t SET address.city = 'SF' WHERE k = 1")
+    assert c.update_set == {"address.city": "'SF'"}
+    c = ddl.parse("UPDATE t SET zzz.v = 1")
+    assert c.update_set == {"zzz.v": "1"}
+    # verbatim fall-through keeps the original text (namespace survives)
+    c = ddl.parse("UPDATE ns.t SET v = 1")
+    assert c.namespace == "ns" and c.raw.startswith("UPDATE ns.t")
+    # aliased DELETE parses (valid Spark syntax; previously pass-through)
+    c = ddl.parse("DELETE FROM t AS a WHERE a.k = 1")
+    assert c.alias == "a" and c.where == "a.k = 1"
+    c = ddl.parse("DELETE FROM t a WHERE a.k = 1")
+    assert c.alias == "a" and c.where == "a.k = 1"
+    # backslash-escaped quote inside a literal is not a literal end
+    c = ddl.parse(r"UPDATE t SET note = 'O\'Brien WHERE x' WHERE k = 1")
+    assert c.update_set == {"note": r"'O\'Brien WHERE x'"} and c.where == "k = 1"
+    # a column literally named `where` parses (backticks are quotes)
+    c = ddl.parse("UPDATE t SET `where` = 1")
+    assert c.update_set == {"where": "1"} and c.where is None
+    # 'WHEN MATCHED' inside a string literal is not a clause boundary
+    c = ddl.parse(
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET note = 'use WHEN NOT MATCHED here', v = s.v"
+    )
+    assert c.update_set == {"note": "'use WHEN NOT MATCHED here'", "v": "s.v"}
+    # backtick-quoted qualified MERGE SET target resolves like UPDATE's
+    c = ddl.parse(
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.`v` = 1"
+    )
+    assert c.update_set == {"v": "1"}
