@@ -167,6 +167,10 @@ class MergeInto:
     has_insert: bool = False
     delete_matched: bool = False
     namespace: str = "default"
+    # the original statement text: non-astro tables fall through to
+    # Spark SQL verbatim, matching UPDATE/DELETE (r6 advice — DSv2
+    # sources may support MERGE natively)
+    raw: str = ""
 
 
 @dataclass
@@ -316,11 +320,15 @@ _TOP_WHERE_RE = re.compile(r"WHERE\b", re.IGNORECASE)
 
 def _split_top_level_where(s: str) -> tuple[str, str | None]:
     """Split ``s`` at the first top-level WHERE keyword (outside quotes
-    and parens) → (head, where-or-None)."""
+    and parens) → (head, where).  ``where`` is None when no WHERE is
+    present and the EMPTY STRING when a WHERE keyword dangles with no
+    predicate — callers must treat the latter as a parse error, not as
+    "no filter" (a malformed `UPDATE t SET a=1 WHERE` must not silently
+    update every row — r6 advice)."""
     i = _find_top_level(s, _TOP_WHERE_RE)
     if i < 0:
         return s.strip(), None
-    return s[:i].strip(), s[i + len("WHERE"):].strip() or None
+    return s[:i].strip(), s[i + len("WHERE"):].strip()
 
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+ADD\s+(?P<col>\w+)\s+(?P<dtype>\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
@@ -518,6 +526,11 @@ def parse(sql: str) -> Command:
         # a lazy regex splits at a WHERE inside a string literal or a
         # subquery in the SET expression
         sets_text, where = _split_top_level_where(um.group("rest"))
+        if where == "":
+            # dangling WHERE with no predicate: fall through to Spark,
+            # which rejects it — silently updating every row would be a
+            # destructive misparse (r6 advice)
+            return PassThrough(sql=sql)
         sets: dict[str, str] = {}
         for pair in _split_top_level(sets_text):
             if "=" not in pair:
@@ -541,10 +554,11 @@ def parse(sql: str) -> Command:
         where = None
         if rest:
             head, where = _split_top_level_where(rest)
-            if head or where is None:
-                # DELETE shapes we don't model (e.g. DELETE … USING):
-                # fall through verbatim — Spark may support them on DSv2
-                # sources, and pre-r6 behavior was pass-through
+            if head or not where:
+                # DELETE shapes we don't model (DELETE … USING, dangling
+                # WHERE with no predicate): fall through verbatim — Spark
+                # may support/reject them on DSv2 sources, and pre-r6
+                # behavior was pass-through
                 return PassThrough(sql=sql)
         return DeleteFrom(table=t, namespace=ns, where=where, alias=alias, raw=s)
 
@@ -653,4 +667,5 @@ def _parse_merge(s: str) -> MergeInto:
         insert_star=insert_star,
         has_insert=has_insert,
         delete_matched=delete_matched,
+        raw=s,
     )

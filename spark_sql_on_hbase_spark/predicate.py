@@ -85,6 +85,8 @@ _TOKEN_RE = re.compile(
     | (?P<str>'(?:[^']|'')*')
     | (?P<num>-?\d+\.\d+(?:[eE][-+]?\d+)?|-?\d+)
     | (?P<word>[A-Za-z_]\w*)
+    | (?P<bword>`[^`]+`)
+    | (?P<other>\S)
     )""",
     re.VERBOSE,
 )
@@ -103,6 +105,8 @@ class _Tokens:
             pos = m.end()
             for k, v in m.groupdict().items():
                 if v is not None:
+                    if k == "bword":  # backticked identifier ≡ bare word
+                        k, v = "word", v.strip("`")
                     self.toks.append((k, v))
                     break
         self.i = 0
@@ -182,7 +186,43 @@ def _parse_and(t: _Tokens) -> Pred:
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
 
 
+def _consume_opaque(t: _Tokens) -> Pred:
+    """Leaf recovery: swallow one unsupported atom — everything up to the
+    next TOP-LEVEL AND/OR or unmatched ')' — as an Opaque leaf.  Opaque
+    evaluates to UNKNOWN (never prunes a file), so an unparseable leaf
+    like `v LIKE 'x%'` or `length(v) = 3` no longer voids pruning for the
+    sargable conjuncts around it (`k <= 25 AND v LIKE 'x%'` still prunes
+    on k — the reference reaches the same via partialReduce over
+    unconvertible sub-trees, HBaseCriticalPoint.scala:648-694)."""
+    depth = 0
+    parts: list[str] = []
+    while t.i < len(t.toks):
+        k, v = t.toks[t.i]
+        if k == "lpar":
+            depth += 1
+        elif k == "rpar":
+            if depth == 0:
+                break
+            depth -= 1
+        elif k == "word" and depth == 0 and v.upper() in ("AND", "OR"):
+            break
+        parts.append(v)
+        t.i += 1
+    if not parts:
+        raise ValueError("empty predicate leaf")
+    return Opaque(" ".join(parts))
+
+
 def _parse_factor(t: _Tokens) -> Pred:
+    start = t.i
+    try:
+        return _parse_factor_strict(t)
+    except ValueError:
+        t.i = start
+        return _consume_opaque(t)
+
+
+def _parse_factor_strict(t: _Tokens) -> Pred:
     if t.peek("word", "NOT"):
         t.next()
         return Not(_parse_factor(t))

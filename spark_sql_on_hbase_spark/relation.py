@@ -432,6 +432,132 @@ class AstroRelation:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
         self._refresh_region_bounds()
 
+    @staticmethod
+    def _local_path(p: str) -> str:
+        """input_file_name() records file: URIs; local fs ops need paths."""
+        if p.startswith("file://"):
+            return p[len("file://"):]
+        if p.startswith("file:"):
+            return p[len("file:"):]
+        return p
+
+    def rewrite_pruned(self, prune_where, survivors_of) -> dict | None:
+        """Region-pruned partial rewrite — DELETE / MERGE-matched-DELETE /
+        NULL-assigning UPDATE without touching non-intersecting regions
+        (VERDICT r6 #1: a key-pruned `DELETE WHERE k = 42` must not become
+        a 100 TB full-table rewrite).
+
+        ``prune_where`` is a sargable predicate such that every row the
+        write may REMOVE OR CHANGE satisfies it; fragments whose key
+        envelope proves it definitely false keep every row and stay
+        byte-identical (hard-linked into the replacement directory — same
+        inode, zero data movement).  ``survivors_of(df)`` maps the
+        resolved rows of the intersecting fragments to their post-write
+        contents.
+
+        Soundness needs every version of every touched key to live inside
+        the intersecting set.  CPR pruning guarantees that for MATCHED
+        keys (a fragment holding key k has an envelope containing k, so a
+        pruned-out fragment proves the predicate false for all its keys)
+        — but an UNMATCHED key duplicated across an intersecting and a
+        non-intersecting fragment would be re-resolved against only part
+        of its versions, so the pruned path requires ``not needs_merge()``
+        (each key in exactly one fragment; COMPACT restores it).  Z-order
+        layouts fall back too: freshly written rowkey-sorted fragments
+        would overlap the surviving z-files in rowkey space and poison the
+        ``needs_merge`` metadata check.
+
+        Survivor rows are written one-output-file-per-source-fragment
+        (driver-side envelope binary search → mined identity bucket ids),
+        so new file ranges stay inside their source fragment's range and
+        never sandwich a kept file — the shuffle-free scan path is
+        preserved.  Returns ``{"files_total", "files_rewritten"}`` stats,
+        or None when the pruned path does not apply (caller falls back to
+        the full atomic rewrite).
+        """
+        import shutil
+
+        from spark_sql_on_hbase_spark.pruning import prune_files
+
+        meta = self.meta
+        self._ensure_fresh_regions()
+        if not meta.regions or self.needs_merge() or meta.layout == "zorder":
+            return None
+        try:
+            res = prune_files(meta, prune_where)
+        except ValueError:
+            return None  # non-sargable → full path
+        if len(res.files) == res.total:
+            return None  # nothing pruned → full rewrite is the right plan
+        stats = {"files_total": res.total, "files_rewritten": len(res.files)}
+        if not res.files:
+            return stats  # predicate matches nothing → no-op
+        hit = sorted(res.files, key=lambda r: r.min_rowkey_hex)
+        keep = [r for r in meta.regions if r.path not in {f.path for f in hit}]
+
+        df = self._resolve(self._read_fragments(*[f.path for f in hit]))
+        try:
+            out = survivors_of(df)
+            out.columns  # force analysis now (alias-qualified predicates etc.)
+        except Exception:
+            return None  # predicate shape we can't evaluate directly → full path
+
+        out_dir = self.catalog.data_dir(meta).rstrip("/")
+        tmp_dir = out_dir + ".compact.tmp"
+        old_dir = out_dir + ".compact.old"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+        keyed = self._with_rowkey(out.select(*[c for c, _ in meta.all_columns]))
+        keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(0))
+        # partition index = #source fragments whose range lies wholly
+        # below the rowkey (fragments are key-disjoint under the
+        # not-needs_merge precondition), then the mined-id trick maps
+        # index p → Spark hash bucket p so each output file holds exactly
+        # one source fragment's survivors
+        idx = F.lit(0)
+        for f in hit[:-1]:
+            idx = idx + (
+                F.col(ROWKEY_COL) > F.lit(bytes.fromhex(f.max_rowkey_hex))
+            ).cast("int")
+        ids = mine_region_ids(len(hit))
+        keyed = keyed.withColumn(
+            "__pid", F.element_at(F.array(*[F.lit(i) for i in ids]), idx + 1)
+        )
+        _layout_options(
+            keyed.repartition(len(hit), F.col("__pid"))
+            .drop("__pid")
+            .sortWithinPartitions(ROWKEY_COL)
+            .write.mode("overwrite")
+        ).parquet(tmp_dir)
+        new_files = [
+            os.path.join(out_dir, f)
+            for f in sorted(os.listdir(tmp_dir))
+            if f.endswith(".parquet")
+        ]
+        # hard-link every kept fragment into the replacement dir: same
+        # inode — byte-identical by construction, O(#files) metadata ops
+        for rf in keep:
+            src = self._local_path(rf.path)
+            os.link(src, os.path.join(tmp_dir, os.path.basename(src)))
+        os.rename(out_dir, old_dir)
+        os.rename(tmp_dir, out_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if meta.layout == "bucketed":
+            # rewritten fragments break the bucket-file invariant; demote
+            # (one-phase agg falls back) until COMPACT restores alignment
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+            meta.layout = "range"
+        # kept fragments: directory name and basenames unchanged → their
+        # catalog entries (paths + stats) remain exact; stat only the new
+        # files (same incremental discipline as _ensure_fresh_regions)
+        meta.regions = keep
+        if new_files:
+            self._refresh_region_bounds(only=new_files)
+        else:
+            self.catalog.update_regions(meta, keep)
+        return stats
+
     def _file_schema(self) -> T.StructType:
         """Explicit read schema for region fragments.  Many-to-one logical
         tables over one physical table (doc §16.1.1; ta/tb over ht,
