@@ -37,6 +37,12 @@ GRADED_ORDER = [
     "astro_prefix_agg_noshuffle",
     "astro_stringformat_scan",
     "astro_upsert_merge",
+    # the write surface: INSERT OVERWRITE / UPDATE / DELETE / MERGE
+    # end-to-end (rotated in-window per r6 verdict #2), plus the r7
+    # region-pruned DELETE/NULL-UPDATE/MERGE-delete paths with their
+    # physical plan claim graded through the probe row
+    "astro_write_ops",
+    "astro_delete_pruned",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -85,9 +91,10 @@ GRADED_ORDER = [
     "agg_stats",
     "agg_group",
     "setops_order_limit",
-    "fn_string_suite",
-    "fn_numeric",
-    "fn_temporal",
+    # one checksummed row covering string + numeric + temporal scalar
+    # functions (the three originals stay individually runnable in the
+    # tail — slots freed for the write-surface entries, r6 verdict #2)
+    "fn_suite",
     # adapted TPC-H, value-checksummed inside the window
     "tpc_suite",
 ]
@@ -104,10 +111,11 @@ TAIL_ORDER = [
     "streaming_sessionize",
     "text_token_count",
     "ann_lsh_signatures",
-    # the r6 write surface (INSERT OVERWRITE / UPDATE / DELETE / MERGE)
-    # end-to-end with a full oracle — tail for slot budget; pytest
-    # covers each statement individually
-    "astro_write_ops",
+    # full-value scalar-function originals; their row counts AND values
+    # grade in-window through fn_suite's checksummed branches
+    "fn_string_suite",
+    "fn_numeric",
+    "fn_temporal",
     # full oracles, individually runnable; their row counts AND values
     # grade in-window through text_ops_suite's checksummed branches
     "text_fingerprint",

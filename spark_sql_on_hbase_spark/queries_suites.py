@@ -38,7 +38,8 @@ SUPERSEDED: set[str] = {
     "agg_median", "agg_stats_advanced", "win_running_sum", "win_frame_moving_avg",
 }
 
-_PRIMES = [1, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31]
+_PRIMES = [1, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31,
+           37, 41, 43, 47, 53, 59, 61, 67, 71, 73, 79]
 
 
 def _term(col: str, kind: str) -> str:
@@ -427,4 +428,33 @@ SUITES["fn_temporal"] = Q(
     doc="YEAR/MONTH/DAY/QUARTER/date_trunc/datediff + CASE/COALESCE/NULLIF/"
     "GREATEST/LEAST, one row-level suite (merges round-1 fn_datetime, "
     "fn_conditional)",
+)
+
+# --- one checksummed row covering all three scalar-function suites ----------
+# (r6 verdict #2: frees two graded-window slots so the write surface
+# grades in-window; the three originals stay individually runnable with
+# full-value oracles in the tail)
+_suite(
+    "fn_suite",
+    "row-level scalar functions, one checksummed row: string "
+    "(UPPER/LOWER/SUBSTR/TRIM/CONCAT/REPLACE/REVERSE/LPAD), numeric "
+    "(ABS/SQRT/FLOOR/CEIL/MOD/POWER/LN/EXP/SIGN + bitwise + CAST "
+    "round-trips), temporal/conditional (YEAR..QUARTER/date_trunc/"
+    "datediff + CASE/COALESCE/NULLIF/GREATEST/LEAST) — full-value "
+    "originals in the tail (fn_string_suite / fn_numeric / fn_temporal)",
+    [
+        ("string", (RELATIONAL["fn_string_suite"].spark, RELATIONAL["fn_string_suite"].oracle),
+         [("p_partkey", "i"), ("up", "s"), ("lo", "s"), ("sub", "s"), ("len", "i"),
+          ("trimmed", "s"), ("repl", "s"), ("rev", "s"), ("padded", "s")]),
+        ("numeric", (SUITES["fn_numeric"].spark, SUITES["fn_numeric"].oracle),
+         [("l_orderkey", "i"), ("l_linenumber", "i"), ("a", "d2"), ("sq", "i"),
+          ("fl", "i"), ("ce", "i"), ("md", "i"), ("pw", "i"), ("lg", "i"),
+          ("ex", "i"), ("sg", "d0"), ("band", "i"), ("bor", "i"), ("bxor", "i"),
+          ("bnot", "i"), ("shl", "i"), ("shr", "i"), ("q_int", "i"),
+          ("k_str", "s"), ("k_back", "i"), ("p_floor", "i"), ("flag_str", "s")]),
+        ("temporal", (SUITES["fn_temporal"].spark, SUITES["fn_temporal"].oracle),
+         [("o_orderkey", "i"), ("y", "i"), ("m", "i"), ("dd", "i"), ("q", "i"),
+          ("month_start_epoch", "i"), ("days_since", "i"), ("status_word", "s"),
+          ("bucket", "s"), ("coal", "s"), ("gr", "d2"), ("le", "i")]),
+    ],
 )
