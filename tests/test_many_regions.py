@@ -1,0 +1,100 @@
+"""131-region scale parity (r6 verdict missing #1).
+
+The reference pins a 131-region bulk load
+(HBaseBulkLoadIntoTableSuite.scala:414, src/test/resources/131_regions.txt)
+and a 128-split-key linear-vs-binary-search threshold in its partitioner
+(HBasePartitioner.scala:49-57).  Our layout has no search-strategy switch
+(repartitionByRange handles split assignment), but the load/prune/upsert
+lifecycle must hold past that 128 boundary: 131 region files, point
+lookups touching exactly 1 of them, O(#files) pruning metadata, pruned
+DELETE rewriting exactly 1 file, and the upsert → COMPACT cycle
+restoring the clean layout.
+"""
+
+import pytest
+
+from spark_sql_on_hbase_spark.session import AstroSession
+
+N_REGIONS = 131
+N_KEYS = 2620  # 20 rows per region
+
+
+@pytest.fixture(scope="module")
+def astro131(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("regions131")
+    astro = AstroSession(spark, str(tmp / "warehouse"))
+    csv = tmp / "big.csv"
+    csv.write_text("".join(f"{k},val{k},{k % 97}\n" for k in range(1, N_KEYS + 1)))
+    astro.sql(
+        f"CREATE TABLE big (k INT, v STRING, m INT, PRIMARY KEY (k)) "
+        f"MAPPED BY (big_ht) OPTIONS (regions={N_REGIONS})"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE big")
+    return astro
+
+
+def test_bulk_load_produces_131_regions(astro131):
+    rel = astro131.relation("big")
+    assert len(rel.meta.regions) == N_REGIONS
+    # pruning metadata is O(#files): every entry carries bounds, and the
+    # regions tile the key space in sorted order without overlap
+    regs = sorted(rel.meta.regions, key=lambda r: r.min_rowkey_hex)
+    assert all(r.min_rowkey_hex <= r.max_rowkey_hex for r in regs)
+    assert all(a.max_rowkey_hex < b.min_rowkey_hex for a, b in zip(regs, regs[1:]))
+    assert not rel.needs_merge()
+    assert astro131.sql("SELECT count(*) AS c FROM big").collect()[0].c == N_KEYS
+
+
+@pytest.mark.parametrize("key", [1, 64, 1311, 2620])
+def test_point_lookup_touches_one_file_of_131(astro131, key):
+    rel = astro131.relation("big")
+    df, res = rel.scan_where(f"k = {key}")
+    assert res.total == N_REGIONS and len(res.files) == 1
+    rows = df.collect()
+    assert [(r.k, r.v) for r in rows] == [(key, f"val{key}")]
+
+
+def test_range_scan_prunes_to_boundary_files(astro131):
+    rel = astro131.relation("big")
+    # a 40-key range (2 regions wide) may straddle at most 3 boundaries
+    df, res = rel.scan_where("k >= 1000 AND k < 1040")
+    assert 1 <= len(res.files) <= 3
+    assert df.count() == 40
+
+
+def test_in_list_prunes_scattered_files(astro131):
+    rel = astro131.relation("big")
+    df, res = rel.scan_where("k IN (10, 1310, 2610)")
+    assert len(res.files) <= 3
+    assert sorted(r.k for r in df.collect()) == [10, 1310, 2610]
+
+
+def test_pruned_delete_rewrites_one_file_of_131(astro131):
+    astro131.sql("DELETE FROM big WHERE k = 777")
+    assert astro131.last_write_stats == {
+        "files_total": N_REGIONS,
+        "files_rewritten": 1,
+    }
+    assert astro131.sql("SELECT count(*) AS c FROM big").collect()[0].c == N_KEYS - 1
+    assert not astro131.relation("big").needs_merge()
+
+
+def test_upsert_compact_lifecycle_at_131(astro131):
+    # upsert one key: append lands a 132nd fragment overlapping its region
+    astro131.sql("INSERT INTO big VALUES (1311, 'updated', -1)")
+    rel = astro131.relation("big")
+    assert len(rel.meta.regions) == N_REGIONS + 1
+    assert rel.needs_merge()  # overlap → newest-cell-wins merge on read
+    r = astro131.sql("SELECT v, m FROM big WHERE k = 1311").collect()[0]
+    assert (r.v, r.m) == ("updated", -1)
+    # point lookup still prunes to the files holding that key only
+    _, res = rel.scan_where("k = 1311")
+    assert len(res.files) == 2  # original region + the upsert fragment
+    astro131.sql("COMPACT TABLE big")
+    rel = astro131.relation("big")
+    assert len(rel.meta.regions) == N_REGIONS
+    assert not rel.needs_merge()
+    _, res = rel.scan_where("k = 1311")
+    assert len(res.files) == 1
+    r = astro131.sql("SELECT v FROM big WHERE k = 1311").collect()[0]
+    assert r.v == "updated"
