@@ -85,6 +85,7 @@ def astro_table_sink(
     table: str,
     checkpoint: str,
     namespace: str = "default",
+    auto_compact_fragments: int | str | None = "auto",
 ):
     """Continuous ingestion into an Astro table: each micro-batch lands
     through the LSM upsert append (``AstroRelation.append``) — the
@@ -117,6 +118,19 @@ def astro_table_sink(
 
     The stream's columns must match the table's declared columns
     (same order as ``CREATE TABLE``); casts apply per the table schema.
+
+    Auto-compaction (r6 verdict #6): continuous ingest accumulates one
+    LSM fragment per non-empty micro-batch — unbounded, every scan pays
+    the newest-cell-wins merge shuffle, and the fragment-stats listing
+    grows O(#epochs).  ``auto_compact_fragments`` bounds it: when the
+    fragment count exceeds the threshold after an append, the batch path
+    runs ``COMPACT`` inline (crash-safe write-new-then-swap; a replayed
+    epoch is already screened out by the marker, so compaction never
+    races a duplicate append).  ``"auto"`` (default) = 4× the table's
+    declared region count — steady state alternates between num_regions
+    and ~4×num_regions files, amortizing each row into O(log) rewrites;
+    an int sets the threshold explicitly; None/0 disables (pre-r7
+    behavior: compact manually).
     """
     import os
 
@@ -150,6 +164,13 @@ def astro_table_sink(
                     os.unlink(os.path.join(marker_dir, old))
             except (ValueError, OSError):
                 continue
+        limit = (
+            4 * max(1, rel.meta.num_regions)
+            if auto_compact_fragments == "auto"
+            else auto_compact_fragments
+        )
+        if limit and len(rel.meta.regions) > limit:
+            rel.compact()
         rel.register_view()
 
     return stream_df.writeStream.foreachBatch(_ingest).option(

@@ -633,3 +633,58 @@ def test_astro_table_sink_stream_ingest(spark, tmp_path):
     writer_fn_holder["fn"](replay, replayed_epoch)
     assert astro.sql("SELECT count(*) AS n FROM sink_t").collect()[0].n == before_rows
     assert len(astro.relation("sink_t").meta.regions) == n_before
+
+
+def test_astro_table_sink_auto_compaction(spark, tmp_path):
+    """r6 verdict #6: continuous ingest must keep the fragment count
+    bounded — the sink compacts inline when fragments exceed the
+    threshold, reads stay exact throughout, and a replayed epoch after a
+    compaction still short-circuits on its marker (markers live under
+    the checkpoint, so the compaction swap cannot destroy them)."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.streaming.ingest import astro_table_sink
+
+    astro = AstroSession(spark, str(tmp_path / "wh"))
+    astro.sql(
+        "CREATE TABLE ac_t (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (ac_ht) OPTIONS (regions=2)"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(0, "seed")], "k int, v string").write.parquet(src)
+    stream = spark.readStream.schema("k int, v string").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    # capture the foreachBatch function and drive epochs directly (a real
+    # 20-trigger streaming run exercises the same code ~40× slower)
+    holder = {}
+    orig_foreach = type(stream.writeStream).foreachBatch
+
+    def capture(self, fn):
+        holder["fn"] = fn
+        return orig_foreach(self, fn)
+
+    type(stream.writeStream).foreachBatch = capture
+    try:
+        astro_table_sink(stream, astro, "ac_t", ckpt, auto_compact_fragments=5)
+    finally:
+        type(stream.writeStream).foreachBatch = orig_foreach
+    ingest = holder["fn"]
+
+    expect = {}
+    for epoch in range(20):
+        rows = [(epoch * 2, f"v{epoch * 2}"), (epoch * 2 + 1, f"v{epoch * 2 + 1}")]
+        expect.update({k: v for k, v in rows})
+        ingest(spark.createDataFrame(rows, "k int, v string"), epoch)
+        n_frag = len(astro.relation("ac_t").meta.regions)
+        # bounded: append adds ≤2 fragments; crossing the threshold
+        # compacts back to the declared 2 regions
+        assert n_frag <= 7, f"epoch {epoch}: {n_frag} fragments"
+    got = {r.k: r.v for r in astro.sql("SELECT k, v FROM ac_t").collect()}
+    assert got == expect
+    # at least one compaction actually fired during the run
+    assert len(astro.relation("ac_t").meta.regions) <= 7 < 40
+    # replayed epoch after compaction: marker short-circuits, no dup rows
+    n_before = astro.sql("SELECT count(*) AS n FROM ac_t").collect()[0].n
+    ingest(spark.createDataFrame([(2, "REPLAY")], "k int, v string"), 1)
+    assert astro.sql("SELECT count(*) AS n FROM ac_t").collect()[0].n == n_before
+    assert astro.sql("SELECT v FROM ac_t WHERE k = 2").collect()[0].v == "v2"
