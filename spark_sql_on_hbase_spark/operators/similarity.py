@@ -339,6 +339,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by (rounded) cosine.
 
@@ -348,7 +349,9 @@ def ivf_assign(
     (partial aggregation), so the only shuffle is one tiny
     (id, cluster_id) row per vector — K× less than the former window
     formulation, with identical tie semantics (cos DESC, centroid_id
-    ASC).  Returns (id, cluster_id).
+    ASC).  Returns (id, cluster_id); ``with_cos`` adds the winning
+    cosine (``cos_best``) in the SAME pass — max("cos_c") is by
+    construction the argmax winner's value — for the drift guard.
     """
     scored = (
         vecs.select(F.col(id_col), F.col(vec_col).alias("v"))
@@ -359,11 +362,14 @@ def ivf_assign(
             F.round(cosine_similarity_batch(F.col("v"), F.col("centroid")), 4).alias("cos_c"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    aggs = [
         F.max_by(
             "centroid_id", F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("nid"))
         ).alias("cluster_id")
-    )
+    ]
+    if with_cos:
+        aggs.append(F.max("cos_c").alias("cos_best"))
+    return scored.groupBy(id_col).agg(*aggs)
 
 
 def ivf_build_index(
@@ -384,8 +390,23 @@ def ivf_build_index(
     the file layout)."""
     cent = ivf_centroids(corpus, n_centroids, id_col, vec_col, trained=trained)
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
-    assign = ivf_assign(corpus, cent, id_col, vec_col)
-    assign.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/assign")
+    assign = ivf_assign(corpus, cent, id_col, vec_col, with_cos=True)
+    assign.persist()
+    try:
+        assign.drop("cos_best").write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(f"{path}/assign")
+        # baseline quantizer fit for the append-time drift guard: the
+        # corpus-wide mean nearest-centroid cosine, computed in the SAME
+        # assignment pass and persisted as a 1-row JSON dataset (same
+        # filesystem-abstraction discipline as the minhash sidecar)
+        row = assign.agg(F.avg("cos_best").alias("c")).collect()[0]
+        corpus.sparkSession.createDataFrame(
+            [(float(row.c if row.c is not None else 0.0), int(n_centroids))],
+            "baseline_cos double, n_centroids int",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    finally:
+        assign.unpersist()
 
 
 def ivf_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -394,6 +415,72 @@ def ivf_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/assign"),
     )
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_margin: float = 0.05,
+) -> dict:
+    """Incrementally maintain a persisted IVF index (the ANN mirror of
+    ``minhash_index_append`` — r6 verdict #7): assign ONLY the arriving
+    vectors against the persisted centroids and append to the
+    partitioned inverted lists — the corpus is never re-assigned as it
+    grows, and append-then-query equals full-rebuild-then-query under
+    the same centroids (pytest-pinned).
+
+    Drift guard: quantizer quality degrades silently when the data
+    distribution moves away from what the centroids were trained on —
+    appended vectors land in lists whose centroid barely represents
+    them, and recall decays with no error anywhere.  The build persists
+    the corpus-wide mean nearest-centroid cosine as the baseline; each
+    append measures the batch's mean in the same assignment pass and
+    recommends retraining when it falls more than ``drift_margin`` below
+    baseline.  The append still lands (results stay CORRECT — rerank is
+    exact inside probed lists; only recall/efficiency degrade), so the
+    caller schedules ``ivf_build_index`` at its convenience.
+
+    Returns ``{"appended", "batch_cos", "baseline_cos",
+    "retrain_recommended"}`` (the latter two None without a meta
+    sidecar, e.g. a pre-r7 index — appended with a warning)."""
+    spark = batch.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    assign = ivf_assign(batch, cent, id_col, vec_col, with_cos=True)
+    assign.persist()
+    try:
+        assign.drop("cos_best").write.mode("append").partitionBy(
+            "cluster_id"
+        ).parquet(f"{path}/assign")
+        row = assign.agg(
+            F.count("*").alias("n"), F.avg("cos_best").alias("c")
+        ).collect()[0]
+    finally:
+        assign.unpersist()
+    baseline = None
+    try:
+        m = spark.read.json(f"{path}/meta").collect()[0]
+        baseline = float(m.baseline_cos)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"ivf_index_append: no meta sidecar at {path}; appended without "
+            "a drift check — quantizer-quality decay will be invisible",
+            stacklevel=2,
+        )
+    batch_cos = float(row.c) if row.c is not None else None
+    return {
+        "appended": int(row.n),
+        "batch_cos": batch_cos,
+        "baseline_cos": baseline,
+        "retrain_recommended": (
+            None
+            if baseline is None or batch_cos is None
+            else batch_cos < baseline - drift_margin
+        ),
+    }
 
 
 def ivf_topk(
