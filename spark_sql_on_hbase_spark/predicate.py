@@ -522,7 +522,58 @@ def evaluate(p: Pred, env: dict[str, Interval]) -> int:
 # stringformat pushdown: typed predicate → string-space predicate
 # ---------------------------------------------------------------------------
 _SF_INTS = {"byte", "short", "int", "long"}
+_SF_INT_BOUNDS = {
+    "byte": (-128, 127),
+    "short": (-32768, 32767),
+    "int": (-2147483648, 2147483647),
+    "long": (-9223372036854775808, 9223372036854775807),
+}
 _SF_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _sf_int_range(col: str, lo: int, hi: int) -> str | None:
+    """Tight SOUND-SUPERSET string-space predicate for integer
+    ``col ∈ [lo, hi]`` over canonical decimal storage (reference
+    typed-comparator parity surface, util/comparators.scala:47-243).
+
+    WITHIN one sign and one digit count, string order ≡ numeric order
+    and there are no leading zeros, so the interval splits into ≤ ~40
+    per-digit-count string ranges (19 positive + 19 negative widths for
+    LONG + the single '0'), pushed as Or(And(GtEq, LtEq)).
+
+    Why a superset and not exact: ANY nondegenerate lexicographic
+    interval over unpadded decimals admits strings of OTHER lengths —
+    '3' sorts inside ['25','99'] and '-5' inside ['-101','-999']
+    (hypothesis found both) — and parquet filters can't express the
+    length pin that would exclude them.  The reference achieves
+    exactness only because HBase lets it run custom TYPED byte
+    comparators server-side; parquet's filter language is plain string
+    ranges, so the engine pushes the tightest sound lex union and
+    re-applies the typed predicate after the schema-on-read cast
+    (scan_where always does).  Versus the pre-r7 single bound
+    ('>= 10…0' / '<= 9…9'): same-digit-count values outside [lo, hi]
+    are now excluded, and NEGATIVE bounds push at all (they previously
+    disabled pushdown entirely)."""
+    if lo > hi:
+        return "(false)"
+    parts: list[str] = []
+
+    def ranges(ma: int, mb: int, neg: bool) -> None:
+        # magnitudes in [ma, mb] (1 ≤ ma ≤ mb), one range per digit count
+        for m in range(len(str(ma)), len(str(mb)) + 1):
+            a = max(ma, 10 ** (m - 1))
+            b = min(mb, 10**m - 1)
+            if a <= b:
+                s = "-" if neg else ""
+                parts.append(f"({col} >= '{s}{a}' AND {col} <= '{s}{b}')")
+
+    if lo <= -1:
+        ranges(max(1, -min(hi, -1)), -lo, neg=True)
+    if lo <= 0 <= hi:
+        parts.append(f"({col} = '0')")
+    if hi >= 1:
+        ranges(max(lo, 1), hi, neg=False)
+    return "(" + " OR ".join(parts) + ")" if parts else "(false)"
 
 
 def _sf_leaf(p: Pred, coltypes: dict[str, str]) -> tuple[str, bool] | None:
@@ -553,14 +604,18 @@ def _sf_leaf(p: Pred, coltypes: dict[str, str]) -> tuple[str, bool] | None:
         if p.op in ("=", "!="):
             # canonical decimal form is unique per value → exact
             return (f"({p.col} {p.op} {from_str(v)})", True)
-        if p.op in (">", ">=") and v >= 1:
-            # x >= v (d digits) ⟹ s has ≥ d digits ⟹ s >= '10…0';
-            # negatives start '-' < '0' and are correctly excluded
-            return (f"({p.col} >= '1{'0' * (len(str(v)) - 1)}')", False)
-        if p.op in ("<", "<=") and v >= 0:
-            # only ≥(d+1)-digit strings prefixed with all 9s exceed '9…9'
-            return (f"({p.col} <= '{'9' * len(str(v))}')", False)
-        return None
+        tmin, tmax = _SF_INT_BOUNDS[t]
+        lo, hi = {
+            ">": (v + 1, tmax),
+            ">=": (v, tmax),
+            "<": (tmin, v - 1),
+            "<=": (tmin, v),
+        }[p.op]
+        # tight per-digit-count range union — sound superset, see
+        # _sf_int_range for why exact is unreachable in parquet's filter
+        # language (hence NOT-of-range stays unconvertible)
+        sql = _sf_int_range(p.col, max(lo, tmin), min(hi, tmax))
+        return (sql, False) if sql is not None else None
     if t == "boolean" and isinstance(v, bool) and p.op in ("=", "!="):
         return (f"({p.col} {p.op} '{str(v).lower()}')", True)
     if t == "date" and isinstance(v, str) and _SF_DATE_RE.match(v):

@@ -40,12 +40,43 @@ def test_exact_conversions():
 
 
 def test_superset_int_ranges():
-    # x >= 2500 (4 digits) ⟹ string has ≥4 digits ⟹ s >= '1000'
-    assert conv("size >= 2500") == "(size >= '1000')"
-    assert conv("size > 9") == "(size >= '1')"
-    assert conv("size <= 25") == "(size <= '99')"
-    # negative bounds don't convert
-    assert conv("size >= -5") is None
+    """r7: per-digit-count range unions — a strictly tighter sound
+    superset than the pre-r7 single bound, and negative bounds now push
+    (they previously disabled pushdown).  Exactness is unreachable in
+    parquet's filter language (see _sf_int_range); semantics are pinned
+    by evaluating the pushed predicate in DuckDB over canonical decimal
+    strings and checking superset + same-digit-count tightness."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def rows(pred, lo=-12000, hi=12000):
+        vals = list(range(lo, hi + 1, 7)) + [0, 1, -1, 9, 10, 25, 2500, 9999]
+        con.execute("CREATE OR REPLACE TABLE s AS SELECT CAST(v AS VARCHAR) AS size, v FROM (SELECT unnest(?) AS v)", [vals])
+        return {r[0] for r in con.execute(f"SELECT v FROM s WHERE {pred}").fetchall()}
+
+    for text, pyf in [
+        ("size >= 2500", lambda v: v >= 2500),
+        ("size > 9", lambda v: v > 9),
+        ("size <= 25", lambda v: v <= 25),
+        ("size >= -5", lambda v: v >= -5),  # negatives push now
+        ("size < -100", lambda v: v < -100),
+    ]:
+        pushed = conv(text)
+        assert pushed is not None, text
+        kept = rows(pushed)
+        typed = rows("true") and {v for v in rows("true") if pyf(v)}
+        # sound superset …
+        assert typed <= kept, text
+        # … and strictly tighter than the pre-r7 single bound on pinned
+        # cases (cross-length lex leaks like '26' ∈ ['1','9'] remain —
+        # see _sf_int_range for why they're unavoidable)
+        if text == "size >= 2500":
+            assert 1000 not in kept and 2493 not in kept  # old kept both
+        if text == "size <= 25":
+            assert 99 not in kept and 98 not in kept  # old bound was <= '99'
+        if text == "size < -100":
+            assert 0 not in kept and 5 not in kept  # old: no pushdown at all
 
 
 def test_boolean_algebra_soundness():
@@ -108,7 +139,14 @@ def test_mixed_key_and_nonkey_pushdown(astro):
     rel = _rel(astro)
     df, res = rel.scan_where("k <= 100 AND size = 25")
     assert len(res.files) <= res.total  # key pruning still active
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the r7 k-range union is long — lift the metadata truncation so the
+    # size filter is visible in the rendered plan
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
     assert "EqualTo(size,25)" in plan, plan
     assert sorted(r.k for r in df.collect()) == [25]
 
