@@ -13,9 +13,15 @@ driver data (measured off sf0.1):
   (within-cluster cosine ≲0.5, matching the driver generator) plus ~1%
   perturbed near-copies (cosine ≳0.95) for the near-dup family.
 
-The 8 relational tables (region…events) are symlinked from sf0.1 — the
-soak targets the dedup/similarity/decontam/repetition families, whose
-inputs are documents/embeddings; load_tables needs the full set present.
+The fact tables ``lineitem`` / ``orders`` are REAL sf1 (r6 verdict #8):
+the sf0.1 tables replicated 10× with the order keys remapped into
+disjoint ranges per replica (``k + rep·K``), so per-order structure,
+join fan-outs to the (unchanged) customer/supplier/part dimensions, and
+the value distributions all survive while row counts scale 10× — the
+join/agg/window/TPC families get a true ×10 shuffle.  The small
+dimension + events tables are symlinked from sf0.1 (dimensions don't
+grow 10× per TPC-H scaling anyway; events families already soak via
+the scaled documents).
 
 Deterministic (seed 421).  The correctness gate compares Spark vs DuckDB
 on these same files, so the generator only needs realistic shape, not
@@ -104,16 +110,50 @@ def gen_embeddings(rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_tpc_facts() -> tuple[int, int]:
+    """Real sf1 fact tables: replicate sf0.1 orders/lineitem 10× with
+    order keys remapped into disjoint per-replica ranges.  Orders↔
+    lineitem referential integrity holds within each replica; the
+    customer/supplier/part foreign keys are left unchanged, so dimension
+    joins fan out 10× — exactly what a 10× TPC-H scale-up does to the
+    probe side of those joins."""
+    con = duckdb.connect()
+    k = con.execute(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * REPLACE (o_orderkey + rep * {k} AS o_orderkey) "
+        f"FROM '{SRC}/orders.parquet', range(10) t(rep)) "
+        f"TO '{OUT}/orders.parquet' (FORMAT parquet)"
+    )
+    con.execute(
+        f"COPY (SELECT * REPLACE (l_orderkey + rep * {k} AS l_orderkey) "
+        f"FROM '{SRC}/lineitem.parquet', range(10) t(rep)) "
+        f"TO '{OUT}/lineitem.parquet' (FORMAT parquet)"
+    )
+    no, nl = (
+        con.execute(f"SELECT count(*) FROM '{OUT}/orders.parquet'").fetchone()[0],
+        con.execute(f"SELECT count(*) FROM '{OUT}/lineitem.parquet'").fetchone()[0],
+    )
+    return no, nl
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(SEED)
     pq.write_table(gen_documents(rng), os.path.join(OUT, "documents.parquet"))
     pq.write_table(gen_embeddings(rng), os.path.join(OUT, "embeddings.parquet"))
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+    for t in ["orders", "lineitem"]:  # pre-r7 symlinks → real files
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.unlink(dst)
+    no, nl = gen_tpc_facts()
+    for t in ["region", "nation", "customer", "supplier", "part", "events"]:
         dst = os.path.join(OUT, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
-    print(f"sf1 soak data at {OUT}: {N_DOCS} docs, {N_VECS} vectors")
+    print(
+        f"sf1 soak data at {OUT}: {N_DOCS} docs, {N_VECS} vectors, "
+        f"{no} orders, {nl} lineitem"
+    )
 
 
 if __name__ == "__main__":

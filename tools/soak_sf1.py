@@ -33,6 +33,12 @@ FAMILIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_ops_suite",
+    # relational families over the REAL sf1 fact tables (r6 verdict #8):
+    # 10× lineitem/orders with per-replica key ranges — true ×10 shuffles
+    "tpc_suite",
+    "join_suite",
+    "agg_stats",
+    "win_suite",
 ]
 
 
@@ -61,10 +67,15 @@ def main() -> None:
     qs = spark_queries()
     out = {
         "sf": 1.0,
-        "rows": {"documents": 50_000, "embeddings": 20_000},
+        "rows": {
+            "documents": 50_000,
+            "embeddings": 20_000,
+            "orders": 1_500_000,
+            "lineitem": "10x sf0.1 (~6M)",
+        },
         "note": "documents/embeddings at 10x sf0.1 (tools/gen_sf1.py); "
-        "relational tables symlinked sf0.1 — the soak targets the "
-        "pipeline families whose inputs scale",
+        "lineitem/orders REAL sf1 (10x replication, disjoint per-replica "
+        "order-key ranges); dimension tables symlinked sf0.1",
         "calibration_pre": bench._calibration(),
         "queries": {},
     }
