@@ -229,6 +229,8 @@ def main() -> None:
             ("region_files_total", "files_total"),
             ("prefix_agg_exchanges", "prefix_agg_exch"),
             ("skipscan_dim2_rows_scanned", "skipscan_rows"),
+            ("delete_files_rewritten", "del_files_rw"),
+            ("delete_files_total", "del_files_total"),
             ("stringformat_pushdown_rows_scanned", "sf_pushdown_rows"),
             ("zorder_dim2_files_read", "zorder_files"),
             ("asof_join_ops", "asof_joins"),
@@ -425,6 +427,13 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _rows, scanned = collect_with_scan_rows(ss_df)
             out["skipscan_dim2_rows_scanned"] = scanned
             out["skipscan_dim2_rows_total"] = 120_000
+            # r7 region-pruned DELETE (VERDICT r6 #1): a key-pruned
+            # delete must rewrite only the intersecting fragment files —
+            # at 100 TB a one-region DELETE must not be a full rewrite
+            astro.sql("DELETE FROM bench_ss WHERE k1 = 3 AND k2 BETWEEN 9000 AND 9050")
+            dstats = astro.last_write_stats or {}
+            out["delete_files_rewritten"] = dstats.get("files_rewritten")
+            out["delete_files_total"] = dstats.get("files_total")
             # stringformat non-key pushdown: an equality on a non-key
             # column of a string-encoded table must reach parquet as a
             # string-space PushedFilter (dictionary/stats row-group
