@@ -19,8 +19,9 @@ Covered statements (reference citation per command class):
   INSERT OVERWRITE [TABLE] t VALUES (...)|SELECT … (ours — atomic replace;
       the reference appends only, HBaseRelation.scala:660-663)
   MERGE INTO t [AS a] USING (src|(SELECT …)) [AS b] ON cond
-      [WHEN MATCHED THEN UPDATE SET c=e, … | DELETE]
-      [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)]   (ours)
+      [WHEN MATCHED [AND cond] THEN UPDATE SET c=e, … | DELETE]
+      [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)]
+      (ours; r7 adds the ANSI per-clause search conditions)
   UPDATE t SET c=e, … [WHERE cond]                 (ours — upsert append)
   DELETE FROM t [WHERE cond]                       (ours — atomic rewrite)
 
@@ -166,6 +167,12 @@ class MergeInto:
     insert_star: bool = False
     has_insert: bool = False
     delete_matched: bool = False
+    # r7: optional per-clause conditions (`WHEN [NOT] MATCHED AND cond
+    # THEN …`, ANSI <merge when clause> search conditions); None = the
+    # clause applies to every (non-)matched row
+    update_cond: str | None = None
+    delete_cond: str | None = None
+    insert_cond: str | None = None
     namespace: str = "default"
     # the original statement text: non-astro tables fall through to
     # Spark SQL verbatim, matching UPDATE/DELETE (r6 advice — DSv2
@@ -268,6 +275,9 @@ _MERGE_RE = re.compile(
 )
 
 _WHEN_MATCHED_RE = re.compile(r"WHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
+_THEN_ACTION_RE = re.compile(
+    r"THEN\s+(?=UPDATE\s+SET\b|DELETE\b|INSERT\b)", re.IGNORECASE
+)
 
 
 def _find_top_level(s: str, pattern: re.Pattern, start: int = 0) -> int:
@@ -594,6 +604,9 @@ def _parse_merge(s: str) -> MergeInto:
     insert_star = False
     has_insert = False
     delete_matched = False
+    update_cond: str | None = None
+    delete_cond: str | None = None
+    insert_cond: str | None = None
     # segment the clause text at TOP-LEVEL `WHEN [NOT] MATCHED`
     # boundaries (the same quote/paren-aware scanner the ON split uses —
     # a string literal containing 'WHEN MATCHED' must not split a
@@ -614,16 +627,32 @@ def _parse_merge(s: str) -> MergeInto:
     ]
     for seg in segments:
         cm = re.match(
-            r"^WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.+)$",
+            r"^WHEN\s+(?P<not>NOT\s+)?MATCHED\b(?P<rest>.*)$",
             seg,
             re.IGNORECASE | re.DOTALL,
         )
         if not cm:
             raise ValueError(
-                f"unsupported MERGE clause {seg!r} (conditional WHEN … AND … "
-                "and WHEN NOT MATCHED BY SOURCE are not supported)"
+                f"unsupported MERGE clause {seg!r} "
+                "(WHEN NOT MATCHED BY SOURCE is not supported)"
             )
-        action = cm.group("action").strip()
+        # split the optional AND-condition from the action at the first
+        # top-level `THEN <action-keyword>` (plain lazy `.+?THEN` would
+        # truncate a CASE WHEN … THEN inside the condition; anchoring on
+        # the action keyword disambiguates — a CASE branch value is an
+        # expression, never a bare UPDATE SET/DELETE/INSERT)
+        rest = cm.group("rest")
+        ti = _find_top_level(rest, _THEN_ACTION_RE)
+        if ti < 0:
+            raise ValueError(f"MERGE clause has no THEN action: {seg!r}")
+        head = rest[:ti].strip()
+        cond: str | None = None
+        if head:
+            am = re.match(r"^AND\s+(?P<cond>.+)$", head, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(f"unsupported MERGE clause qualifier {head!r}")
+            cond = am.group("cond").strip()
+        action = rest[ti + len("THEN"):].strip()
         if cm.group("not"):
             im = re.match(
                 r"^INSERT\s*(?:\*|(?:\((?P<cols>.*?)\)\s*VALUES\s*\((?P<exprs>.*)\)))\s*$",
@@ -633,6 +662,7 @@ def _parse_merge(s: str) -> MergeInto:
             if not im:
                 raise ValueError(f"unsupported WHEN NOT MATCHED action {action!r}")
             has_insert = True
+            insert_cond = cond
             if im.group("cols") is None:
                 insert_star = True
             else:
@@ -642,11 +672,13 @@ def _parse_merge(s: str) -> MergeInto:
                     raise ValueError("INSERT column/value count mismatch")
         elif re.match(r"^DELETE\s*$", action, re.IGNORECASE):
             delete_matched = True
+            delete_cond = cond
         else:
             um = re.match(r"^UPDATE\s+SET\s+(?P<sets>.*)$", action, re.IGNORECASE | re.DOTALL)
             if not um:
                 raise ValueError(f"unsupported WHEN MATCHED action {action!r}")
             update_set = {}
+            update_cond = cond
             for pair in _split_top_level(um.group("sets")):
                 col, expr = pair.split("=", 1)
                 update_set[_norm_set_target(col, (talias, table))] = expr.strip()
@@ -667,5 +699,8 @@ def _parse_merge(s: str) -> MergeInto:
         insert_star=insert_star,
         has_insert=has_insert,
         delete_matched=delete_matched,
+        update_cond=update_cond,
+        delete_cond=delete_cond,
+        insert_cond=insert_cond,
         raw=s,
     )

@@ -458,9 +458,11 @@ class AstroSession:
         mode (upsert resolution picks one winner per key per column)."""
         t = c.target_alias
         keys = ", ".join(f"{t}.`{k.name}`" for k in rel.meta.key_columns)
+        cond = c.update_cond if c.update_set is not None else c.delete_cond
         dup = self.spark.sql(
-            f"SELECT {keys} FROM {c.table} {t} JOIN {c.source_from} ON {c.on} "
-            f"GROUP BY {keys} HAVING count(*) > 1 LIMIT 1"
+            f"SELECT {keys} FROM {c.table} {t} JOIN {c.source_from} ON {c.on}"
+            + (f" WHERE coalesce(({cond}), false)" if cond else "")
+            + f" GROUP BY {keys} HAVING count(*) > 1 LIMIT 1"
         )
         if dup.take(1):
             raise ValueError(
@@ -516,7 +518,9 @@ class AstroSession:
             )
             probe = self.spark.sql(
                 f"SELECT 1 FROM {c.table} {t} JOIN {c.source_from} ON {c.on} "
-                f"WHERE {nullprobe} LIMIT 1"
+                f"WHERE ({nullprobe})"
+                + (f" AND coalesce(({c.update_cond}), false)" if c.update_cond else "")
+                + " LIMIT 1"
             )
             update_via_rewrite = bool(probe.take(1))
         if c.update_set is not None and not update_via_rewrite:
@@ -524,6 +528,7 @@ class AstroSession:
             parts.append(
                 _cast(self.spark.sql(
                     f"SELECT {proj} FROM {c.table} {t} JOIN {c.source_from} ON {c.on}"
+                    + (f" WHERE coalesce(({c.update_cond}), false)" if c.update_cond else "")
                 ))
             )
         build_insert = None
@@ -550,6 +555,7 @@ class AstroSession:
                 return _cast(self.spark.sql(
                     f"SELECT {iproj} FROM {c.source_from} "
                     f"LEFT ANTI JOIN {c.table} {t} ON {c.on}"
+                    + (f" WHERE coalesce(({c.insert_cond}), false)" if c.insert_cond else "")
                 ))
 
         if update_via_rewrite:
@@ -575,21 +581,33 @@ class AstroSession:
                 # delete-only merge: region-pruned survivor rewrite
                 prune_where = self._source_key_bounds(c, rel)
 
+                don = (
+                    f"({c.on}) AND coalesce(({c.delete_cond}), false)"
+                    if c.delete_cond
+                    else c.on
+                )
+
                 def survivors_of(df: DataFrame) -> DataFrame:
                     v = f"__astro_merge_target_{rel.meta.namespace}_{rel.meta.name}"
                     df.createOrReplaceTempView(v)
                     return _cast(self.spark.sql(
                         f"SELECT {', '.join(f'{t}.`{col}`' for col in cols)} "
-                        f"FROM {v} {t} LEFT ANTI JOIN {c.source_from} ON {c.on}"
+                        f"FROM {v} {t} LEFT ANTI JOIN {c.source_from} ON {don}"
                     ))
 
                 if prune_where is not None:
                     stats = rel.rewrite_pruned(prune_where, survivors_of)
             if stats is None:
-                # survivors = target rows with NO source match; atomic rewrite
+                don_full = (
+                    f"({c.on}) AND coalesce(({c.delete_cond}), false)"
+                    if c.delete_cond
+                    else c.on
+                )
+                # survivors = target rows with NO (condition-qualified)
+                # source match; atomic rewrite
                 survivors = self.spark.sql(
                     f"SELECT {', '.join(f'{t}.`{col}`' for col in cols)} "
-                    f"FROM {c.table} {t} LEFT ANTI JOIN {c.source_from} ON {c.on}"
+                    f"FROM {c.table} {t} LEFT ANTI JOIN {c.source_from} ON {don_full}"
                 )
                 out = _cast(survivors)
                 for p in parts:
@@ -620,9 +638,12 @@ class AstroSession:
         t, s = c.target_alias, c.source_alias
         self._update_projection(rel, c.update_set, f"{t}.")  # validation only
         wrapped = f"(SELECT {s}.*, true AS __m FROM {c.source_from}) {s}"
+        guard = f"{s}.__m" + (
+            f" AND coalesce(({c.update_cond}), false)" if c.update_cond else ""
+        )
         proj = ", ".join(
             (
-                f"CASE WHEN {s}.__m THEN ({c.update_set[n]}) ELSE {t}.`{n}` END AS `{n}`"
+                f"CASE WHEN {guard} THEN ({c.update_set[n]}) ELSE {t}.`{n}` END AS `{n}`"
                 if n in c.update_set
                 else f"{t}.`{n}` AS `{n}`"
             )

@@ -595,12 +595,14 @@ def test_write_grammar_review_regressions():
     # unsupported WHEN variants raise instead of silently dropping work
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="unsupported MERGE clause"):
-        ddl.parse(
-            "MERGE INTO tgt t USING src s ON t.k = s.k "
-            "WHEN MATCHED AND s.flag = 1 THEN DELETE "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+    # conditional WHEN clauses are SUPPORTED since r7 (ANSI search
+    # conditions) — the clause condition must parse, not raise
+    c = ddl.parse(
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED AND s.flag = 1 THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert c.delete_matched and c.delete_cond == "s.flag = 1" and c.insert_star
     with _pt.raises(ValueError, match="unsupported MERGE clause"):
         ddl.parse(
             "MERGE INTO tgt t USING src s ON t.k = s.k "

@@ -272,3 +272,78 @@ def test_delete_pruned_on_stringformat_table(astro, tmp_path):
     for f in set(before) & set(after):
         assert before[f] == after[f]
     assert astro.sql("SELECT count(*) AS c FROM sft").collect()[0].c == 49
+
+
+def test_merge_conditional_clauses(astro, tmp_path):
+    """r7: ANSI conditional WHEN clauses — `WHEN [NOT] MATCHED AND cond
+    THEN …`.  The condition narrows each action (update/delete/insert)
+    and the strict cardinality check counts only condition-qualified
+    matches."""
+    _load_pt(astro, tmp_path, name="mc", n=20, regions=2)
+
+    # conditional matched UPDATE: only the qualifying source row applies
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 1 AS kk, 5 AS d UNION ALL "
+        "SELECT 2 AS kk, 50 AS d) s ON t.k = s.kk "
+        "WHEN MATCHED AND s.d > 10 THEN UPDATE SET n = s.d"
+    )
+    rows = astro.sql("SELECT k, n FROM mc WHERE k IN (1, 2) ORDER BY k").collect()
+    assert [(r.k, r.n) for r in rows] == [(1, 10), (2, 50)]
+
+    # conditional matched DELETE referencing TARGET columns
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 3 AS kk UNION ALL SELECT 4 AS kk) s "
+        "ON t.k = s.kk WHEN MATCHED AND t.n >= 40 THEN DELETE"
+    )
+    rows = astro.sql("SELECT k FROM mc WHERE k IN (3, 4)").collect()
+    assert [r.k for r in rows] == [3]  # n=30 survives, n=40 deleted
+
+    # conditional NOT MATCHED INSERT: non-qualifying source rows skipped
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 100 AS kk, 'x' AS vv UNION ALL "
+        "SELECT 200 AS kk, 'skip' AS vv) s ON t.k = s.kk "
+        "WHEN NOT MATCHED AND s.vv != 'skip' THEN INSERT (k, v) VALUES (s.kk, s.vv)"
+    )
+    rows = astro.sql("SELECT k, v FROM mc WHERE k >= 100 ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(100, "x")]
+
+    # strict cardinality counts only condition-qualified matches: two
+    # source rows hit key 5 but exactly one passes the condition
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 5 AS kk, 1 AS d UNION ALL "
+        "SELECT 5 AS kk, 99 AS d) s ON t.k = s.kk "
+        "WHEN MATCHED AND s.d > 50 THEN UPDATE SET n = s.d"
+    )
+    assert astro.sql("SELECT n FROM mc WHERE k = 5").collect()[0].n == 99
+    with pytest.raises(ValueError, match="cardinality"):
+        astro.sql(
+            "MERGE INTO mc t USING (SELECT 5 AS kk, 60 AS d UNION ALL "
+            "SELECT 5 AS kk, 99 AS d) s ON t.k = s.kk "
+            "WHEN MATCHED AND s.d > 50 THEN UPDATE SET n = s.d"
+        )
+
+    # conditional update whose SET nulls a non-null cell still routes
+    # through the rewrite (probe respects the condition)
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 6 AS kk, CAST(NULL AS STRING) AS vv, 1 AS f "
+        "UNION ALL SELECT 7 AS kk, CAST(NULL AS STRING) AS vv, 0 AS f) s "
+        "ON t.k = s.kk WHEN MATCHED AND s.f = 1 THEN UPDATE SET v = s.vv"
+    )
+    rows = astro.sql("SELECT k, v FROM mc WHERE k IN (6, 7) ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(6, None), (7, "v7")]
+
+    # a CASE WHEN … THEN inside the clause condition parses (the
+    # THEN-action anchor must not split at the CASE's own THEN):
+    # first with the condition false (n=80 ≯ 999 — unchanged), then true
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 8 AS kk, 2 AS m) s ON t.k = s.kk "
+        "WHEN MATCHED AND t.n > CASE WHEN s.m = 2 THEN 999 ELSE 0 END "
+        "THEN UPDATE SET n = 0"
+    )
+    assert astro.sql("SELECT n FROM mc WHERE k = 8").collect()[0].n == 80
+    astro.sql(
+        "MERGE INTO mc t USING (SELECT 8 AS kk, 2 AS m) s ON t.k = s.kk "
+        "WHEN MATCHED AND t.n > CASE WHEN s.m = 2 THEN 75 ELSE 999 END "
+        "THEN UPDATE SET n = 0"
+    )
+    assert astro.sql("SELECT n FROM mc WHERE k = 8").collect()[0].n == 0
