@@ -754,14 +754,38 @@ class AstroRelation:
             self.write(typed, align_prefix=self.meta.align_prefix or None)
 
     # -- read ---------------------------------------------------------------
-    def scan(self, with_rowkey: bool = False) -> DataFrame:
+    def current_seq(self) -> int:
+        """Newest LSM generation currently in the table (0 after a bulk
+        write / COMPACT / OVERWRITE; +1 per append)."""
+        self._ensure_fresh_regions()
+        return max((r.seq for r in self.meta.regions), default=0)
+
+    def scan(self, with_rowkey: bool = False, as_of_seq: int | None = None) -> DataFrame:
         """Full scan over all region fragments.  Column pruning/predicate
         pushdown reach parquet via Catalyst; row-group skipping on key
         columns comes from the sorted layout.  Upserted keys are resolved
-        newest-cell-wins only when metadata says fragments may collide."""
+        newest-cell-wins only when metadata says fragments may collide.
+
+        ``as_of_seq``: generation-versioned read (the HBase
+        timestamp-range query analog, reference doc §23 — setTimeRange on
+        Get/Scan): resolve the table as of LSM generation N by reading
+        only fragments with ``seq <= N``.  Pure metadata file selection —
+        no extra I/O or shuffle versus a current-state scan.  Like HBase
+        after a major compaction, history ends at the last
+        COMPACT / INSERT OVERWRITE / pruned rewrite (those restart at
+        generation 0); ``current_seq()`` reports the newest generation."""
         self._ensure_fresh_regions()
         out_dir = self.catalog.data_dir(self.meta)
-        df = self._read_fragments(out_dir)
+        if as_of_seq is None:
+            df = self._read_fragments(out_dir)
+        else:
+            paths = [r.path for r in self.meta.regions if r.seq <= as_of_seq]
+            if not paths:
+                return self.spark.createDataFrame([], table_schema(self.meta))
+            # global needs_merge stays sound for the subset: fragments
+            # disjoint overall are disjoint in any subset; the converse
+            # only costs an unneeded merge pass, never wrong rows
+            df = self._read_fragments(*paths)
         return self._resolve(df, with_rowkey=with_rowkey)
 
     def _resolve(self, df: DataFrame, with_rowkey: bool = False) -> DataFrame:

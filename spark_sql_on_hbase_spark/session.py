@@ -55,8 +55,13 @@ class AstroSession:
         meta = self.catalog.get_table(table, namespace)
         return AstroRelation(self.catalog, meta, self.spark)
 
-    def table(self, table: str, namespace: str = "default") -> DataFrame:
-        return self.relation(table, namespace).scan()
+    def table(
+        self, table: str, namespace: str = "default", as_of_seq: int | None = None
+    ) -> DataFrame:
+        """Table as a DataFrame; ``as_of_seq`` reads the generation-N
+        snapshot (HBase timestamp-range analog — see
+        :meth:`AstroRelation.scan`)."""
+        return self.relation(table, namespace).scan(as_of_seq=as_of_seq)
 
     def _register_all(self) -> None:
         import os
@@ -181,6 +186,11 @@ class AstroSession:
                     "pending_merge",
                     str(rel.needs_merge()).lower(),
                     "upserts unresolved until COMPACT",
+                ),
+                (
+                    "max_generation",
+                    str(max((r.seq for r in meta.regions), default=0)),
+                    "generation-versioned reads: table(name, as_of_seq=0..N)",
                 ),
             ]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")

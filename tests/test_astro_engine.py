@@ -647,3 +647,35 @@ def test_write_grammar_review_regressions():
         "WHEN MATCHED THEN UPDATE SET t.`v` = 1"
     )
     assert c.update_set == {"v": "1"}
+
+
+def test_generation_versioned_reads(astro):
+    """Generation-versioned snapshot reads (reference doc §23
+    timestamp-versioned queries, re-expressed over LSM generations — the
+    HBase setTimeRange analog).  Each append is a generation; as_of_seq=N
+    resolves the table from fragments with seq <= N only.  History ends
+    at COMPACT (HBase major-compaction semantics)."""
+    astro.sql(
+        "CREATE TABLE tv (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (tv_ht)"
+    )
+    astro.sql("INSERT INTO tv VALUES (1, 'a')")      # gen 0 (first write)
+    astro.sql("INSERT INTO tv VALUES (1, 'A')")      # gen 1: upsert k=1
+    astro.sql("INSERT INTO tv VALUES (2, 'b')")      # gen 2: new key
+    rel = astro.relation("tv")
+    assert rel.current_seq() == 2
+
+    def snap(n):
+        return {(r.k, r.v) for r in astro.table("tv", as_of_seq=n).collect()}
+
+    assert snap(0) == {(1, "a")}
+    assert snap(1) == {(1, "A")}
+    assert snap(2) == {(1, "A"), (2, "b")}
+    assert snap(2) == {(r.k, r.v) for r in astro.table("tv").collect()}
+    # DESCRIBE EXTENDED surfaces the generation range
+    desc = {r.col_name: r.data_type for r in astro.sql("DESCRIBE EXTENDED tv").collect()}
+    assert desc["max_generation"] == "2"
+    # a too-old generation on a compacted table: COMPACT rewrites to gen 0
+    astro.sql("COMPACT TABLE tv")
+    rel = astro.relation("tv")
+    assert rel.current_seq() == 0
+    assert snap(0) == {(1, "A"), (2, "b")}  # history folded, like HBase
