@@ -110,6 +110,13 @@ class TableMeta:
     # file-level pruning for non-leading-dim predicates; compact()
     # restores it after appends
     zorder: bool = False
+    # generation-versioned reads are coherent only down to this floor: a
+    # region-pruned partial rewrite (DELETE/NULL-UPDATE) rebuilds SOME
+    # fragments at generation 0 while others keep their seq, so snapshots
+    # older than the rewrite would mix pre- and post-write state.  Full
+    # rewrites (COMPACT / OVERWRITE) reset the whole table to gen 0 and
+    # the floor with it (r7 review).
+    history_floor: int = 0
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -268,6 +275,7 @@ class AstroCatalog:
             layout=raw.get("layout", "range"),
             align_prefix=raw.get("align_prefix", 0),
             zorder=raw.get("zorder", False),
+            history_floor=raw.get("history_floor", 0),
         )
         self._cache[key] = meta
         return meta

@@ -661,6 +661,12 @@ def _parse_merge(s: str) -> MergeInto:
             )
             if not im:
                 raise ValueError(f"unsupported WHEN NOT MATCHED action {action!r}")
+            if has_insert:
+                # a second NOT-MATCHED clause would silently shadow the
+                # first (r7 review) — refuse instead of dropping work
+                raise ValueError(
+                    "multiple WHEN NOT MATCHED INSERT clauses are not supported"
+                )
             has_insert = True
             insert_cond = cond
             if im.group("cols") is None:
@@ -671,12 +677,19 @@ def _parse_merge(s: str) -> MergeInto:
                 if len(insert_cols) != len(insert_exprs):
                     raise ValueError("INSERT column/value count mismatch")
         elif re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+            if delete_matched:
+                raise ValueError("multiple WHEN MATCHED DELETE clauses are not supported")
             delete_matched = True
             delete_cond = cond
         else:
             um = re.match(r"^UPDATE\s+SET\s+(?P<sets>.*)$", action, re.IGNORECASE | re.DOTALL)
             if not um:
                 raise ValueError(f"unsupported WHEN MATCHED action {action!r}")
+            if update_set is not None:
+                raise ValueError(
+                    "multiple WHEN MATCHED UPDATE clauses are not supported "
+                    "(fold the conditions into CASE expressions in one SET)"
+                )
             update_set = {}
             update_cond = cond
             for pair in _split_top_level(um.group("sets")):

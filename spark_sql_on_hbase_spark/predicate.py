@@ -94,7 +94,13 @@ _TOKEN_RE = re.compile(
 
 class _Tokens:
     def __init__(self, text: str):
+        self.text = text
         self.toks: list[tuple[str, str]] = []
+        # source span of each token, so opaque-leaf recovery can return
+        # the ORIGINAL text slice — re-joining token values would mangle
+        # multi-char operators the tokenizer reads as pieces
+        # ('<=>' → '<= >', '||' → '| |'; r7 review)
+        self.spans: list[tuple[int, int]] = []
         pos = 0
         while pos < len(text):
             m = _TOKEN_RE.match(text, pos)
@@ -102,13 +108,14 @@ class _Tokens:
                 if text[pos:].strip():
                     raise ValueError(f"cannot tokenize predicate at: {text[pos:pos+30]!r}")
                 break
-            pos = m.end()
             for k, v in m.groupdict().items():
                 if v is not None:
                     if k == "bword":  # backticked identifier ≡ bare word
                         k, v = "word", v.strip("`")
                     self.toks.append((k, v))
+                    self.spans.append((m.end() - len(m.group(0).lstrip()), m.end()))
                     break
+            pos = m.end()
         self.i = 0
 
     def peek(self, kind: str | None = None, value: str | None = None):
@@ -195,7 +202,7 @@ def _consume_opaque(t: _Tokens) -> Pred:
     on k — the reference reaches the same via partialReduce over
     unconvertible sub-trees, HBaseCriticalPoint.scala:648-694)."""
     depth = 0
-    parts: list[str] = []
+    start = t.i
     while t.i < len(t.toks):
         k, v = t.toks[t.i]
         if k == "lpar":
@@ -206,11 +213,13 @@ def _consume_opaque(t: _Tokens) -> Pred:
             depth -= 1
         elif k == "word" and depth == 0 and v.upper() in ("AND", "OR"):
             break
-        parts.append(v)
         t.i += 1
-    if not parts:
+    if t.i == start:
         raise ValueError("empty predicate leaf")
-    return Opaque(" ".join(parts))
+    # the ORIGINAL text slice, not re-joined token values: the tokenizer
+    # reads '<=>' as '<=' + '>' and '||' as two chars — rendering a
+    # re-join would hand Spark invalid SQL in the residual_only path
+    return Opaque(t.text[t.spans[start][0]:t.spans[t.i - 1][1]].strip())
 
 
 def _parse_factor(t: _Tokens) -> Pred:

@@ -430,6 +430,7 @@ class AstroRelation:
         if meta.layout == "bucketed":
             # re-point the session-catalog table at the final location
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+        meta.history_floor = 0  # everything rebuilt at generation 0
         self._refresh_region_bounds()
 
     @staticmethod
@@ -492,6 +493,11 @@ class AstroRelation:
         stats = {"files_total": res.total, "files_rewritten": len(res.files)}
         if not res.files:
             return stats  # predicate matches nothing → no-op
+        # rewritten fragments land at generation 0 while kept ones keep
+        # their seq, so snapshots OLDER than the pre-write max generation
+        # would mix pre- and post-write state — floor them out (scan
+        # as_of_seq refuses below the floor; r7 review)
+        pre_max = max(r.seq for r in meta.regions)
         hit = sorted(res.files, key=lambda r: r.min_rowkey_hex)
         keep = [r for r in meta.regions if r.path not in {f.path for f in hit}]
 
@@ -552,6 +558,7 @@ class AstroRelation:
         # catalog entries (paths + stats) remain exact; stat only the new
         # files (same incremental discipline as _ensure_fresh_regions)
         meta.regions = keep
+        meta.history_floor = max(meta.history_floor, pre_max)
         if new_files:
             self._refresh_region_bounds(only=new_files)
         else:
@@ -779,6 +786,12 @@ class AstroRelation:
         if as_of_seq is None:
             df = self._read_fragments(out_dir)
         else:
+            if as_of_seq < self.meta.history_floor:
+                raise ValueError(
+                    f"generation {as_of_seq} predates the last partial "
+                    f"rewrite (history floor {self.meta.history_floor}): "
+                    "the snapshot would mix pre- and post-write fragments"
+                )
             paths = [r.path for r in self.meta.regions if r.seq <= as_of_seq]
             if not paths:
                 return self.spark.createDataFrame([], table_schema(self.meta))

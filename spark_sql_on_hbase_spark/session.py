@@ -289,8 +289,40 @@ class AstroSession:
     )
 
     @classmethod
-    def _may_assign_null(cls, update_set: dict[str, str]) -> bool:
-        return any(not cls._NONNULL_LIT_RE.match(e) for e in update_set.values())
+    def _strict_self_expr(cls, col: str, expr: str, owners: tuple[str, ...]) -> bool:
+        """True when ``expr`` is a STRICT function of the assigned column
+        itself (n+1, upper(v), …): it is NULL only when the column already
+        was, so the probe conjunct ``expr IS NULL AND col IS NOT NULL`` is
+        unsatisfiable and the probe job can be skipped (r7 review —
+        division/modulo excluded: ``x / 0`` is NULL over non-null x)."""
+        q = (
+            r"(?:(?:" + "|".join(re.escape(o) for o in owners) + r")\.)?"
+            if owners
+            else ""
+        )
+        c = rf"{q}`?{re.escape(col)}`?"
+        num = r"-?\d+(?:\.\d+)?"
+        pats = (
+            rf"^\s*{c}\s*$",
+            rf"^\s*{c}\s*[-+*]\s*{num}\s*$",
+            rf"^\s*{num}\s*[-+*]\s*{c}\s*$",
+            rf"^\s*(?:upper|lower|trim|ltrim|rtrim|abs|reverse)\s*\(\s*{c}\s*\)\s*$",
+        )
+        return any(re.match(pat, expr, re.IGNORECASE) for pat in pats)
+
+    @classmethod
+    def _null_probe_terms(
+        cls, update_set: dict[str, str], owners: tuple[str, ...]
+    ) -> list[tuple[str, str]]:
+        """SET assignments that could actually null a non-null cell —
+        non-null literals and strict self-expressions are provably unable
+        to, so they need no probe.  Empty list = skip the probe job."""
+        return [
+            (col, e)
+            for col, e in update_set.items()
+            if not cls._NONNULL_LIT_RE.match(e)
+            and not cls._strict_self_expr(col, e, owners)
+        ]
 
     def _exec_UpdateTable(self, c: ddl.UpdateTable) -> DataFrame:
         """UPDATE … SET … [WHERE]: matched rows re-land as full rows
@@ -317,10 +349,10 @@ class AstroSession:
         schema = table_schema(rel.meta)
         proj = self._update_projection(rel, c.update_set, "")
         self.last_write_stats = None
-        if self._may_assign_null(c.update_set):
+        terms = self._null_probe_terms(c.update_set, (c.table,))
+        if terms:
             nullprobe = " OR ".join(
-                f"(({e}) IS NULL AND `{col}` IS NOT NULL)"
-                for col, e in c.update_set.items()
+                f"(({e}) IS NULL AND `{col}` IS NOT NULL)" for col, e in terms
             )
             probe = self.spark.sql(
                 f"SELECT 1 FROM {c.table} WHERE ({nullprobe})"
@@ -417,6 +449,7 @@ class AstroSession:
         from spark_sql_on_hbase_spark.ddl import _find_top_level
 
         t_names = {c.target_alias.lower(), c.table.lower()}
+        s_name = c.source_alias.lower()
         keyset = {k.name for k in rel.meta.key_columns}
         conjs, start, off = [], 0, 0
         while True:
@@ -432,9 +465,12 @@ class AstroSession:
             if not m:
                 continue
             a1, c1, a2, c2 = m.groups()
-            if a1.lower() in t_names and c1 in keyset:
+            # the opposite side must be SOURCE-qualified: a target-target
+            # conjunct (t.k2 = t.k) would put a target column into the
+            # source-only aggregate and abort the MERGE (r7 review)
+            if a1.lower() in t_names and c1 in keyset and a2.lower() == s_name:
                 pairs[c1] = f"`{a2}`.`{c2}`"
-            elif a2.lower() in t_names and c2 in keyset:
+            elif a2.lower() in t_names and c2 in keyset and a1.lower() == s_name:
                 pairs[c2] = f"`{a1}`.`{c1}`"
         if not pairs:
             return None
@@ -521,10 +557,14 @@ class AstroSession:
             return df.select(*[df[n].cast(schema[n].dataType) for n in cols])
 
         update_via_rewrite = False
-        if c.update_set is not None and self._may_assign_null(c.update_set):
+        mterms = (
+            self._null_probe_terms(c.update_set, (t, c.table))
+            if c.update_set is not None
+            else []
+        )
+        if mterms:
             nullprobe = " OR ".join(
-                f"(({e}) IS NULL AND {t}.`{col}` IS NOT NULL)"
-                for col, e in c.update_set.items()
+                f"(({e}) IS NULL AND {t}.`{col}` IS NOT NULL)" for col, e in mterms
             )
             probe = self.spark.sql(
                 f"SELECT 1 FROM {c.table} {t} JOIN {c.source_from} ON {c.on} "
@@ -586,16 +626,17 @@ class AstroSession:
         elif c.delete_matched:
             if build_insert is not None:
                 parts.append(build_insert())
+            # matched-with-condition anti-join key: one definition for the
+            # pruned and full paths so their delete semantics cannot drift
+            don = (
+                f"({c.on}) AND coalesce(({c.delete_cond}), false)"
+                if c.delete_cond
+                else c.on
+            )
             stats = None
             if not parts:
                 # delete-only merge: region-pruned survivor rewrite
                 prune_where = self._source_key_bounds(c, rel)
-
-                don = (
-                    f"({c.on}) AND coalesce(({c.delete_cond}), false)"
-                    if c.delete_cond
-                    else c.on
-                )
 
                 def survivors_of(df: DataFrame) -> DataFrame:
                     v = f"__astro_merge_target_{rel.meta.namespace}_{rel.meta.name}"
@@ -608,16 +649,11 @@ class AstroSession:
                 if prune_where is not None:
                     stats = rel.rewrite_pruned(prune_where, survivors_of)
             if stats is None:
-                don_full = (
-                    f"({c.on}) AND coalesce(({c.delete_cond}), false)"
-                    if c.delete_cond
-                    else c.on
-                )
                 # survivors = target rows with NO (condition-qualified)
                 # source match; atomic rewrite
                 survivors = self.spark.sql(
                     f"SELECT {', '.join(f'{t}.`{col}`' for col in cols)} "
-                    f"FROM {c.table} {t} LEFT ANTI JOIN {c.source_from} ON {don_full}"
+                    f"FROM {c.table} {t} LEFT ANTI JOIN {c.source_from} ON {don}"
                 )
                 out = _cast(survivors)
                 for p in parts:

@@ -347,3 +347,66 @@ def test_merge_conditional_clauses(astro, tmp_path):
         "THEN UPDATE SET n = 0"
     )
     assert astro.sql("SELECT n FROM mc WHERE k = 8").collect()[0].n == 0
+
+
+def test_r7_review_regressions(astro, tmp_path, spark):
+    """r7 self-review repros: silent clause shadowing, mangled opaque
+    operators, target-target ON conjuncts, history coherence after a
+    pruned rewrite, probe skipping for strict self-expressions."""
+    from spark_sql_on_hbase_spark import ddl
+
+    # 1. duplicate same-kind WHEN clauses raise instead of shadowing
+    for stmt, msg in [
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.d < 50 THEN UPDATE SET v = 'low' "
+            "WHEN MATCHED AND s.d >= 50 THEN UPDATE SET v = 'high'",
+            "multiple WHEN MATCHED UPDATE",
+        ),
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED AND s.a = 1 THEN INSERT * "
+            "WHEN NOT MATCHED AND s.a = 2 THEN INSERT *",
+            "multiple WHEN NOT MATCHED INSERT",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            ddl.parse(stmt)
+
+    # 2. opaque leaves preserve source text (tokenizer-split operators)
+    _load_pt(astro, tmp_path)
+    rel = astro.relation("pt")
+    df, _res = rel.scan_where("k >= 0 AND v <=> 'v3'")
+    assert [r.k for r in df.collect()] == [3]
+    df, _res = rel.scan_where("k <= 5 AND v || 'x' = 'v3x'")
+    assert [r.k for r in df.collect()] == [3]
+
+    # 3. target-target ON conjunct: bounds extraction skips it, the
+    # delete still executes via whichever path applies
+    astro.sql(
+        "MERGE INTO pt t USING (SELECT 4 AS kk) s "
+        "ON t.k = s.kk AND t.n = t.k * 10 WHEN MATCHED THEN DELETE"
+    )
+    assert astro.sql("SELECT count(*) AS c FROM pt WHERE k = 4").collect()[0].c == 0
+
+    # 4. pruned rewrite floors generation history: a snapshot older than
+    # the rewrite would mix pre-/post-write fragments, so it refuses
+    astro.sql("INSERT INTO pt VALUES (500, 'new', 0)")  # gen 1, disjoint key
+    rel = astro.relation("pt")
+    assert rel.current_seq() == 1 and not rel.needs_merge()
+    astro.sql("DELETE FROM pt WHERE k = 10")  # pruned partial rewrite
+    assert astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
+    rel = astro.relation("pt")
+    with pytest.raises(ValueError, match="history floor"):
+        rel.scan(as_of_seq=0).collect()
+    # the floor generation itself (== current state) stays readable
+    assert rel.scan(as_of_seq=1).count() == rel.scan().count()
+    # COMPACT resets generations AND the floor
+    astro.sql("COMPACT TABLE pt")
+    assert astro.relation("pt").scan(as_of_seq=0).count() > 0
+
+    # 5. strict self-expressions skip the probe job AND stay on the
+    # append path (no rewrite stats)
+    astro.sql("UPDATE pt SET n = n + 1 WHERE k = 2")
+    assert astro.last_write_stats is None
+    assert astro.sql("SELECT n FROM pt WHERE k = 2").collect()[0].n == 21
