@@ -51,8 +51,11 @@ _HELP = {
     "INSERT": "INSERT INTO table_name SELECT ... | INSERT INTO table_name VALUES (...)\n"
     "INSERT OVERWRITE [TABLE] table_name SELECT ... | VALUES (...)   (atomic replace)",
     "MERGE": "MERGE INTO target [AS t] USING (source | (SELECT ...)) [AS s] ON cond\n"
-    "  [WHEN MATCHED THEN UPDATE SET col = expr, ... | DELETE]\n"
-    "  [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)]",
+    "  [WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... | DELETE]\n"
+    "  [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)]",
+    "VERSION": "SELECT ... FROM table_name VERSION AS OF n\n"
+    "  (generation-N snapshot; DESCRIBE EXTENDED shows max_generation — "
+    "history folds at COMPACT/OVERWRITE and floors at a pruned DELETE/UPDATE)",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
     "DELETE": "DELETE FROM table_name [WHERE cond]",

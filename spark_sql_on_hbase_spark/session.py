@@ -724,9 +724,48 @@ class AstroSession:
             f"compacted {c.table}: {n_before} fragments -> {len(rel.meta.regions)} regions"
         )
 
+    _VERSION_ASOF_RE = re.compile(
+        r"([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+    )
+
+    def _rewrite_version_asof(self, text: str) -> str:
+        """SQL-level generation time travel: ``FROM t VERSION AS OF n``
+        over an astro table becomes a registered snapshot view (the
+        reference's doc §23 timestamp-versioned queries were SQL-level;
+        Spark reserves the same syntax for DSv2 time travel, so non-astro
+        matches pass through untouched).  String literals are skipped."""
+        in_quote = [False] * len(text)
+        q = None
+        for i, ch in enumerate(text):
+            if q:
+                in_quote[i] = True
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+                in_quote[i] = True
+        out, last = [], 0
+        for m in self._VERSION_ASOF_RE.finditer(text):
+            if in_quote[m.start()]:
+                continue
+            ns, t = ddl._parse_table_name(m.group(1))
+            if not self.catalog.table_exists(t, ns):
+                continue  # Spark's own DSv2 time travel may handle it
+            n = int(m.group(2))
+            view = f"{t}__asof_{n}"
+            self.relation(t, ns).scan(as_of_seq=n).createOrReplaceTempView(view)
+            out.append(text[last:m.start()])
+            out.append(view)
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
     def _exec_PassThrough(self, c: ddl.PassThrough) -> DataFrame:
         self._register_all()
-        return self.spark.sql(c.sql)
+        sql_text = c.sql
+        if self._VERSION_ASOF_RE.search(sql_text):
+            sql_text = self._rewrite_version_asof(sql_text)
+        return self.spark.sql(sql_text)
 
     def _ok(self, msg: str) -> DataFrame:
         return self.spark.createDataFrame([(msg,)], "result string")

@@ -679,3 +679,24 @@ def test_generation_versioned_reads(astro):
     rel = astro.relation("tv")
     assert rel.current_seq() == 0
     assert snap(0) == {(1, "A"), (2, "b")}  # history folded, like HBase
+
+
+def test_version_as_of_sql(astro):
+    """SQL-level generation time travel: `FROM t VERSION AS OF n` over an
+    astro table resolves the generation-N snapshot (reference doc §23
+    timestamp-versioned queries were SQL-level; Spark reserves the same
+    syntax for DSv2 sources, which pass through untouched)."""
+    astro.sql("CREATE TABLE va (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (va_ht)")
+    astro.sql("INSERT INTO va VALUES (1, 'old')")
+    astro.sql("INSERT INTO va VALUES (1, 'new')")
+    assert astro.sql("SELECT v FROM va VERSION AS OF 0").collect()[0].v == "old"
+    assert astro.sql("SELECT v FROM va VERSION AS OF 1").collect()[0].v == "new"
+    # joins between a snapshot and the current state work (two FROMs)
+    rows = astro.sql(
+        "SELECT cur.v AS now, old.v AS was FROM va cur "
+        "JOIN (SELECT * FROM va VERSION AS OF 0) old ON cur.k = old.k"
+    ).collect()
+    assert (rows[0].now, rows[0].was) == ("new", "old")
+    # the pattern inside a string literal is not rewritten
+    r = astro.sql("SELECT 'va VERSION AS OF 0' AS s").collect()[0]
+    assert r.s == "va VERSION AS OF 0"
