@@ -430,10 +430,18 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             # r7 region-pruned DELETE (VERDICT r6 #1): a key-pruned
             # delete must rewrite only the intersecting fragment files —
             # at 100 TB a one-region DELETE must not be a full rewrite
+            t0 = time.time()
             astro.sql("DELETE FROM bench_ss WHERE k1 = 3 AND k2 BETWEEN 9000 AND 9050")
+            out["delete_pruned_sec"] = round(time.time() - t0, 2)
             dstats = astro.last_write_stats or {}
             out["delete_files_rewritten"] = dstats.get("files_rewritten")
             out["delete_files_total"] = dstats.get("files_total")
+            # same-shape delete through the full-rewrite path (arith on
+            # key defeats pruning) — the cost the pruned path avoids;
+            # ratio grows with table size (rewrite N files vs 1-2)
+            t0 = time.time()
+            astro.sql("DELETE FROM bench_ss WHERE k1 + 0 = 2 AND k2 BETWEEN 9000 AND 9050")
+            out["delete_full_sec"] = round(time.time() - t0, 2)
             # stringformat non-key pushdown: an equality on a non-key
             # column of a string-encoded table must reach parquet as a
             # string-space PushedFilter (dictionary/stats row-group

@@ -700,3 +700,38 @@ def test_version_as_of_sql(astro):
     # the pattern inside a string literal is not rewritten
     r = astro.sql("SELECT 'va VERSION AS OF 0' AS s").collect()[0]
     assert r.s == "va VERSION AS OF 0"
+
+
+def test_register_all_fingerprint_cache(astro, tmp_path, monkeypatch):
+    """r7: _register_all re-analyzes only tables whose physical/declared
+    state changed — per-statement cost is an os.listdir per table, not a
+    Spark plan analysis per table.  A sibling write through the shared
+    physical store still invalidates (listing-based fingerprint)."""
+    import spark_sql_on_hbase_spark.relation as R
+
+    astro.sql("CREATE TABLE rc (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (rc_ht)")
+    astro.sql("INSERT INTO rc VALUES (1, 'a')")
+    astro.sql("SELECT * FROM rc").collect()
+
+    calls = []
+    orig = R.AstroRelation.register_view
+
+    def spy(self, name=None):
+        calls.append(self.meta.name)
+        return orig(self, name)
+
+    monkeypatch.setattr(R.AstroRelation, "register_view", spy)
+    # unchanged state: repeated statements re-register nothing
+    astro.sql("SELECT count(*) FROM rc").collect()
+    astro.sql("SELECT count(*) FROM rc").collect()
+    assert calls == []
+    # a write through a SIBLING session over the same warehouse (shared
+    # physical store) changes the listing → fingerprint invalidates
+    from spark_sql_on_hbase_spark.session import AstroSession
+
+    sibling = AstroSession(astro.spark, astro.catalog.root)
+    sibling.sql("INSERT INTO rc VALUES (2, 'b')")
+    calls.clear()
+    rows = astro.sql("SELECT k FROM rc ORDER BY k").collect()
+    assert [r.k for r in rows] == [1, 2]  # fresh data visible
+    assert "rc" in calls  # and it was re-registered to get there
