@@ -426,3 +426,86 @@ def corpus_stats(
         F.countDistinct("source").alias("n_sources"),
         (F.count(F.lit(1)) - F.countDistinct("_th")).cast("bigint").alias("n_exact_dup_docs"),
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the distributed
+    reformulation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better").
+
+    The suffix-array criterion ("substring of >= k tokens appears
+    verbatim elsewhere") is restated in k-gram space so it distributes:
+    a token position is *covered* iff some k-token window containing it
+    appears in >= ``min_docs`` distinct documents, and a reported span
+    is a maximal run of overlapping covered windows.  Any substring the
+    suffix array would flag (length >= k, shared verbatim across docs)
+    is covered by this definition; the relaxation is that one span's
+    windows may match *different* partner documents.  Within-doc repeats
+    alone do NOT mark a span (countDistinct over doc ids).
+
+    Returns one row per span: ``(doc_id, span_start, span_end,
+    span_tokens)`` with 1-based inclusive token positions.
+
+    Scale shape: k-grams come from the compiled ML ``NGram`` shingler
+    (HOF slice/transform evaluates interpreted — see ``_shingles``),
+    posexploded map-side with their position.  The duplicated-gram set
+    is one hash aggregation on ``gram`` (map-side partial combine), and
+    marking is an equi-join on ``gram`` — AQE broadcasts the dup set
+    when it is small (boilerplate-light corpora) and falls back to a
+    shuffle join when it is not; nothing is ever all-pairs and no text
+    leaves the executors after the join (only ``(doc_id, pos)`` rows).
+    The islands window partitions by ``doc_id``, so its sort is bounded
+    by a single document's duplicated-window count.
+    """
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
+
+    toks = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = (
+        NGram(n=k, inputCol="_toks", outputCol="_g")
+        .transform(toks)
+        .select("doc_id", F.posexplode("_g").alias("idx", "gram"))
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        grams.join(dup, "gram")
+        .select("doc_id", "pos")
+        .withColumn("_prev", F.lag("pos").over(w))
+        # windows at p < q overlap-or-touch iff q <= p + k: a gap larger
+        # than k starts a new island (NULL lag = first island of the doc)
+        .withColumn(
+            "_ni",
+            F.when(F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        runs.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias("span_tokens"),
+        )
+    )

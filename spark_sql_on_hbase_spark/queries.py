@@ -119,6 +119,7 @@ TAIL_ORDER = [
     # full oracles, individually runnable; their row counts AND values
     # grade in-window through text_ops_suite's checksummed branches
     "text_fingerprint",
+    "text_dupspans",
     "text_boilerplate",
     "text_perplexity",
     "text_truncate",

@@ -499,6 +499,56 @@ PIPELINE["text_fingerprint"] = Q(
     doc="bottom-sketch fingerprint: min shingle hash + shingle count + text hash",
 )
 
+
+def _text_dupspans(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans
+
+    t = load_tables(spark, sf)
+    return duplicated_spans(t["documents"], k=8, min_docs=2)
+
+
+# the oracle mirrors the operator's k-gram reformulation of suffix-array
+# exact-substring dedup: grams via list slicing, cross-doc duplicated
+# grams via HAVING count(DISTINCT doc_id) >= 2, islands via the standard
+# gaps-and-islands window (new island when the position gap exceeds k)
+PIPELINE["text_dupspans"] = Q(
+    spark=_text_dupspans,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 8 + 2)) u(i)
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="maximal cross-doc duplicated token spans (k=8 gram reformulation "
+    "of Lee et al. exact-substring dedup); gaps-and-islands merge",
+)
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1882,9 +1932,15 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") * 1 + (F.col("min_shingle_hash") % 1_000_000) * 3
         + F.col("n_shingles") * 5 + (F.col("text_hash") % 1_000_000) * 7,
     )
+    spans = _probe_agg(
+        "dupspans",
+        PIPELINE["text_dupspans"].spark(spark, sf),
+        F.col("doc_id") * 1 + F.col("span_start") * 3 + F.col("span_end") * 5
+        + F.col("span_tokens") * 7,
+    )
     return (
         boiler.unionAll(perp).unionAll(trunc).unionAll(stats)
-        .unionAll(leak).unionAll(fing)
+        .unionAll(leak).unionAll(fing).unionAll(spans)
     )
 
 
@@ -1934,6 +1990,11 @@ _TOS_ORACLE = "\nUNION ALL\n".join(
             "doc_id * 1 + (min_shingle_hash % 1000000) * 3 + n_shingles * 5"
             " + (text_hash % 1000000) * 7",
         ),
+        _tos_wrap(
+            "dupspans",
+            PIPELINE["text_dupspans"].oracle,
+            "doc_id * 1 + span_start * 3 + span_end * 5 + span_tokens * 7",
+        ),
     ]
 )
 
@@ -1944,7 +2005,8 @@ PIPELINE["text_ops_suite"] = Q(
     "(VERDICT r5 item 2): CCNet boilerplate strip (broadcast-hash-join "
     "dictionary probe), corpus bigram-LM perplexity, head_tail token "
     "truncation, dataset-card corpus rollup, duplicate-cluster-keyed "
-    "leakage-safe split, and the bottom-sketch fingerprint — each branch "
+    "leakage-safe split, the bottom-sketch fingerprint, and (r7) maximal "
+    "cross-doc duplicated token spans (exact-substring dedup) — each branch "
     "checksums the tail entry's full output against the identical wrap "
     "of its DuckDB oracle, so all six stay value-graded inside the "
     "driver's 50-row artifact window while remaining individually "

@@ -211,3 +211,63 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, texts, threshold):
     }
     want = _ref_jaccard_pairs(texts, 3, threshold)
     assert got == want, (sorted(set(want) - set(got)), sorted(set(got) - set(want)))
+
+
+# --- duplicated_spans (exact-substring dedup, k-gram reformulation) --------
+def _ref_dupspans(texts, k, min_docs=2):
+    toks = [re.split(r"\s+", t.lower()) for t in texts]
+    owners: dict[str, set] = {}
+    per_doc = []
+    for d, ts in enumerate(toks):
+        gs = [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        per_doc.append(gs)
+        for g in set(gs):
+            owners.setdefault(g, set()).add(d)
+    out = set()
+    for d, gs in enumerate(per_doc):
+        ps = [i + 1 for i, g in enumerate(gs) if len(owners[g]) >= min_docs]
+        start = prev = None
+        for p in ps:
+            if prev is not None and p - prev > k:
+                out.add((d, start, prev + k - 1, prev + k - start))
+                start = p
+            elif prev is None:
+                start = p
+            prev = p
+        if start is not None:
+            out.add((d, start, prev + k - 1, prev + k - start))
+    return out
+
+
+def test_duplicated_spans_known_corpus(spark):
+    """Hand-checkable shapes: a shared run spans both docs; a WITHIN-doc
+    repeat alone never marks; disjoint shared runs yield two islands;
+    sub-k docs are ignored."""
+    from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans
+
+    shared = "w x y z q r"          # 6 tokens, shared verbatim by docs 0 and 1
+    docs = [
+        (0, "a1 a2 " + shared + " a3 a4"),          # span at tokens 3..8
+        (1, shared + " b1 b2 b3 " + shared),        # two islands: 1..6 and 10..15
+        (2, "c1 c2 c3 c1 c2 c3 c1 c2 c3 c4"),       # within-doc repeats only
+        (3, "w x"),                                  # shorter than k
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, k=4, min_docs=2).collect()
+    }
+    assert got == {(0, 3, 8, 6), (1, 1, 6, 6), (1, 10, 15, 6)}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=2, max_size=10))
+def test_duplicated_spans_match_reference(spark, texts):
+    from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, k=3, min_docs=2).collect()
+    }
+    assert got == _ref_dupspans(texts, k=3)
