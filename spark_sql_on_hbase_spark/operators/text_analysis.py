@@ -509,3 +509,57 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias("span_tokens"),
         )
     )
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove flagged token spans from each document and reassemble the
+    text — the apply step of exact-substring dedup (the usual policy for
+    cross-doc boilerplate: drop every flagged occurrence; pair with
+    ``duplicated_spans``'s output, optionally pre-filtered to the
+    non-canonical docs a keep-one policy wants stripped).
+
+    ``spans``: (doc_id, span_start, span_end) with 1-based inclusive
+    token positions, as produced by ``duplicated_spans``.  Returns
+    (id, clean_text, n_removed) for EVERY input doc (0 removed when no
+    span touches it).
+
+    Scale shape: spans explode to one (doc_id, pos) row per flagged
+    token (bounded by the flagged fraction of the corpus, not doc
+    count²); removal is a LEFT ANTI equi-join on (doc_id, pos) — never
+    a per-doc nested loop; reassembly sorts each doc's surviving tokens
+    inside one hash-aggregated ``array_sort(collect_list(...))``, so
+    the only shuffles are the anti-join's and the per-doc regroup's.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    pos_tok = toks.select(
+        "doc_id", F.posexplode_outer("_toks").alias("idx", "tok")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "tok")
+    flagged = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
+    ).distinct()
+    marked = pos_tok.join(flagged.withColumn("_rm", F.lit(1)), ["doc_id", "pos"], "left")
+    # collect_list skips the NULLs the un-otherwise'd when() leaves for
+    # removed tokens, so one pass yields both the surviving text and the
+    # removed count (a LEFT ANTI join would lose the rows needed to
+    # count removals, and max(kept pos) undercounts when a doc's TAIL
+    # was stripped)
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_rm").isNull(), F.struct("pos", "tok")))
+                ),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("_rm").cast("bigint").alias("n_removed"),
+    )

@@ -120,6 +120,7 @@ TAIL_ORDER = [
     # grade in-window through text_ops_suite's checksummed branches
     "text_fingerprint",
     "text_dupspans",
+    "text_dupspan_strip",
     "text_boilerplate",
     "text_perplexity",
     "text_truncate",

@@ -549,6 +549,66 @@ PIPELINE["text_dupspans"] = Q(
     "of Lee et al. exact-substring dedup); gaps-and-islands merge",
 )
 
+
+def _text_dupspan_strip(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans, strip_spans
+
+    t = load_tables(spark, sf)
+    return strip_spans(t["documents"], duplicated_spans(t["documents"], k=8, min_docs=2))
+
+
+# dupspans' oracle CTEs + per-token anti-mark + ordered string_agg
+PIPELINE["text_dupspan_strip"] = Q(
+    spark=_text_dupspan_strip,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 8 + 2)) u(i)
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    spanpos AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM spans, UNNEST(range(span_start, span_end + 1)) u(p)
+    ),
+    pos_tok AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) u(i)
+    )
+    SELECT p.doc_id,
+           coalesce(string_agg(CASE WHEN s.pos IS NULL THEN p.tok END,
+                               ' ' ORDER BY p.pos), '') AS clean_text,
+           count(s.pos) AS n_removed
+    FROM pos_tok p LEFT JOIN spanpos s ON s.doc_id = p.doc_id AND s.pos = p.pos
+    GROUP BY p.doc_id
+    """,
+    doc="exact-substring dedup apply step: strip every flagged duplicated "
+    "span and reassemble the text (anti-mark equi-join, one-pass regroup)",
+)
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1938,9 +1998,15 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") * 1 + F.col("span_start") * 3 + F.col("span_end") * 5
         + F.col("span_tokens") * 7,
     )
+    strip = _probe_agg(
+        "spanstrip",
+        PIPELINE["text_dupspan_strip"].spark(spark, sf),
+        F.col("doc_id") * 1 + F.length("clean_text") * 3 + h6("clean_text") * 5
+        + F.col("n_removed") * 7,
+    )
     return (
         boiler.unionAll(perp).unionAll(trunc).unionAll(stats)
-        .unionAll(leak).unionAll(fing).unionAll(spans)
+        .unionAll(leak).unionAll(fing).unionAll(spans).unionAll(strip)
     )
 
 
@@ -1994,6 +2060,12 @@ _TOS_ORACLE = "\nUNION ALL\n".join(
             "dupspans",
             PIPELINE["text_dupspans"].oracle,
             "doc_id * 1 + span_start * 3 + span_end * 5 + span_tokens * 7",
+        ),
+        _tos_wrap(
+            "spanstrip",
+            PIPELINE["text_dupspan_strip"].oracle,
+            f"doc_id * 1 + length(clean_text) * 3 + ({_dh('clean_text')} % 1000000) * 5"
+            " + n_removed * 7",
         ),
     ]
 )

@@ -271,3 +271,60 @@ def test_duplicated_spans_match_reference(spark, texts):
         for r in duplicated_spans(df, k=3, min_docs=2).collect()
     }
     assert got == _ref_dupspans(texts, k=3)
+
+
+def _ref_strip(texts, k, min_docs=2):
+    spans = _ref_dupspans(texts, k, min_docs)
+    out = {}
+    for d, t in enumerate(texts):
+        toks = re.split(r"\s+", t.lower())
+        rm = set()
+        for sd, a, b, _ in spans:
+            if sd == d:
+                rm.update(range(a, b + 1))
+        out[d] = (" ".join(tok for i, tok in enumerate(toks, 1) if i not in rm), len(rm))
+    return out
+
+
+def test_strip_spans_known_corpus(spark):
+    """Doc 1's TAIL is stripped (the max(kept pos) trap); doc 2/3 pass
+    through untouched with n_removed = 0."""
+    from spark_sql_on_hbase_spark.operators.text_analysis import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    shared = "w x y z q r"
+    docs = [
+        (0, "a1 a2 " + shared + " a3 a4"),
+        (1, shared + " b1 b2 b3 " + shared),
+        (2, "c1 c2 c3 c1 c2 c3 c1 c2 c3 c4"),
+        (3, "w x"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in strip_spans(df, duplicated_spans(df, k=4, min_docs=2)).collect()
+    }
+    assert got == {
+        0: ("a1 a2 a3 a4", 6),
+        1: ("b1 b2 b3", 12),
+        2: ("c1 c2 c3 c1 c2 c3 c1 c2 c3 c4", 0),
+        3: ("w x", 0),
+    }
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=2, max_size=8))
+def test_strip_spans_match_reference(spark, texts):
+    from spark_sql_on_hbase_spark.operators.text_analysis import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in strip_spans(df, duplicated_spans(df, k=3, min_docs=2)).collect()
+    }
+    assert got == _ref_strip(texts, k=3)
