@@ -454,12 +454,17 @@ def duplicated_spans(
 
     Scale shape: k-grams come from the compiled ML ``NGram`` shingler
     (HOF slice/transform evaluates interpreted — see ``_shingles``),
-    posexploded map-side with their position.  The duplicated-gram set
-    is one hash aggregation on ``gram`` (map-side partial combine), and
-    marking is an equi-join on ``gram`` — AQE broadcasts the dup set
-    when it is small (boilerplate-light corpora) and falls back to a
-    shuffle join when it is not; nothing is ever all-pairs and no text
-    leaves the executors after the join (only ``(doc_id, pos)`` rows).
+    posexploded map-side with their position and immediately reduced to
+    the 60-bit ``hash60`` key, so the shuffle/broadcast carries 8-byte
+    hashes, never gram text (~6× fewer exchange bytes at k=8).  The
+    duplicated-gram set is one hash aggregation on the key (map-side
+    partial combine), and marking is an equi-join — AQE broadcasts the
+    dup set when it is small (boilerplate-light corpora) and falls back
+    to a shuffle join when it is not; nothing is ever all-pairs.  A
+    60-bit collision can merge two distinct grams (a false-positive
+    span) — expected collisions stay below one until ~10^9 distinct
+    grams and the k-gram criterion is already a relaxation, so dedup
+    use absorbs it; pass text keys instead if exactness ever matters.
     The islands window partitions by ``doc_id``, so its sort is bounded
     by a single document's duplicated-window count.
     """
@@ -475,17 +480,17 @@ def duplicated_spans(
         NGram(n=k, inputCol="_toks", outputCol="_g")
         .transform(toks)
         .select("doc_id", F.posexplode("_g").alias("idx", "gram"))
-        .select("doc_id", (F.col("idx") + 1).alias("pos"), "gram")
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), hash60(F.col("gram")).alias("gh"))
     )
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= min_docs)
-        .select("gram")
+        .select("gh")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
-        grams.join(dup, "gram")
+        grams.join(dup, "gh")
         .select("doc_id", "pos")
         .withColumn("_prev", F.lag("pos").over(w))
         # windows at p < q overlap-or-touch iff q <= p + k: a gap larger

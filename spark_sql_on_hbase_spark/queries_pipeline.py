@@ -518,14 +518,15 @@ PIPELINE["text_dupspans"] = Q(
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ),
     grams AS (
-      SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS gram
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS gh
       FROM toks, UNNEST(range(1, len(t) - 8 + 2)) u(i)
     ),
     dup AS (
-      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
     ),
     marked AS (
-      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
     ),
     flagged AS (
       SELECT doc_id, pos,
@@ -565,14 +566,15 @@ PIPELINE["text_dupspan_strip"] = Q(
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ),
     grams AS (
-      SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS gram
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS gh
       FROM toks, UNNEST(range(1, len(t) - 8 + 2)) u(i)
     ),
     dup AS (
-      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
     ),
     marked AS (
-      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
     ),
     flagged AS (
       SELECT doc_id, pos,
