@@ -239,6 +239,7 @@ def main() -> None:
             ("salted_shuffle_balance_max_over_avg", "skew_salted"),
             ("quantize_python_eval", "quant_py"),
             ("boilerplate_probe_bhj", "boiler_bhj"),
+            ("dupspan_equi_join", "dupspan_equi"),
             ("ivf_probe_partitions_read", "ivf_parts_read"),
             ("ivf_partitions_total", "ivf_parts_total"),
             ("error", "error"),
@@ -564,6 +565,23 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
                 "Exchange hashpartitioning(doc_id"
             )
             out["boilerplate_probe_array_contains"] = "array_contains" in bp_plan
+            # r7 duplicated-span extraction: the dup-gram mark join must
+            # be an equi-join (hash keys, AQE-broadcastable), never a
+            # cartesian/nested loop, and the shuffled gram key must be
+            # the 60-bit hash, not gram text
+            from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans
+
+            ds_plan = (
+                duplicated_spans(bp_docs)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            out["dupspan_equi_join"] = (
+                "CartesianProduct" not in ds_plan
+                and "BroadcastNestedLoopJoin" not in ds_plan
+            )
+            out["dupspan_hashed_keys"] = "hashpartitioning(gh" in ds_plan
             # quantize path stays pure codegen (no Python/Arrow eval)
             from spark_sql_on_hbase_spark.operators.quantize import (
                 dequantize,

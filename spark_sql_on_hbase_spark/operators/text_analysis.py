@@ -474,7 +474,12 @@ def duplicated_spans(
     from spark_sql_on_hbase_spark.operators.dedup import _spread
 
     toks = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), whitespace_tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text → empty token array: the ML NGram transformer NPEs
+        # on a NULL input array (see test_null_text_degrades_not_crashes)
+        F.coalesce(whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "_toks"
+        ),
     )
     grams = (
         NGram(n=k, inputCol="_toks", outputCol="_g")
@@ -541,7 +546,10 @@ def strip_spans(
     the only shuffles are the anti-join's and the per-doc regroup's.
     """
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), whitespace_tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "_toks"
+        ),
     )
     pos_tok = toks.select(
         "doc_id", F.posexplode_outer("_toks").alias("idx", "tok")

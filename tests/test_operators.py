@@ -891,6 +891,12 @@ def test_r5_operator_plan_shapes(spark):
     p = plan(ngram_logprob(docs))
     assert "CartesianProduct" not in p, p
 
+    p = plan(TA.duplicated_spans(docs))
+    # dup-gram mark join: equi-join on the 60-bit hash key — never a
+    # cartesian/nested loop, and never gram TEXT in the exchange
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "hashpartitioning(gh" in p, p
+
 
 def test_null_text_degrades_not_crashes(spark):
     """NULL text must degrade to zero grams/segments everywhere the NGram
@@ -912,6 +918,10 @@ def test_null_text_degrades_not_crashes(spark):
     assert sb[2].clean_text == "" and sb[2].n_removed == 0
     clf = {r.doc_id: r for r in linear_score(docs, make_hash_weights(spark, 1 << 12), n_features=1 << 12).collect()}
     assert clf[1].n_features_hit > 0  # doc 2 has no features → absent is fine
+    spans = TA.duplicated_spans(docs, k=2)
+    assert spans.where(spans.doc_id == 2).count() == 0  # NULL text → no grams, no NPE
+    st = {r.doc_id: r for r in TA.strip_spans(docs, spans).collect()}
+    assert st[2].clean_text == "" and st[2].n_removed == 0
 
 
 def test_truncate_tokens_and_corpus_stats(spark):
