@@ -434,6 +434,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    self_repeats: bool = False,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans — the distributed
     reformulation of exact-substring training-data dedup (Lee et al.
@@ -447,7 +448,10 @@ def duplicated_spans(
     suffix array would flag (length >= k, shared verbatim across docs)
     is covered by this definition; the relaxation is that one span's
     windows may match *different* partner documents.  Within-doc repeats
-    alone do NOT mark a span (countDistinct over doc ids).
+    alone do NOT mark a span (countDistinct over doc ids) unless
+    ``self_repeats=True``, which also flags any gram occurring >= 2
+    times in total — the full Lee et al. criterion, where a string
+    repeated inside one document is duplicated text all the same.
 
     Returns one row per span: ``(doc_id, span_start, span_end,
     span_tokens)`` with 1-based inclusive token positions.
@@ -487,12 +491,13 @@ def duplicated_spans(
         .select("doc_id", F.posexplode("_g").alias("idx", "gram"))
         .select("doc_id", (F.col("idx") + 1).alias("pos"), hash60(F.col("gram")).alias("gh"))
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("gh")
+    agg = grams.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("occ")
     )
+    cond = F.col("nd") >= min_docs
+    if self_repeats:
+        cond = cond | (F.col("occ") >= 2)
+    dup = agg.where(cond).select("gh")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         grams.join(dup, "gh")

@@ -328,3 +328,20 @@ def test_strip_spans_match_reference(spark, texts):
         for r in strip_spans(df, duplicated_spans(df, k=3, min_docs=2)).collect()
     }
     assert got == _ref_strip(texts, k=3)
+
+
+def test_duplicated_spans_self_repeats(spark):
+    """self_repeats=True flags within-doc repeats (full Lee et al.
+    criterion); default mode still requires cross-doc sharing."""
+    from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans
+
+    docs = [(0, "p q r s p q r s x y"), (1, "u1 u2 u3 u4 u5 u6")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert duplicated_spans(df, k=4, min_docs=2).count() == 0
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, k=4, min_docs=2, self_repeats=True).collect()
+    }
+    # "p q r s" at 1..4 and 5..8: both 4-gram windows repeat, and the
+    # overlap-merge fuses them into one 1..8 island
+    assert got == {(0, 1, 8)}
