@@ -146,3 +146,36 @@ def test_conditional_case_if(astro):
         "IF(bytecol = 2, 'two', 'other') AS w FROM t7 ORDER BY strcol"
     ).collect()
     assert [(r.sz, r.w) for r in rows] == [("small", "two"), ("big", "other"), ("big", "other")]
+
+
+def test_json_parquet_temp_tables_join_astro(astro, spark, tmp_path):
+    """Reference parity: JSON and parquet temp tables interoperate with
+    mapped tables in the same query (joins + UNION ALL)
+    (`HBaseAdditionalQuerySuite.scala:97-101,145-159` — insertTestData
+    builds JSON/parquet sources and joins them against the HBase table).
+    """
+    jdir = tmp_path / "j"
+    jdir.mkdir()
+    (jdir / "rows.json").write_text(
+        '{"strcol": "Row2", "tag": "json2"}\n{"strcol": "Row5", "tag": "json5"}\n'
+    )
+    spark.read.json(str(jdir)).createOrReplaceTempView("jside")
+    pdir = str(tmp_path / "p")
+    spark.createDataFrame(
+        [("Row4", "parq4")], ["strcol", "tag"]
+    ).write.parquet(pdir)
+    spark.read.parquet(pdir).createOrReplaceTempView("pside")
+
+    rows = astro.sql(
+        """
+        SELECT t7.strcol, s.tag, t7.intcol FROM t7 JOIN jside s ON t7.strcol = s.strcol
+        UNION ALL
+        SELECT t7.strcol, s.tag, t7.intcol FROM t7 JOIN pside s ON t7.strcol = s.strcol
+        ORDER BY strcol
+        """
+    ).collect()
+    assert [(r.strcol, r.tag, r.intcol) for r in rows] == [
+        ("Row2", "json2", 23456782),
+        ("Row4", "parq4", 23456784),
+        ("Row5", "json5", 23456785),
+    ]

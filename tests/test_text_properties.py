@@ -345,3 +345,16 @@ def test_duplicated_spans_self_repeats(spark):
     # "p q r s" at 1..4 and 5..8: both 4-gram windows repeat, and the
     # overlap-merge fuses them into one 1..8 island
     assert got == {(0, 1, 8)}
+
+
+def test_strip_spans_overlapping_user_spans(spark):
+    """User-provided span lists may overlap or duplicate — positions
+    dedup through the explode-distinct, never double-count n_removed."""
+    from spark_sql_on_hbase_spark.operators.text_analysis import strip_spans
+
+    docs = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    spans = spark.createDataFrame(
+        [(0, 2, 5), (0, 4, 6), (0, 2, 5)], ["doc_id", "span_start", "span_end"]
+    )
+    r = strip_spans(docs, spans).collect()[0]
+    assert (r.clean_text, r.n_removed) == ("a g h", 5)
