@@ -179,3 +179,35 @@ def test_json_parquet_temp_tables_join_astro(astro, spark, tmp_path):
         ("Row4", "parq4", 23456784),
         ("Row5", "json5", 23456785),
     ]
+
+
+def test_column_metadata_propagates_through_plans(astro, spark):
+    """Reference parity: column-level metadata survives selects, SQL over
+    a temp view, and joins (`HBaseAdvancedSQLQuerySuite.scala:46-67`).
+    Catalyst behavior in both engines; pinned over an Astro-backed scan."""
+    ta = astro.sql("SELECT strcol, intcol, doublecol FROM t7")
+    schema = ta.schema
+    meta = {"doc": "first name"}
+    fields = [
+        schema["strcol"],
+        schema["intcol"],
+        schema["doublecol"],
+    ]
+    from pyspark.sql.types import StructField, StructType
+
+    fields[0] = StructField("strcol", fields[0].dataType, fields[0].nullable, meta)
+    with_meta = spark.createDataFrame(ta.rdd, StructType(fields))
+    with_meta.createOrReplaceTempView("personWithMeta")
+    spark.createDataFrame(
+        [("Row2", 100), ("Row4", 200)], ["personId", "salary"]
+    ).createOrReplaceTempView("salary")
+
+    def check(df):
+        assert df.schema["strcol"].metadata.get("doc") == "first name", df.schema
+
+    check(with_meta.select("strcol"))
+    check(with_meta.select("intcol", "strcol"))
+    check(astro.sql("SELECT * FROM personWithMeta"))
+    check(astro.sql("SELECT intcol, strcol FROM personWithMeta"))
+    check(astro.sql("SELECT * FROM personWithMeta JOIN salary ON strcol = personId"))
+    check(astro.sql("SELECT strcol, salary FROM personWithMeta JOIN salary ON strcol = personId"))
