@@ -581,7 +581,13 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
                 "CartesianProduct" not in ds_plan
                 and "BroadcastNestedLoopJoin" not in ds_plan
             )
-            out["dupspan_hashed_keys"] = "hashpartitioning(gh" in ds_plan
+            # the positive gh check alone would be satisfied by the
+            # aggregation's exchange even if the mark join shuffled gram
+            # TEXT — the negative check pins the 8-byte-key claim
+            out["dupspan_hashed_keys"] = (
+                "hashpartitioning(gh" in ds_plan
+                and "hashpartitioning(gram" not in ds_plan
+            )
             # quantize path stays pure codegen (no Python/Arrow eval)
             from spark_sql_on_hbase_spark.operators.quantize import (
                 dequantize,

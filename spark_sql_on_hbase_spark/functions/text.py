@@ -24,6 +24,14 @@ def whitespace_tokens(col) -> Column:
     return F.split(F.lower(col), r"\s+")
 
 
+def null_safe_tokens(col) -> Column:
+    """``whitespace_tokens`` with NULL text coalesced to an empty array —
+    the ML ``NGram`` transformer NPEs on a NULL input array, so every
+    operator that feeds tokens to it (or posexplodes them outer) shares
+    this one guard (see test_null_text_degrades_not_crashes)."""
+    return F.coalesce(whitespace_tokens(col), F.array().cast("array<string>"))
+
+
 def word_ngrams(tokens, n: int) -> Column:
     """Word n-gram shingles from a token array (space-joined).
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens
+from spark_sql_on_hbase_spark.functions.text import hash60, null_safe_tokens, whitespace_tokens
 
 # marker stopwords per language for the n-gram/stopword language-ID
 # heuristic; ties break by this declaration order.
@@ -479,11 +479,7 @@ def duplicated_spans(
 
     toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        # NULL text → empty token array: the ML NGram transformer NPEs
-        # on a NULL input array (see test_null_text_degrades_not_crashes)
-        F.coalesce(whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
-            "_toks"
-        ),
+        null_safe_tokens(F.col(text_col)).alias("_toks"),
     )
     grams = (
         NGram(n=k, inputCol="_toks", outputCol="_g")
@@ -550,11 +546,11 @@ def strip_spans(
     inside one hash-aggregated ``array_sort(collect_list(...))``, so
     the only shuffles are the anti-join's and the per-doc regroup's.
     """
-    toks = docs.select(
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
+
+    toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce(whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
-            "_toks"
-        ),
+        null_safe_tokens(F.col(text_col)).alias("_toks"),
     )
     pos_tok = toks.select(
         "doc_id", F.posexplode_outer("_toks").alias("idx", "tok")

@@ -599,13 +599,21 @@ PIPELINE["text_dupspan_strip"] = Q(
     pos_tok AS (
       SELECT doc_id, u.i AS pos, t[u.i] AS tok
       FROM toks, UNNEST(range(1, len(t) + 1)) u(i)
+    ),
+    stripped AS (
+      SELECT p.doc_id,
+             coalesce(string_agg(CASE WHEN s.pos IS NULL THEN p.tok END,
+                                 ' ' ORDER BY p.pos), '') AS clean_text,
+             count(s.pos) AS n_removed
+      FROM pos_tok p LEFT JOIN spanpos s ON s.doc_id = p.doc_id AND s.pos = p.pos
+      GROUP BY p.doc_id
     )
-    SELECT p.doc_id,
-           coalesce(string_agg(CASE WHEN s.pos IS NULL THEN p.tok END,
-                               ' ' ORDER BY p.pos), '') AS clean_text,
-           count(s.pos) AS n_removed
-    FROM pos_tok p LEFT JOIN spanpos s ON s.doc_id = p.doc_id AND s.pos = p.pos
-    GROUP BY p.doc_id
+    -- outer join back to documents: a NULL-text doc has no pos_tok rows
+    -- but the operator still emits (doc_id, '', 0) for it
+    SELECT d.doc_id,
+           coalesce(st.clean_text, '') AS clean_text,
+           coalesce(st.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN stripped st ON st.doc_id = d.doc_id
     """,
     doc="exact-substring dedup apply step: strip every flagged duplicated "
     "span and reassemble the text (anti-mark equi-join, one-pass regroup)",
@@ -2080,9 +2088,10 @@ PIPELINE["text_ops_suite"] = Q(
     "dictionary probe), corpus bigram-LM perplexity, head_tail token "
     "truncation, dataset-card corpus rollup, duplicate-cluster-keyed "
     "leakage-safe split, the bottom-sketch fingerprint, and (r7) maximal "
-    "cross-doc duplicated token spans (exact-substring dedup) — each branch "
+    "cross-doc duplicated token spans + the span-strip apply step "
+    "(exact-substring dedup) — each branch "
     "checksums the tail entry's full output against the identical wrap "
-    "of its DuckDB oracle, so all six stay value-graded inside the "
+    "of its DuckDB oracle, so all eight stay value-graded inside the "
     "driver's 50-row artifact window while remaining individually "
     "runnable from the tail",
 )

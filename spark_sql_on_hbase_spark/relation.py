@@ -65,6 +65,45 @@ PAGE_ROW_LIMIT = 1024
 ROW_GROUP_BYTES = 8 * 1024 * 1024
 
 
+def view_state(spark: SparkSession) -> dict:
+    """SparkSession-scoped view-registration registry: view name →
+    fingerprint.  Temp views are GLOBAL to the SparkSession, so the
+    cache that decides whether a view is current must be too — a
+    per-AstroSession cache would let session A's stale skip serve
+    session B's same-named view (two warehouses sharing one
+    SparkSession is supported; spark_table_name hashes the warehouse
+    path for exactly that reason)."""
+    reg = getattr(spark, "_astro_view_state", None)
+    if reg is None:
+        reg = {}
+        spark._astro_view_state = reg
+    return reg
+
+
+def view_fingerprint(catalog, meta: TableMeta) -> tuple:
+    """Cheap physical+declared state of a table's view: warehouse root +
+    namespace pin the owner; the parquet fragment listing (an os.listdir,
+    not a Spark job) sees any write through the shared physical store —
+    including a SIBLING logical table's append (many-to-one mapping,
+    doc §16.1.1); columns/layout/encoding see DDL.  ``has_data``
+    distinguishes the empty-view registration from a relation-backed
+    view over zero files."""
+    d = catalog.data_dir(meta)
+    try:
+        listing = tuple(sorted(f for f in os.listdir(d) if f.endswith(".parquet")))
+    except OSError:
+        listing = ()
+    return (
+        catalog.root,
+        meta.namespace,
+        bool(meta.regions or listing),
+        listing,
+        tuple(meta.all_columns),
+        meta.layout,
+        meta.encoding,
+    )
+
+
 def _layout_options(w):
     return (
         w.option("parquet.block.size", ROW_GROUP_BYTES)
@@ -828,6 +867,13 @@ class AstroRelation:
 
     def register_view(self, name: str | None = None) -> None:
         self.scan().createOrReplaceTempView(name or self.meta.name)
+        # record who owns the (SparkSession-global) view and at what
+        # physical/declared state, so session._register_all can skip the
+        # plan analysis for unchanged tables without ever serving another
+        # catalog's (or namespace's) same-named view from the cache
+        view_state(self.spark)[name or self.meta.name] = view_fingerprint(
+            self.catalog, self.meta
+        )
 
     def scan_where(self, where: str):
         """Pruned scan: CPR file pruning on key-column predicates, then the

@@ -31,7 +31,12 @@ from spark_sql_on_hbase_spark.catalog import (
     NonKeyColumn,
     TableMeta,
 )
-from spark_sql_on_hbase_spark.relation import AstroRelation, table_schema
+from spark_sql_on_hbase_spark.relation import (
+    AstroRelation,
+    table_schema,
+    view_fingerprint,
+    view_state,
+)
 
 
 class AstroSession:
@@ -49,13 +54,6 @@ class AstroSession:
         # partial rewrite ran, M == N for a full rewrite — bench reads
         # this for the delete_files_rewritten plan-shape gate
         self.last_write_stats: dict | None = None
-        # view-registration fingerprints: table key → (fragment listing,
-        # schema, layout) at last registration — _register_all re-analyzes
-        # only tables whose physical or declared state changed (r7: the
-        # unconditional re-registration was O(#tables) Spark analysis per
-        # STATEMENT — 1000 tables × ~20 ms would put ~20 s of driver work
-        # in front of every write)
-        self._view_state: dict[str, tuple] = {}
 
     # -- helpers ------------------------------------------------------------
     def relation(self, table: str, namespace: str = "default") -> AstroRelation:
@@ -72,32 +70,30 @@ class AstroSession:
 
     def _register_all(self) -> None:
         """Expose every catalog table as a temp view, re-analyzing ONLY
-        tables whose state changed since their last registration.  The
-        fingerprint is a cheap os.listdir of the data dir (so a sibling
-        logical table's append through the SAME physical store is seen —
-        many-to-one mapping, doc §16.1.1) plus declared columns and
-        layout; the expensive part being skipped is the Spark plan
-        analysis + view swap, not the listing."""
-        import os
-
+        tables whose state changed since their last registration (r7:
+        the unconditional re-registration was O(#tables) Spark analysis
+        per STATEMENT — 1000 tables × ~20 ms would put ~20 s of driver
+        work in front of every write).  The fingerprint
+        (`relation.view_fingerprint`) is SparkSession-scoped and keyed
+        by view name because temp views are: it pins the owning
+        warehouse + namespace, so a same-named view registered by a
+        sibling AstroSession (or another namespace) never satisfies this
+        session's skip check; `register_view` itself records the
+        fingerprint, so the DML paths that re-register after a write
+        keep the cache current for free."""
+        reg = view_state(self.spark)
         for ns, name in self.catalog.list_tables():
             meta = self.catalog.get_table(name, ns)
-            key = f"{ns}.{name}"
-            d = self.catalog.data_dir(meta)
-            try:
-                listing = tuple(sorted(f for f in os.listdir(d) if f.endswith(".parquet")))
-            except OSError:
-                listing = ()
-            fp = (listing, tuple(meta.all_columns), meta.layout, meta.encoding)
-            if self._view_state.get(key) == fp and self.spark.catalog.tableExists(name):
+            fp = view_fingerprint(self.catalog, meta)
+            if reg.get(name) == fp and self.spark.catalog.tableExists(name):
                 continue
             # schema-on-read: another logical table may have populated the
             # shared physical store (many-to-one mapping, doc §16.1.1)
-            if meta.regions or listing:
+            if fp[2]:  # has_data
                 AstroRelation(self.catalog, meta, self.spark).register_view(name)
             else:  # empty table → empty view with right schema
                 self.spark.createDataFrame([], table_schema(meta)).createOrReplaceTempView(name)
-            self._view_state[key] = fp
+                reg[name] = fp
 
     # -- entry point --------------------------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -705,9 +705,12 @@ def test_version_as_of_sql(astro):
 def test_register_all_fingerprint_cache(astro, tmp_path, monkeypatch):
     """r7: _register_all re-analyzes only tables whose physical/declared
     state changed — per-statement cost is an os.listdir per table, not a
-    Spark plan analysis per table.  A sibling write through the shared
-    physical store still invalidates (listing-based fingerprint)."""
+    Spark plan analysis per table.  A sibling write over the same
+    warehouse stays visible (the write path records the fresh
+    fingerprint when it re-registers), and a same-named table in a
+    DIFFERENT warehouse never satisfies this session's skip check."""
     import spark_sql_on_hbase_spark.relation as R
+    from spark_sql_on_hbase_spark.session import AstroSession
 
     astro.sql("CREATE TABLE rc (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (rc_ht)")
     astro.sql("INSERT INTO rc VALUES (1, 'a')")
@@ -725,13 +728,21 @@ def test_register_all_fingerprint_cache(astro, tmp_path, monkeypatch):
     astro.sql("SELECT count(*) FROM rc").collect()
     astro.sql("SELECT count(*) FROM rc").collect()
     assert calls == []
-    # a write through a SIBLING session over the same warehouse (shared
-    # physical store) changes the listing → fingerprint invalidates
-    from spark_sql_on_hbase_spark.session import AstroSession
-
+    # a write through a SIBLING session over the same warehouse: its DML
+    # path re-registers and refreshes the shared fingerprint, so the
+    # next statement here sees fresh data WITHOUT a redundant re-analysis
     sibling = AstroSession(astro.spark, astro.catalog.root)
     sibling.sql("INSERT INTO rc VALUES (2, 'b')")
     calls.clear()
     rows = astro.sql("SELECT k FROM rc ORDER BY k").collect()
     assert [r.k for r in rows] == [1, 2]  # fresh data visible
-    assert "rc" in calls  # and it was re-registered to get there
+    assert calls == []  # the sibling's own registration kept the cache hot
+
+    # same view name, DIFFERENT warehouse: the cached skip must never
+    # serve the other catalog's view — each session re-registers its own
+    other = AstroSession(astro.spark, str(tmp_path / "other_wh"))
+    other.sql("CREATE TABLE rc (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (rc_ht)")
+    other.sql("INSERT INTO rc VALUES (99, 'z')")
+    assert [r.k for r in other.sql("SELECT k FROM rc").collect()] == [99]
+    assert [r.k for r in astro.sql("SELECT k FROM rc ORDER BY k").collect()] == [1, 2]
+    assert [r.k for r in other.sql("SELECT k FROM rc").collect()] == [99]

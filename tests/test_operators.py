@@ -893,9 +893,12 @@ def test_r5_operator_plan_shapes(spark):
 
     p = plan(TA.duplicated_spans(docs))
     # dup-gram mark join: equi-join on the 60-bit hash key — never a
-    # cartesian/nested loop, and never gram TEXT in the exchange
+    # cartesian/nested loop, and never gram TEXT in an exchange (the
+    # positive gh check alone is satisfiable by the aggregation exchange,
+    # so the NEGATIVE check is what actually pins the 8-byte-key claim)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "hashpartitioning(gh" in p, p
+    assert "hashpartitioning(gram" not in p and "hashpartitioning(_g" not in p, p
 
 
 def test_null_text_degrades_not_crashes(spark):
