@@ -358,3 +358,43 @@ def test_strip_spans_overlapping_user_spans(spark):
     )
     r = strip_spans(docs, spans).collect()[0]
     assert (r.clean_text, r.n_removed) == ("a g h", 5)
+
+
+def _ref_dupspans_self(texts, k):
+    toks = [re.split(r"\s+", t.lower()) for t in texts]
+    owners: dict[str, set] = {}
+    occ: dict[str, int] = {}
+    per_doc = []
+    for d, ts in enumerate(toks):
+        gs = [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        per_doc.append(gs)
+        for g in gs:
+            occ[g] = occ.get(g, 0) + 1
+            owners.setdefault(g, set()).add(d)
+    out = set()
+    for d, gs in enumerate(per_doc):
+        ps = [i + 1 for i, g in enumerate(gs) if len(owners[g]) >= 2 or occ[g] >= 2]
+        start = prev = None
+        for p in ps:
+            if prev is not None and p - prev > k:
+                out.add((d, start, prev + k - 1, prev + k - start))
+                start = p
+            elif prev is None:
+                start = p
+            prev = p
+        if start is not None:
+            out.add((d, start, prev + k - 1, prev + k - start))
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=8))
+def test_duplicated_spans_self_repeats_match_reference(spark, texts):
+    from spark_sql_on_hbase_spark.operators.text_analysis import duplicated_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, k=3, min_docs=2, self_repeats=True).collect()
+    }
+    assert got == _ref_dupspans_self(texts, k=3)
