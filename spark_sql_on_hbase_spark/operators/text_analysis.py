@@ -577,3 +577,52 @@ def strip_spans(
         ).alias("clean_text"),
         F.count("_rm").cast("bigint").alias("n_removed"),
     )
+
+
+def dupspan_stats(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document duplicated-token fraction + drop decision — the
+    corpus-health / filter form of exact-substring dedup (dedup papers
+    report "fraction of tokens inside duplicated substrings"; pipelines
+    drop docs past a threshold rather than strip them when most of the
+    doc is duplicate).
+
+    Returns (id, n_tokens, dup_tokens, dup_frac, drop) for EVERY doc;
+    ``dup_frac`` is a 1e-6 fixed-point floor (cross-engine exact).
+    Spans default to ``duplicated_spans(docs, k, min_docs)``; pass a
+    precomputed frame to share one extraction across strip + stats.
+
+    Scale shape: one groupBy over the (already small) span set plus a
+    left join back to per-doc token counts — the corpus text itself
+    never shuffles.
+    """
+    if spans is None:
+        spans = duplicated_spans(docs, text_col, id_col, k, min_docs)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(null_safe_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    j = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1000000) / 1000000,
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        frac.alias("dup_frac"),
+        (frac > drop_threshold).alias("drop"),
+    )

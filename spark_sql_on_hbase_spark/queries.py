@@ -121,6 +121,7 @@ TAIL_ORDER = [
     "text_fingerprint",
     "text_dupspans",
     "text_dupspan_strip",
+    "text_dupspan_stats",
     "text_boilerplate",
     "text_perplexity",
     "text_truncate",

@@ -619,6 +619,73 @@ PIPELINE["text_dupspan_strip"] = Q(
     "span and reassemble the text (anti-mark equi-join, one-pass regroup)",
 )
 
+
+def _text_dupspan_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import dupspan_stats
+
+    t = load_tables(spark, sf)
+    return dupspan_stats(t["documents"], k=8, min_docs=2, drop_threshold=0.5)
+
+
+PIPELINE["text_dupspan_stats"] = Q(
+    spark=_text_dupspan_stats,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS gh
+      FROM toks, UNNEST(range(1, len(t) - 8 + 2)) u(i)
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split_regex(lower(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN floor(coalesce(p.dup_tokens, 0) / b.n_tokens * 1000000) / 1000000
+                ELSE 0.0 END AS dup_frac,
+           (CASE WHEN b.n_tokens > 0
+                 THEN floor(coalesce(p.dup_tokens, 0) / b.n_tokens * 1000000) / 1000000
+                 ELSE 0.0 END) > 0.5 AS "drop"
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+    """,
+    doc="per-doc duplicated-token fraction + drop decision (corpus-health "
+    "form of exact-substring dedup); spans groupBy + left join back to "
+    "token counts — corpus text never shuffles",
+)
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

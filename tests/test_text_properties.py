@@ -398,3 +398,28 @@ def test_duplicated_spans_self_repeats_match_reference(spark, texts):
         for r in duplicated_spans(df, k=3, min_docs=2, self_repeats=True).collect()
     }
     assert got == _ref_dupspans_self(texts, k=3)
+
+
+def test_dupspan_stats_known_corpus(spark):
+    """A doc that is mostly one shared run crosses the drop threshold;
+    partially-duplicated and clean docs do not; NULL text is (0,0,0.0)."""
+    from spark_sql_on_hbase_spark.operators.text_analysis import dupspan_stats
+
+    shared = "w x y z q r"  # 6 tokens shared by docs 0 and 1
+    docs = [
+        (0, shared + " t1 t2"),            # 6/8 = 0.75 dup → drop
+        (1, "a1 a2 a3 " + shared + " a4 a5 a6"),  # 6/12 = 0.5 → NOT drop (strict >)
+        (2, "c1 c2 c3 c4"),                # clean
+        (3, None),                          # NULL text
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac, r.drop)
+        for r in dupspan_stats(df, k=4, min_docs=2, drop_threshold=0.5).collect()
+    }
+    assert got == {
+        0: (8, 6, 0.75, True),
+        1: (12, 6, 0.5, False),
+        2: (4, 0, 0.0, False),
+        3: (0, 0, 0.0, False),
+    }
