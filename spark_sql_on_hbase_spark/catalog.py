@@ -117,6 +117,14 @@ class TableMeta:
     # rewrites (COMPACT / OVERWRITE) reset the whole table to gen 0 and
     # the floor with it (r7 review).
     history_floor: int = 0
+    # commit wall-clock (epoch seconds, UTC) per LSM generation — the
+    # metadata behind `TIMESTAMP AS OF` (r7 verdict #6): resolve t to the
+    # newest generation with commit time <= t.  Keys are str(seq) (JSON
+    # object keys).  Stamped in update_regions when a generation first
+    # appears (a sibling writer's append is stamped at discovery — the
+    # same freshness envelope as the region cache itself); full rewrites
+    # clear the map so the folded gen-0 re-stamps at rewrite time.
+    generation_times: dict = field(default_factory=dict)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -276,6 +284,9 @@ class AstroCatalog:
             align_prefix=raw.get("align_prefix", 0),
             zorder=raw.get("zorder", False),
             history_floor=raw.get("history_floor", 0),
+            generation_times={
+                k: float(v) for k, v in raw.get("generation_times", {}).items()
+            },
         )
         self._cache[key] = meta
         return meta
@@ -325,6 +336,15 @@ class AstroCatalog:
 
     def update_regions(self, meta: TableMeta, regions: list[RegionFile]) -> None:
         meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
+        # per-generation commit times (TIMESTAMP AS OF): stamp generations
+        # first seen now, keep existing stamps, drop generations no longer
+        # present (compaction folded them) — O(#generations) metadata
+        now = time.time()
+        present = {str(r.seq) for r in meta.regions}
+        gt = {s: t for s, t in meta.generation_times.items() if s in present}
+        for s in present:
+            gt.setdefault(s, now)
+        meta.generation_times = gt
         self._write(meta)
 
     def _write(self, meta: TableMeta) -> None:

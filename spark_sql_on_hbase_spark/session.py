@@ -39,6 +39,14 @@ from spark_sql_on_hbase_spark.relation import (
 )
 
 
+def _iso_utc(epoch: float) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+
+
 class AstroSession:
     def __init__(self, spark: SparkSession, warehouse_dir: str, *, strict_merge: bool = True):
         self.spark = spark
@@ -211,6 +219,16 @@ class AstroSession:
                     "max_generation",
                     str(max((r.seq for r in meta.regions), default=0)),
                     "generation-versioned reads: table(name, as_of_seq=0..N)",
+                ),
+                (
+                    "generation_times",
+                    ", ".join(
+                        f"{s}: {_iso_utc(t)}"
+                        for s, t in sorted(
+                            meta.generation_times.items(), key=lambda kv: int(kv[0])
+                        )
+                    ),
+                    "TIMESTAMP AS OF resolves to newest generation <= t (UTC)",
                 ),
             ]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
@@ -453,6 +471,7 @@ class AstroSession:
         return self._ok(f"deleted from {c.table}")
 
     _AND_RE = re.compile(r"AND\b", re.IGNORECASE)
+    _OR_RE = re.compile(r"OR\b", re.IGNORECASE)
     _EQUI_RE = re.compile(
         r"^\(*\s*`?(\w+)`?\.`?(\w+)`?\s*=\s*`?(\w+)`?\.`?(\w+)`?\s*\)*\s*$"
     )
@@ -465,9 +484,15 @@ class AstroSession:
         per key column — O(1) rows to the driver, never data).  A target
         fragment outside these bounds cannot hold a matched row, so it
         stays byte-identical.  Returns None when no key conjunct is
-        extractable (prune not possible) or the source is empty."""
+        extractable (prune not possible), the source is empty, or the ON
+        condition has a top-level OR (r7 advice, high: an equi piece
+        inside a disjunct is NOT a binding conjunct — ``ON a AND b OR c``
+        can match rows outside the equi bounds via ``c``, so pruning on
+        them would silently skip matched rows)."""
         from spark_sql_on_hbase_spark.ddl import _find_top_level
 
+        if _find_top_level(c.on, self._OR_RE) >= 0:
+            return None
         t_names = {c.target_alias.lower(), c.table.lower()}
         s_name = c.source_alias.lower()
         keyset = {k.name for k in rel.meta.key_columns}
@@ -745,25 +770,59 @@ class AstroSession:
         )
 
     _VERSION_ASOF_RE = re.compile(
-        r"([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+        r"([\w.`]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"('(?:[^'\\]|\\.)*'|\d+(?:\.\d+)?)",
+        re.IGNORECASE,
     )
 
+    @staticmethod
+    def _parse_asof_timestamp(lit: str) -> float:
+        """TIMESTAMP AS OF operand → epoch seconds.  Accepts a numeric
+        epoch or a quoted ISO timestamp/date (naive values read as UTC —
+        commit times are recorded as UTC epochs)."""
+        from datetime import datetime, timezone
+
+        s = lit.strip()
+        if s.startswith("'"):
+            s = s[1:-1].replace("\\'", "'")
+        try:
+            return float(s)
+        except ValueError:
+            dt = datetime.fromisoformat(s)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return dt.timestamp()
+
     def _rewrite_version_asof(self, text: str) -> str:
-        """SQL-level generation time travel: ``FROM t VERSION AS OF n``
-        over an astro table becomes a registered snapshot view (the
-        reference's doc §23 timestamp-versioned queries were SQL-level;
-        Spark reserves the same syntax for DSv2 time travel, so non-astro
-        matches pass through untouched).  String literals are skipped."""
+        """SQL-level time travel: ``FROM t VERSION AS OF n`` resolves the
+        generation-N snapshot and ``FROM t TIMESTAMP AS OF t`` (epoch or
+        ISO literal, UTC) resolves the newest generation committed at or
+        before t (r7 verdict #6) — both over an astro table become a
+        registered snapshot view (the reference's doc §23
+        timestamp-versioned queries were SQL-level; Spark reserves the
+        same syntax for DSv2 time travel, so non-astro matches pass
+        through untouched).  String literals are skipped."""
         in_quote = [False] * len(text)
         q = None
-        for i, ch in enumerate(text):
+        i = 0
+        while i < len(text):
+            ch = text[i]
             if q:
                 in_quote[i] = True
+                if ch == "\\":
+                    # escape-aware, same rule as ddl._find_top_level: \'
+                    # inside a literal must not close it (r7 advice — a
+                    # desynced quote map mis-skips later VERSION AS OF)
+                    if i + 1 < len(text):
+                        in_quote[i + 1] = True
+                    i += 2
+                    continue
                 if ch == q:
                     q = None
             elif ch in "'\"":
                 q = ch
                 in_quote[i] = True
+            i += 1
         out, last = [], 0
         for m in self._VERSION_ASOF_RE.finditer(text):
             if in_quote[m.start()]:
@@ -771,9 +830,18 @@ class AstroSession:
             ns, t = ddl._parse_table_name(m.group(1))
             if not self.catalog.table_exists(t, ns):
                 continue  # Spark's own DSv2 time travel may handle it
-            n = int(m.group(2))
+            kind, operand = m.group(2).upper(), m.group(3)
+            rel = self.relation(t, ns)
+            if kind == "VERSION":
+                if not operand.isdigit():
+                    raise ValueError(
+                        f"VERSION AS OF takes a generation number, got {operand}"
+                    )
+                n = int(operand)
+            else:
+                n = rel.seq_for_timestamp(self._parse_asof_timestamp(operand))
             view = f"{t}__asof_{n}"
-            self.relation(t, ns).scan(as_of_seq=n).createOrReplaceTempView(view)
+            rel.scan(as_of_seq=n).createOrReplaceTempView(view)
             out.append(text[last:m.start()])
             out.append(view)
             last = m.end()

@@ -1,0 +1,258 @@
+"""Round-8 (VERDICT r7 #1/#2): the region-pruned partial rewrite now
+covers merge-on-read tables (pending upsert fragments) via island
+closure, and z-order layouts via one-output-file-per-source-z-file.
+
+The r7 behavior handed BOTH states back to the full-table rewrite —
+the exact scale-killer class the pruned rewrite exists to kill: a
+streaming-ingested table carries up to 4× regions of unmerged fragments
+between auto-compactions, so every key-pruned DELETE was a 100 TB
+rewrite.
+"""
+
+import os
+
+import pytest
+
+from spark_sql_on_hbase_spark.session import AstroSession
+
+
+@pytest.fixture()
+def astro(spark, tmp_path):
+    return AstroSession(spark, str(tmp_path / "warehouse"))
+
+
+def _file_idents(astro, rel):
+    d = astro.catalog.data_dir(rel.meta)
+    out = {}
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(d, f))
+            out[f] = (st.st_ino, st.st_size)
+    return out
+
+
+def _load(astro, tmp_path, name="mt", n=200, regions=8):
+    csv = tmp_path / f"{name}.csv"
+    csv.write_text("".join(f"{k},v{k},{k * 10}\n" for k in range(1, n + 1)))
+    astro.sql(
+        f"CREATE TABLE {name} (k INT, v STRING, n INT, PRIMARY KEY (k)) "
+        f"MAPPED BY ({name}_ht) OPTIONS (regions={regions})"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE {name}")
+    return astro.relation(name)
+
+
+def test_delete_pruned_under_pending_upserts(astro, tmp_path):
+    """Upsert-appended table (needs_merge=True): a key-pruned DELETE
+    rewrites only the fragments whose island overlaps the key — the rest
+    stay inode-identical — and reads stay oracle-exact INCLUDING the
+    merge-on-read resolution of untouched upserted keys."""
+    rel = _load(astro, tmp_path)
+    # upsert a narrow key range: fragment overlaps the original fragment
+    # holding keys around 30 → needs_merge
+    astro.sql("INSERT INTO mt VALUES (30, 'v30b', 999)")
+    astro.sql("INSERT INTO mt VALUES (170, 'v170b', 888)")
+    rel = astro.relation("mt")
+    assert rel.needs_merge()
+    before = _file_idents(astro, rel)
+    n_frag = len(before)
+    assert n_frag == 10  # 8 regions + 2 upsert fragments
+
+    astro.sql("DELETE FROM mt WHERE k = 30")
+    stats = astro.last_write_stats
+    # pruned: only the island containing key 30 (original fragment +
+    # its overlapping upsert fragment) was rewritten
+    assert stats["files_total"] == n_frag
+    assert 1 <= stats["files_rewritten"] <= 2
+    assert stats["files_rewritten"] < n_frag
+
+    after = _file_idents(astro, astro.relation("mt"))
+    kept = set(before) & set(after)
+    assert len(kept) == n_frag - stats["files_rewritten"]
+    for f in kept:
+        assert before[f] == after[f]
+
+    # key 30 gone; key 170's upsert resolution UNTOUCHED (still newest)
+    assert astro.sql("SELECT count(*) AS c FROM mt WHERE k = 30").collect()[0].c == 0
+    r = astro.sql("SELECT v, n FROM mt WHERE k = 170").collect()[0]
+    assert (r.v, r.n) == ("v170b", 888)
+    assert astro.sql("SELECT count(*) AS c FROM mt").collect()[0].c == 199
+
+
+def test_delete_pruned_island_closure_is_version_closed(astro, tmp_path):
+    """A key whose versions span two overlapping fragments: deleting a
+    NEIGHBOR key in the same island must rewrite the whole island (both
+    generations of the upserted key resolve together), never split it."""
+    rel = _load(astro, tmp_path, name="ic")
+    astro.sql("INSERT INTO ic VALUES (42, 'v42b', 420420)")  # upsert near 40
+    rel = astro.relation("ic")
+    assert rel.needs_merge()
+
+    astro.sql("DELETE FROM ic WHERE k = 40")  # same island as 42's versions
+    stats = astro.last_write_stats
+    assert stats["files_rewritten"] < stats["files_total"]
+    # the upserted value survives with its NEWEST version
+    r = astro.sql("SELECT v, n FROM ic WHERE k = 42").collect()[0]
+    assert (r.v, r.n) == ("v42b", 420420)
+    assert astro.sql("SELECT count(*) AS c FROM ic WHERE k = 40").collect()[0].c == 0
+    # the rewritten island is now resolved at generation 0: rewriting
+    # collapsed 42's two versions into one physical row
+    rel = astro.relation("ic")
+    total_rows = sum(r.num_rows for r in rel.meta.regions)
+    assert total_rows == 199  # 200 - deleted 40; no duplicate versions left
+
+
+def test_update_null_routing_pruned_under_pending_upserts(astro, tmp_path):
+    """The NULL-assigning UPDATE (routes through rewrite) also prunes on
+    a merge-on-read table."""
+    _load(astro, tmp_path, name="un")
+    astro.sql("INSERT INTO un VALUES (7, 'v7b', 77)")
+    rel = astro.relation("un")
+    assert rel.needs_merge()
+    before = _file_idents(astro, rel)
+    astro.sql("UPDATE un SET v = NULL WHERE k = 7")
+    stats = astro.last_write_stats
+    assert stats is not None and stats["files_rewritten"] < stats["files_total"]
+    after = _file_idents(astro, astro.relation("un"))
+    for f in set(before) & set(after):
+        assert before[f] == after[f]
+    r = astro.sql("SELECT v, n FROM un WHERE k = 7").collect()[0]
+    assert (r.v, r.n) == (None, 77)
+
+
+def test_full_generation_overlay_still_prunes_by_island(astro, tmp_path):
+    """A whole-table upsert overlay (INSERT … SELECT FROM itself): the
+    appended generation range-partitions into fragments that pair up with
+    the originals into per-range islands — a key-pruned DELETE rewrites
+    ONE island (both generations of that range), not the table.  This is
+    exactly the streaming-sink state the r7 verdict flagged: 2× fragments
+    pending compaction must not force a full rewrite."""
+    _load(astro, tmp_path, name="ws", n=100, regions=4)
+    astro.sql("INSERT INTO ws SELECT k, concat('b', v), n + 1 FROM ws")
+    rel = astro.relation("ws")
+    assert rel.needs_merge()
+    n_frag = len(rel.meta.regions)
+    assert n_frag == 8
+    astro.sql("DELETE FROM ws WHERE k = 50")
+    stats = astro.last_write_stats
+    assert stats["files_total"] == 8
+    assert stats["files_rewritten"] < 8  # island-local, not full-table
+    assert astro.sql("SELECT count(*) AS c FROM ws").collect()[0].c == 99
+    r = astro.sql("SELECT v, n FROM ws WHERE k = 1").collect()[0]
+    assert (r.v, r.n) == ("bv1", 11)  # untouched islands still resolve newest
+
+
+def test_single_island_table_falls_back_to_full_rewrite(astro, tmp_path):
+    """With regions=1 every generation overlaps everything → one island →
+    closure == table → the pruned path declines and the full rewrite runs
+    (the correct plan), still exact."""
+    _load(astro, tmp_path, name="w1", n=50, regions=1)
+    astro.sql("INSERT INTO w1 VALUES (25, 'x25', 0)")
+    rel = astro.relation("w1")
+    assert rel.needs_merge()
+    astro.sql("DELETE FROM w1 WHERE k = 10")
+    stats = astro.last_write_stats
+    assert stats["files_rewritten"] == stats["files_total"]
+    assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 49
+    r = astro.sql("SELECT v FROM w1 WHERE k = 25").collect()[0]
+    assert r.v == "x25"
+
+
+def test_zorder_delete_pruned_lifecycle(spark, astro):
+    """VERDICT r7 #2: z-order tables get the partial rewrite too —
+    untouched z-files stay inode-identical, dim boxes of rewritten files
+    only shrink, dim-box pruning still works, and the layout's
+    shuffle-free metadata test (single generation, per-file unique keys)
+    is preserved."""
+    df = spark.range(20_000).selectExpr(
+        "CAST(pmod(id * 77, 200) AS INT) k1",   # id*77 mod 200: unique with
+        "CAST(floor(id / 200) AS INT) k2",      # floor(id/200) as the pair
+        "CAST(id AS DOUBLE) v",
+    )
+    astro.sql(
+        "CREATE TABLE zd (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        "MAPPED BY (zd_ht, COLS=[v=f.v]) OPTIONS(regions=16, layout=zorder)"
+    )
+    rel = astro.relation("zd")
+    rel.write(df)
+    rel.register_view("zd")
+    assert rel.meta.layout == "zorder" and not rel.needs_merge()
+    before = _file_idents(astro, rel)
+    n_before = spark.sql("SELECT count(*) AS c FROM zd").collect()[0].c
+    _, res_pre = rel.scan_where("k2 BETWEEN 40 AND 60")
+    assert len(res_pre.files) < 16  # boxes prune on the non-leading dim
+
+    # a non-leading-dim predicate: boxes prune most z-files
+    gone = spark.sql("SELECT count(*) AS c FROM zd WHERE k2 = 37").collect()[0].c
+    assert gone > 0
+    astro.sql("DELETE FROM zd WHERE k2 = 37")
+    stats = astro.last_write_stats
+    assert stats["files_total"] == 16
+    assert 1 <= stats["files_rewritten"] < 16
+
+    rel = astro.relation("zd")
+    after = _file_idents(astro, rel)
+    kept = set(before) & set(after)
+    assert len(kept) == 16 - stats["files_rewritten"]
+    for f in kept:
+        assert before[f] == after[f]
+
+    # layout intact: still zorder, still merge-free, one generation
+    assert rel.meta.layout == "zorder" and not rel.needs_merge()
+    assert len({r.seq for r in rel.meta.regions}) == 1
+
+    # data exact
+    assert astro.sql("SELECT count(*) AS c FROM zd").collect()[0].c == n_before - gone
+    assert astro.sql("SELECT count(*) AS c FROM zd WHERE k2 = 37").collect()[0].c == 0
+
+    # dim-box pruning still prunes, and no worse than pre-delete (each
+    # rewritten file's box is a subset of its source's)
+    _, res = rel.scan_where("k2 BETWEEN 40 AND 60")
+    assert len(res.files) <= len(res_pre.files) < 16
+    # and is still sound
+    got = sorted(
+        (r.k1, r.k2) for r in rel.scan_where("k2 BETWEEN 40 AND 60")[0].collect()
+    )
+    want = sorted(
+        (r.k1, r.k2)
+        for r in rel.scan().where("k2 BETWEEN 40 AND 60").collect()
+    )
+    assert got == want
+
+
+def test_zorder_delete_second_cycle_and_point_update(spark, astro):
+    """Repeated partial rewrites on a z-order table keep working (the
+    rewritten files' z-boundaries remain disjoint), and the NULL-UPDATE
+    rewrite path works on zorder too."""
+    df = spark.range(5_000).selectExpr(
+        "CAST(pmod(id * 7, 500) AS INT) k1",  # unique (k1, k2) pairs
+        "CAST(floor(id / 500) AS INT) k2",
+        "CAST(id AS DOUBLE) v",
+    )
+    astro.sql(
+        "CREATE TABLE z2 (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        "MAPPED BY (z2_ht, COLS=[v=f.v]) OPTIONS(regions=8, layout=zorder)"
+    )
+    rel = astro.relation("z2")
+    rel.write(df)
+    rel.register_view("z2")
+    n0 = astro.sql("SELECT count(*) AS c FROM z2").collect()[0].c
+
+    g1 = astro.sql("SELECT count(*) AS c FROM z2 WHERE k1 < 30").collect()[0].c
+    astro.sql("DELETE FROM z2 WHERE k1 < 30")
+    s1 = astro.last_write_stats
+    g2 = astro.sql("SELECT count(*) AS c FROM z2 WHERE k1 > 470").collect()[0].c
+    astro.sql("DELETE FROM z2 WHERE k1 > 470")
+    s2 = astro.last_write_stats
+    assert s1["files_rewritten"] < 8 and s2["files_rewritten"] < 8
+    assert astro.sql("SELECT count(*) AS c FROM z2").collect()[0].c == n0 - g1 - g2
+    rel = astro.relation("z2")
+    assert rel.meta.layout == "zorder" and not rel.needs_merge()
+
+    # NULL-assigning UPDATE routes through the zorder rewrite
+    row = astro.sql("SELECT k1, k2 FROM z2 LIMIT 1").collect()[0]
+    astro.sql(f"UPDATE z2 SET v = NULL WHERE k1 = {row.k1} AND k2 = {row.k2}")
+    got = astro.sql(
+        f"SELECT v FROM z2 WHERE k1 = {row.k1} AND k2 = {row.k2}"
+    ).collect()
+    assert all(r.v is None for r in got) and got

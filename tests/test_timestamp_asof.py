@@ -1,0 +1,129 @@
+"""r8 (VERDICT r7 #6): TIMESTAMP AS OF time travel — commit wall-clock
+recorded per LSM generation in the catalog (metadata only), resolved to
+the newest generation <= t, reusing the history_floor guard and the
+existing generation snapshot machinery.
+"""
+
+import time
+
+import pytest
+
+from spark_sql_on_hbase_spark.session import AstroSession
+
+
+@pytest.fixture()
+def astro(spark, tmp_path):
+    return AstroSession(spark, str(tmp_path / "warehouse"))
+
+
+def _gen_times(astro, name):
+    return {int(k): v for k, v in astro.catalog.get_table(name).generation_times.items()}
+
+
+def test_seq_for_timestamp_resolution(astro):
+    astro.sql("CREATE TABLE tt (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (tt_ht)")
+    astro.sql("INSERT INTO tt VALUES (1, 'g0')")      # generation 0
+    t_after_g0 = time.time()
+    time.sleep(0.02)
+    astro.sql("INSERT INTO tt VALUES (1, 'g1')")      # generation 1
+    t_after_g1 = time.time()
+    time.sleep(0.02)
+    astro.sql("INSERT INTO tt VALUES (1, 'g2')")      # generation 2
+
+    rel = astro.relation("tt")
+    gt = _gen_times(astro, "tt")
+    assert set(gt) == {0, 1, 2}
+    assert gt[0] <= gt[1] <= gt[2]
+
+    assert rel.seq_for_timestamp(t_after_g0) == 0
+    assert rel.seq_for_timestamp(t_after_g1) == 1
+    assert rel.seq_for_timestamp(time.time()) == 2
+    with pytest.raises(ValueError, match="no generation"):
+        rel.seq_for_timestamp(gt[0] - 100)
+
+    # resolved snapshots carry the generation's content
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_after_g0)).collect()[0].v == "g0"
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_after_g1)).collect()[0].v == "g1"
+
+
+def test_timestamp_as_of_sql(astro):
+    astro.sql("CREATE TABLE ts (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (ts_ht)")
+    astro.sql("INSERT INTO ts VALUES (1, 'old')")
+    t_mid = time.time()
+    time.sleep(0.02)
+    astro.sql("INSERT INTO ts VALUES (1, 'new')")
+
+    # numeric epoch operand
+    r = astro.sql(f"SELECT v FROM ts TIMESTAMP AS OF {t_mid}").collect()[0]
+    assert r.v == "old"
+    # quoted ISO literal (UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t_mid, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    r = astro.sql(f"SELECT v FROM ts TIMESTAMP AS OF '{iso}'").collect()[0]
+    assert r.v == "old"
+    # a future timestamp resolves to the current generation
+    r = astro.sql(f"SELECT v FROM ts TIMESTAMP AS OF {time.time() + 3600}").collect()[0]
+    assert r.v == "new"
+    # the pattern inside a string literal is not rewritten
+    r = astro.sql("SELECT 'ts TIMESTAMP AS OF 123' AS s").collect()[0]
+    assert r.s == "ts TIMESTAMP AS OF 123"
+    # joining a timestamp snapshot with the current state works
+    rows = astro.sql(
+        f"SELECT cur.v AS now, old.v AS was FROM ts cur "
+        f"JOIN (SELECT * FROM ts TIMESTAMP AS OF {t_mid}) old ON cur.k = old.k"
+    ).collect()
+    assert (rows[0].now, rows[0].was) == ("new", "old")
+
+
+def test_full_rewrite_folds_timestamp_history(astro):
+    """COMPACT / INSERT OVERWRITE fold history to generation 0 stamped at
+    rewrite time: a pre-compact timestamp no longer resolves (no
+    generation existed at that time in the folded history)."""
+    astro.sql("CREATE TABLE tf (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (tf_ht)")
+    astro.sql("INSERT INTO tf VALUES (1, 'a')")
+    t_pre = time.time()
+    time.sleep(0.02)
+    astro.sql("INSERT INTO tf VALUES (1, 'b')")
+    astro.sql("COMPACT TABLE tf")
+    rel = astro.relation("tf")
+    gt = _gen_times(astro, "tf")
+    assert set(gt) == {0} and gt[0] >= t_pre  # re-stamped at compact time
+    with pytest.raises(ValueError, match="no generation"):
+        rel.seq_for_timestamp(t_pre)
+    assert rel.seq_for_timestamp(time.time()) == 0
+
+
+def test_describe_extended_lists_generation_times(astro):
+    astro.sql("CREATE TABLE td (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (td_ht)")
+    astro.sql("INSERT INTO td VALUES (1, 'x')")
+    astro.sql("INSERT INTO td VALUES (2, 'y')")
+    rows = {r.col_name: (r.data_type, r.comment)
+            for r in astro.sql("DESCRIBE EXTENDED td").collect()}
+    assert "generation_times" in rows
+    val, comment = rows["generation_times"]
+    assert val.startswith("0: ") and ", 1: " in val
+    assert "TIMESTAMP AS OF" in comment
+
+
+def test_pruned_rewrite_keeps_floor_guard_for_timestamps(astro, tmp_path):
+    """A timestamp resolving BELOW the history floor (pruned rewrite ran
+    since) is refused by the same guard as VERSION AS OF."""
+    csv = tmp_path / "tp.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
+    astro.sql(
+        "CREATE TABLE tp (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (tp_ht) OPTIONS (regions=4)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE tp")
+    t_g0 = time.time()
+    time.sleep(0.02)
+    astro.sql("INSERT INTO tp VALUES (500, 'new')")  # gen 1, disjoint key
+    astro.sql("DELETE FROM tp WHERE k = 10")  # pruned rewrite, floor -> 1
+    rel = astro.relation("tp")
+    n = rel.seq_for_timestamp(t_g0)
+    assert n == 0
+    with pytest.raises(ValueError, match="history floor"):
+        rel.scan(as_of_seq=n).collect()
