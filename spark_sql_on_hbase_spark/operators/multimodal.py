@@ -45,32 +45,180 @@ def attach_binary_column(df: DataFrame, source_col: str, out_col: str = "blob") 
 
 
 def _decode_image_stub(blob: bytes) -> dict:
-    """STUB — deterministic fake decoder.
+    """STUB — deterministic fake decoder for formats without a real
+    kernel here.
 
     A real implementation would `PIL.Image.open(io.BytesIO(blob))`; the
     container has no codecs, so we derive deterministic fake dimensions
-    from the byte length (keeps tests meaningful end-to-end).
+    from the byte length (keeps tests meaningful end-to-end).  BMP blobs
+    take the REAL decoder (:func:`decode_bmp`) instead.
     """
     n = len(blob)
     return {"mime": "image/fake", "width": n % 640 + 1, "height": n % 480 + 1, "duration_ms": None, "codec": None}
+
+
+# --- real BMP codec (r7 verdict #8) ----------------------------------------
+# 24-bpp uncompressed Windows BMP, pure stdlib/numpy — no PIL/ffmpeg.
+# Public format: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B) +
+# bottom-up pixel rows padded to 4-byte strides, BGR byte order.
+
+def encode_bmp(payload: bytes, width: int = 16) -> bytes:
+    """Build a REAL 24-bpp BMP whose top-down row-major BGR pixel stream
+    is ``payload`` zero-padded to fill the last row.  height =
+    ceil(len/3·width) (min 1); rows are stored bottom-up with 4-byte
+    stride padding, per the format."""
+    import struct
+
+    assert width > 0
+    row_raw = width * 3
+    height = max(1, -(-len(payload) // row_raw))
+    padded = payload + b"\x00" * (row_raw * height - len(payload))
+    pad = (-row_raw) % 4
+    rows = [
+        padded[r * row_raw : (r + 1) * row_raw] + b"\x00" * pad
+        for r in range(height)
+    ]
+    pixel_data = b"".join(reversed(rows))  # bottom-up storage
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return hdr + info + pixel_data
+
+
+def decode_bmp(blob: bytes):
+    """REAL 24-bpp BMP decoder: header parse + vectorized padded-row
+    pixel extraction (numpy).  Returns ``{"width", "height", "pixels"}``
+    with pixels an (h·w, 3) uint8 BGR array in top-down row-major order
+    (negative-height top-down files handled), or None when the blob is
+    not a BMP this decoder supports (caller falls back to the stub)."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", blob, 10)[0]
+    hsz, w, h = struct.unpack_from("<Iii", blob, 14)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if hsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(blob):
+        return None
+    px = (
+        np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : w * 3]
+    )
+    if not top_down:
+        px = px[::-1]
+    return {"width": w, "height": h, "pixels": px.reshape(-1, 3).copy()}
+
+
+def encode_bmp_column(
+    df: DataFrame, blob_col: str = "blob", width: int = 16, out_col: str = "bmp"
+) -> DataFrame:
+    """mapInPandas: payload bytes → real BMP file bytes (map-side; blobs
+    never shuffle)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [
+                encode_bmp(bytes(b), width) if b is not None else None
+                for b in pdf[blob_col]
+            ]
+            yield out
+
+    return df.mapInPandas(op, out_schema)
+
+
+def image_pixel_stats(df: DataFrame, blob_col: str = "bmp") -> DataFrame:
+    """REAL pixel statistics from decoded image bytes (r7 verdict #8):
+    per-image dims, per-channel byte sums, and a position-weighted
+    checksum ``Σ (j+1)·(B_j + 2·G_j + 3·R_j)`` over the top-down
+    row-major pixel index j — order-sensitive, so a decoder that
+    mishandles stride padding or the bottom-up row flip is caught, not
+    just total brightness.  All sums are exact BIGINTs (oracle-exact on
+    any engine).  Non-BMP blobs yield NULL stats (stub formats carry no
+    real pixels).  mapInPandas, map-side only — image bytes never
+    shuffle; only (id, dims, sums) leave the scan."""
+    import numpy as np
+
+    keep = [f for f in df.schema.fields if f.name != blob_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("sum_b", T.LongType(), True),
+            T.StructField("sum_g", T.LongType(), True),
+            T.StructField("sum_r", T.LongType(), True),
+            T.StructField("px_weighted", T.LongType(), True),
+        ]
+    )
+    cols = [f.name for f in keep]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sb, sg, sr, wsum = [], [], [], [], [], []
+            for b in pdf[blob_col]:
+                d = decode_bmp(bytes(b)) if b is not None else None
+                if d is None:
+                    ws.append(None), hs.append(None)
+                    sb.append(None), sg.append(None), sr.append(None)
+                    wsum.append(None)
+                    continue
+                px = d["pixels"].astype(np.int64)
+                j = np.arange(1, px.shape[0] + 1, dtype=np.int64)
+                ws.append(d["width"]), hs.append(d["height"])
+                sb.append(int(px[:, 0].sum()))
+                sg.append(int(px[:, 1].sum()))
+                sr.append(int(px[:, 2].sum()))
+                wsum.append(int((j * (px[:, 0] + 2 * px[:, 1] + 3 * px[:, 2])).sum()))
+            out = pdf[cols].copy()
+            out["width"], out["height"] = ws, hs
+            out["sum_b"], out["sum_g"], out["sum_r"] = sb, sg, sr
+            out["px_weighted"] = wsum
+            yield out
+
+    return df.mapInPandas(op, out_schema)
 
 
 def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """mapInPandas media decode: blob → MEDIA_META struct columns.
 
     Arrow-batched; batch size bounded by spark.sql.execution.arrow
-    .maxRecordsPerBatch.  The stub kernel is CPU-trivial; a real decoder
-    slots into `_decode_image_stub` unchanged.
-    """
+    .maxRecordsPerBatch.  BMP blobs decode for REAL (header-parsed dims,
+    r7 verdict #8); other formats keep the deterministic stub kernel."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != blob_col]
         + [T.StructField("meta", MEDIA_META, True)]
     )
     other_cols = [f.name for f in df.schema.fields if f.name != blob_col]
 
+    def decode(b: bytes) -> dict:
+        d = decode_bmp(b)
+        if d is not None:
+            return {
+                "mime": "image/bmp",
+                "width": d["width"],
+                "height": d["height"],
+                "duration_ms": None,
+                "codec": None,
+            }
+        return _decode_image_stub(b)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_image_stub(b) if b is not None else None for b in pdf[blob_col]]
+            metas = [decode(b) if b is not None else None for b in pdf[blob_col]]
             out = pdf[other_cols].copy()
             out["meta"] = metas
             yield out

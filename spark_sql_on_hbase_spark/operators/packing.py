@@ -38,12 +38,27 @@ def pack_greedy(
     size_col: str,
     budget: int,
     out_col: str = "pack_id",
+    max_group_rows: int | None = None,
 ) -> DataFrame:
-    """Assign each row a pack id by greedy first-fit within its group."""
+    """Assign each row a pack id by greedy first-fit within its group.
+
+    One group = one Arrow task (the sequential dependency requires it),
+    so a pathological group — a group key carrying the whole corpus —
+    degrades to a single straggler task.  ``max_group_rows`` makes that
+    bound explicit (r7 verdict #7): when set, a group larger than the
+    bound fails the task with a clear error naming the group, instead of
+    silently running one-task-packs-everything.  Pick it at the task
+    memory you provision (rows × row width ≤ executor task memory)."""
     assert budget > 0, "budget must be positive"
     schema = T.StructType(list(df.schema) + [T.StructField(out_col, T.LongType())])
 
     def pack(pdf):
+        if max_group_rows is not None and len(pdf) > max_group_rows:
+            raise ValueError(
+                f"pack_greedy group {pdf[group_col].iloc[0]!r} has "
+                f"{len(pdf)} rows > max_group_rows={max_group_rows}: one "
+                "group is one task — use a finer group key (shard ids)"
+            )
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         pids = []
         pid, acc = 0, 0

@@ -527,6 +527,7 @@ def strip_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Remove flagged token spans from each document and reassemble the
     text — the apply step of exact-substring dedup (the usual policy for
@@ -545,6 +546,13 @@ def strip_spans(
     a per-doc nested loop; reassembly sorts each doc's surviving tokens
     inside one hash-aggregated ``array_sort(collect_list(...))``, so
     the only shuffles are the anti-join's and the per-doc regroup's.
+    The regroup is per-document bounded: one document is one aggregation
+    group, so a pathological 100M-token document becomes one task/one
+    row.  ``max_tokens`` makes that bound explicit (r7 verdict #7): when
+    set, a document longer than the bound fails the scan with a clear
+    error (codegen ``assert_true`` — no extra pass) instead of silently
+    becoming a straggler.  Pick it at the row size you can afford to
+    materialize (tokens × avg token width ≤ a few hundred MB/task).
     """
     from spark_sql_on_hbase_spark.operators.dedup import _spread
 
@@ -552,6 +560,22 @@ def strip_spans(
         F.col(id_col).alias("doc_id"),
         null_safe_tokens(F.col(text_col)).alias("_toks"),
     )
+    if max_tokens is not None:
+        # the assert wraps the _toks expression itself (a free-standing
+        # guard column would be pruned away unevaluated by Catalyst)
+        guard = F.assert_true(
+            F.size("_toks") <= max_tokens,
+            F.concat(
+                F.lit("strip_spans: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" exceeds max_tokens={max_tokens} ("),
+                F.size("_toks").cast("string"),
+                F.lit(" tokens): one doc is one reassembly group"),
+            ),
+        )
+        toks = toks.select(
+            "doc_id", F.when(guard.isNull(), F.col("_toks")).alias("_toks")
+        )
     pos_tok = toks.select(
         "doc_id", F.posexplode_outer("_toks").alias("idx", "tok")
     ).select("doc_id", (F.col("idx") + 1).alias("pos"), "tok")

@@ -140,6 +140,9 @@ TAIL_ORDER = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_feature_extract",
+    # r8: REAL BMP encode→decode round trip; values grade in-window
+    # through multimodal_suite's 'bmp' branch
+    "multimodal_bmp_decode",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -1095,6 +1095,63 @@ PIPELINE["multimodal_feature_extract"] = Q(
 )
 
 
+def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode (r7 verdict #8): document bytes → real 24-bpp
+    BMP files (pure-stdlib encoder) → real header-parsing/pixel-array
+    decoder → exact integer pixel statistics.  The position-weighted
+    checksum is order-sensitive, so stride padding or bottom-up flip
+    bugs in the decoder hash-mismatch the oracle, which recomputes the
+    same stats from the raw payload bytes (the BMP construction is a
+    deterministic function of them)."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        attach_binary_column,
+        encode_bmp_column,
+        image_pixel_stats,
+    )
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 200).select("doc_id", "text"),
+        "text",
+        "blob",
+    )
+    out = image_pixel_stats(encode_bmp_column(df, width=16), "bmp")
+    return out.select(
+        "doc_id", "width", "height", "sum_b", "sum_g", "sum_r", "px_weighted"
+    )
+
+
+# byte(i) (0-based) of the payload via hex()+substr — the established
+# blob-byte idiom of the feature-extract oracle.  Channel c of pixel j is
+# payload byte 3j+c (BGR); padding zeros beyond n contribute nothing to
+# any sum, so the oracle ranges stop at n.
+_BMP_BYTE = "('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT"
+_BMP_ORACLE_BODY = f"""
+    SELECT doc_id,
+           16 AS width,
+           CAST(greatest((octet_length(encode(text)) + 47) // 48, 1) AS INT) AS height,
+           CAST(coalesce(list_sum(list_transform(
+               range(0, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0) AS BIGINT) AS sum_b,
+           CAST(coalesce(list_sum(list_transform(
+               range(1, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0) AS BIGINT) AS sum_g,
+           CAST(coalesce(list_sum(list_transform(
+               range(2, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0) AS BIGINT) AS sum_r,
+           CAST(coalesce(list_sum(list_transform(
+               range(0, octet_length(encode(text))),
+               i -> (i // 3 + 1) * (i % 3 + 1) * {_BMP_BYTE})), 0) AS BIGINT) AS px_weighted
+    FROM documents WHERE doc_id < 200
+"""
+
+PIPELINE["multimodal_bmp_decode"] = Q(
+    spark=_multimodal_bmp,
+    oracle=_BMP_ORACLE_BODY,
+    doc="REAL BMP encode/decode round trip graded on exact pixel statistics "
+    "(r7 verdict #8) — pure-numpy 24-bpp decoder (header parse, stride "
+    "padding, bottom-up flip); stub kernels remain for formats without "
+    "container codecs",
+)
+
+
 def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Window-budget collapse of the three multimodal rows (frame-sample /
     resize / feature-extract) into one checksummed suite: each branch is
@@ -1124,13 +1181,23 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         feats,
         F.col("doc_id") * 1 + F.floor(F.col("f0") * 10000 + 0.5).cast("long") * 3,
     )
-    return fr.unionAll(rz).unionAll(fe)
+    bmp = _probe_agg(
+        "bmp",
+        _multimodal_bmp(spark, sf),
+        F.col("doc_id") * 1 + F.col("width") * 3 + F.col("height") * 5
+        + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
+        + F.col("px_weighted") * 17,
+    )
+    return fr.unionAll(rz).unionAll(fe).unionAll(bmp)
 
 
 PIPELINE["multimodal_suite"] = Q(
     spark=_multimodal_suite,
-    oracle="""
-    WITH fr AS (
+    oracle=f"""
+    WITH bmp AS (
+      {_BMP_ORACLE_BODY}
+    ),
+    fr AS (
       SELECT doc_id,
              CAST(f AS INT) AS frame_idx,
              CAST(f * 100 AS BIGINT) AS frame_off,
@@ -1170,6 +1237,11 @@ PIPELINE["multimodal_suite"] = Q(
     SELECT 'features' AS probe, count(*) AS cnt,
            CAST(sum(doc_id * 1 + CAST(floor(f0 * 10000 + 0.5) AS BIGINT) * 3) AS BIGINT) AS chk
     FROM fe
+    UNION ALL
+    SELECT 'bmp' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + width * 3 + height * 5 + sum_b * 7
+                    + sum_g * 11 + sum_r * 13 + px_weighted * 17) AS BIGINT) AS chk
+    FROM bmp
     """,
     doc="multimodal plumbing suite: frame-sample explode, mapInPandas resize "
     "byte-contract (len_ok must hold on the actual binary column — a False "
@@ -2069,15 +2141,32 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") * 1 + (F.col("min_shingle_hash") % 1_000_000) * 3
         + F.col("n_shingles") * 5 + (F.col("text_hash") % 1_000_000) * 7,
     )
+    # ONE span extraction feeds both branches (r7 verdict #4: the strip
+    # branch recomputing the identical frame doubled the suite's heaviest
+    # stage).  ReuseExchange does NOT dedupe this shape (the two
+    # consumers sit above different exchange children — measured 0
+    # ReusedExchange nodes), and the union's branch stages run
+    # concurrently, so a lazy persist would race both into computing it;
+    # the count() materializes the (small — one row per duplicated span,
+    # never corpus-scale) frame exactly once and both branches read the
+    # cache.
+    from spark_sql_on_hbase_spark.operators.text_analysis import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    docs = load_tables(spark, sf)["documents"]
+    spans_df = duplicated_spans(docs, k=8, min_docs=2).persist()
+    spans_df.count()
     spans = _probe_agg(
         "dupspans",
-        PIPELINE["text_dupspans"].spark(spark, sf),
+        spans_df,
         F.col("doc_id") * 1 + F.col("span_start") * 3 + F.col("span_end") * 5
         + F.col("span_tokens") * 7,
     )
     strip = _probe_agg(
         "spanstrip",
-        PIPELINE["text_dupspan_strip"].spark(spark, sf),
+        strip_spans(docs, spans_df),
         F.col("doc_id") * 1 + F.length("clean_text") * 3 + h6("clean_text") * 5
         + F.col("n_removed") * 7,
     )
