@@ -128,9 +128,6 @@ def main() -> None:
     calib_pre = _calibration()
 
     qs = spark_queries()
-    timings: dict[str, float] = {}
-    query_metrics: dict[str, dict] = {}
-    total = 0.0
     # min of 2 runs per query: this box's wide-parallel throughput swings
     # several-fold minute to minute (hypervisor steal), so a single sample
     # conflates plan cost with host noise; the min is the steady-state
@@ -140,34 +137,36 @@ def main() -> None:
     # under heavy host noise a 2-run sweep could outlast the caller's
     # timeout; once the elapsed budget is spent, fall back to single runs
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-    sweep_t0 = time.time()
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        best, best_m = -1.0, None
-        eff_runs = runs if (time.time() - sweep_t0) < budget_s else 1
-        for _r in range(eff_runs):
-            before = _stage_marker(spark)
-            t0 = time.time()
-            try:
-                df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                dt = round(time.time() - t0, 3)
-            except Exception as ex:  # report but keep the suite running
-                print(f"bench error in {name}: {ex}", file=sys.stderr)
-                dt = -1.0
-                break
-            after = _stage_totals(spark, since=before)
-            if best < 0 or dt < best:
-                best = dt
-                if after is not None:
-                    best_m = after
-        timings[name] = best
-        if best_m is not None:
-            query_metrics[name] = best_m
-        if best > 0:
-            total += best
+    timings, query_metrics = _sweep(spark, qs, sf_dir, runs, budget_s)
+    calib_post = _calibration()
+
+    # calibration-gated retry (VERDICT r7 #3: the r7 headline ran on a
+    # host ~50% slower at start than at end, polluting every cross-round
+    # delta): when the pre/post single-thread spins diverge >20%, the
+    # sweep ran under shifting noise — re-run once (single runs, half the
+    # budget) and keep the per-query MIN across both sweeps, recording
+    # the retry so the verdict can see which numbers came from where.
+    retry_info = None
+    sp, so = calib_pre["spin_1e7_sec"], calib_post["spin_1e7_sec"]
+    if max(sp, so) > 1.2 * min(sp, so) and os.environ.get(
+        "SPARK_GRAFT_BENCH_RETRY", "1"
+    ) != "0":
+        t2, m2 = _sweep(spark, qs, sf_dir, 1, budget_s / 2)
+        retry_post = _calibration()
+        improved = 0
+        for k, v in t2.items():
+            if v > 0 and (timings.get(k, -1.0) < 0 or v < timings[k]):
+                timings[k] = v
+                if k in m2:
+                    query_metrics[k] = m2[k]
+                improved += 1
+        retry_info = {
+            "reason": f"pre/post spin diverged {sp:.3f}s vs {so:.3f}s (>20%)",
+            "calibration_post_retry": retry_post,
+            "queries_improved": improved,
+            "merge": "per-query min across both sweeps",
+        }
+    total = sum(v for v in timings.values() if v > 0)
 
     plan_shapes = _plan_shapes(spark, sf_dir)
 
@@ -197,8 +196,11 @@ def main() -> None:
         "sf": sf,
         "plan_shapes": plan_shapes,
         "calibration_pre": calib_pre,
-        "calibration_post": _calibration(),
+        "calibration_post": calib_post,
+        "calibration_final": _calibration(),
     }
+    if retry_info is not None:
+        detail["calibration_retry"] = retry_info
     # sf1 soak evidence (tools/soak_sf1.py writes SOAK_SF1.json): embed it
     # so the round's BENCH_DETAIL carries the ×10 spill/skew numbers
     soak_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SOAK_SF1.json")
@@ -231,7 +233,9 @@ def main() -> None:
             ("skipscan_dim2_rows_scanned", "skipscan_rows"),
             ("delete_files_rewritten", "del_files_rw"),
             ("delete_files_total", "del_files_total"),
+            ("delete_upsert_files_rewritten", "del_upsert_rw"),
             ("stringformat_pushdown_rows_scanned", "sf_pushdown_rows"),
+            ("stringformat_float_pushdown_rows_scanned", "sf_float_rows"),
             ("zorder_dim2_files_read", "zorder_files"),
             ("asof_join_ops", "asof_joins"),
             ("interval_join_nested_loop", "ivjoin_nl"),
@@ -257,11 +261,48 @@ def main() -> None:
         "plan_shapes": compact_shapes,
         "detail_file": os.path.basename(detail_path),
     }
+    if retry_info is not None:
+        compact["cal_retry"] = retry_info["queries_improved"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1400:  # belt and braces: never overflow the capture
         compact.pop("plan_shapes", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
+
+
+def _sweep(spark, qs, sf_dir, runs, budget_s):
+    """One pass over HEADLINE: per-query best-of-``runs`` wall time and
+    the best run's stage metrics.  Falls back to single runs once the
+    elapsed budget is spent."""
+    timings: dict[str, float] = {}
+    query_metrics: dict[str, dict] = {}
+    sweep_t0 = time.time()
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        best, best_m = -1.0, None
+        eff_runs = runs if (time.time() - sweep_t0) < budget_s else 1
+        for _r in range(eff_runs):
+            before = _stage_marker(spark)
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.time() - t0, 3)
+            except Exception as ex:  # report but keep the suite running
+                print(f"bench error in {name}: {ex}", file=sys.stderr)
+                dt = -1.0
+                break
+            after = _stage_totals(spark, since=before)
+            if best < 0 or dt < best:
+                best = dt
+                if after is not None:
+                    best_m = after
+        timings[name] = best
+        if best_m is not None:
+            query_metrics[name] = best_m
+    return timings, query_metrics
 
 
 def _round_no() -> int:
@@ -443,6 +484,15 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             t0 = time.time()
             astro.sql("DELETE FROM bench_ss WHERE k1 + 0 = 2 AND k2 BETWEEN 9000 AND 9050")
             out["delete_full_sec"] = round(time.time() - t0, 2)
+            # r8 (VERDICT r7 #1): the pruned DELETE must survive pending
+            # upserts — island closure rewrites only the overlapping
+            # generations, not the whole table (the streaming-sink state
+            # that previously forced a full rewrite)
+            astro.sql("INSERT INTO bench_ss VALUES (1, 9010, 0.5)")
+            astro.sql("DELETE FROM bench_ss WHERE k1 = 1 AND k2 = 9020")
+            mstats = astro.last_write_stats or {}
+            out["delete_upsert_files_rewritten"] = mstats.get("files_rewritten")
+            out["delete_upsert_files_total"] = mstats.get("files_total")
             # stringformat non-key pushdown: an equality on a non-key
             # column of a string-encoded table must reach parquet as a
             # string-space PushedFilter (dictionary/stats row-group
@@ -464,6 +514,11 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _rows, sf_scanned = collect_with_scan_rows(sf_df)
             out["stringformat_pushdown_rows_scanned"] = sf_scanned
             out["stringformat_pushdown_rows_total"] = 100_000
+            # r8: float/double range pushdown (per-width lex unions) —
+            # a two-sided double range must skip most pages too
+            sff_df, _ = sf_rel.scan_where("v >= 12300.0 AND v <= 12500.0")
+            _rows, sff_scanned = collect_with_scan_rows(sff_df)
+            out["stringformat_float_pushdown_rows_scanned"] = sff_scanned
             # z-order layout: a non-leading-dim predicate prunes FILES
             # (per-dim boxes), where the lexicographic layout reads all
             astro.sql(

@@ -585,6 +585,128 @@ def _sf_int_range(col: str, lo: int, hi: int) -> str | None:
     return "(" + " OR ".join(parts) + ")" if parts else "(false)"
 
 
+_SF_FLOATS = {"float", "double"}
+# plain-notation regime of Java/Spark shortest-repr float formatting:
+# |x| in [1e-3, 1e7) prints as a plain decimal with a '.', everything
+# else switches to E-notation ("1.0E7", "1.0E-4") whose strings
+# interleave lexicographically with plain decimals and defeat range
+# reasoning — ranges touching that regime do not convert.
+_SF_FLOAT_LO, _SF_FLOAT_HI = 1e-3, 1e7
+
+
+def _sf_plain_repr(x: float) -> str | None:
+    """Shortest round-trip decimal of ``x`` — identical digits to Spark's
+    Ryu formatting inside the plain regime (both emit the unique shortest
+    repr; Python only switches to exponent notation outside [1e-4, 1e16),
+    which the regime guard already excludes)."""
+    s = repr(float(x))
+    return None if ("e" in s or "E" in s or "n" in s) else s
+
+
+def _sf_float_range(col: str, lo: float, hi: float) -> str | None:
+    """Sound-superset string-space predicate for float/double
+    ``col ∈ [lo, hi]`` over canonical shortest-repr decimal storage —
+    the float/double rows of the reference's typed-comparator table
+    (util/comparators.scala:47-243; r7 verdict #5, the last precision
+    gap).
+
+    Same per-sign per-width union as :func:`_sf_int_range`, with width =
+    integer-digit count and fractional tails ordered lexicographically
+    within a width ('.' < '0', so "10.5" < "10.50" < "10.6" matches
+    numeric order for canonical shortest reprs).  Only intervals wholly
+    inside the plain-notation regime (1e-3 ≤ |x| < 1e7, one sign)
+    convert: a satisfying value outside it would be STORED in E-notation
+    and silently escape any plain-decimal range (unsound) — those
+    predicates simply don't push, as before.  Bounds are used closed
+    regardless of strictness (superset; also absorbs float-vs-double
+    literal rounding).  The typed re-filter after the schema-on-read
+    cast keeps everything exact."""
+    if lo > hi:
+        return "(false)"
+    parts: list[str] = []
+
+    def mag_ranges(a: float, b: float, neg: bool) -> bool:
+        # magnitudes 1e-3 <= a <= b < 1e7; one range per integer-digit
+        # count m ("0.001".."9.999…" is the m=1 group).  Fully-covered
+        # width ends use sentinels ("10", "99:") — cheaper than reprs and
+        # exact at width boundaries; interior ends use the bound's repr.
+        wa = 1 if a < 1 else len(str(int(a)))
+        wb = 1 if b < 1 else len(str(int(b)))
+        sgn = "-" if neg else ""
+        for m in range(wa, wb + 1):
+            lo_m = _SF_FLOAT_LO if m == 1 else float(10 ** (m - 1))
+            hi_m = float(10**m)
+            if a <= lo_m:
+                lbs = "0." if m == 1 else str(10 ** (m - 1))
+            else:
+                lbs = _sf_plain_repr(a)
+                if lbs is None:
+                    return False
+            if b >= hi_m:
+                ubs = "9" * m + ":"
+            else:
+                ubs = _sf_plain_repr(b)
+                if ubs is None:
+                    return False
+            parts.append(f"({col} >= '{sgn}{lbs}' AND {col} <= '{sgn}{ubs}')")
+        return True
+
+    if hi < 0:
+        ok = -hi >= _SF_FLOAT_LO and -lo < _SF_FLOAT_HI and mag_ranges(-hi, -lo, True)
+    elif lo > 0:
+        ok = lo >= _SF_FLOAT_LO and hi < _SF_FLOAT_HI and mag_ranges(lo, hi, False)
+    else:
+        return None  # interval touches zero/tiny → E-notation storage possible
+    return "(" + " OR ".join(parts) + ")" if ok and parts else None
+
+
+def _sf_float_conjuncts(children, coltypes: dict[str, str]) -> list[str]:
+    """Per-column [lo, hi] intervals from float/double comparison
+    conjuncts of one AND — a single-sided float bound can never push
+    (the unbounded side reaches the E-notation regime), so the leaves
+    stay unconvertible individually and pair up here."""
+    import math
+
+    bounds: dict[str, tuple[float, float]] = {}
+    for c in children:
+        if not isinstance(c, Comparison):
+            continue
+        if coltypes.get(c.col) not in _SF_FLOATS:
+            continue
+        v = c.value
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            continue
+        v = float(v)
+        lo, hi = bounds.get(c.col, (-math.inf, math.inf))
+        if c.op in (">", ">="):
+            lo = max(lo, v)
+        elif c.op in ("<", "<="):
+            hi = min(hi, v)
+        elif c.op == "=":
+            lo, hi = max(lo, v), min(hi, v)
+        else:
+            continue
+        bounds[c.col] = (lo, hi)
+    out = []
+    for col, (lo, hi) in bounds.items():
+        if math.isinf(lo) or math.isinf(hi):
+            continue
+        if coltypes.get(col) == "float":
+            # FLOAT columns store float32 shortest reprs: the decimal a
+            # stored string denotes sits within one float32 ulp
+            # (~1.2e-7 relative) of the binary value the typed predicate
+            # compares — widen by a safely-larger relative margin so a
+            # satisfying value's string can't fall just outside the lex
+            # range (doubles need no margin: distinct shortest reprs are
+            # order-preserving at full precision)
+            lo -= abs(lo) * 1e-6
+            hi += abs(hi) * 1e-6
+        sql = _sf_float_range(col, lo, hi)
+        if sql is not None:
+            out.append(sql)
+    return out
+
+
 def _sf_leaf(p: Pred, coltypes: dict[str, str]) -> tuple[str, bool] | None:
     """Convert one leaf to (sql-over-string-columns, exact).  None = not
     convertible.  `exact` means the string predicate selects EXACTLY the
@@ -656,6 +778,11 @@ def string_pushdown(p: Pred, coltypes: dict[str, str]) -> str | None:
         if isinstance(q, And):
             parts = [conv(c) for c in q.children]
             kept = [x for x in parts if x is not None]
+            # r8 (verdict #5): float/double BETWEEN-style conjunct pairs
+            # convert jointly (each leaf is unconvertible alone); the
+            # added ranges are supersets, so `exact` stays governed by
+            # the dropped leaves
+            kept.extend((s, False) for s in _sf_float_conjuncts(q.children, coltypes))
             if not kept:
                 return None
             exact = all(x is not None for x in parts) and all(e for _, e in kept)

@@ -206,3 +206,77 @@ def test_pushdown_skipped_under_pending_upserts(astro):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(size,25)" not in plan, plan
     assert sorted(r.k for r in df.collect()) == [225]
+
+
+def test_float_range_conversions():
+    """r8 (VERDICT r7 #5): float/double BETWEEN-style conjuncts convert
+    to per-sign per-width lex range unions inside the plain-notation
+    regime (1e-3 <= |x| < 1e7); anything touching the E-notation regime
+    refuses (a satisfying value stored as '1.0E7' would escape any
+    plain-decimal range)."""
+    # two-sided positive range, one width
+    s = conv("price >= 10.5 AND price <= 99.25")
+    assert s is not None and "'10.5'" in s and "'99.25'" in s
+    # spanning widths: full middle width uses sentinels
+    s = conv("price >= 9.5 AND price <= 150.25")
+    assert "'9.5'" in s and "'9:'" in s       # width-1 tail
+    assert "'10'" in s and "'99:'" in s       # width-2 fully covered
+    assert "'100'" in s and "'150.25'" in s   # width-3 head
+    # negative range (lex reversal handled by magnitude mirroring)
+    s = conv("price >= -99.5 AND price <= -10.25")
+    assert s is not None and "'-10.25'" in s and "'-99.5'" in s
+    # zero-crossing / tiny / huge → refuse
+    assert conv("price >= -1.5 AND price <= 2.5") is None
+    assert conv("price >= 0.0001 AND price <= 0.5") is None
+    assert conv("price >= 5.0 AND price <= 10000000.0") is None
+    # single-sided never converts (unbounded side reaches E-regime)
+    assert conv("price >= 10.5") is None
+    # pairs ride along with other conjuncts
+    s = conv("size = 25 AND price >= 10.5 AND price <= 20.5")
+    assert "(size = '25')" in s and "'10.5'" in s
+
+
+def test_float_repr_matches_spark_cast(spark):
+    """Core assumption of the float pushdown: inside the plain regime,
+    python repr() and Spark's CAST(double/float AS STRING) emit the SAME
+    shortest-decimal digits."""
+    vals = [
+        0.001, 0.0015, 0.1, 0.3, 1.0, 1.5, 2.25, 9.999, 10.0, 99.25,
+        123.456, 9999.5, 999999.875, 1234567.0, 9999999.0, 9999999.5,
+    ]
+    vals += [-v for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.s for r in df.selectExpr("CAST(x AS STRING) AS s").collect()]
+    assert got == [repr(v) for v in vals]
+    # float32 column: Spark casts the FLOAT value's own shortest repr
+    fdf = spark.createDataFrame([(0.5,), (2.25,), (123.5,)], "x float")
+    fgot = [r.s for r in fdf.selectExpr("CAST(x AS STRING) AS s").collect()]
+    assert fgot == ["0.5", "2.25", "123.5"]
+
+
+def test_float_range_rows_exact_e2e(astro):
+    """End-to-end over real stringformat storage: the pushed float range
+    reaches the plan and the typed re-filter keeps rows exact."""
+    rel = _rel(astro)
+    df, _res = rel.scan_where("price >= 100.5 AND price <= 200.25")
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert "GreaterThanOrEqual(price,100.5)" in plan, plan
+    want = sorted(i for i in range(1, 401) if 100.5 <= i * 1.5 <= 200.25)
+    assert sorted(r.k for r in df.collect()) == want
+    # negative + boundary fuzz against the plain typed filter
+    full = rel.scan()
+    for where in [
+        "price >= 1.5 AND price <= 1.5",
+        "price > 0.001 AND price < 599.9",
+        "price >= 9.0 AND price <= 10.5 AND size >= 0",
+        "k < 200 AND price >= 150.0 AND price <= 300.0",
+    ]:
+        got, _ = rel.scan_where(where)
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in full.filter(F.expr(where)).collect())
+        assert g == w, where
