@@ -603,6 +603,56 @@ def strip_spans(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token windows — the chunking step of RAG
+    indexing and long-document pretraining (split every document into
+    ``chunk_tokens``-token windows advancing by ``stride``; the final
+    window may be short but always reaches the document's last token).
+
+    Returns one row per chunk: ``(doc_id, chunk_id, chunk_text,
+    n_tokens, start_pos)`` with 1-based token positions; every document
+    yields at least one chunk (an empty/NULL text yields one empty
+    chunk), so no document silently disappears from the index.
+
+    Scale shape: pure codegen — tokenize once, explode a per-doc
+    ``sequence`` of chunk ids (output rows ≈ n_tokens/stride per doc,
+    bounded by the overlap factor), ``slice`` each window out of the
+    token array map-side.  No shuffle at all: chunking is embarrassingly
+    row-parallel, and downstream grouping decides its own partitioning.
+    """
+    assert chunk_tokens > 0 and stride > 0
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
+
+    toks = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        null_safe_tokens(F.col(text_col)).alias("_toks"),
+    )
+    # last chunk starts at the smallest c·stride covering token n:
+    # n_chunks = 1 + ceil(max(n - chunk_tokens, 0) / stride), in exact
+    # integer arithmetic (the DuckDB oracle mirrors it with //)
+    n_chunks = F.expr(
+        f"1 + (greatest(size(_toks) - {chunk_tokens}, 0) + {stride} - 1) div {stride}"
+    ).cast("int")
+    out = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * stride + 1
+    piece = F.slice(F.col("_toks"), start, chunk_tokens)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        start.cast("bigint").alias("start_pos"),
+    )
+
+
 def dupspan_stats(
     docs: DataFrame,
     spans: DataFrame | None = None,

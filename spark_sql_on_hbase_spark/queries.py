@@ -131,6 +131,8 @@ TAIL_ORDER = [
     # scan is value-verified in-window by astro_range_scan/astro_mixed_
     # residual; demoted to make room for the streaming entries
     "astro_table_agg",
+    # r8: TIMESTAMP AS OF snapshot joined to merge-on-read current state
+    "astro_timetravel_diff",
     "dedup_minhash_signatures",
     # collapsed into dedup_suite (in-window); still runnable solo
     "dedup_simhash",
@@ -143,6 +145,9 @@ TAIL_ORDER = [
     # r8: REAL BMP encode→decode round trip; values grade in-window
     # through multimodal_suite's 'bmp' branch
     "multimodal_bmp_decode",
+    # r8: RAG/pretraining token chunking; values grade in-window through
+    # corpus_ops_suite's 'chunk' branch
+    "text_chunking",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

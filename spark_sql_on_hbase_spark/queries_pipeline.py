@@ -1095,6 +1095,36 @@ PIPELINE["multimodal_feature_extract"] = Q(
 )
 
 
+def _text_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.text_analysis import chunk_documents
+
+    t = load_tables(spark, sf)
+    return chunk_documents(
+        t["documents"].filter(F.col("doc_id") < 300), chunk_tokens=32, stride=24
+    )
+
+
+PIPELINE["text_chunking"] = Q(
+    spark=_text_chunking,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(u.c AS BIGINT) AS chunk_id,
+           array_to_string(t[u.c*24+1 : u.c*24+32], ' ') AS chunk_text,
+           CAST(len(t[u.c*24+1 : u.c*24+32]) AS BIGINT) AS n_tokens,
+           CAST(u.c*24 + 1 AS BIGINT) AS start_pos
+    FROM toks, UNNEST(range(0, 1 + (greatest(len(t) - 32, 0) + 23) // 24)) u(c)
+    """,
+    doc="r8: overlapping fixed-size token chunking (RAG indexing / "
+    "long-doc pretraining windows) — pure codegen explode+slice, zero "
+    "shuffle; every doc yields >=1 chunk and the last chunk reaches the "
+    "final token (operators/text_analysis.py chunk_documents)",
+)
+
+
 def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode (r7 verdict #8): document bytes → real 24-bpp
     BMP files (pure-stdlib encoder) → real header-parsing/pixel-array
@@ -1153,11 +1183,12 @@ PIPELINE["multimodal_bmp_decode"] = Q(
 
 
 def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
-    """Window-budget collapse of the three multimodal rows (frame-sample /
-    resize / feature-extract) into one checksummed suite: each branch is
-    the EXACT original query wrapped in (probe, cnt, chk) — row counts and
-    every output value stay hash-verified, one registry slot instead of
-    three.  The originals remain individually runnable in the tail."""
+    """Window-budget collapse of the multimodal rows (frame-sample /
+    resize / feature-extract / r8 real-BMP decode) into one checksummed
+    suite: each branch is the EXACT original query wrapped in
+    (probe, cnt, chk) — row counts and every output value stay
+    hash-verified, one registry slot instead of four.  The originals
+    remain individually runnable in the tail."""
     frames = _multimodal_frames(spark, sf)
     resize = _multimodal_resize(spark, sf)
     feats = _multimodal_features(spark, sf)
@@ -1844,6 +1875,15 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         linear_score(docs, make_hash_weights(spark, n_features=1 << 16), n_features=1 << 16),
         F.col("doc_id") * 1 + F.col("n_features_hit") * 3 + F.col("logit_ppm") * 5,
     )
+    # chunking branch (r8): the full text_chunking tail entry checksummed
+    # — overlap windows, short final chunk, start positions all pinned
+    chunk = _probe_agg(
+        "chunk",
+        _text_chunking(spark, sf),
+        F.col("doc_id") * 1 + F.col("chunk_id") * 3 + F.length("chunk_text") * 5
+        + (hash60(F.col("chunk_text")) % 1_000_000) * 7 + F.col("n_tokens") * 11
+        + F.col("start_pos") * 13,
+    )
     return (
         sample.unionAll(split)
         .unionAll(strat)
@@ -1857,6 +1897,7 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(shard)
         .unionAll(shuf)
         .unionAll(clf)
+        .unionAll(chunk)
     )
 
 
@@ -2061,6 +2102,22 @@ PIPELINE["corpus_ops_suite"] = Q(
                    ORDER BY ('0x' || substr(md5('1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
                             doc_id) - 1 AS rk
           FROM documents)
+    UNION ALL
+    SELECT 'chunk' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + chunk_id * 3 + length(chunk_text) * 5
+                    + ({_dh('chunk_text')} % 1000000) * 7 + n_tokens * 11
+                    + start_pos * 13) AS BIGINT) AS chk
+    FROM (
+      WITH ktoks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE doc_id < 300
+      )
+      SELECT doc_id, u.c AS chunk_id,
+             array_to_string(t[u.c*24+1 : u.c*24+32], ' ') AS chunk_text,
+             len(t[u.c*24+1 : u.c*24+32]) AS n_tokens,
+             u.c*24 + 1 AS start_pos
+      FROM ktoks, UNNEST(range(0, 1 + (greatest(len(t) - 32, 0) + 23) // 24)) u(c)
+    )
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
     "and shuffle-free map-side plans: Bernoulli sample, consistent "
