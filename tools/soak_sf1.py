@@ -33,6 +33,10 @@ FAMILIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_ops_suite",
+    # r8: the full corpus-ops battery (sampling/sharding/packing/
+    # quantize/classifier/chunking) — packing's applyInPandas and the
+    # prefix-sum sharder are the spill-prone shapes worth watching at ×10
+    "corpus_ops_suite",
     # relational families over the REAL sf1 fact tables (r6 verdict #8):
     # 10× lineitem/orders with per-replica key ranges — true ×10 shuffles
     "tpc_suite",
