@@ -284,6 +284,11 @@ def _sweep(spark, qs, sf_dir, runs, budget_s):
         best, best_m = -1.0, None
         eff_runs = runs if (time.time() - sweep_t0) < budget_s else 1
         for _r in range(eff_runs):
+            # every run starts cold-cache: a query that persists an
+            # intermediate (text_ops_suite's shared span frame) must not
+            # have its second run served from the first run's cache —
+            # min-of-N would then time a different (cached) plan
+            spark.catalog.clearCache()
             before = _stage_marker(spark)
             t0 = time.time()
             try:

@@ -627,6 +627,12 @@ def chunk_documents(
     row-parallel, and downstream grouping decides its own partitioning.
     """
     assert chunk_tokens > 0 and stride > 0
+    # stride > chunk_tokens would leave inter-chunk token gaps (silent
+    # data loss for a RAG index) and emit empty past-the-end chunks —
+    # the documented guarantees require overlapping-or-adjacent windows
+    assert stride <= chunk_tokens, (
+        f"stride {stride} > chunk_tokens {chunk_tokens} would skip tokens"
+    )
     from spark_sql_on_hbase_spark.operators.dedup import _spread
 
     toks = _spread(docs).select(

@@ -1145,8 +1145,13 @@ def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         "blob",
     )
-    out = image_pixel_stats(encode_bmp_column(df, width=16), "bmp")
-    return out.select(
+    # mapInPandas passes every retained column through Arrow both ways
+    # and projection cannot push below it — keep only (id, image bytes)
+    # in the kernel inputs so text/payload don't ride along (r8 review)
+    bmp = encode_bmp_column(df.select("doc_id", "blob"), width=16).select(
+        "doc_id", "bmp"
+    )
+    return image_pixel_stats(bmp, "bmp").select(
         "doc_id", "width", "height", "sum_b", "sum_g", "sum_r", "px_weighted"
     )
 

@@ -614,6 +614,12 @@ class AstroRelation:
         # files (same incremental discipline as _ensure_fresh_regions)
         meta.regions = keep
         meta.history_floor = max(meta.history_floor, pre_max)
+        # timestamp history folds with the rewrite: pre-rewrite commit
+        # stamps must not resolve (they would silently serve POST-delete
+        # data for a pre-delete timestamp — r8 review); clearing the map
+        # re-stamps every surviving generation at rewrite time, so
+        # earlier timestamps refuse exactly like the full-rewrite path
+        meta.generation_times = {}
         if new_files:
             self._refresh_region_bounds(only=new_files)
         else:
@@ -728,6 +734,7 @@ class AstroRelation:
         )
         meta.regions = keep
         meta.history_floor = max(meta.history_floor, seq)
+        meta.generation_times = {}  # fold timestamp history (see rewrite_pruned)
         if new_files:
             self._refresh_region_bounds(only=new_files)
         else:

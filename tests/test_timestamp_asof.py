@@ -108,9 +108,12 @@ def test_describe_extended_lists_generation_times(astro):
     assert "TIMESTAMP AS OF" in comment
 
 
-def test_pruned_rewrite_keeps_floor_guard_for_timestamps(astro, tmp_path):
-    """A timestamp resolving BELOW the history floor (pruned rewrite ran
-    since) is refused by the same guard as VERSION AS OF."""
+def test_pruned_rewrite_folds_timestamp_history(astro, tmp_path):
+    """A pruned rewrite folds timestamp history exactly like a full
+    rewrite: pre-rewrite timestamps refuse ('no generation') instead of
+    silently serving post-delete data (r8 review — the floor guard alone
+    misses the generation AT the floor, whose stamp predates the
+    rewrite), and post-rewrite timestamps resolve to the current state."""
     csv = tmp_path / "tp.csv"
     csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
     astro.sql(
@@ -121,9 +124,31 @@ def test_pruned_rewrite_keeps_floor_guard_for_timestamps(astro, tmp_path):
     t_g0 = time.time()
     time.sleep(0.02)
     astro.sql("INSERT INTO tp VALUES (500, 'new')")  # gen 1, disjoint key
+    t_g1 = time.time()
+    time.sleep(0.02)
     astro.sql("DELETE FROM tp WHERE k = 10")  # pruned rewrite, floor -> 1
     rel = astro.relation("tp")
-    n = rel.seq_for_timestamp(t_g0)
-    assert n == 0
-    with pytest.raises(ValueError, match="history floor"):
-        rel.scan(as_of_seq=n).collect()
+    assert 0 < astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
+    # pre-rewrite timestamps are gone — refusing beats silently serving
+    # the post-delete state for a pre-delete time
+    for t in (t_g0, t_g1):
+        with pytest.raises(ValueError, match="no generation"):
+            rel.seq_for_timestamp(t)
+    # post-rewrite timestamps resolve to the current (readable) state
+    n = rel.seq_for_timestamp(time.time())
+    assert rel.scan(as_of_seq=n).count() == 100  # 100 - k10 + k500
+    # single-generation variant of the review repro: delete on a
+    # one-generation table, then a timestamp between load and delete
+    astro.sql(
+        "CREATE TABLE tq (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (tq_ht) OPTIONS (regions=4)"
+    )
+    csv2 = tmp_path / "tq.csv"
+    csv2.write_text("".join(f"{k},v{k}\n" for k in range(1, 51)))
+    astro.sql(f"LOAD DATA INPATH '{csv2}' INTO TABLE tq")
+    t_mid = time.time()
+    time.sleep(0.02)
+    astro.sql("DELETE FROM tq WHERE k = 7")
+    rel = astro.relation("tq")
+    with pytest.raises(ValueError, match="no generation"):
+        rel.seq_for_timestamp(t_mid)
