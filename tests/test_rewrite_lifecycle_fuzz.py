@@ -1,0 +1,156 @@
+"""r8: randomized write-lifecycle fuzz for the island-closure pruned
+rewrite — interleaved upsert INSERTs, key-pruned DELETEs, NULL-assigning
+UPDATEs, MERGE-deletes and a mid-sequence COMPACT, checked row-for-row
+after every step against a driver-side Python model of the table (the
+semantics: per-column newest non-null wins for upserts, ANSI NULL for
+explicit SET NULL, deletes remove).  Kept fragments must stay
+inode-identical whenever the engine claims a partial rewrite.
+"""
+
+import os
+import random
+
+import pytest
+
+from spark_sql_on_hbase_spark.session import AstroSession
+
+
+def _idents(astro, name):
+    d = astro.catalog.data_dir(astro.relation(name).meta)
+    out = {}
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(d, f))
+            out[f] = (st.st_ino, st.st_size)
+    return out
+
+
+def _table_rows(astro, name):
+    return {
+        r.k: (r.v, r.n)
+        for r in astro.sql(f"SELECT k, v, n FROM {name}").collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    name = f"fz{seed}"
+    astro = AstroSession(spark, str(tmp_path / f"wh{seed}"))
+    csv = tmp_path / f"{name}.csv"
+    csv.write_text("".join(f"{k},v{k},{k * 10}\n" for k in range(1, 301)))
+    astro.sql(
+        f"CREATE TABLE {name} (k INT, v STRING, n INT, PRIMARY KEY (k)) "
+        f"MAPPED BY ({name}_ht) OPTIONS (regions=6)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE {name}")
+    model = {k: (f"v{k}", k * 10) for k in range(1, 301)}
+
+    def check(step):
+        got = _table_rows(astro, name)
+        assert got == model, (
+            f"seed {seed} step {step}: {len(got)} rows vs model {len(model)}; "
+            f"diff keys={sorted(set(got) ^ set(model))[:10]}"
+        )
+
+    for step in range(8):
+        op = rng.choice(["insert", "delete", "update_null", "merge_delete", "compact"])
+        if op == "insert":
+            for _ in range(rng.randrange(1, 4)):
+                k = rng.randrange(1, 351)
+                nv, nn = f"u{k}_{step}", k * 100 + step
+                astro.sql(f"INSERT INTO {name} VALUES ({k}, '{nv}', {nn})")
+                model[k] = (nv, nn)
+        elif op == "delete":
+            lo = rng.randrange(1, 340)
+            hi = lo + rng.randrange(0, 25)
+            before = _idents(astro, name)
+            astro.sql(f"DELETE FROM {name} WHERE k BETWEEN {lo} AND {hi}")
+            stats = astro.last_write_stats
+            if stats and stats["files_rewritten"] < stats["files_total"]:
+                after = _idents(astro, name)
+                for f in set(before) & set(after):
+                    assert before[f] == after[f], f"kept fragment {f} changed"
+            for k in range(lo, hi + 1):
+                model.pop(k, None)
+        elif op == "update_null":
+            k = rng.randrange(1, 351)
+            astro.sql(f"UPDATE {name} SET v = NULL WHERE k = {k}")
+            if k in model:
+                model[k] = (None, model[k][1])
+        elif op == "merge_delete":
+            ks = sorted({rng.randrange(1, 351) for _ in range(3)})
+            src = " UNION ALL ".join(f"SELECT {k} AS kk" for k in ks)
+            astro.sql(
+                f"MERGE INTO {name} t USING ({src}) s ON t.k = s.kk "
+                "WHEN MATCHED THEN DELETE"
+            )
+            for k in ks:
+                model.pop(k, None)
+        else:
+            astro.sql(f"COMPACT TABLE {name}")
+        check(step)
+
+    # end state: a compact folds everything back to the fast path
+    astro.sql(f"COMPACT TABLE {name}")
+    check("final")
+    assert not astro.relation(name).needs_merge()
+
+
+@pytest.mark.parametrize("seed", [5, 9])
+def test_zorder_delete_fuzz(spark, tmp_path, seed):
+    """Repeated pruned deletes on a z-order table: contents match the
+    model, dim-box pruning stays sound after each box recompute, kept
+    z-files stay inode-identical on partial rewrites."""
+    rng = random.Random(seed)
+    name = f"zf{seed}"
+    astro = AstroSession(spark, str(tmp_path / f"zwh{seed}"))
+    astro.sql(
+        f"CREATE TABLE {name} (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        f"MAPPED BY ({name}_ht, COLS=[v=f.v]) OPTIONS(regions=8, layout=zorder)"
+    )
+    rel = astro.relation(name)
+    df = spark.range(6_000).selectExpr(
+        "CAST(pmod(id * 7, 200) AS INT) k1",   # unique (k1, k2) pairs
+        "CAST(floor(id / 200) AS INT) k2",
+        "CAST(id AS DOUBLE) v",
+    )
+    rel.write(df)
+    rel.register_view(name)
+    model = {
+        ((i * 7) % 200, i // 200): float(i) for i in range(6_000)
+    }
+
+    for step in range(5):
+        dim = rng.choice(["k1", "k2"])
+        if dim == "k1":
+            lo = rng.randrange(0, 190)
+            hi = lo + rng.randrange(0, 15)
+        else:
+            lo = rng.randrange(0, 28)
+            hi = lo + rng.randrange(0, 3)
+        before = _idents(astro, name)
+        astro.sql(f"DELETE FROM {name} WHERE {dim} BETWEEN {lo} AND {hi}")
+        stats = astro.last_write_stats
+        if stats and stats["files_rewritten"] < stats["files_total"]:
+            after = _idents(astro, name)
+            for f in set(before) & set(after):
+                assert before[f] == after[f], f"kept z-file {f} changed"
+        sel = 0 if dim == "k1" else 1
+        model = {kk: vv for kk, vv in model.items() if not lo <= kk[sel] <= hi}
+        got = {
+            (r.k1, r.k2): r.v
+            for r in astro.sql(f"SELECT k1, k2, v FROM {name}").collect()
+        }
+        assert got == model, f"seed {seed} step {step}: {len(got)} vs {len(model)}"
+        rel = astro.relation(name)
+        assert rel.meta.layout == "zorder" and not rel.needs_merge()
+        # pruned scan soundness on a random box after the rewrite
+        a, b = rng.randrange(0, 180), rng.randrange(0, 25)
+        pred = f"k1 BETWEEN {a} AND {a + 20} AND k2 BETWEEN {b} AND {b + 4}"
+        got_w, _res = rel.scan_where(pred)
+        want = {
+            kk for kk in model
+            if a <= kk[0] <= a + 20 and b <= kk[1] <= b + 4
+        }
+        assert {(r.k1, r.k2) for r in got_w.collect()} == want
