@@ -595,15 +595,19 @@ class AstroRelation:
 
         keyed = self._with_rowkey(out.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(0))
-        # partition index = #islands whose range lies wholly below the
-        # rowkey (islands are key-disjoint by construction), then the
-        # mined-id trick maps index p → Spark hash bucket p so each
-        # output file holds exactly one island's resolved survivors
-        bounds = [max(r.max_rowkey_hex for r in isl) for isl in chosen]
+        # output granularity = one file per SOURCE fragment, not per
+        # island: the sorted per-fragment min keys split each island into
+        # subranges sized like the originals, so a merged 100-fragment
+        # island does not collapse into one giant file.  Subranges stay
+        # inside their island (survivor keys only exist inside islands —
+        # a boundary pair spanning an inter-island gap bounds no rows
+        # there), so recomputed file envelopes never sandwich a kept
+        # fragment; mined ids map subrange p → Spark hash bucket p.
+        mins = sorted(f.min_rowkey_hex for f in hit)[1:]
         idx = F.lit(0)
-        for b in bounds[:-1]:
-            idx = idx + (F.col(ROWKEY_COL) > F.lit(bytes.fromhex(b))).cast("int")
-        new_files = self._swap_in_survivors(keyed, idx, len(chosen), keep)
+        for b in mins:
+            idx = idx + (F.col(ROWKEY_COL) >= F.lit(bytes.fromhex(b))).cast("int")
+        new_files = self._swap_in_survivors(keyed, idx, len(hit), keep)
         if meta.layout == "bucketed":
             # rewritten fragments break the bucket-file invariant; demote
             # (one-phase agg falls back) until COMPACT restores alignment
