@@ -56,6 +56,9 @@ _HELP = {
     "VERSION": "SELECT ... FROM table_name VERSION AS OF n\n"
     "  (generation-N snapshot; DESCRIBE EXTENDED shows max_generation — "
     "history folds at COMPACT/OVERWRITE and floors at a pruned DELETE/UPDATE)",
+    "TIMESTAMP": "SELECT ... FROM table_name TIMESTAMP AS OF epoch_seconds | 'YYYY-MM-DD HH:MM:SS'\n"
+    "  (newest generation committed at or before the UTC timestamp; "
+    "DESCRIBE EXTENDED lists per-generation commit times)",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
     "DELETE": "DELETE FROM table_name [WHERE cond]",

@@ -1104,20 +1104,30 @@ def _text_chunking(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-PIPELINE["text_chunking"] = Q(
-    spark=_text_chunking,
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+# NULL text mirrors the engine's null_safe_tokens ([] — zero tokens,
+# one empty chunk), NOT string_split_regex(NULL) = NULL which would emit
+# NULL chunk_text/n_tokens (r8 review); shared by the tail entry and the
+# corpus_ops_suite 'chunk' branch so the two cannot drift
+_CHUNK_ORACLE_BODY = """
+    WITH ktoks AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN []::VARCHAR[]
+                  ELSE string_split_regex(lower(text), '\\s+') END AS t
       FROM documents WHERE doc_id < 300
     )
     SELECT doc_id,
            CAST(u.c AS BIGINT) AS chunk_id,
-           array_to_string(t[u.c*24+1 : u.c*24+32], ' ') AS chunk_text,
+           -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+           -- array_join is '' — coalesce to the engine's contract
+           coalesce(array_to_string(t[u.c*24+1 : u.c*24+32], ' '), '') AS chunk_text,
            CAST(len(t[u.c*24+1 : u.c*24+32]) AS BIGINT) AS n_tokens,
            CAST(u.c*24 + 1 AS BIGINT) AS start_pos
-    FROM toks, UNNEST(range(0, 1 + (greatest(len(t) - 32, 0) + 23) // 24)) u(c)
-    """,
+    FROM ktoks, UNNEST(range(0, 1 + (greatest(len(t) - 32, 0) + 23) // 24)) u(c)
+"""
+
+PIPELINE["text_chunking"] = Q(
+    spark=_text_chunking,
+    oracle=_CHUNK_ORACLE_BODY,
     doc="r8: overlapping fixed-size token chunking (RAG indexing / "
     "long-doc pretraining windows) — pure codegen explode+slice, zero "
     "shuffle; every doc yields >=1 chunk and the last chunk reaches the "
@@ -1161,19 +1171,18 @@ def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
 # payload byte 3j+c (BGR); padding zeros beyond n contribute nothing to
 # any sum, so the oracle ranges stop at n.
 _BMP_BYTE = "('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT"
+# NULL text → NULL blob → the engine's stats row is all-NULL; every
+# oracle column mirrors that with an explicit guard (coalesce-to-0 alone
+# would diverge on NULL-text documents — r8 review)
+_BMP_NULLG = "CASE WHEN text IS NULL THEN NULL ELSE {expr} END"
 _BMP_ORACLE_BODY = f"""
     SELECT doc_id,
-           16 AS width,
-           CAST(greatest((octet_length(encode(text)) + 47) // 48, 1) AS INT) AS height,
-           CAST(coalesce(list_sum(list_transform(
-               range(0, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0) AS BIGINT) AS sum_b,
-           CAST(coalesce(list_sum(list_transform(
-               range(1, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0) AS BIGINT) AS sum_g,
-           CAST(coalesce(list_sum(list_transform(
-               range(2, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0) AS BIGINT) AS sum_r,
-           CAST(coalesce(list_sum(list_transform(
-               range(0, octet_length(encode(text))),
-               i -> (i // 3 + 1) * (i % 3 + 1) * {_BMP_BYTE})), 0) AS BIGINT) AS px_weighted
+           {_BMP_NULLG.format(expr="16")} AS width,
+           {_BMP_NULLG.format(expr="CAST(greatest((octet_length(encode(text)) + 47) // 48, 1) AS INT)")} AS height,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(0, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0)")} AS BIGINT) AS sum_b,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(1, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0)")} AS BIGINT) AS sum_g,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(2, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0)")} AS BIGINT) AS sum_r,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(0, octet_length(encode(text))), i -> (i // 3 + 1) * (i % 3 + 1) * {_BMP_BYTE})), 0)")} AS BIGINT) AS px_weighted
     FROM documents WHERE doc_id < 200
 """
 
@@ -2112,17 +2121,7 @@ PIPELINE["corpus_ops_suite"] = Q(
            CAST(sum(doc_id * 1 + chunk_id * 3 + length(chunk_text) * 5
                     + ({_dh('chunk_text')} % 1000000) * 7 + n_tokens * 11
                     + start_pos * 13) AS BIGINT) AS chk
-    FROM (
-      WITH ktoks AS (
-        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-        FROM documents WHERE doc_id < 300
-      )
-      SELECT doc_id, u.c AS chunk_id,
-             array_to_string(t[u.c*24+1 : u.c*24+32], ' ') AS chunk_text,
-             len(t[u.c*24+1 : u.c*24+32]) AS n_tokens,
-             u.c*24 + 1 AS start_pos
-      FROM ktoks, UNNEST(range(0, 1 + (greatest(len(t) - 32, 0) + 23) // 24)) u(c)
-    )
+    FROM ({_CHUNK_ORACLE_BODY})
     """,
     doc="deterministic corpus ops, all retry-safe hash60-keyed (never rand()) "
     "and shuffle-free map-side plans: Bernoulli sample, consistent "

@@ -570,12 +570,8 @@ class AstroRelation:
         stats = {"files_total": res.total, "files_rewritten": len(hit)}
         if not hit:
             return stats  # predicate matches nothing → no-op
-        # rewritten fragments land at generation 0 while kept ones keep
-        # their seq, so snapshots OLDER than the pre-write max generation
-        # would mix pre- and post-write state — floor them out (scan
-        # as_of_seq refuses below the floor; r7 review)
-        pre_max = max(r.seq for r in meta.regions)
-        keep = [r for r in meta.regions if r.path not in {f.path for f in hit}]
+        hit_paths = {f.path for f in hit}
+        keep = [r for r in meta.regions if r.path not in hit_paths]
 
         # the subset needs the newest-cell-wins merge iff some chosen
         # island actually holds multiple versions — the global
@@ -617,7 +613,15 @@ class AstroRelation:
         # catalog entries (paths + stats) remain exact; stat only the new
         # files (same incremental discipline as _ensure_fresh_regions)
         meta.regions = keep
-        meta.history_floor = max(meta.history_floor, pre_max)
+        # exactly ONE snapshot stays readable after a partial rewrite:
+        # the current state, i.e. as_of >= the max SURVIVING generation
+        # (any lower as_of would mix rewritten gen-0 content with a
+        # partial generation set).  The floor is that post-rewrite max —
+        # NOT the pre-rewrite max: when the newest generation's fragments
+        # were themselves rewritten (island closure pulls them in), a
+        # pre-max floor would exceed every surviving seq and ALL
+        # versioned reads would refuse until COMPACT (r8 review #2).
+        meta.history_floor = max([r.seq for r in keep], default=0)
         # timestamp history folds with the rewrite: pre-rewrite commit
         # stamps must not resolve (they would silently serve POST-delete
         # data for a pre-delete timestamp — r8 review); clearing the map
@@ -704,7 +708,8 @@ class AstroRelation:
         if not hit:
             return stats
         seq = meta.regions[0].seq
-        keep = [r for r in meta.regions if r.path not in {f.path for f in hit}]
+        hit_paths = {f.path for f in hit}
+        keep = [r for r in meta.regions if r.path not in hit_paths]
         df = self._resolve(
             self._read_fragments(*[f.path for f in hit]), needs_merge=False
         )
@@ -737,7 +742,9 @@ class AstroRelation:
             keyed, idx, len(hit), keep, sort_cols=["__z", ROWKEY_COL]
         )
         meta.regions = keep
-        meta.history_floor = max(meta.history_floor, seq)
+        # same post-rewrite-max floor rule as rewrite_pruned (all files
+        # share one generation here, so this is just that generation)
+        meta.history_floor = max([r.seq for r in keep], default=0)
         meta.generation_times = {}  # fold timestamp history (see rewrite_pruned)
         if new_files:
             self._refresh_region_bounds(only=new_files)

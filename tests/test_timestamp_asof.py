@@ -152,3 +152,33 @@ def test_pruned_rewrite_folds_timestamp_history(astro, tmp_path):
     rel = astro.relation("tq")
     with pytest.raises(ValueError, match="no generation"):
         rel.seq_for_timestamp(t_mid)
+
+
+def test_rewriting_newest_generation_keeps_current_readable(astro, tmp_path):
+    """r8 review #2 (second pass): when the island closure rewrites the
+    NEWEST generation's fragments (the upsert that made the island), the
+    floor must settle at the post-rewrite max — a pre-rewrite-max floor
+    would exceed every surviving generation and make ALL versioned reads
+    (including TIMESTAMP AS OF now) raise until COMPACT."""
+    csv = tmp_path / "tn.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
+    astro.sql(
+        "CREATE TABLE tn (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (tn_ht) OPTIONS (regions=4)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE tn")
+    astro.sql("INSERT INTO tn VALUES (50, 'upd')")  # gen 1, overlaps one island
+    astro.sql("DELETE FROM tn WHERE k = 50")  # island rewrite pulls gen 1 in
+    rel = astro.relation("tn")
+    stats = astro.last_write_stats
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    # every surviving fragment is generation 0 again; current state must
+    # stay reachable through BOTH time-travel surfaces
+    assert rel.current_seq() == 0
+    n = rel.seq_for_timestamp(time.time())
+    assert rel.scan(as_of_seq=n).count() == 99
+    assert astro.sql("SELECT count(*) AS c FROM tn VERSION AS OF 0").collect()[0].c == 99
+    r = astro.sql(
+        f"SELECT count(*) AS c FROM tn TIMESTAMP AS OF {time.time() + 60}"
+    ).collect()[0]
+    assert r.c == 99
