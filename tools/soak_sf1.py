@@ -84,6 +84,10 @@ def main() -> None:
         "queries": {},
     }
     for name in FAMILIES:
+        # cold cache per family (same discipline as bench._sweep): a
+        # family that persists an intermediate must not leak cached data
+        # into later families' memory or its own re-run
+        spark.catalog.clearCache()
         before = bench._stage_marker(spark)
         t0 = time.time()
         try:
