@@ -805,6 +805,45 @@ def string_pushdown(p: Pred, coltypes: dict[str, str]) -> str | None:
     return out[0] if out else None
 
 
+def to_column(p: Pred, col_of):
+    """Compile a parsed predicate into a PySpark ``Column``; ``col_of``
+    maps a column name to the Column to evaluate against (the hook that
+    lets stringformat callers substitute a cast).  Returns None when the
+    tree contains an Opaque leaf (caller falls back).  Used by the
+    key-only per-fragment DELETE path, which must evaluate the predicate
+    over RAW fragment rows without the view-level schema-on-read."""
+    from pyspark.sql import functions as F
+
+    if isinstance(p, Comparison):
+        c, v = col_of(p.col), F.lit(p.value)
+        return {
+            "=": c == v,
+            "!=": c != v,
+            "<": c < v,
+            "<=": c <= v,
+            ">": c > v,
+            ">=": c >= v,
+        }[p.op]
+    if isinstance(p, InList):
+        return col_of(p.col).isin(*p.values)
+    if isinstance(p, IsNull):
+        return col_of(p.col).isNull()
+    if isinstance(p, IsNotNull):
+        return col_of(p.col).isNotNull()
+    if isinstance(p, (And, Or)):
+        parts = [to_column(c, col_of) for c in p.children]
+        if any(x is None for x in parts):
+            return None
+        out = parts[0]
+        for x in parts[1:]:
+            out = (out & x) if isinstance(p, And) else (out | x)
+        return out
+    if isinstance(p, Not):
+        child = to_column(p.child, col_of)
+        return None if child is None else ~child
+    return None  # Opaque
+
+
 # ---------------------------------------------------------------------------
 # rendering (Pred → SQL text) — for per-partition residual simplification
 # ---------------------------------------------------------------------------

@@ -634,6 +634,102 @@ class AstroRelation:
             self.catalog.update_regions(meta, keep)
         return stats
 
+    def delete_rows_keyonly(self, where: str) -> dict | None:
+        """Per-fragment retroactive purge for KEY-ONLY delete predicates
+        (r8): key columns are constant across a key's versions, so a
+        predicate referencing only keys decides identically for EVERY
+        version of a row — each envelope-intersecting fragment can be
+        filtered INDEPENDENTLY, with no newest-cell-wins resolution, no
+        island closure, and no version-closedness precondition at all.
+        That covers the states every resolved path must refuse or expand
+        on: multi-generation z-order tables, single-island (fully
+        overlapping) LSM states, and continuous-ingest tables — a
+        key-pruned DELETE there touches exactly the intersecting files.
+
+        Rows keep their original generation numbers and the catalog's
+        commit stamps stay; history is preserved as a RETROACTIVE purge
+        (every `VERSION/TIMESTAMP AS OF` snapshot shows its generation
+        minus the deleted keys — the GDPR-erasure semantics; deleting a
+        key from the present without erasing its history is what the
+        resolved rewrite's history fold is for).  Sound because CPR
+        envelopes cover every version of a matching key (a fragment
+        holding any version of key k admits k), and per-fragment
+        filtering removes all of them or none.
+
+        Returns the rewrite stats, or None when the predicate is not
+        key-only/structured (caller falls back to the resolved
+        island-closure rewrite, then to the full rewrite)."""
+        from spark_sql_on_hbase_spark.predicate import (
+            parse_predicate,
+            referenced_columns,
+            to_column,
+        )
+        from spark_sql_on_hbase_spark.pruning import prune_files
+
+        meta = self.meta
+        self._ensure_fresh_regions()
+        if not meta.regions:
+            return None
+        try:
+            pred = parse_predicate(where)
+        except ValueError:
+            return None
+        if not referenced_columns(pred) or not (
+            referenced_columns(pred) <= set(meta.key_names)
+        ):
+            return None
+
+        def col_of(name: str):
+            if meta.encoding == STRING_FORMAT:
+                return F.col(name).cast(spark_type(meta.column_type(name)))
+            return F.col(name)
+
+        cond = to_column(pred, col_of)
+        if cond is None:
+            return None  # opaque leaf → resolved paths handle it
+        try:
+            res = prune_files(meta, pred)
+        except ValueError:
+            return None
+        hit = sorted(res.files, key=lambda r: r.path)
+        stats = {"files_total": res.total, "files_rewritten": len(hit)}
+        if not hit:
+            return stats
+        hit_paths = {f.path for f in hit}
+        keep = [r for r in meta.regions if r.path not in hit_paths]
+
+        raw = self._read_fragments(*[f.path for f in hit])
+        survivors = raw.filter(~F.coalesce(cond, F.lit(False)))
+        # one output file per source fragment, mapped by file name —
+        # fragments may overlap in rowkey space here (that is the point),
+        # so boundary splitting does not apply; the rows of one physical
+        # file stay together and keep their generation number
+        names = [os.path.basename(self._local_path(f.path)) for f in hit]
+        name_map = F.create_map(
+            *[x for i, n in enumerate(names) for x in (F.lit(n), F.lit(i))]
+        )
+        idx = name_map[F.element_at(F.split(F.input_file_name(), "/"), -1)]
+        if meta.layout == "zorder":
+            survivors = survivors.withColumn("__z", zorder_value(meta))
+            sort_cols = ["__z", ROWKEY_COL]
+        else:
+            sort_cols = [ROWKEY_COL]
+        new_files = self._swap_in_survivors(
+            survivors, idx, len(hit), keep, sort_cols=sort_cols
+        )
+        if meta.layout == "bucketed":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+            meta.layout = "range"
+        meta.regions = keep
+        # history_floor and generation_times intentionally unchanged:
+        # every generation was purged consistently, so every previously
+        # readable snapshot stays readable (minus the deleted keys)
+        if new_files:
+            self._refresh_region_bounds(only=new_files)
+        else:
+            self.catalog.update_regions(meta, keep)
+        return stats
+
     def _swap_in_survivors(
         self,
         keyed: DataFrame,

@@ -438,13 +438,16 @@ class AstroSession:
         return self._ok(f"updated {c.table}")
 
     def _exec_DeleteFrom(self, c: ddl.DeleteFrom) -> DataFrame:
-        """DELETE FROM … [AS a] [WHERE]: region-pruned rewrite — only
-        fragments whose key envelope intersects the predicate are
-        rewritten; everything else stays byte-identical (VERDICT r6 #1:
-        no more full-table rewrite for a key-pruned DELETE).  Falls back
-        to the full atomic rewrite for non-sargable predicates, pending
-        upserts, z-order layouts, or unfiltered DELETE.  Non-astro tables
-        fall through to Spark SQL verbatim."""
+        """DELETE FROM … [AS a] [WHERE]: three plans, cheapest first.
+
+        1. KEY-ONLY predicate → per-fragment retroactive purge
+           (relation.delete_rows_keyonly): no resolution, no island
+           closure, works on any layout/generation state incl.
+           multi-gen z-order and fully-overlapping LSM states.
+        2. Residual predicate → island-closure pruned rewrite over the
+           resolved intersecting fragments (rewrite_pruned).
+        3. Non-sargable / unfiltered → full atomic rewrite.
+        Non-astro tables fall through to Spark SQL verbatim."""
         if not self.catalog.table_exists(c.table, c.namespace):
             return self.spark.sql(c.raw)
         self._register_all()
@@ -452,6 +455,8 @@ class AstroSession:
         self.last_write_stats = None
         stats = None
         if c.where:
+            stats = rel.delete_rows_keyonly(c.where)
+        if c.where and stats is None:
             stats = rel.rewrite_pruned(
                 c.where,
                 lambda df: df.filter(F.expr(f"NOT coalesce(({c.where}), false)")),

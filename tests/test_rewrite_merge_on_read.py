@@ -80,7 +80,8 @@ def test_delete_pruned_under_pending_upserts(astro, tmp_path):
 
 
 def test_delete_pruned_island_closure_is_version_closed(astro, tmp_path):
-    """A key whose versions span two overlapping fragments: deleting a
+    """A key whose versions span two overlapping fragments: a RESIDUAL
+    delete (non-key conjunct forces the resolved path) touching a
     NEIGHBOR key in the same island must rewrite the whole island (both
     generations of the upserted key resolve together), never split it."""
     rel = _load(astro, tmp_path, name="ic")
@@ -88,7 +89,8 @@ def test_delete_pruned_island_closure_is_version_closed(astro, tmp_path):
     rel = astro.relation("ic")
     assert rel.needs_merge()
 
-    astro.sql("DELETE FROM ic WHERE k = 40")  # same island as 42's versions
+    # k = 40 prunes; the v-conjunct is residual → island-closure path
+    astro.sql("DELETE FROM ic WHERE k = 40 AND v = 'v40'")
     stats = astro.last_write_stats
     assert stats["files_rewritten"] < stats["files_total"]
     # the upserted value survives with its NEWEST version
@@ -100,6 +102,33 @@ def test_delete_pruned_island_closure_is_version_closed(astro, tmp_path):
     rel = astro.relation("ic")
     total_rows = sum(r.num_rows for r in rel.meta.regions)
     assert total_rows == 199  # 200 - deleted 40; no duplicate versions left
+
+
+def test_delete_keyonly_purges_without_closure(astro, tmp_path):
+    """r8: the same shape with a KEY-ONLY predicate takes the
+    per-fragment purge — no resolution, duplicate versions of untouched
+    keys REMAIN physically (newest still wins at read time), and history
+    stays readable as a retroactive purge."""
+    _load(astro, tmp_path, name="ko")
+    astro.sql("INSERT INTO ko VALUES (42, 'v42b', 420420)")
+    rel = astro.relation("ko")
+    assert rel.needs_merge()
+
+    astro.sql("DELETE FROM ko WHERE k = 40")  # key-only → purge path
+    stats = astro.last_write_stats
+    assert stats["files_rewritten"] < stats["files_total"]
+    r = astro.sql("SELECT v, n FROM ko WHERE k = 42").collect()[0]
+    assert (r.v, r.n) == ("v42b", 420420)
+    assert astro.sql("SELECT count(*) AS c FROM ko WHERE k = 40").collect()[0].c == 0
+    rel = astro.relation("ko")
+    total_rows = sum(r.num_rows for r in rel.meta.regions)
+    assert total_rows == 200  # 201 physical - 1 deleted; 42 keeps 2 versions
+    # retroactive purge: the gen-0 snapshot is readable, minus key 40,
+    # and without gen-1's upsert
+    g0 = rel.scan(as_of_seq=0)
+    assert g0.count() == 199
+    assert g0.filter("k = 40").count() == 0
+    assert g0.filter("k = 42").collect()[0].v == "v42"
 
 
 def test_update_null_routing_pruned_under_pending_upserts(astro, tmp_path):
@@ -142,18 +171,27 @@ def test_full_generation_overlay_still_prunes_by_island(astro, tmp_path):
     assert (r.v, r.n) == ("bv1", 11)  # untouched islands still resolve newest
 
 
-def test_single_island_table_falls_back_to_full_rewrite(astro, tmp_path):
-    """With regions=1 every generation overlaps everything → one island →
-    closure == table → the pruned path declines and the full rewrite runs
-    (the correct plan), still exact."""
+def test_single_island_table_keyonly_prunes_residual_falls_back(astro, tmp_path):
+    """With regions=1 every generation overlaps everything → one island.
+    r8: a KEY-ONLY delete still prunes (per-fragment purge needs no
+    closure — the upsert fragment's envelope excludes the key, so only
+    the base file rewrites); a RESIDUAL delete's closure == table and
+    the full rewrite runs, still exact."""
     _load(astro, tmp_path, name="w1", n=50, regions=1)
     astro.sql("INSERT INTO w1 VALUES (25, 'x25', 0)")
     rel = astro.relation("w1")
     assert rel.needs_merge()
-    astro.sql("DELETE FROM w1 WHERE k = 10")
+    astro.sql("DELETE FROM w1 WHERE k = 10")  # key-only → purge, 1 of 2 files
+    stats = astro.last_write_stats
+    assert stats["files_total"] == 2 and stats["files_rewritten"] == 1
+    assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 49
+    r = astro.sql("SELECT v FROM w1 WHERE k = 25").collect()[0]
+    assert r.v == "x25"
+    # residual predicate → island closure == whole table → full rewrite
+    astro.sql("DELETE FROM w1 WHERE k = 11 AND v = 'v11'")
     stats = astro.last_write_stats
     assert stats["files_rewritten"] == stats["files_total"]
-    assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 49
+    assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 48
     r = astro.sql("SELECT v FROM w1 WHERE k = 25").collect()[0]
     assert r.v == "x25"
 
@@ -256,3 +294,42 @@ def test_zorder_delete_second_cycle_and_point_update(spark, astro):
         f"SELECT v FROM z2 WHERE k1 = {row.k1} AND k2 = {row.k2}"
     ).collect()
     assert all(r.v is None for r in got) and got
+
+
+def test_zorder_multigeneration_keyonly_delete_prunes(spark, astro):
+    """r8: z-order table WITH appended generations (the state every
+    resolved path refuses) — a key-only DELETE purges per-fragment:
+    only envelope-intersecting files rewrite, resolution still works."""
+    astro.sql(
+        "CREATE TABLE zm (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        "MAPPED BY (zm_ht, COLS=[v=f.v]) OPTIONS(regions=8, layout=zorder)"
+    )
+    rel = astro.relation("zm")
+    df = spark.range(4_000).selectExpr(
+        "CAST(pmod(id * 7, 200) AS INT) k1",
+        "CAST(floor(id / 200) AS INT) k2",
+        "CAST(id AS DOUBLE) v",
+    )
+    rel.write(df)
+    rel.register_view("zm")
+    # append an upsert generation (rowkey-sorted fragments interleave
+    # with z-files → resolved paths must fall back; the purge need not)
+    astro.sql("INSERT INTO zm VALUES (7, 1, 777.0)")
+    rel = astro.relation("zm")
+    assert rel.needs_merge()
+    n_frag = len(rel.meta.regions)
+
+    before = _file_idents(astro, rel)
+    astro.sql("DELETE FROM zm WHERE k1 = 7 AND k2 = 0")  # key-only point
+    stats = astro.last_write_stats
+    assert stats["files_total"] == n_frag
+    assert 0 < stats["files_rewritten"] < n_frag
+    after = _file_idents(astro, astro.relation("zm"))
+    for f in set(before) & set(after):
+        assert before[f] == after[f]
+
+    assert astro.sql("SELECT count(*) AS c FROM zm WHERE k1 = 7 AND k2 = 0").collect()[0].c == 0
+    # the appended upsert still resolves newest-wins
+    r = astro.sql("SELECT v FROM zm WHERE k1 = 7 AND k2 = 1").collect()[0]
+    assert r.v == 777.0
+    assert astro.sql("SELECT count(*) AS c FROM zm").collect()[0].c == 3999

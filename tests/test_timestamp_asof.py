@@ -108,12 +108,13 @@ def test_describe_extended_lists_generation_times(astro):
     assert "TIMESTAMP AS OF" in comment
 
 
-def test_pruned_rewrite_folds_timestamp_history(astro, tmp_path):
-    """A pruned rewrite folds timestamp history exactly like a full
-    rewrite: pre-rewrite timestamps refuse ('no generation') instead of
-    silently serving post-delete data (r8 review — the floor guard alone
-    misses the generation AT the floor, whose stamp predates the
-    rewrite), and post-rewrite timestamps resolve to the current state."""
+def test_resolved_rewrite_folds_timestamp_history(astro, tmp_path):
+    """A RESOLVED pruned rewrite (residual predicate) folds timestamp
+    history exactly like a full rewrite: pre-rewrite timestamps refuse
+    ('no generation') instead of silently serving post-delete data (r8
+    review — the floor guard alone misses the generation AT the floor,
+    whose stamp predates the rewrite), and post-rewrite timestamps
+    resolve to the current state."""
     csv = tmp_path / "tp.csv"
     csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
     astro.sql(
@@ -126,7 +127,8 @@ def test_pruned_rewrite_folds_timestamp_history(astro, tmp_path):
     astro.sql("INSERT INTO tp VALUES (500, 'new')")  # gen 1, disjoint key
     t_g1 = time.time()
     time.sleep(0.02)
-    astro.sql("DELETE FROM tp WHERE k = 10")  # pruned rewrite, floor -> 1
+    # the v-conjunct is residual → resolved island rewrite → fold
+    astro.sql("DELETE FROM tp WHERE k = 10 AND v = 'v10'")
     rel = astro.relation("tp")
     assert 0 < astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
     # pre-rewrite timestamps are gone — refusing beats silently serving
@@ -137,7 +139,7 @@ def test_pruned_rewrite_folds_timestamp_history(astro, tmp_path):
     # post-rewrite timestamps resolve to the current (readable) state
     n = rel.seq_for_timestamp(time.time())
     assert rel.scan(as_of_seq=n).count() == 100  # 100 - k10 + k500
-    # single-generation variant of the review repro: delete on a
+    # single-generation variant of the review repro: residual delete on a
     # one-generation table, then a timestamp between load and delete
     astro.sql(
         "CREATE TABLE tq (k INT, v STRING, PRIMARY KEY (k)) "
@@ -148,10 +150,37 @@ def test_pruned_rewrite_folds_timestamp_history(astro, tmp_path):
     astro.sql(f"LOAD DATA INPATH '{csv2}' INTO TABLE tq")
     t_mid = time.time()
     time.sleep(0.02)
-    astro.sql("DELETE FROM tq WHERE k = 7")
+    astro.sql("DELETE FROM tq WHERE k = 7 AND v = 'v7'")
     rel = astro.relation("tq")
     with pytest.raises(ValueError, match="no generation"):
         rel.seq_for_timestamp(t_mid)
+
+
+def test_keyonly_delete_preserves_timestamp_history_as_purge(astro, tmp_path):
+    """r8: a KEY-ONLY delete is a per-fragment retroactive purge —
+    commit stamps survive, pre-delete timestamps still resolve, and the
+    snapshots they select show their generation MINUS the purged key
+    (GDPR-erasure semantics; no post-delete data leaks into pre-delete
+    times because the purge touched every generation consistently)."""
+    csv = tmp_path / "tk.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
+    astro.sql(
+        "CREATE TABLE tk (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (tk_ht) OPTIONS (regions=4)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE tk")
+    t_g0 = time.time()
+    time.sleep(0.02)
+    astro.sql("INSERT INTO tk VALUES (500, 'new')")  # gen 1
+    astro.sql("DELETE FROM tk WHERE k = 10")  # key-only → purge
+    rel = astro.relation("tk")
+    assert 0 < astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
+    n = rel.seq_for_timestamp(t_g0)
+    assert n == 0
+    snap = rel.scan(as_of_seq=n)
+    assert snap.count() == 99  # gen 0 minus the purged key
+    assert snap.filter("k = 10").count() == 0
+    assert snap.filter("k = 500").count() == 0  # gen-1 row not in gen 0
 
 
 def test_rewriting_newest_generation_keeps_current_readable(astro, tmp_path):

@@ -389,17 +389,25 @@ def test_r7_review_regressions(astro, tmp_path, spark):
     )
     assert astro.sql("SELECT count(*) AS c FROM pt WHERE k = 4").collect()[0].c == 0
 
-    # 4. pruned rewrite floors generation history: a snapshot older than
-    # the rewrite would mix pre-/post-write fragments, so it refuses
+    # 4a. r8: a KEY-ONLY delete is a retroactive per-fragment purge —
+    # generation history stays readable, each snapshot minus the key
     astro.sql("INSERT INTO pt VALUES (500, 'new', 0)")  # gen 1, disjoint key
     rel = astro.relation("pt")
     assert rel.current_seq() == 1 and not rel.needs_merge()
-    astro.sql("DELETE FROM pt WHERE k = 10")  # pruned partial rewrite
+    astro.sql("DELETE FROM pt WHERE k = 10")  # key-only → purge path
+    assert astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
+    rel = astro.relation("pt")
+    g0 = rel.scan(as_of_seq=0)
+    assert g0.filter("k = 10").count() == 0  # purged from history too
+    assert g0.filter("k = 500").count() == 0  # gen-1 key absent from gen 0
+    assert rel.scan(as_of_seq=1).count() == rel.scan().count()
+    # 4b. a RESIDUAL delete takes the resolved rewrite, which folds
+    # history: snapshots below the surviving max generation refuse
+    astro.sql("DELETE FROM pt WHERE k = 12 AND v = 'v12'")
     assert astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
     rel = astro.relation("pt")
     with pytest.raises(ValueError, match="history floor"):
         rel.scan(as_of_seq=0).collect()
-    # the floor generation itself (== current state) stays readable
     assert rel.scan(as_of_seq=1).count() == rel.scan().count()
     # COMPACT resets generations AND the floor
     astro.sql("COMPACT TABLE pt")
