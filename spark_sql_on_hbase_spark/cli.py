@@ -61,7 +61,10 @@ _HELP = {
     "DESCRIBE EXTENDED lists per-generation commit times)",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
-    "DELETE": "DELETE FROM table_name [WHERE cond]",
+    "DELETE": "DELETE FROM table_name [WHERE cond]\n"
+    "  (key-only predicates purge matching keys per fragment, erasing them\n"
+    "   from history too; residual predicates rewrite resolved islands and\n"
+    "   fold snapshot history; non-sargable = full rewrite)",
     "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
     "SHOW": "SHOW TABLES",
 }
