@@ -333,3 +333,21 @@ def test_zorder_multigeneration_keyonly_delete_prunes(spark, astro):
     r = astro.sql("SELECT v FROM zm WHERE k1 = 7 AND k2 = 1").collect()[0]
     assert r.v == 777.0
     assert astro.sql("SELECT count(*) AS c FROM zm").collect()[0].c == 3999
+
+
+def test_keyonly_purge_after_alter_add(astro, tmp_path):
+    """Purging fragments written BEFORE an ALTER ADD: the declared-schema
+    read null-fills the absent column, the rewrite persists those rows
+    with explicit NULLs, and reads stay identical."""
+    _load(astro, tmp_path, name="aa", n=60, regions=4)
+    astro.sql("ALTER TABLE aa ADD extra STRING MAPPED BY (f.x)")
+    astro.sql("INSERT INTO aa VALUES (100, 'v100', 1000, 'has-extra')")
+    astro.sql("DELETE FROM aa WHERE k = 20")  # key-only purge over mixed schemas
+    stats = astro.last_write_stats
+    assert stats["files_rewritten"] < stats["files_total"]
+    rows = {r.k: (r.v, r.extra) for r in astro.sql(
+        "SELECT k, v, extra FROM aa WHERE k IN (19, 20, 21, 100)"
+    ).collect()}
+    assert 20 not in rows
+    assert rows[19] == ("v19", None) and rows[21] == ("v21", None)
+    assert rows[100] == ("v100", "has-extra")
