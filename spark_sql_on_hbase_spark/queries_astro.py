@@ -420,7 +420,7 @@ def _ensure_delete_pruned_table(spark: SparkSession, sf_dir: str):
     from spark_sql_on_hbase_spark.session import AstroSession
     from spark_sql_on_hbase_spark.tables import load_tables
 
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_dp_v2"
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_dp_v3"
     astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
     done = os.path.join(_WAREHOUSE, tag, ".delete_pruned_done")
     if not os.path.exists(done):

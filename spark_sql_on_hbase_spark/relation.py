@@ -659,6 +659,55 @@ class AstroRelation:
         Returns the rewrite stats, or None when the predicate is not
         key-only/structured (caller falls back to the resolved
         island-closure rewrite, then to the full rewrite)."""
+        return self._rewrite_fragments_keyonly(
+            where, lambda raw, cond: raw.filter(~F.coalesce(cond, F.lit(False)))
+        )
+
+    def update_rows_keyonly(self, where: str, set_literals: dict[str, str]) -> dict | None:
+        """Per-fragment retroactive UPDATE for KEY-ONLY predicates whose
+        SET expressions are plain LITERALS (r8; the NULL-routing case
+        ``SET v = NULL WHERE k = …`` is the canonical one): every
+        version of a matched key gets the SAME constant, so the
+        newest-non-null resolution yields exactly that constant (or NULL
+        when all versions were nulled) — no resolution pass, no island
+        closure, any layout/generation state.  Same retroactive history
+        semantics as :meth:`delete_rows_keyonly` (snapshots show the
+        update applied in every generation).  Non-literal SETs reference
+        row state that differs per version and must take the resolved
+        paths; SETs on key columns are refused (keys are immutable in
+        place)."""
+        meta = self.meta
+        if set(set_literals) & set(meta.key_names):
+            return None
+
+        def transform(raw: DataFrame, cond) -> DataFrame:
+            out = []
+            for c, dt in meta.all_columns:
+                if c in set_literals:
+                    typed = F.expr(set_literals[c]).cast(spark_type(dt))
+                    new = (
+                        typed.cast("string")
+                        if meta.encoding == STRING_FORMAT
+                        else typed
+                    )
+                    out.append(
+                        F.when(F.coalesce(cond, F.lit(False)), new)
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    out.append(F.col(c))
+            return raw.select(*out, F.col(ROWKEY_COL), F.col(SEQ_COL))
+
+        return self._rewrite_fragments_keyonly(where, transform)
+
+    def _rewrite_fragments_keyonly(self, where: str, transform) -> dict | None:
+        """Shared engine of the per-fragment key-only rewrites:
+        ``transform(raw, cond)`` maps the raw physical rows of the
+        intersecting fragments (+ the compiled predicate Column) to their
+        post-write rows — a filter for DELETE, a literal CASE projection
+        for UPDATE.  One output file per source fragment, generations and
+        commit stamps preserved."""
         from spark_sql_on_hbase_spark.predicate import (
             parse_predicate,
             referenced_columns,
@@ -699,7 +748,7 @@ class AstroRelation:
         keep = [r for r in meta.regions if r.path not in hit_paths]
 
         raw = self._read_fragments(*[f.path for f in hit])
-        survivors = raw.filter(~F.coalesce(cond, F.lit(False)))
+        survivors = transform(raw, cond)
         # one output file per source fragment, mapped by file name —
         # fragments may overlap in rowkey space here (that is the point),
         # so boundary splitting does not apply; the rows of one physical

@@ -407,10 +407,29 @@ class AstroSession:
         rel.register_view()
         return self._ok(f"updated {c.table}")
 
+    # a SET expression that is a plain literal: the same constant lands
+    # on every version of a matched key, so the per-fragment key-only
+    # rewrite is exact (relation.update_rows_keyonly)
+    _SET_LIT_RE = re.compile(
+        r"^\s*(NULL|TRUE|FALSE|-?\d+(\.\d+)?([eE][+-]?\d+)?|'(?:[^'\\]|\\.)*')\s*$",
+        re.IGNORECASE,
+    )
+
     def _update_via_rewrite(self, rel: AstroRelation, c: ddl.UpdateTable) -> DataFrame:
-        """UPDATE routed through the (region-pruned) rewrite: matched rows
-        get the SET expressions applied in place — NULL results land as
-        real NULLs — and every other row/fragment is untouched."""
+        """UPDATE routed through the rewrite: matched rows get the SET
+        expressions applied in place — NULL results land as real NULLs —
+        and every other row/fragment is untouched.  Cheapest plan first:
+        a key-only WHERE with all-literal SETs takes the per-fragment
+        rewrite (r8 — no resolution, works under pending upserts and on
+        any layout); otherwise the resolved island rewrite; otherwise
+        the full atomic rewrite."""
+        if c.where and all(self._SET_LIT_RE.match(e) for e in c.update_set.values()):
+            self._update_projection(rel, c.update_set, "")  # validate targets
+            stats = rel.update_rows_keyonly(c.where, c.update_set)
+            if stats is not None:
+                self.last_write_stats = stats
+                rel.register_view()
+                return self._ok(f"updated {c.table}")
         cols = [n for n, _ in rel.meta.all_columns]
         schema = table_schema(rel.meta)
         when = f"coalesce(({c.where}), false)" if c.where else "true"

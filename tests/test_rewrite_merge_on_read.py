@@ -351,3 +351,39 @@ def test_keyonly_purge_after_alter_add(astro, tmp_path):
     assert 20 not in rows
     assert rows[19] == ("v19", None) and rows[21] == ("v21", None)
     assert rows[100] == ("v100", "has-extra")
+
+
+def test_keyonly_literal_update_purge_semantics(astro, tmp_path):
+    """r8: `SET <literal> WHERE <key-only>` takes the per-fragment
+    rewrite — every version of the matched key gets the constant, the
+    resolved read returns it (NULL included), history stays readable
+    with the update applied retroactively, and pending upserts elsewhere
+    are untouched."""
+    _load(astro, tmp_path, name="lu")
+    astro.sql("INSERT INTO lu VALUES (30, 'v30b', 999)")  # gen-1 upsert
+    rel = astro.relation("lu")
+    assert rel.needs_merge()
+
+    before = _file_idents(astro, rel)
+    astro.sql("UPDATE lu SET v = NULL, n = 777 WHERE k = 30")
+    stats = astro.last_write_stats
+    assert stats is not None and 0 < stats["files_rewritten"] < stats["files_total"]
+    after = _file_idents(astro, astro.relation("lu"))
+    for f in set(before) & set(after):
+        assert before[f] == after[f]
+
+    r = astro.sql("SELECT v, n FROM lu WHERE k = 30").collect()[0]
+    assert (r.v, r.n) == (None, 777)  # NULL wins over BOTH versions
+    # history readable, update applied retroactively in gen 0 too
+    rel = astro.relation("lu")
+    g0 = rel.scan(as_of_seq=0)
+    row0 = g0.filter("k = 30").collect()[0]
+    assert (row0.v, row0.n) == (None, 777)
+    # neighbors untouched in every generation
+    assert g0.filter("k = 29").collect()[0].v == "v29"
+    r29 = astro.sql("SELECT v FROM lu WHERE k = 29").collect()[0]
+    assert r29.v == "v29"
+    # survives COMPACT (the historical append-path bug class)
+    astro.sql("COMPACT TABLE lu")
+    r = astro.sql("SELECT v, n FROM lu WHERE k = 30").collect()[0]
+    assert (r.v, r.n) == (None, 777)
