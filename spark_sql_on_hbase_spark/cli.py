@@ -63,7 +63,8 @@ _HELP = {
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
     "DELETE": "DELETE FROM table_name [WHERE cond]\n"
     "  (key-only predicates purge matching keys per fragment, erasing them\n"
-    "   from history too; residual predicates rewrite resolved islands and\n"
+    "   from history too; residual predicates rewrite resolved islands —\n"
+    "   or purge the resolved matching keys when islands degenerate — and\n"
     "   fold snapshot history; non-sargable = full rewrite)",
     "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
     "SHOW": "SHOW TABLES",

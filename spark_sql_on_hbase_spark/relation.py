@@ -559,7 +559,23 @@ class AstroRelation:
         except ValueError:
             return None  # non-sargable → full path
         if meta.layout == "zorder":
-            return self._rewrite_pruned_zorder(res, survivors_of)
+            z = self._rewrite_pruned_zorder(res, survivors_of)
+            if z is not None:
+                return z
+            # multi-generation / pending-upsert z-order (the z path's
+            # single-generation precondition failed): the island closure
+            # below is LAYOUT-INDEPENDENT — envelopes cover every version
+            # of every key regardless of file sort order — so the generic
+            # range path applies as-is.  Z-files sharing a leading-dim
+            # band overlap in rowkey space and merge into one island, so
+            # the win is coarser than the z path's (a band rewrites
+            # together), but a dim-localized DELETE on a z-table under
+            # append ingest no longer pays a full-table rewrite.
+            # Rewritten output files are rowkey-sorted (not z-sorted);
+            # pruning stays exact because per-file dim boxes are restat'd
+            # from data, and needs_merge() stays sound: islands are
+            # version-closed, so rewritten keys are disjoint from every
+            # kept file's keys (see test_zorder_multigen_residual_delete).
         # version closure: whole islands rewrite together (see docstring)
         islands = self._rowkey_islands(meta.regions)
         hitset = {f.path for f in res.files}
@@ -779,6 +795,161 @@ class AstroRelation:
             self.catalog.update_regions(meta, keep)
         return stats
 
+    def delete_rows_resolved_keys(self, where: str) -> dict | None:
+        """Resolved-key-set DELETE for RESIDUAL predicates on states where
+        the island closure degenerates (r8 follow-on): multi-generation
+        z-order layouts and fully-overlapping LSM states, where every
+        rowkey-interval island collapses into one and the resolved island
+        rewrite hands the table to the full rewrite.
+
+        Plan: prune → resolve ONLY the intersecting fragments → evaluate
+        the predicate on the resolved rows → the matching ROWKEYS become
+        a delete set that is anti-joined per-fragment (the purge
+        machinery) — no interval closure at all.
+
+        Soundness (why resolving just the hit subset is exact):
+        a fragment pruned out by the 3-valued envelope evaluation proves
+        the predicate FALSE over its whole key box for EVERY residual
+        valuation.  So (a) no key outside the hit set can ever match —
+        non-hit fragments contain no deleted keys and stay byte-
+        identical; and (b) a hit-set key whose newer versions live in a
+        non-hit fragment resolves stale here, but its key values lie in
+        that non-hit fragment's box, so the predicate is constant-FALSE
+        for it regardless of the stale non-key values — the staleness
+        can never flip a decision.  Every key the predicate CAN match
+        has all its versions inside the hit set (same argument), so its
+        resolution here is the true one.
+
+        Like the resolved island path — and unlike the key-only purge —
+        this FOLDS history: the deleted keys were chosen by the current
+        resolved state, so pre-rewrite snapshots/stamps must not resolve
+        afterwards (exactly one snapshot stays readable: the present).
+
+        Cost: two reads of the hit fragments (resolve + purge) and one
+        key-set join, instead of one read+write of the ENTIRE table.
+        Returns stats, or None when nothing prunes (the single-pass full
+        rewrite is then the better plan) or the predicate/alias shape
+        cannot be evaluated directly."""
+        return self._rewrite_fragments_keyset(
+            where, lambda raw, dkeys: raw.join(dkeys, on=ROWKEY_COL, how="left_anti")
+        )
+
+    def update_rows_keyset(self, where: str, set_literals: dict[str, str]) -> dict | None:
+        """Resolved-key-set UPDATE: the literal-SET analog of
+        :meth:`delete_rows_resolved_keys` for residual predicates — the
+        matched resolved rowkeys get the constant applied to EVERY
+        version per-fragment (same exactness argument as
+        :meth:`update_rows_keyonly`: identical constant on all versions
+        ⇒ resolution returns it, NULL included), non-matching fragments
+        stay byte-identical.  SETs on key columns are refused."""
+        meta = self.meta
+        if set(set_literals) & set(meta.key_names):
+            return None
+
+        def transform(raw: DataFrame, dkeys: DataFrame) -> DataFrame:
+            marked = raw.join(
+                dkeys.withColumn("__hit", F.lit(True)), on=ROWKEY_COL, how="left"
+            )
+            out = []
+            for c, dt in meta.all_columns:
+                if c in set_literals:
+                    typed = F.expr(set_literals[c]).cast(spark_type(dt))
+                    new = (
+                        typed.cast("string")
+                        if meta.encoding == STRING_FORMAT
+                        else typed
+                    )
+                    out.append(
+                        F.when(F.coalesce(F.col("__hit"), F.lit(False)), new)
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    out.append(F.col(c))
+            return marked.select(
+                *out, F.col(ROWKEY_COL), F.col(SEQ_COL), F.col("__src")
+            )
+
+        return self._rewrite_fragments_keyset(where, transform)
+
+    def _rewrite_fragments_keyset(self, where: str, transform) -> dict | None:
+        """Shared engine of the resolved-key-set rewrites:
+        ``transform(raw, dkeys)`` maps the raw physical rows of the hit
+        fragments (with a ``__src`` source-file column) plus the matched
+        rowkey set to their post-write rows.  One output file per source
+        fragment; rows keep their generation numbers, but history FOLDS
+        (see :meth:`delete_rows_resolved_keys`)."""
+        from spark_sql_on_hbase_spark.pruning import prune_files
+
+        meta = self.meta
+        self._ensure_fresh_regions()
+        if not meta.regions:
+            return None
+        try:
+            res = prune_files(meta, where)
+        except ValueError:
+            return None
+        hit = sorted(res.files, key=lambda r: r.path)
+        if len(hit) == res.total:
+            return None  # nothing pruned → the one-pass full rewrite wins
+        stats = {"files_total": res.total, "files_rewritten": len(hit)}
+        if not hit:
+            return stats
+        paths = [f.path for f in hit]
+        # resolve the hit subset with merge: hit fragments may overlap
+        # (that is the point); merging an actually-unique subset is the
+        # identity, so True is always sound here
+        resolved = self._resolve(
+            self._read_fragments(*paths), with_rowkey=True, needs_merge=True
+        )
+        try:
+            dkeys = resolved.filter(F.expr(f"coalesce(({where}), false)")).select(
+                ROWKEY_COL
+            )
+            dkeys.columns  # force analysis (alias-qualified predicates etc.)
+        except Exception:
+            return None
+        hit_paths = set(paths)
+        keep = [r for r in meta.regions if r.path not in hit_paths]
+        # capture the source file BEFORE the join — input_file_name() is
+        # only reliable in the scan stage, not after a shuffle join
+        raw = self._read_fragments(*paths).withColumn(
+            "__src", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        try:
+            survivors = transform(raw, dkeys)
+        except Exception:
+            return None
+        names = [os.path.basename(self._local_path(f.path)) for f in hit]
+        name_map = F.create_map(
+            *[x for i, n in enumerate(names) for x in (F.lit(n), F.lit(i))]
+        )
+        survivors = survivors.withColumn("__kidx", name_map[F.col("__src")]).drop(
+            "__src"
+        )
+        if meta.layout == "zorder":
+            survivors = survivors.withColumn("__z", zorder_value(meta))
+            sort_cols = ["__z", ROWKEY_COL]
+        else:
+            sort_cols = [ROWKEY_COL]
+        # fold history BEFORE swapping state: exactly one snapshot stays
+        # readable (the present) — same rule as the resolved island path
+        pre_max = max(r.seq for r in meta.regions)
+        new_files = self._swap_in_survivors(
+            survivors, F.col("__kidx"), len(hit), keep, sort_cols=sort_cols
+        )
+        if meta.layout == "bucketed":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+            meta.layout = "range"
+        meta.regions = keep
+        meta.history_floor = pre_max
+        meta.generation_times = {}
+        if new_files:
+            self._refresh_region_bounds(only=new_files)
+        else:
+            self.catalog.update_regions(meta, keep)
+        return stats
+
     def _swap_in_survivors(
         self,
         keyed: DataFrame,
@@ -810,7 +981,7 @@ class AstroRelation:
         scols = sort_cols or [ROWKEY_COL]
         _layout_options(
             keyed.repartition(n_out, F.col("__pid"))
-            .drop("__pid")
+            .drop("__pid", "__kidx")  # partition helpers (keyset rewrite)
             .sortWithinPartitions(*scols)
             .drop(*[c for c in scols if c.startswith("__")])  # helper sort keys
             .write.mode("overwrite")
@@ -840,9 +1011,12 @@ class AstroRelation:
         for single-generation z-order) is preserved.  Survivors keep the
         source generation number, so the layout's fast-path metadata test
         still sees one generation.  Multi-generation z-order tables
-        (appends pending COMPACT) fall back to the full rewrite: appended
+        (appends pending COMPACT) return None here — appended
         rowkey-sorted fragments genuinely interleave with z-files in key
-        space, and resolution there needs all generations."""
+        space, and resolution there needs all generations of the touched
+        keys; the caller (:meth:`rewrite_pruned`) then retries the
+        layout-independent island-closure path before falling back to
+        the full rewrite."""
         meta = self.meta
         if self.needs_merge() or len({r.seq for r in meta.regions}) > 1:
             return None

@@ -447,6 +447,16 @@ class AstroSession:
             return out.select(*[out[n].cast(schema[n].dataType) for n in cols])
 
         stats = rel.rewrite_pruned(c.where, survivors_of) if c.where else None
+        if (
+            stats is None
+            and c.where
+            and all(self._SET_LIT_RE.match(e) for e in c.update_set.values())
+        ):
+            # all-literal SETs whose island closure degenerated: resolve
+            # the pruned fragments, apply the constants to every version
+            # of the matched rowkeys per-fragment (same exactness as the
+            # key-only literal rewrite — one constant on all versions)
+            stats = rel.update_rows_keyset(c.where, c.update_set)
         if stats is None:
             df = self.spark.sql(f"SELECT {', '.join(case_proj)} FROM {c.table}")
             rel.overwrite(df.select(*[df[n].cast(schema[n].dataType) for n in cols]))
@@ -457,7 +467,7 @@ class AstroSession:
         return self._ok(f"updated {c.table}")
 
     def _exec_DeleteFrom(self, c: ddl.DeleteFrom) -> DataFrame:
-        """DELETE FROM … [AS a] [WHERE]: three plans, cheapest first.
+        """DELETE FROM … [AS a] [WHERE]: four plans, cheapest first.
 
         1. KEY-ONLY predicate → per-fragment retroactive purge
            (relation.delete_rows_keyonly): no resolution, no island
@@ -465,7 +475,12 @@ class AstroSession:
            multi-gen z-order and fully-overlapping LSM states.
         2. Residual predicate → island-closure pruned rewrite over the
            resolved intersecting fragments (rewrite_pruned).
-        3. Non-sargable / unfiltered → full atomic rewrite.
+        3. Residual predicate whose island closure degenerated →
+           resolved-key-set purge (relation.delete_rows_resolved_keys):
+           resolve the pruned fragments, anti-join the matched rowkeys
+           per-fragment.
+        4. Non-sargable / unfiltered / nothing prunes → full atomic
+           rewrite.
         Non-astro tables fall through to Spark SQL verbatim."""
         if not self.catalog.table_exists(c.table, c.namespace):
             return self.spark.sql(c.raw)
@@ -480,6 +495,12 @@ class AstroSession:
                 c.where,
                 lambda df: df.filter(F.expr(f"NOT coalesce(({c.where}), false)")),
             )
+        if c.where and stats is None:
+            # island closure degenerated (multi-gen z-order, fully
+            # overlapping LSM): resolve the pruned fragments, collect the
+            # matched ROWKEYS, purge them per-fragment — still never a
+            # full-table rewrite when the predicate prunes at all
+            stats = rel.delete_rows_resolved_keys(c.where)
         if stats is None:
             a = c.alias or c.table
             cols = ", ".join(f"{a}.`{n}`" for n, _ in rel.meta.all_columns)

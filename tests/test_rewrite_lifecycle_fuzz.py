@@ -53,8 +53,18 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
             f"diff keys={sorted(set(got) ^ set(model))[:10]}"
         )
 
-    for step in range(8):
-        op = rng.choice(["insert", "delete", "update_null", "merge_delete", "compact"])
+    for step in range(10):
+        op = rng.choice(
+            [
+                "insert",
+                "delete",
+                "update_null",
+                "merge_delete",
+                "compact",
+                "delete_residual",
+                "update_null_residual",
+            ]
+        )
         if op == "insert":
             for _ in range(rng.randrange(1, 4)):
                 k = rng.randrange(1, 351)
@@ -73,6 +83,36 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
                     assert before[f] == after[f], f"kept fragment {f} changed"
             for k in range(lo, hi + 1):
                 model.pop(k, None)
+        elif op == "delete_residual":
+            # residual predicate (n is not a key): exercises the resolved
+            # island rewrite AND, when islands collapse, the
+            # resolved-key-set purge — decisions use RESOLVED values
+            lo = rng.randrange(1, 340)
+            hi = lo + rng.randrange(0, 40)
+            t = rng.randrange(0, 40000)
+            before = _idents(astro, name)
+            astro.sql(
+                f"DELETE FROM {name} WHERE k BETWEEN {lo} AND {hi} AND n >= {t}"
+            )
+            stats = astro.last_write_stats
+            if stats and stats["files_rewritten"] < stats["files_total"]:
+                after = _idents(astro, name)
+                for f in set(before) & set(after):
+                    assert before[f] == after[f], f"kept fragment {f} changed"
+            for k in list(model):
+                if lo <= k <= hi and model[k][1] >= t:
+                    del model[k]
+        elif op == "update_null_residual":
+            lo = rng.randrange(1, 340)
+            hi = lo + rng.randrange(0, 30)
+            t = rng.randrange(0, 40000)
+            astro.sql(
+                f"UPDATE {name} SET v = NULL "
+                f"WHERE k BETWEEN {lo} AND {hi} AND n < {t}"
+            )
+            for k in list(model):
+                if lo <= k <= hi and model[k][1] < t:
+                    model[k] = (None, model[k][1])
         elif op == "update_null":
             k = rng.randrange(1, 351)
             astro.sql(f"UPDATE {name} SET v = NULL WHERE k = {k}")

@@ -171,12 +171,14 @@ def test_full_generation_overlay_still_prunes_by_island(astro, tmp_path):
     assert (r.v, r.n) == ("bv1", 11)  # untouched islands still resolve newest
 
 
-def test_single_island_table_keyonly_prunes_residual_falls_back(astro, tmp_path):
+def test_single_island_table_keyonly_and_residual_both_prune(astro, tmp_path):
     """With regions=1 every generation overlaps everything → one island.
     r8: a KEY-ONLY delete still prunes (per-fragment purge needs no
     closure — the upsert fragment's envelope excludes the key, so only
-    the base file rewrites); a RESIDUAL delete's closure == table and
-    the full rewrite runs, still exact."""
+    the base file rewrites); a RESIDUAL delete's island closure == table,
+    but the resolved-key-set plan prunes on the sargable key part and
+    purges only the intersecting file (r8 follow-on — this used to be a
+    full rewrite)."""
     _load(astro, tmp_path, name="w1", n=50, regions=1)
     astro.sql("INSERT INTO w1 VALUES (25, 'x25', 0)")
     rel = astro.relation("w1")
@@ -187,13 +189,20 @@ def test_single_island_table_keyonly_prunes_residual_falls_back(astro, tmp_path)
     assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 49
     r = astro.sql("SELECT v FROM w1 WHERE k = 25").collect()[0]
     assert r.v == "x25"
-    # residual predicate → island closure == whole table → full rewrite
+    # residual predicate: closure == whole table, but the key part (k=11)
+    # prunes the upsert fragment → resolved-key-set purge of the base file
     astro.sql("DELETE FROM w1 WHERE k = 11 AND v = 'v11'")
     stats = astro.last_write_stats
-    assert stats["files_rewritten"] == stats["files_total"]
+    assert stats["files_total"] == 2 and stats["files_rewritten"] == 1
     assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 48
+    # the untouched upsert fragment still resolves newest-wins
     r = astro.sql("SELECT v FROM w1 WHERE k = 25").collect()[0]
     assert r.v == "x25"
+    # a TRULY unprunable residual (no sargable key part) = full rewrite
+    astro.sql("DELETE FROM w1 WHERE v = 'v12'")
+    stats = astro.last_write_stats
+    assert stats["files_rewritten"] == stats["files_total"]
+    assert astro.sql("SELECT count(*) AS c FROM w1").collect()[0].c == 47
 
 
 def test_zorder_delete_pruned_lifecycle(spark, astro):
@@ -333,6 +342,125 @@ def test_zorder_multigeneration_keyonly_delete_prunes(spark, astro):
     r = astro.sql("SELECT v FROM zm WHERE k1 = 7 AND k2 = 1").collect()[0]
     assert r.v == 777.0
     assert astro.sql("SELECT count(*) AS c FROM zm").collect()[0].c == 3999
+
+
+def test_zorder_multigen_residual_delete_resolved_keyset(spark, astro):
+    """r8 follow-on: multi-generation z-order + RESIDUAL predicate — the
+    one write state that still paid a full rewrite.  The z path declines
+    (appends interleave with z-files in key space) and the rowkey-island
+    closure degenerates (z-file envelopes chain into one island), but
+    the resolved-key-set plan applies: dim boxes prune the hit set, the
+    matched rowkeys are computed from the resolved hit fragments, and
+    only those fragments are purged — the rest stay inode-identical."""
+    astro.sql(
+        "CREATE TABLE zr (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        "MAPPED BY (zr_ht, COLS=[v=f.v]) OPTIONS(regions=16, layout=zorder)"
+    )
+    rel = astro.relation("zr")
+    df = spark.range(20_000).selectExpr(
+        "CAST(pmod(id * 77, 200) AS INT) k1",
+        "CAST(floor(id / 200) AS INT) k2",
+        "CAST(id AS DOUBLE) v",
+    )
+    rel.write(df)
+    rel.register_view("zr")
+    thr = 60  # dim-box-prunable leading-dim bound (k1 spans 0..199)
+
+    # gen-1 append LOCALIZED inside the band (one upsert of an existing
+    # key + one brand-new key) — realistic ingest locality
+    astro.sql(f"INSERT INTO zr VALUES ({thr}, 5, 111.0)")
+    astro.sql(f"INSERT INTO zr VALUES ({thr}, 9999, 222.0)")
+    rel = astro.relation("zr")
+    assert len({r.seq for r in rel.meta.regions}) >= 2  # multi-generation
+    pre_max = rel.current_seq()
+    n_frag = len(rel.meta.regions)
+    before = _file_idents(astro, rel)
+    n_before = astro.sql("SELECT count(*) AS c FROM zr").collect()[0].c
+    gone = astro.sql(
+        f"SELECT count(*) AS c FROM zr WHERE k1 <= {thr} AND v < 5000"
+    ).collect()[0].c
+    assert gone > 0
+
+    # RESIDUAL predicate (v is not a key): key-only purge refuses, the
+    # z path refuses (multi-gen), islands collapse — the resolved-key-set
+    # plan must catch it
+    import time
+
+    t_del = time.time() - 1  # stamp clock granularity slack
+    astro.sql(f"DELETE FROM zr WHERE k1 <= {thr} AND v < 5000")
+    stats = astro.last_write_stats
+    assert stats["files_total"] == n_frag
+    assert 1 <= stats["files_rewritten"] < n_frag  # never the whole table
+
+    rel = astro.relation("zr")
+    after = _file_idents(astro, rel)
+    kept = set(before) & set(after)
+    assert len(kept) == n_frag - stats["files_rewritten"]
+    for f in kept:
+        assert before[f] == after[f]
+
+    # data exact: deleted rows gone, everything else intact — INCLUDING
+    # merge-on-read resolution of any gen-1 keys that survived
+    assert astro.sql("SELECT count(*) AS c FROM zr").collect()[0].c == n_before - gone
+    assert astro.sql(
+        f"SELECT count(*) AS c FROM zr WHERE k1 <= {thr} AND v < 5000"
+    ).collect()[0].c == 0
+    # the gen-1 rows (111.0 and 222.0, both < 5000 after resolution) are
+    # gone — the upserted key entirely, in every version
+    got = astro.sql(
+        f"SELECT k1, k2, v FROM zr WHERE k1 = {thr} AND k2 IN (5, 9999)"
+    ).collect()
+    assert got == []
+
+    # history folded: pre-rewrite stamps cleared and re-stamped at
+    # rewrite time (pre-delete timestamps must refuse, not silently
+    # serve post-delete data), floor at pre-max gen
+    assert all(ts >= t_del for ts in rel.meta.generation_times.values())
+    assert rel.meta.history_floor == pre_max
+    # dim-box pruning still sound on the purged state
+    got2 = sorted(
+        (r.k1, r.k2)
+        for r in rel.scan_where(f"k1 > {thr} AND k2 BETWEEN 40 AND 60")[0].collect()
+    )
+    want2 = sorted(
+        (r.k1, r.k2)
+        for r in rel.scan().where(f"k1 > {thr} AND k2 BETWEEN 40 AND 60").collect()
+    )
+    assert got2 == want2 and got2
+
+    # a second residual DELETE in a different band still prunes
+    astro.sql(f"DELETE FROM zr WHERE k1 > 150 AND v < 3000")
+    s2 = astro.last_write_stats
+    assert s2["files_rewritten"] < s2["files_total"]
+    assert astro.sql(
+        "SELECT count(*) AS c FROM zr WHERE k1 > 150 AND v < 3000"
+    ).collect()[0].c == 0
+
+
+def test_single_island_residual_literal_update_keyset(astro, tmp_path):
+    """Resolved-key-set UPDATE: a literal SET with a residual predicate
+    on a fully-overlapping (regions=1 + upsert) table updates every
+    version of the matched keys per-fragment instead of rewriting the
+    whole table."""
+    _load(astro, tmp_path, name="uk", n=50, regions=1)  # one island
+    astro.sql("INSERT INTO uk VALUES (25, 'x25', 0)")
+    rel = astro.relation("uk")
+    assert rel.needs_merge()
+    before = _file_idents(astro, rel)
+    # residual (v referenced), all-literal SET: keyset path
+    astro.sql("UPDATE uk SET n = 777, v = NULL WHERE k <= 12 AND v = 'v11'")
+    stats = astro.last_write_stats
+    assert stats is not None and 1 <= stats["files_rewritten"] < stats["files_total"]
+    after = _file_idents(astro, astro.relation("uk"))
+    for f in set(before) & set(after):
+        assert before[f] == after[f]
+    r = astro.sql("SELECT v, n FROM uk WHERE k = 11").collect()[0]
+    assert (r.v, r.n) == (None, 777)  # NULL beat every version
+    # non-matching rows untouched, merge-on-read resolution intact
+    r = astro.sql("SELECT v, n FROM uk WHERE k = 12").collect()[0]
+    assert (r.v, r.n) == ("v12", 120)
+    r = astro.sql("SELECT v, n FROM uk WHERE k = 25").collect()[0]
+    assert (r.v, r.n) == ("x25", 0)
 
 
 def test_keyonly_purge_after_alter_add(astro, tmp_path):
