@@ -121,9 +121,12 @@ class TableMeta:
     # metadata behind `TIMESTAMP AS OF` (r7 verdict #6): resolve t to the
     # newest generation with commit time <= t.  Keys are str(seq) (JSON
     # object keys).  Stamped in update_regions when a generation first
-    # appears (a sibling writer's append is stamped at discovery — the
-    # same freshness envelope as the region cache itself); full rewrites
-    # clear the map so the folded gen-0 re-stamps at rewrite time.
+    # appears, from the generation's file MTIMES (the physical commit
+    # time — exact for the writing session, honest for a sibling
+    # writer's append discovered later, and the legacy-table backfill);
+    # history-folding rewrites (OVERWRITE/COMPACT/resolved UPDATE-MERGE)
+    # re-stamp everything at rewrite time, while resolved DELETEs retain
+    # surviving stamps (retroactive-purge view above the floor).
     generation_times: dict = field(default_factory=dict)
 
     @property
@@ -158,6 +161,16 @@ class TableMeta:
             if c.name == name:
                 return c.dtype
         raise KeyError(name)
+
+
+def _strip_file_uri(p: str) -> str:
+    """Region paths are recorded as file: URIs by input_file_name();
+    local fs ops need plain paths (twin of relation._local_path)."""
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
 
 
 def _json_key_value(v, dtype: str):
@@ -334,17 +347,46 @@ class AstroCatalog:
             raise ValueError(f"column {col_name} not found")
         self._write(meta)
 
-    def update_regions(self, meta: TableMeta, regions: list[RegionFile]) -> None:
+    def update_regions(
+        self, meta: TableMeta, regions: list[RegionFile], restamp: str = "keep"
+    ) -> None:
         meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
-        # per-generation commit times (TIMESTAMP AS OF): stamp generations
-        # first seen now, keep existing stamps, drop generations no longer
-        # present (compaction folded them) — O(#generations) metadata
+        # per-generation commit times (TIMESTAMP AS OF), O(#generations +
+        # #files) metadata.  ``restamp``:
+        # - "keep": retain existing stamps, drop generations no longer
+        #   present (compaction folded them), and stamp UNSEEN generations
+        #   from their files' max MTIME — the physical commit time.  Exact
+        #   for the writing session (the files were just closed) and the
+        #   honest estimate for a sibling writer's append discovered later
+        #   (ADVICE r8: a discovery-time stamp let TIMESTAMP AS OF resolve
+        #   a commit↔discovery-window timestamp to the OLDER generation).
+        #   Also what backfills legacy pre-r8 tables from file mtimes.
+        # - "now": discard all stamps and stamp every present generation
+        #   at the current time — the history-folding rewrites
+        #   (OVERWRITE / COMPACT / resolved UPDATE/MERGE), where any
+        #   pre-rewrite timestamp must refuse rather than silently serve
+        #   post-rewrite data.
         now = time.time()
         present = {str(r.seq) for r in meta.regions}
-        gt = {s: t for s, t in meta.generation_times.items() if s in present}
-        for s in present:
-            gt.setdefault(s, now)
-        meta.generation_times = gt
+        if restamp == "now":
+            meta.generation_times = {s: now for s in present}
+        else:
+            gt = {s: t for s, t in meta.generation_times.items() if s in present}
+            for s in present - set(gt):
+                mts = []
+                for r in meta.regions:
+                    if str(r.seq) == s:
+                        try:
+                            mts.append(os.path.getmtime(_strip_file_uri(r.path)))
+                        except OSError:
+                            pass
+                gt[s] = max(mts, default=now)
+            meta.generation_times = gt
+        self._write(meta)
+
+    def persist(self, meta: TableMeta) -> None:
+        """Durably record an in-memory metadata mutation (floor/stamps
+        adjusted after an update_regions pass recomputed region seqs)."""
         self._write(meta)
 
     def _write(self, meta: TableMeta) -> None:

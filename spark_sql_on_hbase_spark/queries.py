@@ -145,6 +145,8 @@ TAIL_ORDER = [
     # r8: REAL BMP encode→decode round trip; values grade in-window
     # through multimodal_suite's 'bmp' branch
     "multimodal_bmp_decode",
+    # r9: full values grade in-window through the suite's 'png' branch
+    "multimodal_png_decode",
     # r8: RAG/pretraining token chunking; values grade in-window through
     # corpus_ops_suite's 'chunk' branch
     "text_chunking",
@@ -188,6 +190,18 @@ def _collect() -> dict[str, Q]:
     placed = set(GRADED_ORDER) | set(TAIL_ORDER) | COLLAPSED | SUPERSEDED
     extra = set(pool) - placed
     assert not extra, f"queries not placed in GRADED_ORDER/TAIL_ORDER: {sorted(extra)}"
+    # hard window-composition check (VERDICT r8 #8): the driver grades
+    # the first ~50 registry rows, and the composition contract is
+    # GRADED_ORDER (≤49) + the tail's novel-oracle head inside that
+    # window — one reshuffle away from silently dropping an oracle row,
+    # so pin the count, not just the placement
+    assert len(GRADED_ORDER) <= 49, (
+        f"GRADED_ORDER has {len(GRADED_ORDER)} rows — the 50-row driver "
+        "window must keep room for the tail head (streaming_sessionize)"
+    )
+    assert TAIL_ORDER[0] == "streaming_sessionize", TAIL_ORDER[0]
+    assert len(set(GRADED_ORDER)) == len(GRADED_ORDER), "dup in GRADED_ORDER"
+    assert len(set(TAIL_ORDER)) == len(TAIL_ORDER), "dup in TAIL_ORDER"
     out: dict[str, Q] = {}
     for name in GRADED_ORDER + TAIL_ORDER:
         out[name] = pool[name]

@@ -1285,6 +1285,58 @@ PIPELINE["multimodal_bmp_decode"] = Q(
 )
 
 
+def _multimodal_png(spark: SparkSession, sf: str) -> DataFrame:
+    """r9 (VERDICT r8 #5): REAL PNG decode — stdlib zlib + numpy, no PIL:
+    document bytes → real 8-bit RGB PNGs (filter-0 scanlines, so payload
+    → pixels is the identity the oracle can recompute) → chunk-walking
+    DEFLATE-inflating decoder that reverses all five scanline filters →
+    the same exact integer pixel statistics the BMP path grades.  PNG
+    stores RGB where BMP stores BGR, so the per-channel sums SWAP
+    relative to the BMP oracle — a decoder that confuses channel order
+    hash-mismatches immediately."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        attach_binary_column,
+        encode_png_column,
+        image_pixel_stats,
+    )
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 200).select("doc_id", "text"),
+        "text",
+        "blob",
+    )
+    png = encode_png_column(df.select("doc_id", "blob"), width=16).select(
+        "doc_id", "png"
+    )
+    return image_pixel_stats(png, "png").select(
+        "doc_id", "width", "height", "sum_b", "sum_g", "sum_r", "px_weighted"
+    )
+
+
+# PNG pixel j is payload bytes (R,G,B) = (3j, 3j+1, 3j+2) and the decoder
+# reports BGR-uniform stats, so vs the BMP oracle the channel ranges swap
+# and the weighted checksum's channel factor becomes (3 - i%3).
+_PNG_ORACLE_BODY = f"""
+    SELECT doc_id,
+           {_BMP_NULLG.format(expr="16")} AS width,
+           {_BMP_NULLG.format(expr="CAST(greatest((octet_length(encode(text)) + 47) // 48, 1) AS INT)")} AS height,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(2, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0)")} AS BIGINT) AS sum_b,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(1, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0)")} AS BIGINT) AS sum_g,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(0, octet_length(encode(text)), 3), i -> {_BMP_BYTE})), 0)")} AS BIGINT) AS sum_r,
+           CAST({_BMP_NULLG.format(expr=f"coalesce(list_sum(list_transform(range(0, octet_length(encode(text))), i -> (i // 3 + 1) * (3 - i % 3) * {_BMP_BYTE})), 0)")} AS BIGINT) AS px_weighted
+    FROM documents WHERE doc_id < 200
+"""
+
+PIPELINE["multimodal_png_decode"] = Q(
+    spark=_multimodal_png,
+    oracle=_PNG_ORACLE_BODY,
+    doc="REAL PNG encode/decode round trip (stdlib zlib + numpy; IHDR/IDAT "
+    "chunk walk, all five scanline filters reversed) graded on exact pixel "
+    "statistics; channel sums swap vs BMP (RGB vs BGR storage)",
+)
+
+
 def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Window-budget collapse of the multimodal rows (frame-sample /
     resize / feature-extract / r8 real-BMP decode) into one checksummed
@@ -1322,7 +1374,14 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
         + F.col("px_weighted") * 17,
     )
-    return fr.unionAll(rz).unionAll(fe).unionAll(bmp)
+    png = _probe_agg(
+        "png",
+        _multimodal_png(spark, sf),
+        F.col("doc_id") * 1 + F.col("width") * 3 + F.col("height") * 5
+        + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
+        + F.col("px_weighted") * 17,
+    )
+    return fr.unionAll(rz).unionAll(fe).unionAll(bmp).unionAll(png)
 
 
 PIPELINE["multimodal_suite"] = Q(
@@ -1330,6 +1389,9 @@ PIPELINE["multimodal_suite"] = Q(
     oracle=f"""
     WITH bmp AS (
       {_BMP_ORACLE_BODY}
+    ),
+    png AS (
+      {_PNG_ORACLE_BODY}
     ),
     fr AS (
       SELECT doc_id,
@@ -1376,6 +1438,11 @@ PIPELINE["multimodal_suite"] = Q(
            CAST(sum(doc_id * 1 + width * 3 + height * 5 + sum_b * 7
                     + sum_g * 11 + sum_r * 13 + px_weighted * 17) AS BIGINT) AS chk
     FROM bmp
+    UNION ALL
+    SELECT 'png' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + width * 3 + height * 5 + sum_b * 7
+                    + sum_g * 11 + sum_r * 13 + px_weighted * 17) AS BIGINT) AS chk
+    FROM png
     """,
     doc="multimodal plumbing suite: frame-sample explode, mapInPandas resize "
     "byte-contract (len_ok must hold on the actual binary column — a False "
@@ -2306,8 +2373,19 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf)["documents"]
+    # the persisted frame must outlive this function (the returned union
+    # is lazy — the caller materializes it), so it cannot be unpersisted
+    # here; instead each call releases the PREVIOUS call's frame, capping
+    # the session-lifetime cache at one small frame (ADVICE r8: callers
+    # without a clearCache() discipline leaked one frame per call)
+    while _TOS_SPANS_CACHE:
+        try:
+            _TOS_SPANS_CACHE.pop().unpersist()
+        except Exception:
+            pass
     spans_df = duplicated_spans(docs, k=8, min_docs=2).persist()
     spans_df.count()
+    _TOS_SPANS_CACHE.append(spans_df)
     spans = _probe_agg(
         "dupspans",
         spans_df,
@@ -2324,6 +2402,10 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         boiler.unionAll(perp).unionAll(trunc).unionAll(stats)
         .unionAll(leak).unionAll(fing).unionAll(spans).unionAll(strip)
     )
+
+
+# at most one persisted shared-spans frame per session (see _text_ops_suite)
+_TOS_SPANS_CACHE: list = []
 
 
 def _tos_wrap(tag: str, body: str, chk: str) -> str:

@@ -280,10 +280,13 @@ class AstroRelation:
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
         n = max(1, meta.num_regions)
-        if mode == "overwrite":
-            # replaced content: the folded gen 0 must re-stamp as now,
-            # not inherit the pre-overwrite commit time (TIMESTAMP AS OF)
-            meta.generation_times = {}
+        # replaced content: the folded gen 0 re-stamps AT REFRESH TIME
+        # (restamp="now"), not by inheriting the pre-overwrite commit
+        # time — and only after the write job has SUCCEEDED (ADVICE r8:
+        # clearing the in-memory stamps up front meant a failed write
+        # left the cached meta with empty stamps, and the next
+        # update_regions silently shifted TIMESTAMP AS OF boundaries)
+        restamp = "now" if mode == "overwrite" else "keep"
         if zorder is None:
             zorder = bool(meta.zorder) and not align_prefix
         assert not (zorder and align_prefix), "zorder and align= are exclusive layouts"
@@ -308,7 +311,7 @@ class AstroRelation:
             meta.layout = "zorder"
             meta.align_prefix = 0
             if refresh:
-                self._refresh_region_bounds()
+                self._refresh_region_bounds(restamp=restamp)
             return
         if align_prefix:
             part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
@@ -341,7 +344,7 @@ class AstroRelation:
             ).parquet(out_dir)
             meta.layout = "range"
         if refresh:
-            self._refresh_region_bounds()
+            self._refresh_region_bounds(restamp=restamp)
 
     def ensure_spark_table(self) -> str:
         """Re-register the bucketed table in a fresh session from catalog
@@ -474,8 +477,10 @@ class AstroRelation:
             # re-point the session-catalog table at the final location
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
         meta.history_floor = 0  # everything rebuilt at generation 0
-        meta.generation_times = {}  # folded history: gen 0 re-stamps as now
-        self._refresh_region_bounds()
+        # folded history: gen 0 re-stamps at rewrite time (restamp="now",
+        # applied only HERE — after the swap succeeded; see ADVICE r8 on
+        # clearing stamps before an uncommitted write)
+        self._refresh_region_bounds(restamp="now")
 
     @staticmethod
     def _local_path(p: str) -> str:
@@ -510,7 +515,9 @@ class AstroRelation:
             islands.append(cur)
         return islands
 
-    def rewrite_pruned(self, prune_where, survivors_of) -> dict | None:
+    def rewrite_pruned(
+        self, prune_where, survivors_of, preserve_stamps: bool = False
+    ) -> dict | None:
         """Region-pruned partial rewrite — DELETE / MERGE-matched-DELETE /
         NULL-assigning UPDATE without touching non-intersecting regions
         (VERDICT r6 #1: a key-pruned `DELETE WHERE k = 42` must not become
@@ -559,7 +566,7 @@ class AstroRelation:
         except ValueError:
             return None  # non-sargable → full path
         if meta.layout == "zorder":
-            z = self._rewrite_pruned_zorder(res, survivors_of)
+            z = self._rewrite_pruned_zorder(res, survivors_of, preserve_stamps)
             if z is not None:
                 return z
             # multi-generation / pending-upsert z-order (the z path's
@@ -638,16 +645,24 @@ class AstroRelation:
         # pre-max floor would exceed every surviving seq and ALL
         # versioned reads would refuse until COMPACT (r8 review #2).
         meta.history_floor = max([r.seq for r in keep], default=0)
-        # timestamp history folds with the rewrite: pre-rewrite commit
-        # stamps must not resolve (they would silently serve POST-delete
-        # data for a pre-delete timestamp — r8 review); clearing the map
-        # re-stamps every surviving generation at rewrite time, so
-        # earlier timestamps refuse exactly like the full-rewrite path
-        meta.generation_times = {}
+        # timestamp semantics after the fold (r9, VERDICT r8 #3):
+        # - DELETE (preserve_stamps=True): surviving generations KEEP
+        #   their original commit stamps — a timestamp at/after the
+        #   floor generation's commit resolves to the purged present
+        #   (the same retroactive view the key-only purge serves), and a
+        #   timestamp mapping below the floor refuses via the floor
+        #   guard.  Sound because a DELETE only removes rows: the floor
+        #   snapshot IS the old floor snapshot minus deleted keys.
+        # - UPDATE/MERGE (False): values were rewritten, so every
+        #   pre-rewrite timestamp must refuse rather than silently serve
+        #   post-update data (r8 review) — re-stamp everything at
+        #   rewrite time.
+        restamp = "keep" if preserve_stamps else "now"
+        stats["history"] = "folded-purge" if preserve_stamps else "folded"
         if new_files:
-            self._refresh_region_bounds(only=new_files)
+            self._refresh_region_bounds(only=new_files, restamp=restamp)
         else:
-            self.catalog.update_regions(meta, keep)
+            self.catalog.update_regions(meta, keep, restamp=restamp)
         return stats
 
     def delete_rows_keyonly(self, where: str) -> dict | None:
@@ -757,7 +772,14 @@ class AstroRelation:
         except ValueError:
             return None
         hit = sorted(res.files, key=lambda r: r.path)
-        stats = {"files_total": res.total, "files_rewritten": len(hit)}
+        # "purged": retroactive per-fragment purge — every snapshot and
+        # commit stamp stays readable, minus the affected keys (ADVICE
+        # r8: surface which history semantics the chosen plan has)
+        stats = {
+            "files_total": res.total,
+            "files_rewritten": len(hit),
+            "history": "purged",
+        }
         if not hit:
             return stats
         hit_paths = {f.path for f in hit}
@@ -822,8 +844,12 @@ class AstroRelation:
 
         Like the resolved island path — and unlike the key-only purge —
         this FOLDS history: the deleted keys were chosen by the current
-        resolved state, so pre-rewrite snapshots/stamps must not resolve
-        afterwards (exactly one snapshot stays readable: the present).
+        resolved state, so exactly one snapshot stays readable (the
+        present, as_of ≥ the floor).  Being a DELETE, surviving commit
+        stamps are RETAINED (r9): a timestamp at/after the floor
+        generation's commit resolves to the purged present — the same
+        retroactive view the key-only purge serves — while older
+        timestamps refuse via the floor guard.
 
         Cost: two reads of the hit fragments (resolve + purge) and one
         key-set join, instead of one read+write of the ENTIRE table.
@@ -831,7 +857,9 @@ class AstroRelation:
         rewrite is then the better plan) or the predicate/alias shape
         cannot be evaluated directly."""
         return self._rewrite_fragments_keyset(
-            where, lambda raw, dkeys: raw.join(dkeys, on=ROWKEY_COL, how="left_anti")
+            where,
+            lambda raw, dkeys: raw.join(dkeys, on=ROWKEY_COL, how="left_anti"),
+            preserve_stamps=True,
         )
 
     def update_rows_keyset(self, where: str, set_literals: dict[str, str]) -> dict | None:
@@ -872,7 +900,9 @@ class AstroRelation:
 
         return self._rewrite_fragments_keyset(where, transform)
 
-    def _rewrite_fragments_keyset(self, where: str, transform) -> dict | None:
+    def _rewrite_fragments_keyset(
+        self, where: str, transform, preserve_stamps: bool = False
+    ) -> dict | None:
         """Shared engine of the resolved-key-set rewrites:
         ``transform(raw, dkeys)`` maps the raw physical rows of the hit
         fragments (with a ``__src`` source-file column) plus the matched
@@ -942,12 +972,30 @@ class AstroRelation:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
             meta.layout = "range"
         meta.regions = keep
+        # interim floor (guards concurrent readers between the swap and
+        # the refresh below); the final floor is recomputed after the
+        # refresh from the generations that actually SURVIVED
         meta.history_floor = pre_max
-        meta.generation_times = {}
+        # DELETE keeps surviving stamps (retroactive purge view above the
+        # floor — rows keep their generation numbers here, so the floor
+        # snapshot is exactly the old one minus purged keys); UPDATE
+        # re-stamps at rewrite time (see rewrite_pruned)
+        restamp = "keep" if preserve_stamps else "now"
+        stats["history"] = "folded-purge" if preserve_stamps else "folded"
         if new_files:
-            self._refresh_region_bounds(only=new_files)
+            self._refresh_region_bounds(only=new_files, restamp=restamp)
         else:
-            self.catalog.update_regions(meta, keep)
+            self.catalog.update_regions(meta, keep, restamp=restamp)
+        # floor = max SURVIVING generation (r9; the r8-review-#2 rule,
+        # previously applied only to the island path): when the purge
+        # removed every row of the newest generations, a pre-max floor
+        # would exceed every surviving seq — and the vanished floor
+        # generation's stamp is dropped by update_regions — so ALL
+        # versioned reads would refuse until COMPACT.  Timestamps in the
+        # vanished generations' window then resolve to the surviving
+        # floor, i.e. the purged present — exactly the retroactive view.
+        meta.history_floor = max((r.seq for r in meta.regions), default=0)
+        self.catalog.persist(meta)
         return stats
 
     def _swap_in_survivors(
@@ -999,7 +1047,9 @@ class AstroRelation:
         shutil.rmtree(old_dir, ignore_errors=True)
         return new_files
 
-    def _rewrite_pruned_zorder(self, res, survivors_of) -> dict | None:
+    def _rewrite_pruned_zorder(
+        self, res, survivors_of, preserve_stamps: bool = False
+    ) -> dict | None:
         """Partial rewrite for z-order layouts (VERDICT r7 #2).  Z-files
         overlap in ROWKEY space by design but partition the z-value space
         disjointly (written via ``repartitionByRange(__z)``), and a single
@@ -1064,11 +1114,14 @@ class AstroRelation:
         # same post-rewrite-max floor rule as rewrite_pruned (all files
         # share one generation here, so this is just that generation)
         meta.history_floor = max([r.seq for r in keep], default=0)
-        meta.generation_times = {}  # fold timestamp history (see rewrite_pruned)
+        # fold timestamp history — DELETE keeps surviving stamps for the
+        # retroactive view above the floor (see rewrite_pruned)
+        restamp = "keep" if preserve_stamps else "now"
+        stats["history"] = "folded-purge" if preserve_stamps else "folded"
         if new_files:
-            self._refresh_region_bounds(only=new_files)
+            self._refresh_region_bounds(only=new_files, restamp=restamp)
         else:
-            self.catalog.update_regions(meta, keep)
+            self.catalog.update_regions(meta, keep, restamp=restamp)
         return stats
 
     def _file_schema(self) -> T.StructType:
@@ -1108,6 +1161,13 @@ class AstroRelation:
         on_disk = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
         known = {os.path.basename(r.path) for r in self.meta.regions}
         if on_disk == known:
+            if self.meta.regions and not self.meta.generation_times:
+                # legacy table written before commit stamping existed:
+                # backfill generation_times from file mtimes ONCE (r9,
+                # VERDICT r8 #3) so TIMESTAMP AS OF works without
+                # requiring a write first — update_regions stamps every
+                # unseen generation from its files' max mtime
+                self.catalog.update_regions(self.meta, self.meta.regions)
             return
         new = on_disk - known
         gone = known - on_disk
@@ -1124,7 +1184,9 @@ class AstroRelation:
                 only=[os.path.join(out_dir, f) for f in sorted(new)]
             )
 
-    def _refresh_region_bounds(self, only: list[str] | None = None) -> None:
+    def _refresh_region_bounds(
+        self, only: list[str] | None = None, restamp: str = "keep"
+    ) -> None:
         """One aggregate job → per-file (min,max) key bounds + generation
         + distinct-key count into catalog.  All stats ride the same
         map-side-combinable pass: O(#files) driver memory, never rows.
@@ -1197,7 +1259,7 @@ class AstroRelation:
             regions += [
                 r for r in meta.regions if os.path.basename(r.path) not in statted
             ]
-        self.catalog.update_regions(meta, regions)
+        self.catalog.update_regions(meta, regions, restamp=restamp)
 
     # -- upsert resolution ---------------------------------------------------
     def needs_merge(self) -> bool:

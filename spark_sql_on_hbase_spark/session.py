@@ -230,6 +230,21 @@ class AstroSession:
                     ),
                     "TIMESTAMP AS OF resolves to newest generation <= t (UTC)",
                 ),
+                (
+                    "history_floor",
+                    str(meta.history_floor),
+                    "versioned reads refuse below this generation",
+                ),
+                (
+                    "delete_history_semantics",
+                    "key-only WHERE: purged (all snapshots/stamps stay "
+                    "readable minus the keys); residual WHERE: folded-purge "
+                    "(floor raised; timestamps since the floor generation "
+                    "resolve to the purged present, older ones refuse); "
+                    "UPDATE/MERGE rewrites: folded (floor raised, all "
+                    "stamps reset at rewrite time)",
+                    "per-statement plan reported in last_write_stats.history",
+                ),
             ]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
 
@@ -461,7 +476,7 @@ class AstroSession:
             df = self.spark.sql(f"SELECT {', '.join(case_proj)} FROM {c.table}")
             rel.overwrite(df.select(*[df[n].cast(schema[n].dataType) for n in cols]))
             n = len(rel.meta.regions)
-            stats = {"files_total": n, "files_rewritten": n}
+            stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
         self.last_write_stats = stats
         rel.register_view()
         return self._ok(f"updated {c.table}")
@@ -494,6 +509,7 @@ class AstroSession:
             stats = rel.rewrite_pruned(
                 c.where,
                 lambda df: df.filter(F.expr(f"NOT coalesce(({c.where}), false)")),
+                preserve_stamps=True,  # DELETE: retroactive view above floor
             )
         if c.where and stats is None:
             # island closure degenerated (multi-gen z-order, fully
@@ -510,7 +526,7 @@ class AstroSession:
             )
             n = len(rel.meta.regions)
             rel.overwrite(survivors)
-            stats = {"files_total": n, "files_rewritten": n}
+            stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
         self.last_write_stats = stats
         rel.register_view()
         return self._ok(f"deleted from {c.table}")

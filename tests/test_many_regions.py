@@ -74,6 +74,7 @@ def test_pruned_delete_rewrites_one_file_of_131(astro131):
     assert astro131.last_write_stats == {
         "files_total": N_REGIONS,
         "files_rewritten": 1,
+        "history": "purged",
     }
     assert astro131.sql("SELECT count(*) AS c FROM big").collect()[0].c == N_KEYS - 1
     assert not astro131.relation("big").needs_merge()

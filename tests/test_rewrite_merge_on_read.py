@@ -412,11 +412,24 @@ def test_zorder_multigen_residual_delete_resolved_keyset(spark, astro):
     ).collect()
     assert got == []
 
-    # history folded: pre-rewrite stamps cleared and re-stamped at
-    # rewrite time (pre-delete timestamps must refuse, not silently
-    # serve post-delete data), floor at pre-max gen
-    assert all(ts >= t_del for ts in rel.meta.generation_times.values())
-    assert rel.meta.history_floor == pre_max
+    # history folded with RETAINED stamps (r9): DELETE only removes
+    # rows, so surviving generations keep their original commit times —
+    # a pre-delete timestamp at/after the floor generation's commit
+    # resolves to the PURGED present (never the deleted rows), and the
+    # floor guard refuses anything older
+    assert stats["history"] == "folded-purge"
+    # floor = max SURVIVING generation (the purge deleted the upserted
+    # keys' every version, so newer generations may vanish entirely —
+    # a pre-max floor would brick all versioned reads, r8 review #2)
+    surviving_max = max(r.seq for r in rel.meta.regions)
+    assert rel.meta.history_floor == surviving_max <= pre_max
+    # a timestamp just after the newest surviving commit — i.e. still
+    # BEFORE the delete — resolves to the floor generation
+    n_asof = rel.seq_for_timestamp(max(rel.meta.generation_times.values()) + 1e-3)
+    assert n_asof == surviving_max
+    snap = rel.scan(as_of_seq=n_asof)
+    assert snap.count() == n_before - gone
+    assert snap.filter(f"k1 <= {thr} AND v < 5000").count() == 0
     # dim-box pruning still sound on the purged state
     got2 = sorted(
         (r.k1, r.k2)

@@ -254,6 +254,38 @@ def test_float_repr_matches_spark_cast(spark):
     assert fgot == ["0.5", "2.25", "123.5"]
 
 
+def test_float_repr_matches_spark_cast_random_bits(spark):
+    """ADVICE r8: the pushdown's superset soundness rests on digit
+    identity between python repr() and the JVM's Double.toString, but
+    JDKs < 19 use legacy FloatingDecimal, which is not FORMALLY
+    shortest-repr.  Sweep 50k seeded random in-regime bit patterns
+    through the LIVE SparkSession so a JDK where the two diverge fails
+    loudly here instead of silently dropping rows at scan time."""
+    import random
+    import struct
+
+    rng = random.Random(0xA57802)
+    vals = []
+    # (a) log-uniform magnitudes across the whole plain regime
+    import math
+
+    while len(vals) < 25_000:
+        x = 10.0 ** rng.uniform(-3, 7)
+        if 1e-3 <= x < 1e7:
+            vals.append(x if rng.random() < 0.5 else -x)
+    # (b) raw random mantissa/exponent bit patterns, filtered to regime —
+    # exercises reprs the log-uniform draw never hits (subnormal-dense
+    # mantissas, trailing-zero patterns)
+    while len(vals) < 50_000:
+        (x,) = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))
+        if x == x and 1e-3 <= abs(x) < 1e7:
+            vals.append(x)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.s for r in df.selectExpr("CAST(x AS STRING) AS s").collect()]
+    bad = [(v, g) for v, g in zip(vals, got) if g != repr(v)]
+    assert not bad, f"{len(bad)} repr divergences, first: {bad[:3]}"
+
+
 def test_float_range_rows_exact_e2e(astro):
     """End-to-end over real stringformat storage: the pushed float range
     reaches the plan and the typed re-filter keeps rows exact."""

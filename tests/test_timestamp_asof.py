@@ -108,13 +108,14 @@ def test_describe_extended_lists_generation_times(astro):
     assert "TIMESTAMP AS OF" in comment
 
 
-def test_resolved_rewrite_folds_timestamp_history(astro, tmp_path):
-    """A RESOLVED pruned rewrite (residual predicate) folds timestamp
-    history exactly like a full rewrite: pre-rewrite timestamps refuse
-    ('no generation') instead of silently serving post-delete data (r8
-    review — the floor guard alone misses the generation AT the floor,
-    whose stamp predates the rewrite), and post-rewrite timestamps
-    resolve to the current state."""
+def test_resolved_delete_retains_stamps_above_floor(astro, tmp_path):
+    """r9 (VERDICT r8 #3): a RESOLVED pruned DELETE raises the floor but
+    RETAINS surviving commit stamps — sound because a DELETE only
+    removes rows, so the floor snapshot is the old floor snapshot minus
+    the deleted keys (the same retroactive view the key-only purge
+    serves).  Timestamps at/after the floor generation's commit resolve
+    to the purged present; timestamps mapping below the floor refuse via
+    the floor guard instead of history vanishing wholesale."""
     csv = tmp_path / "tp.csv"
     csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
     astro.sql(
@@ -123,24 +124,34 @@ def test_resolved_rewrite_folds_timestamp_history(astro, tmp_path):
     )
     astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE tp")
     t_g0 = time.time()
-    time.sleep(0.02)
+    time.sleep(0.05)
     astro.sql("INSERT INTO tp VALUES (500, 'new')")  # gen 1, disjoint key
+    time.sleep(0.05)
     t_g1 = time.time()
-    time.sleep(0.02)
-    # the v-conjunct is residual → resolved island rewrite → fold
+    time.sleep(0.05)
+    # the v-conjunct is residual → resolved island rewrite → floor fold
     astro.sql("DELETE FROM tp WHERE k = 10 AND v = 'v10'")
     rel = astro.relation("tp")
-    assert 0 < astro.last_write_stats["files_rewritten"] < astro.last_write_stats["files_total"]
-    # pre-rewrite timestamps are gone — refusing beats silently serving
-    # the post-delete state for a pre-delete time
-    for t in (t_g0, t_g1):
-        with pytest.raises(ValueError, match="no generation"):
-            rel.seq_for_timestamp(t)
-    # post-rewrite timestamps resolve to the current (readable) state
-    n = rel.seq_for_timestamp(time.time())
-    assert rel.scan(as_of_seq=n).count() == 100  # 100 - k10 + k500
-    # single-generation variant of the review repro: residual delete on a
-    # one-generation table, then a timestamp between load and delete
+    stats = astro.last_write_stats
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    assert stats["history"] == "folded-purge"
+    # a timestamp mapping BELOW the floor refuses — via the floor guard,
+    # with the informative message, not a blanket 'no generation'
+    assert rel.seq_for_timestamp(t_g0) == 0
+    with pytest.raises(ValueError, match="history floor"):
+        rel.scan(as_of_seq=0).count()
+    # a pre-DELETE timestamp at/after the floor generation's commit
+    # resolves — to the PURGED present (retroactive view, never the
+    # deleted row)
+    n = rel.seq_for_timestamp(t_g1)
+    assert n == 1
+    got = rel.scan(as_of_seq=n)
+    assert got.count() == 100  # 100 - k10 + k500
+    assert got.filter("k = 10").count() == 0
+    assert rel.seq_for_timestamp(time.time()) == 1
+    # single-generation variant: residual delete on a one-generation
+    # table — a timestamp between load and delete resolves to gen 0
+    # (== floor) and serves the purged view
     astro.sql(
         "CREATE TABLE tq (k INT, v STRING, PRIMARY KEY (k)) "
         "MAPPED BY (tq_ht) OPTIONS (regions=4)"
@@ -148,12 +159,44 @@ def test_resolved_rewrite_folds_timestamp_history(astro, tmp_path):
     csv2 = tmp_path / "tq.csv"
     csv2.write_text("".join(f"{k},v{k}\n" for k in range(1, 51)))
     astro.sql(f"LOAD DATA INPATH '{csv2}' INTO TABLE tq")
+    time.sleep(0.05)
     t_mid = time.time()
-    time.sleep(0.02)
+    time.sleep(0.05)
     astro.sql("DELETE FROM tq WHERE k = 7 AND v = 'v7'")
     rel = astro.relation("tq")
+    n = rel.seq_for_timestamp(t_mid)
+    assert n == 0
+    assert rel.scan(as_of_seq=n).count() == 49
+    assert rel.scan(as_of_seq=n).filter("k = 7").count() == 0
+
+
+def test_resolved_update_still_folds_timestamp_history(astro, tmp_path):
+    """UPDATE through the resolved rewrite changes VALUES, so the
+    retroactive-stamp retention that is sound for DELETE is NOT applied:
+    every pre-rewrite timestamp refuses ('no generation' — all stamps
+    re-set at rewrite time) instead of silently serving post-update
+    data for a pre-update time (r8 review, preserved for updates)."""
+    csv = tmp_path / "tu.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 101)))
+    astro.sql(
+        "CREATE TABLE tu (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (tu_ht) OPTIONS (regions=4)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE tu")
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    # residual WHERE + NULL-routing SET → resolved island rewrite (the
+    # append path cannot represent an erase; non-null SETs append)
+    astro.sql("UPDATE tu SET v = NULL WHERE k = 10 AND v = 'v10'")
+    rel = astro.relation("tu")
+    stats = astro.last_write_stats
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    assert stats["history"] == "folded"
     with pytest.raises(ValueError, match="no generation"):
         rel.seq_for_timestamp(t_mid)
+    n = rel.seq_for_timestamp(time.time())
+    assert rel.scan(as_of_seq=n).filter("k = 10 AND v IS NULL").count() == 1
 
 
 def test_keyonly_delete_preserves_timestamp_history_as_purge(astro, tmp_path):
@@ -211,3 +254,51 @@ def test_rewriting_newest_generation_keeps_current_readable(astro, tmp_path):
         f"SELECT count(*) AS c FROM tn TIMESTAMP AS OF {time.time() + 60}"
     ).collect()[0]
     assert r.c == 99
+
+
+def test_legacy_table_backfills_stamps_from_mtimes(astro):
+    """r9 (VERDICT r8 #3 + ADVICE r8): a table whose catalog predates
+    commit stamping (empty generation_times) backfills per-generation
+    stamps from file MTIMES at the next region-freshness check — so
+    TIMESTAMP AS OF works without requiring a write first, and the
+    backfilled times are the physical commit times, not discovery time."""
+    astro.sql("CREATE TABLE tl (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (tl_ht)")
+    astro.sql("INSERT INTO tl VALUES (1, 'g0')")
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    astro.sql("INSERT INTO tl VALUES (2, 'g1')")
+    # simulate legacy metadata: wipe the stamps in the durable catalog
+    meta = astro.catalog.get_table("tl")
+    meta.generation_times = {}
+    astro.catalog.persist(meta)
+    t_discover = time.time()
+    rel = astro.relation("tl")
+    assert rel.seq_for_timestamp(t_mid) == 0          # backfilled, resolves
+    assert rel.seq_for_timestamp(time.time()) == 1
+    gt = _gen_times(astro, "tl")
+    assert set(gt) == {0, 1}
+    # stamps are the files' write times, NOT the discovery time
+    assert gt[0] < t_mid < gt[1] <= t_discover
+    assert rel.scan(as_of_seq=0).count() == 1
+
+
+def test_sibling_append_stamped_at_commit_not_discovery(astro):
+    """ADVICE r8: a sibling writer's append discovered later must carry
+    its COMMIT time (file mtime), not the discovery time — otherwise a
+    timestamp in the commit..discovery window resolves to the older
+    generation."""
+    astro.sql("CREATE TABLE ts2 (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (ts2_ht)")
+    astro.sql("INSERT INTO ts2 VALUES (1, 'g0')")
+    rel = astro.relation("ts2")
+    # sibling session over the same warehouse appends gen 1
+    sib = AstroSession(rel.spark, astro.catalog.root)
+    sib.sql("INSERT INTO ts2 VALUES (2, 'g1')")
+    t_commit = time.time()
+    time.sleep(0.2)
+    # this session discovers the append only now; the stamp must predate
+    # the discovery gap, so a commit-window timestamp resolves to gen 1
+    sib_free = astro.relation("ts2")
+    assert sib_free.seq_for_timestamp(t_commit + 0.1) == 1
+    gt = _gen_times(astro, "ts2")
+    assert gt[1] <= t_commit

@@ -48,7 +48,7 @@ def test_delete_pruned_leaves_other_fragments_untouched(astro, tmp_path):
 
     astro.sql("DELETE FROM pt WHERE k = 42")
     stats = astro.last_write_stats
-    assert stats == {"files_total": 8, "files_rewritten": 1}
+    assert stats == {"files_total": 8, "files_rewritten": 1, "history": "purged"}
 
     after = _file_idents(astro, astro.relation("pt"))
     untouched = set(before) & set(after)
@@ -84,7 +84,11 @@ def test_delete_pruned_noop_touches_nothing(astro, tmp_path):
     rel = _load_pt(astro, tmp_path)
     before = _file_idents(astro, rel)
     astro.sql("DELETE FROM pt WHERE k = 99999")
-    assert astro.last_write_stats == {"files_total": 8, "files_rewritten": 0}
+    assert astro.last_write_stats == {
+        "files_total": 8,
+        "files_rewritten": 0,
+        "history": "purged",
+    }
     assert _file_idents(astro, astro.relation("pt")) == before
     assert astro.sql("SELECT count(*) AS c FROM pt").collect()[0].c == 200
 

@@ -99,6 +99,71 @@ def main() -> None:
         m = bench._stage_totals(spark, since=before) or {}
         m["wall_sec"] = dt
         out["queries"][name] = m
+    # r9 (VERDICT r8 #7): WRITE-path soak — the island-closure pruned
+    # DELETE under pending upserts at sf1 (the
+    # test_streaming_delete_pruned scenario at ~6M-row scale): build an
+    # astro table from sf1 lineitem, append a batch (live-ingest state),
+    # then a key-pruned DELETE must rewrite only the intersecting
+    # island, never the table
+    spark.catalog.clearCache()
+    before = bench._stage_marker(spark)
+    t0 = time.time()
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from spark_sql_on_hbase_spark.session import AstroSession
+
+        wh = tempfile.mkdtemp(prefix="astro_soak_wh_")
+        try:
+            astro = AstroSession(spark, wh)
+            astro.sql(
+                "CREATE TABLE soak_li (ok BIGINT, ln INT, qty DOUBLE, px DOUBLE, "
+                "PRIMARY KEY (ok, ln)) MAPPED BY (soak_li_ht, COLS=[qty=f.q, px=f.p]) "
+                "OPTIONS(regions=32)"
+            )
+            li = spark.read.parquet(os.path.join(SF1_DIR, "lineitem.parquet")).select(
+                F.col("l_orderkey").cast("bigint").alias("ok"),
+                F.col("l_linenumber").cast("int").alias("ln"),
+                F.col("l_quantity").cast("double").alias("qty"),
+                F.col("l_extendedprice").cast("double").alias("px"),
+            )
+            rel = astro.relation("soak_li")
+            rel.write(li)
+            n0 = astro.sql("SELECT count(*) c FROM soak_li").collect()[0].c
+            t_load = round(time.time() - t0, 2)
+            # pending upserts: append a 10k-row batch over a narrow range
+            rel.append(li.filter(F.col("ok") < 40_000).limit(10_000))
+            # pruned DELETE under the pending-upsert state; the qty
+            # conjunct is RESIDUAL, forcing the island-closure resolved
+            # rewrite (the key-only purge would not exercise closure)
+            t1 = time.time()
+            astro.sql(
+                "DELETE FROM soak_li WHERE ok BETWEEN 20000 AND 21000 AND qty >= 0"
+            )
+            t_del = round(time.time() - t1, 2)
+            stats = astro.last_write_stats or {}
+            n1 = astro.sql("SELECT count(*) c FROM soak_li").collect()[0].c
+            m = bench._stage_totals(spark, since=before) or {}
+            m.update(
+                {
+                    "wall_sec": round(time.time() - t0, 2),
+                    "rows_loaded": n0,
+                    "rows_after_delete": n1,
+                    "load_sec": t_load,
+                    "delete_sec": t_del,
+                    "del_files_rewritten": stats.get("files_rewritten"),
+                    "del_files_total": stats.get("files_total"),
+                    "del_history": stats.get("history"),
+                }
+            )
+            out["queries"]["write_ops"] = m
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    except Exception as ex:
+        out["queries"]["write_ops"] = {"error": str(ex)[:300]}
     out["calibration_post"] = bench._calibration()
     spills = {
         n: m.get("spill_disk_mb", 0.0)
