@@ -236,6 +236,7 @@ def main() -> None:
             ("delete_upsert_files_rewritten", "del_upsert_rw"),
             ("stringformat_pushdown_rows_scanned", "sf_pushdown_rows"),
             ("stringformat_float_pushdown_rows_scanned", "sf_float_rows"),
+            ("stringformat_float_onesided_rows_scanned", "sf_float1_rows"),
             ("zorder_dim2_files_read", "zorder_files"),
             ("asof_join_ops", "asof_joins"),
             ("interval_join_nested_loop", "ivjoin_nl"),
@@ -528,6 +529,27 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             sff_df, _ = sf_rel.scan_where("v >= 12300.0 AND v <= 12500.0")
             _rows, sff_scanned = collect_with_scan_rows(sff_df)
             out["stringformat_float_pushdown_rows_scanned"] = sff_scanned
+            # r9 (VERDICT r8 #4): ONE-sided double bound — plain range
+            # closed at the regime boundary + E/Infinity/NaN residue
+            # blocks.  Page skipping engages when the bound sits at the
+            # TOP width of the plain regime (here width 7: no
+            # higher-width sentinel range exists to lex-leak over the
+            # data pages — see predicate._sf_float_onesided; bounds at
+            # intermediate widths stay sound but scan-neutral, the
+            # documented cross-width lex limitation)
+            astro.sql(
+                "CREATE TABLE bench_sf1 (k INT, v DOUBLE, PRIMARY KEY (k)) "
+                "MAPPED BY (bench_sf1_ht, COLS=[v=f.v]) IN STRINGFORMAT"
+            )
+            sf1_rel = astro.relation("bench_sf1")
+            sf1_rel.write(
+                spark.range(100_000).selectExpr(
+                    "CAST(id AS INT) k", "CAST(id + 9900000 AS DOUBLE) v"
+                )
+            )
+            sf1_df, _ = sf1_rel.scan_where("v >= 9990000.0")
+            _rows, sf1_scanned = collect_with_scan_rows(sf1_df)
+            out["stringformat_float_onesided_rows_scanned"] = sf1_scanned
             # z-order layout: a non-leading-dim predicate prunes FILES
             # (per-dim boxes), where the lexicographic layout reads all
             astro.sql(

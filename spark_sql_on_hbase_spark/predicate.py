@@ -660,11 +660,98 @@ def _sf_float_range(col: str, lo: float, hi: float) -> str | None:
     return "(" + " OR ".join(parts) + ")" if ok and parts else None
 
 
+# every positive E-notation shortest repr is "d.…E…" and sorts inside
+# ('d.0E', 'd.:'): plain "d.0xx" strings sort BELOW 'd.0E' ('0'-'9' <
+# 'E') and no string reaches 'd.:' (':' > '9'); the block also admits
+# plain "d.1".."d.9…" strings — a coarse SUPERSET that stays confined to
+# single-digit-magnitude pages, so multi-digit plain pages still skip.
+_SF_POS_E_BLOCKS = " OR ".join(
+    f"({{col}} >= '{d}.0E' AND {{col}} <= '{d}.:')" for d in range(1, 10)
+)
+_SF_NEG_E_BLOCKS = " OR ".join(
+    f"({{col}} >= '-{d}.0E' AND {{col}} <= '-{d}.:')" for d in range(1, 10)
+)
+
+
+def _sf_float_onesided(col: str, lo: float, hi: float) -> str | None:
+    """Sound-superset string-space predicate when exactly ONE bound is
+    finite (r9, VERDICT r8 #4: one-sided float predicates previously
+    never pushed because the unbounded side reaches E-notation storage).
+    The finite side converts to the tight per-width plain ranges of
+    :func:`_sf_float_range` closed at the regime boundary; the unbounded
+    side is covered by coarse-but-sound blocks — all-negatives
+    (``'-' ≤ s < '.'``), all-nonnegatives (``'0' ≤ s < ':'``), the
+    per-digit E-notation blocks, and the ``Infinity``/``NaN`` literals
+    (Spark orders NaN above every value, so ``x > v`` admits NaN).
+    Correctness rides the typed re-filter as always.
+
+    Page-skip effectiveness caveat (measured r9): a union that spans
+    integer-digit widths includes sentinel ranges like
+    ``['100000', '999999:']`` whose lex interval ADMITS most
+    shorter-width strings (``'11999.0' > '100000'``) — inherent to
+    lexicographic order over variable-width decimals, the same
+    cross-length leak documented for ``_sf_int_range``.  So pages skip
+    when the finite bound sits at the TOP width of the regime (no
+    higher-width sentinel exists) or when the column's data is
+    width-homogeneous above the bound; intermediate-width bounds over
+    mixed-width data stay sound but scan-neutral.  The reference's
+    typed byte comparators (util/comparators.scala:47-243) don't have
+    this limit — unreachable in parquet's string-stats filter language."""
+    import math
+
+    top = math.nextafter(_SF_FLOAT_HI, 0.0)  # largest double < 1e7
+    parts: list[str] = []
+    if math.isinf(lo) and math.isinf(hi):
+        return None
+    if not math.isinf(lo) and math.isinf(hi):  # x >= lo
+        if lo > 0:
+            plain = _sf_float_range(col, min(lo, top), top)
+            if plain is None:
+                return None
+            parts = [plain, _SF_POS_E_BLOCKS.format(col=col)]
+        else:
+            # lo <= 0: every nonnegative string (plain, E, "0.0") …
+            parts = [f"({col} >= '0' AND {col} < ':')", f"({col} = '-0.0')"]
+            if lo < 0:
+                # … plus negatives of magnitude <= |lo| (closed superset)
+                neg = _sf_float_range(col, max(lo, -top), -_SF_FLOAT_LO)
+                if neg is None and -lo >= _SF_FLOAT_LO:
+                    return None
+                if neg is not None:
+                    parts.append(neg)
+                parts.append(_SF_NEG_E_BLOCKS.format(col=col))
+        parts.append(f"({col} = 'Infinity')")
+        parts.append(f"({col} = 'NaN')")  # Spark: NaN > every value
+        return "(" + " OR ".join(parts) + ")"
+    if not math.isinf(hi) and math.isinf(lo):  # x <= hi
+        if hi < 0:
+            plain = _sf_float_range(col, -top, max(hi, -top))
+            if plain is None:
+                return None
+            parts = [plain, _SF_NEG_E_BLOCKS.format(col=col)]
+            parts.append(f"({col} = '-Infinity')")
+        else:
+            # hi >= 0: every negative string ("-…" incl. -Infinity/-0.0,
+            # '-' < '.' < digits) …
+            parts = [f"({col} >= '-' AND {col} < '.')", f"({col} = '0.0')"]
+            if hi > 0:
+                # … plus positives of magnitude <= hi (tiny ones are
+                # E-notation — the blocks)
+                if hi >= _SF_FLOAT_LO:
+                    pos = _sf_float_range(col, _SF_FLOAT_LO, min(hi, top))
+                    if pos is None:
+                        return None
+                    parts.append(pos)
+                parts.append(_SF_POS_E_BLOCKS.format(col=col))
+        return "(" + " OR ".join(parts) + ")"
+    return None
+
+
 def _sf_float_conjuncts(children, coltypes: dict[str, str]) -> list[str]:
     """Per-column [lo, hi] intervals from float/double comparison
-    conjuncts of one AND — a single-sided float bound can never push
-    (the unbounded side reaches the E-notation regime), so the leaves
-    stay unconvertible individually and pair up here."""
+    conjuncts of one AND.  Two-sided in-regime intervals take the tight
+    per-width ranges (:func:`_sf_float_range`); single-sided intervals
+    take the regime-boundary closure (:func:`_sf_float_onesided`, r9)."""
     import math
 
     bounds: dict[str, tuple[float, float]] = {}
@@ -689,8 +776,6 @@ def _sf_float_conjuncts(children, coltypes: dict[str, str]) -> list[str]:
         bounds[c.col] = (lo, hi)
     out = []
     for col, (lo, hi) in bounds.items():
-        if math.isinf(lo) or math.isinf(hi):
-            continue
         if coltypes.get(col) == "float":
             # FLOAT columns store float32 shortest reprs: the decimal a
             # stored string denotes sits within one float32 ulp
@@ -699,9 +784,14 @@ def _sf_float_conjuncts(children, coltypes: dict[str, str]) -> list[str]:
             # satisfying value's string can't fall just outside the lex
             # range (doubles need no margin: distinct shortest reprs are
             # order-preserving at full precision)
-            lo -= abs(lo) * 1e-6
-            hi += abs(hi) * 1e-6
-        sql = _sf_float_range(col, lo, hi)
+            if not math.isinf(lo):
+                lo -= abs(lo) * 1e-6
+            if not math.isinf(hi):
+                hi += abs(hi) * 1e-6
+        if math.isinf(lo) or math.isinf(hi):
+            sql = _sf_float_onesided(col, lo, hi)
+        else:
+            sql = _sf_float_range(col, lo, hi)
         if sql is not None:
             out.append(sql)
     return out
@@ -788,7 +878,11 @@ def string_pushdown(p: Pred, coltypes: dict[str, str]) -> str | None:
             exact = all(x is not None for x in parts) and all(e for _, e in kept)
             return ("(" + " AND ".join(s for s, _ in kept) + ")", exact)
         if isinstance(q, Or):
-            parts = [conv(c) for c in q.children]
+            # r9: a lone float comparison inside an OR converts via the
+            # one-sided/equality interval path (superset — fine for OR:
+            # union of supersets is a superset); NOT still requires
+            # exact, so these never leak under a negation
+            parts = [_conv_leaf_or_float(c) for c in q.children]
             if any(x is None for x in parts):
                 return None
             return ("(" + " OR ".join(s for s, _ in parts) + ")", all(e for _, e in parts))
@@ -801,7 +895,15 @@ def string_pushdown(p: Pred, coltypes: dict[str, str]) -> str | None:
             return None
         return _sf_leaf(q, coltypes)
 
-    out = conv(p)
+    def _conv_leaf_or_float(c: Pred) -> tuple[str, bool] | None:
+        r = conv(c)
+        if r is None and isinstance(c, Comparison):
+            fls = _sf_float_conjuncts([c], coltypes)
+            if fls:
+                return (fls[0], False)
+        return r
+
+    out = _conv_leaf_or_float(p)
     return out[0] if out else None
 
 

@@ -80,17 +80,26 @@ def test_superset_int_ranges():
 
 
 def test_boolean_algebra_soundness():
-    # AND may drop unconvertible conjuncts (superset)
-    assert conv("size = 25 AND price > 1.5") == "((size = '25'))"
-    # OR requires every branch
-    assert conv("size = 25 OR price > 1.5") is None
+    # AND may drop unconvertible conjuncts (superset); r9: the float
+    # conjunct now rides along as a one-sided range union
+    s = conv("size = 25 AND price > 1.5")
+    assert s.startswith("((size = '25') AND ") and "'1.5'" in s
+    # OR requires every branch — satisfied now that floats convert (r9)
+    s = conv("size = 25 OR price > 1.5")
+    assert s is not None and "(size = '25')" in s and "'1.5'" in s
+    # … but a branch that still cannot convert refuses the whole OR
+    assert conv("size = 25 OR price != 1.5") is None
     assert conv("size = 25 OR name = 'x'") == "((size = '25') OR (name = 'x'))"
     # NOT requires an exact child: negating a superset would narrow
     assert conv("NOT size = 25") == "(NOT (size = '25'))"
     assert conv("NOT size >= 2500") is None
     assert conv("NOT (size = 1 AND price > 1.5)") is None
-    # doubles never convert (canonical formatting is engine-specific)
-    assert conv("price = 1.5") is None
+    # float superset conversions never leak under NOT
+    assert conv("NOT price > 1.5") is None
+    assert conv("NOT price = 1.5") is None
+    # r9: float equality converts as a degenerate tight interval
+    s = conv("price = 1.5")
+    assert s is not None and "'1.5'" in s
 
 
 DDL = (
@@ -229,8 +238,17 @@ def test_float_range_conversions():
     assert conv("price >= -1.5 AND price <= 2.5") is None
     assert conv("price >= 0.0001 AND price <= 0.5") is None
     assert conv("price >= 5.0 AND price <= 10000000.0") is None
-    # single-sided never converts (unbounded side reaches E-regime)
-    assert conv("price >= 10.5") is None
+    # r9 (VERDICT r8 #4): single-sided bounds convert — plain range
+    # closed at the regime boundary plus E-notation/Infinity/NaN residue
+    # blocks (sound superset; see _sf_float_onesided)
+    s = conv("price >= 10.5")
+    assert s is not None and "'10.5'" in s and "'9999999" in s
+    assert "'1.0E'" in s and "Infinity" in s and "NaN" in s
+    s = conv("price <= -10.5")
+    assert s is not None and "'-10.5'" in s and "'-1.0E'" in s
+    assert "'-Infinity'" in s and "NaN" not in s  # NaN never <= negative
+    s = conv("price < 250.0")
+    assert s is not None and "(price >= '-' AND price < '.')" in s
     # pairs ride along with other conjuncts
     s = conv("size = 25 AND price >= 10.5 AND price <= 20.5")
     assert "(size = '25')" in s and "'10.5'" in s
@@ -252,6 +270,14 @@ def test_float_repr_matches_spark_cast(spark):
     fdf = spark.createDataFrame([(0.5,), (2.25,), (123.5,)], "x float")
     fgot = [r.s for r in fdf.selectExpr("CAST(x AS STRING) AS s").collect()]
     assert fgot == ["0.5", "2.25", "123.5"]
+    # OUT-of-regime values store as Java scientific notation — the
+    # premise of the one-sided residue blocks (r9) and of the property
+    # test's storage emulator; every mantissa is 'd.xxx', d in 1..9
+    ovals = [1e7, 2.5e8, 0.0005, -0.0005, 1e-5, 1.7e308, 5e-324]
+    odf = spark.createDataFrame([(v,) for v in ovals], "x double")
+    ogot = [r.s for r in odf.selectExpr("CAST(x AS STRING) AS s").collect()]
+    assert ogot == ["1.0E7", "2.5E8", "5.0E-4", "-5.0E-4", "1.0E-5",
+                    "1.7E308", "4.9E-324"], ogot
 
 
 def test_float_repr_matches_spark_cast_random_bits(spark):
@@ -312,3 +338,35 @@ def test_float_range_rows_exact_e2e(astro):
         g = sorted(tuple(r) for r in got.collect())
         w = sorted(tuple(r) for r in full.filter(F.expr(where)).collect())
         assert g == w, where
+
+
+def test_float_onesided_rows_exact_e2e(astro):
+    """r9 (VERDICT r8 #4): one-sided float predicates over real
+    stringformat storage — the pushed superset reaches the plan and the
+    typed re-filter keeps rows exact, including OR shapes and strict
+    bounds."""
+    rel = _rel(astro)
+    full = rel.scan()
+    for where in [
+        "price >= 450.0",
+        "price > 100.5",
+        "price <= 30.0",
+        "price < 1.5",
+        "price = 300.0",
+        "price >= 100.0 OR size = 3",
+        "k < 200 AND price > 450.0",
+        "size >= 10 AND price <= 90.0",
+    ]:
+        got, _ = rel.scan_where(where)
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in full.filter(F.expr(where)).collect())
+        assert g == w, where
+    # the pushed one-sided filter appears in the physical plan
+    df, _ = rel.scan_where("price >= 450.0")
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert "GreaterThanOrEqual(price,450.0)" in plan, plan

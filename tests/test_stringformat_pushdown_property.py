@@ -218,3 +218,101 @@ def test_float_range_pushdown_is_sound_superset(lo, hi, ops):
     # is inherent to unpadded decimals — '123.456' sorts inside
     # ['1.0','9.999'] — and the typed re-filter absorbs it; the superset
     # property above is the load-bearing contract)
+
+
+# --- r9: float/double single-sided pushdown soundness -----------------------
+# The storage emulator mirrors Java's Double.toString (what Spark's CAST
+# writes): shortest plain repr inside [1e-3, 1e7) — digit-identical to
+# python repr there (pinned against the live JVM in
+# tests/test_stringformat_pushdown.py) — and "d.dddEn" scientific
+# outside it (also pinned live: 1e7→'1.0E7', 5e-324→'4.9E-324').
+import math
+
+
+def _java_double_str(x):
+    if x is None:
+        return None
+    if x != x:
+        return "NaN"
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    if x == 0:
+        return "-0.0" if math.copysign(1, x) < 0 else "0.0"
+    ax = abs(x)
+    if 1e-3 <= ax < 1e7:
+        return repr(x)
+    r = repr(ax)
+    if "e" in r:
+        m, e = r.split("e")
+        e = int(e)
+        dp = m.index(".") if "." in m else len(m)
+        stripped = m.replace(".", "")
+        fs = len(stripped) - len(stripped.lstrip("0"))
+        digs = stripped.lstrip("0").rstrip("0") or "0"
+        e10 = e + dp - 1 - fs
+    else:
+        digs_full = r.replace(".", "")
+        dp = r.index(".")
+        fs = next(i for i, c in enumerate(digs_full) if c != "0")
+        digs = digs_full[fs:].rstrip("0") or "0"
+        e10 = dp - 1 - fs
+    mant = digs[0] + "." + (digs[1:] or "0")
+    return ("-" if x < 0 else "") + f"{mant}E{e10}"
+
+
+_F_VALS = [
+    0.0, -0.0, 1e-3, -1e-3, 0.0005, -0.0005, 1e-5, -1e-5, 5.5, -5.5, 1.0,
+    -1.0, 9.999, 123.456, -123.456, 9999999.0, -9999999.0, 1e7, -1e7,
+    2.5e8, -2.5e8, 999999.875, -999999.875, 1.7e308, -1.7e308,
+    float("inf"), float("-inf"), float("nan"), None, 0.001953125,
+    6250000.0, 12345.678, 5e-324, -5e-324,
+]
+
+
+def _fmt_bound(b):
+    return (
+        f"{b:.10f}".rstrip("0").rstrip(".")
+        if abs(b) >= 1e-6 or b == 0
+        else f"{b:.24f}"
+    )
+
+
+def test_float_onesided_pushdown_is_sound_superset():
+    """r9 (VERDICT r8 #4): one-sided float/double predicates push as the
+    in-regime plain range closed at the regime boundary plus coarse
+    blocks for the E-notation / Infinity / NaN residue.  Soundness
+    contract: typed-selected ⊆ string-selected for every predicate, on a
+    row set spanning both notations, zeros of both signs, denormals,
+    infinities, and NaN (Spark and DuckDB both order NaN above all)."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, v DOUBLE)")
+    rows = [(i, v) for i, v in enumerate(_F_VALS)]
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE s (id INT, v VARCHAR)")
+    con.executemany(
+        "INSERT INTO s VALUES (?, ?)", [(i, _java_double_str(v)) for i, v in rows]
+    )
+    bounds = [1e-3, 5.5, 123.456, 9999999.0, 0.0, 1.0, -5.5, -123.456,
+              -1e-3, 1e-5, -1e-5, 1e8, -1e8, 0.0005, -0.0005, 12345.678,
+              6250000.0]
+    tests = [f"v {op} {_fmt_bound(b)}" for op in (">", ">=", "<", "<=", "=") for b in bounds]
+    tests += [
+        "v >= 1 AND v <= 100",
+        "v >= -100 AND v <= -1",
+        "v > 5.0 OR v < -100.0",
+        "v = 2.5 OR v > 9999999.5",
+        "v > 123.0 OR v = 0.0",
+    ]
+    pushed_n = 0
+    for t in tests:
+        sql = string_pushdown(parse_predicate(t), {"v": "double"})
+        if sql is None:
+            continue
+        pushed_n += 1
+        typed = {r[0] for r in con.execute(f"SELECT id FROM t WHERE {t}").fetchall()}
+        pushed = {r[0] for r in con.execute(f"SELECT id FROM s WHERE {sql}").fetchall()}
+        assert typed <= pushed, (t, sorted(typed - pushed), sql)
+    # the point of r9 #4: one-sided bounds now actually push
+    assert pushed_n >= 60, pushed_n
+    assert string_pushdown(parse_predicate("v >= 99000.0"), {"v": "double"}) is not None
+    assert string_pushdown(parse_predicate("v <= -5.5"), {"v": "double"}) is not None
