@@ -236,7 +236,7 @@ def main() -> None:
             ("delete_upsert_files_rewritten", "del_upsert_rw"),
             ("stringformat_pushdown_rows_scanned", "sf_pushdown_rows"),
             ("stringformat_float_pushdown_rows_scanned", "sf_float_rows"),
-            ("stringformat_float_onesided_rows_scanned", "sf_float1_rows"),
+            ("stringformat_float_onesided_rows_scanned", "sf_f1_rows"),
             ("zorder_dim2_files_read", "zorder_files"),
             ("asof_join_ops", "asof_joins"),
             ("interval_join_nested_loop", "ivjoin_nl"),
@@ -247,10 +247,11 @@ def main() -> None:
             ("dupspan_equi_join", "dupspan_equi"),
             ("ivf_probe_partitions_read", "ivf_parts_read"),
             ("ivf_partitions_total", "ivf_parts_total"),
-            ("neardup_cand_per_row", "nd_cand_row"),
-            ("neardup_recall_planted", "nd_recall"),
-            ("ann_lsh_recall_planted", "lsh_recall"),
-            ("ann_ivf_recall_planted_trained", "ivf_recall"),
+            ("neardup_cand_per_row", "nd_cand"),
+            ("neardup_recall_planted", "nd_rec"),
+            ("ann_lsh_recall_planted", "lsh_rec"),
+            ("ann_ivf_recall_planted_trained", "ivf_rec"),
+            ("minhash_cand_per_doc", "mh_cand"),
             ("error", "error"),
         )
         if k in plan_shapes
@@ -269,7 +270,10 @@ def main() -> None:
     if retry_info is not None:
         compact["cal_retry"] = retry_info["queries_improved"]
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1400:  # belt and braces: never overflow the capture
+    # cap within the documented <=1.5 KiB contract (the caller captures a
+    # ~2 KiB tail; r4's overflow was a ~2.5 KiB line) — r9 raised from
+    # 1400 for the six new ANN/pushdown gate keys
+    if len(line) > 1500:  # belt and braces: never overflow the capture
         compact.pop("plan_shapes", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
@@ -761,6 +765,16 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
                 ivf1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
                 / 20.0,
                 2,
+            )
+            # MinHash-LSH family candidate volume (the OTHER banded
+            # family): candidates per document must stay ~#true-dups,
+            # never a quasi-quadratic fraction of C(n,2)
+            from spark_sql_on_hbase_spark.operators.dedup import minhash_lsh_candidates
+
+            mh_docs = load_tables(spark, sf_dir)["documents"]
+            n_docs = mh_docs.count()
+            out["minhash_cand_per_doc"] = round(
+                minhash_lsh_candidates(mh_docs).count() / float(n_docs), 2
             )
         finally:
             shutil.rmtree(wh, ignore_errors=True)

@@ -63,9 +63,12 @@ _HELP = {
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
     "DELETE": "DELETE FROM table_name [WHERE cond]\n"
     "  (key-only predicates purge matching keys per fragment, erasing them\n"
-    "   from history too; residual predicates rewrite resolved islands —\n"
-    "   or purge the resolved matching keys when islands degenerate — and\n"
-    "   fold snapshot history; non-sargable = full rewrite)",
+    "   from history too [history: purged]; residual predicates rewrite\n"
+    "   resolved islands — or purge the resolved matching keys when islands\n"
+    "   degenerate — folding snapshots to the present while commit stamps\n"
+    "   since the floor generation keep resolving to the purged view\n"
+    "   [history: folded-purge]; non-sargable = full rewrite [folded].\n"
+    "   The chosen plan is reported in last_write_stats.history)",
     "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
     "SHOW": "SHOW TABLES",
 }

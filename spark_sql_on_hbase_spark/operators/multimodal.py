@@ -244,6 +244,123 @@ def decode_png(blob: bytes):
     return {"width": int(w), "height": int(h), "pixels": px[:, ::-1].copy()}
 
 
+# --- real WAV codec (r9) ----------------------------------------------------
+# Canonical RIFF/WAVE, 16-bit PCM — pure stdlib struct + numpy.  Audio is
+# the one media family whose container IS the raw samples, so the "codec"
+# is an honest header parse + typed sample array, no external library.
+
+
+def encode_wav(payload: bytes, sample_rate: int = 8000) -> bytes:
+    """Build a REAL 16-bit PCM mono WAV whose sample stream is ``payload``
+    interpreted as little-endian int16 (zero-padded to even length) —
+    payload→samples is the identity, so sample statistics recompute from
+    the raw payload bytes on any engine (the oracle contract the BMP/PNG
+    codecs follow)."""
+    import struct
+
+    data = payload + (b"\x00" if len(payload) % 2 else b"")
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(blob: bytes):
+    """REAL WAV decoder: RIFF chunk walk, fmt parse, 16-bit PCM samples
+    as an int32 numpy array (mono: channel-interleaving left to callers;
+    only PCM/16-bit accepted).  Returns ``{"sample_rate", "n_channels",
+    "samples"}`` or None for non-WAV / unsupported encodings."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = nch = bps = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt " and len(body) >= 16:
+            afmt, nch, rate, _br, _ba, bps = struct.unpack_from("<HHIIHH", body, 0)
+            if afmt != 1:  # PCM only
+                return None
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln % 2)  # RIFF chunks are word-aligned
+    if rate is None or data is None or bps != 16:
+        return None
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+        np.int32
+    )
+    return {"sample_rate": int(rate), "n_channels": int(nch), "samples": samples}
+
+
+def encode_wav_column(
+    df: DataFrame, blob_col: str = "blob", sample_rate: int = 8000, out_col: str = "wav"
+) -> DataFrame:
+    """mapInPandas: payload bytes → real WAV file bytes (map-side)."""
+    return _encode_image_column(
+        df, blob_col, sample_rate, out_col, lambda b, sr: encode_wav(b, sr)
+    )
+
+
+def audio_sample_stats(df: DataFrame, blob_col: str = "wav") -> DataFrame:
+    """REAL audio statistics from decoded WAV samples: sample count and
+    rate, Σ|s|, Σ s² (exact BIGINTs — the energy integral), the
+    zero-crossing count (sign flips between consecutive nonzero-sign
+    samples — order-sensitive, so endianness or alignment bugs in the
+    decoder are caught), and the peak |s|.  Non-WAV blobs yield NULL
+    stats.  mapInPandas, map-side only — audio bytes never shuffle."""
+    import numpy as np
+
+    keep = [f for f in df.schema.fields if f.name != blob_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_abs", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+            T.StructField("zero_cross", T.LongType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+        ]
+    )
+    cols = [f.name for f in keep]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sr, ns, sa, sq, zc, pk = [], [], [], [], [], []
+            for b in pdf[blob_col]:
+                d = decode_wav(bytes(b)) if b is not None else None
+                if d is None:
+                    sr.append(None), ns.append(None), sa.append(None)
+                    sq.append(None), zc.append(None), pk.append(None)
+                    continue
+                s = d["samples"].astype(np.int64)
+                sr.append(d["sample_rate"])
+                ns.append(int(s.size))
+                sa.append(int(np.abs(s).sum()))
+                sq.append(int((s * s).sum()))
+                sgn = np.sign(s)
+                nz = sgn[sgn != 0]
+                zc.append(int((nz[1:] != nz[:-1]).sum()) if nz.size > 1 else 0)
+                pk.append(int(np.abs(s).max()) if s.size else 0)
+            out = pdf[cols].copy()
+            out["sample_rate"], out["n_samples"] = sr, ns
+            out["sum_abs"], out["sum_sq"] = sa, sq
+            out["zero_cross"], out["peak"] = zc, pk
+            yield out
+
+    return df.mapInPandas(op, out_schema)
+
+
 def decode_image(blob: bytes):
     """Magic-byte dispatch over the REAL codecs (BMP, PNG); None for
     formats without a real kernel here (caller falls back to the stub).

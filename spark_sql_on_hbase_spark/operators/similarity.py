@@ -696,6 +696,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     trained: bool = False,
     centroids: DataFrame | None = None,
+    split: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then search duplicates
@@ -713,11 +714,23 @@ def semantic_dedup(
 
     Scale shape: assignment is the broadcast-centroid map-side argmax of
     :func:`ivf_assign` (one narrow (id, cluster_id) shuffle); the
-    pairwise stage is an equi-join ON cluster_id ONLY — candidate volume
-    is Σ cluster_size², bounded by clustering (SemDeDup's point: pick
+    pairwise stage is an equi-join ON cluster_id — candidate volume is
+    Σ cluster_size², bounded by clustering (SemDeDup's point: pick
     n_clusters so clusters stay ~constant-size as the corpus grows; at
     100 TB that means n_clusters ∝ N, trained=True, and the same plan).
     Never an all-pairs product across clusters.
+
+    ``split`` (r9): a cluster-only join key caps parallelism at
+    n_clusters partitions — measured 46.8 s wall on 98 task-sec at the
+    sf1 soak (≈2 effective cores of 32; AQE won't split them: the
+    partitions are tiny by BYTES, heavy by pairwise CPU).  Each
+    cluster's self-join therefore decomposes into split×split
+    deterministic hash-bucket cells: side A replicates per target
+    column, side B per target row, the join key becomes (cluster,
+    bucket_a, bucket_b), and every unordered pair lands in EXACTLY one
+    cell — identical output rows (oracles unchanged), n_clusters·split²
+    parallel units, shuffle volume ×split.  Set split=1 when n_clusters
+    already exceeds the cluster's cores.
 
     Returns (id, cluster_id, dup_of, kept) for EVERY input vector.
     """
@@ -732,8 +745,22 @@ def semantic_dedup(
     b = av.select(
         F.col(id_col).alias("id_b"), F.col("cluster_id").alias("c_b"), F.col("v").alias("vb")
     )
+    s = max(1, int(split))
+    targets = F.array(*[F.lit(i) for i in range(s)])
+    a = a.withColumn("__ba", F.pmod(F.xxhash64(F.col("id_a")), F.lit(s))).withColumn(
+        "__j", F.explode(targets)
+    )
+    b = b.withColumn("__bb", F.pmod(F.xxhash64(F.col("id_b")), F.lit(s))).withColumn(
+        "__i", F.explode(targets)
+    )
     dup_pairs = (
-        a.join(b, (F.col("c_a") == F.col("c_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("c_a") == F.col("c_b"))
+            & (F.col("__ba") == F.col("__i"))
+            & (F.col("__j") == F.col("__bb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .select(
             "id_a",
             "id_b",

@@ -147,6 +147,10 @@ TAIL_ORDER = [
     "multimodal_bmp_decode",
     # r9: full values grade in-window through the suite's 'png' branch
     "multimodal_png_decode",
+    # r9: real RIFF/PCM audio decode; values grade through 'wav' branch
+    "multimodal_wav_decode",
+    # r9: the multi-probe LSH path, oracle-graded over the planted frame
+    "ann_multiprobe_topk",
     # r8: RAG/pretraining token chunking; values grade in-window through
     # corpus_ops_suite's 'chunk' branch
     "text_chunking",

@@ -783,6 +783,43 @@ PIPELINE["ann_lsh_signatures"] = Q(
 )
 
 
+def neardup_planted_frame(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ a deterministic near-duplicate of every row: dim t is
+    scaled by 1 + 0.05·((t mod 3) − 1) — cos(orig, copy) ≈ 0.9992 — and
+    the copy's vec_id is offset by 1,000,000.  Gives the graded near-dup
+    query a TRUE near-duplicate population with known ground truth
+    (the synthetic embeddings are isotropic: zero organic pairs above
+    cos 0.7, so a threshold-0.9 near-dup query over the raw table would
+    grade an empty result).  Arithmetic is plain double ops, mirrored
+    digit-exactly by the DuckDB oracle."""
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.05) * ((i % 3) - 1).cast("double")),
+        ).alias("embedding"),
+    )
+    return base.unionAll(planted)
+
+
+# the DuckDB twin of neardup_planted_frame (range() is 1-based → (i-1)%3)
+_NEARDUP_AUG_SQL = """
+    aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::DOUBLE * (1.0 + 0.05 * ((((i - 1) % 3) - 1)::DOUBLE))
+             ) AS embedding
+      FROM embeddings
+    )"""
+
+
 def _ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from spark_sql_on_hbase_spark.operators.similarity import knn_lsh
 
@@ -818,6 +855,58 @@ PIPELINE["ann_lsh_topk"] = Q(
     FROM ranked WHERE rank <= 5
     """,
     doc="LSH-bucketed approximate top-5 (8-bit buckets, exact rerank in bucket)",
+)
+
+
+def _ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """r9: the MULTI-PROBE path oracle-graded (previously only bench-
+    recall-gated): queries over the planted-twin frame probe their own
+    bucket plus every Hamming-1 neighbor bucket — the twin at cos ≈
+    0.9992 must surface as rank 1 for nearly all queries, and the
+    DuckDB oracle replicates the probe fan-out bit-for-bit via xor()."""
+    from spark_sql_on_hbase_spark.operators.similarity import knn_lsh
+
+    t = load_tables(spark, sf)
+    aug = neardup_planted_frame(t["embeddings"])
+    queries = aug.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(aug, queries, k=3, bits=8, multiprobe=True)
+
+
+PIPELINE["ann_multiprobe_topk"] = Q(
+    spark=_ann_multiprobe,
+    oracle=f"""
+    WITH {_NEARDUP_AUG_SQL.strip()},
+    csig AS (
+      SELECT vec_id, CAST({_lsh_sig_sql(8)} AS BIGINT) AS sig FROM aug
+    ),
+    q AS (SELECT a.vec_id AS query_id, a.embedding AS qv, c.sig AS qsig
+          FROM aug a JOIN csig c ON c.vec_id = a.vec_id WHERE a.vec_id < 20),
+    probes AS (
+      SELECT query_id, qv, qsig AS psig FROM q
+      UNION ALL
+      SELECT query_id, qv, xor(qsig, CAST(b.p AS BIGINT)) AS psig
+      FROM q, (VALUES (1), (2), (4), (8), (16), (32), (64), (128)) b(p)
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round({_D_COS.format(a='p.qv', b='a.embedding')}, 4) AS cos_sim
+      FROM probes p JOIN csig c ON c.sig = p.psig
+           JOIN aug a ON a.vec_id = c.vec_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="multi-probe LSH top-3 over embeddings + planted near-dup twins: "
+    "probe own bucket + all 8 Hamming-1 buckets (fan-out on the broadcast "
+    "query side only; corpus untouched); oracle mirrors probes via xor()",
 )
 
 
@@ -874,43 +963,6 @@ PIPELINE["ann_ivf_topk"] = Q(
     """,
     doc="IVF approximate top-5: 16 seed centroids, probe 4 inverted lists, exact rerank",
 )
-
-
-def neardup_planted_frame(emb: DataFrame) -> DataFrame:
-    """embeddings ∪ a deterministic near-duplicate of every row: dim t is
-    scaled by 1 + 0.05·((t mod 3) − 1) — cos(orig, copy) ≈ 0.9992 — and
-    the copy's vec_id is offset by 1,000,000.  Gives the graded near-dup
-    query a TRUE near-duplicate population with known ground truth
-    (the synthetic embeddings are isotropic: zero organic pairs above
-    cos 0.7, so a threshold-0.9 near-dup query over the raw table would
-    grade an empty result).  Arithmetic is plain double ops, mirrored
-    digit-exactly by the DuckDB oracle."""
-    base = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
-    )
-    planted = emb.select(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x.cast("double")
-            * (F.lit(1.0) + F.lit(0.05) * ((i % 3) - 1).cast("double")),
-        ).alias("embedding"),
-    )
-    return base.unionAll(planted)
-
-
-# the DuckDB twin of neardup_planted_frame (range() is 1-based → (i-1)%3)
-_NEARDUP_AUG_SQL = """
-    aug AS (
-      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000 AS vec_id,
-             list_transform(range(1, len(embedding) + 1),
-               i -> embedding[i]::DOUBLE * (1.0 + 0.05 * ((((i - 1) % 3) - 1)::DOUBLE))
-             ) AS embedding
-      FROM embeddings
-    )"""
 
 
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1337,6 +1389,85 @@ PIPELINE["multimodal_png_decode"] = Q(
 )
 
 
+def _multimodal_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """r9: REAL audio decode — canonical RIFF/WAVE 16-bit PCM (header
+    parse verified against stdlib ``wave``): document bytes → real WAV
+    files (payload = the little-endian int16 sample stream, identity
+    mapping the oracle recomputes) → chunk-walking decoder → exact
+    integer sample statistics.  The zero-crossing count is
+    order-sensitive, so endianness/alignment bugs hash-mismatch."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        attach_binary_column,
+        audio_sample_stats,
+        encode_wav_column,
+    )
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 200).select("doc_id", "text"),
+        "text",
+        "blob",
+    )
+    wav = encode_wav_column(df.select("doc_id", "blob"), sample_rate=8000).select(
+        "doc_id", "wav"
+    )
+    return audio_sample_stats(wav, "wav").select(
+        "doc_id", "sample_rate", "n_samples", "sum_abs", "sum_sq", "zero_cross", "peak"
+    )
+
+
+# sample j of the WAV payload: little-endian int16 from bytes (2j, 2j+1),
+# odd payloads zero-pad the high byte of the final sample
+_WAV_BYTE = "('0x' || substr(hex(encode(text)), 2*{k} + 1, 2))::BIGINT"
+_WAV_SMP = (
+    "list_transform(range(0, (octet_length(encode(text)) + 1) // 2), j -> "
+    "CASE WHEN ({lo} + 256 * (CASE WHEN 2*j + 1 < octet_length(encode(text)) "
+    f"THEN {_WAV_BYTE.format(k='(2*j + 1)')} ELSE 0 END)) >= 32768 "
+    "THEN ({lo} + 256 * (CASE WHEN 2*j + 1 < octet_length(encode(text)) "
+    f"THEN {_WAV_BYTE.format(k='(2*j + 1)')} ELSE 0 END)) - 65536 "
+    "ELSE ({lo} + 256 * (CASE WHEN 2*j + 1 < octet_length(encode(text)) "
+    f"THEN {_WAV_BYTE.format(k='(2*j + 1)')} ELSE 0 END)) END)"
+).format(lo=_WAV_BYTE.format(k="(2*j)"))
+
+# plain nested-subquery form (no WITH): composable as a CTE body inside
+# the suite oracle, same pattern as the BMP/PNG bodies
+_WAV_ORACLE_BODY = f"""
+    SELECT doc_id,
+           CASE WHEN smp IS NULL THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+           CAST(CASE WHEN smp IS NULL THEN NULL ELSE len(smp) END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN smp IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(smp, x -> abs(x))), 0) END AS BIGINT) AS sum_abs,
+           CAST(CASE WHEN smp IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(smp, x -> x * x)), 0) END AS BIGINT) AS sum_sq,
+           CAST(CASE WHEN smp IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(range(1, len(sgns)),
+                       i -> CASE WHEN sgns[i] != sgns[i + 1] THEN 1 ELSE 0 END)), 0)
+                END AS BIGINT) AS zero_cross,
+           CAST(CASE WHEN smp IS NULL THEN NULL
+                ELSE coalesce(list_max(list_transform(smp, x -> abs(x))), 0) END AS INT) AS peak
+    FROM (
+      SELECT doc_id, smp,
+             CASE WHEN smp IS NULL THEN NULL
+                  ELSE list_filter(list_transform(smp, x ->
+                         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END),
+                       s -> s != 0) END AS sgns
+      FROM (
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE {_WAV_SMP} END AS smp
+        FROM documents WHERE doc_id < 200
+      ) wv
+    ) nz
+"""
+
+PIPELINE["multimodal_wav_decode"] = Q(
+    spark=_multimodal_wav,
+    oracle=_WAV_ORACLE_BODY,
+    doc="REAL WAV (RIFF 16-bit PCM) encode/decode round trip graded on exact "
+    "integer sample statistics incl. an order-sensitive zero-crossing count; "
+    "encoder pinned against stdlib wave in tests",
+)
+
+
 def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Window-budget collapse of the multimodal rows (frame-sample /
     resize / feature-extract / r8 real-BMP decode) into one checksummed
@@ -1381,7 +1512,14 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
         + F.col("px_weighted") * 17,
     )
-    return fr.unionAll(rz).unionAll(fe).unionAll(bmp).unionAll(png)
+    wav = _probe_agg(
+        "wav",
+        _multimodal_wav(spark, sf),
+        F.col("doc_id") * 1 + F.col("sample_rate") * 3 + F.col("n_samples") * 5
+        + F.col("sum_abs") * 7 + (F.col("sum_sq") % 1_000_000_000) * 11
+        + F.col("zero_cross") * 13 + F.col("peak") * 17,
+    )
+    return fr.unionAll(rz).unionAll(fe).unionAll(bmp).unionAll(png).unionAll(wav)
 
 
 PIPELINE["multimodal_suite"] = Q(
@@ -1392,6 +1530,9 @@ PIPELINE["multimodal_suite"] = Q(
     ),
     png AS (
       {_PNG_ORACLE_BODY}
+    ),
+    wav AS (
+      {_WAV_ORACLE_BODY}
     ),
     fr AS (
       SELECT doc_id,
@@ -1443,6 +1584,11 @@ PIPELINE["multimodal_suite"] = Q(
            CAST(sum(doc_id * 1 + width * 3 + height * 5 + sum_b * 7
                     + sum_g * 11 + sum_r * 13 + px_weighted * 17) AS BIGINT) AS chk
     FROM png
+    UNION ALL
+    SELECT 'wav' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + sample_rate * 3 + n_samples * 5 + sum_abs * 7
+                    + (sum_sq % 1000000000) * 11 + zero_cross * 13 + peak * 17) AS BIGINT) AS chk
+    FROM wav
     """,
     doc="multimodal plumbing suite: frame-sample explode, mapInPandas resize "
     "byte-contract (len_ok must hold on the actual binary column — a False "

@@ -369,22 +369,30 @@ class AstroRelation:
             )
         return tbl
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, fragments: int | None = None) -> None:
         """INSERT INTO …: append sorted fragment files at the next LSM
         generation (HBase memstore-flush analog; reference insert =
         batched Puts, HBaseRelation.scala:657-708).  A re-inserted row
         key upserts: readers resolve newest-cell-wins per column via
-        ``_merge_latest`` until ``compact()`` rewrites."""
+        ``_merge_latest`` until ``compact()`` rewrites.
+
+        ``fragments`` (r9): flush-size hint from callers that KNOW the
+        batch is small (streaming micro-batches, trickle inserts) — a
+        narrow 16k-row batch range-partitioned into the full region
+        count lands as ~64 tiny fragments, each of which later joins the
+        island closure of any DELETE touching its range (measured at the
+        sf1 soak: a 1k-key delete rewrote 33 files of which ~31 were
+        one batch's slivers).  Clamped to [1, num_regions]; default
+        keeps the region-count cap (empty range partitions write no
+        files, and counting rows here would recompute the batch)."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
         seq = max((r.seq for r in meta.regions), default=-1) + 1
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(seq))
-        # cap fragment count at the region count; empty range partitions
-        # write no files, so a tiny INSERT still produces few fragments
-        # (no .rdd here — converting the plan to RDD just to count
-        # partitions forces an extra analysis pass)
         n = max(1, meta.num_regions)
+        if fragments is not None:
+            n = max(1, min(n, int(fragments)))
         if meta.layout == "bucketed":
             # plain fragment files break the bucket-file invariant; demote
             # the layout (one-phase agg falls back to 2-phase) until

@@ -280,7 +280,10 @@ class AstroSession:
         if c.overwrite:
             rel.overwrite(df)
         elif rel.meta.regions:
-            rel.append(df)
+            # literal VALUES: the row count is known — flush as few
+            # fragments (r9; a handful of rows must not land as
+            # num_regions slivers that bloat later island closures)
+            rel.append(df, fragments=max(1, -(-len(coerced) // 50_000)))
         else:
             rel.write(df)
         rel.register_view()

@@ -183,3 +183,66 @@ def test_png_rejects_unsupported_shapes():
     assert decode_png(bytes(bad)) is None
     # truncated IDAT → refuse
     assert decode_png(good[: len(good) - 20]) is None
+
+
+# --- r9: real WAV codec (RIFF 16-bit PCM, stdlib struct + numpy) ------------
+
+def test_wav_roundtrip_and_stdlib_parity():
+    import io
+    import random
+    import wave as stdwave
+
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = random.Random(11)
+    for _ in range(30):
+        n = rng.randrange(0, 101)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        blob = encode_wav(payload, 8000)
+        d = decode_wav(blob)
+        assert d is not None and d["sample_rate"] == 8000 and d["n_channels"] == 1
+        padded = payload + (b"\x00" if n % 2 else b"")
+        assert np.array_equal(d["samples"], np.frombuffer(padded, "<i2").astype(np.int32))
+        # the PUBLIC reference implementation (stdlib wave) reads our files
+        w = stdwave.open(io.BytesIO(blob))
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+        assert w.readframes(w.getnframes()) == padded
+
+
+def test_wav_rejects_unsupported():
+    from spark_sql_on_hbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    assert decode_wav(b"RIFFjunk") is None
+    assert decode_wav(None) is None
+    good = bytearray(encode_wav(b"abcd"))
+    good[20] = 3  # audio format != PCM
+    assert decode_wav(bytes(good)) is None
+
+
+def test_audio_sample_stats_exact(spark):
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        audio_sample_stats,
+        encode_wav,
+        encode_wav_column,
+    )
+
+    rows = [(1, b"\x01\x00\xff\xff\x02\x00"), (2, b""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r.doc_id: r
+        for r in audio_sample_stats(
+            encode_wav_column(df, "blob").drop("blob"), "wav"
+        ).collect()
+    }
+    # samples of doc 1: [1, -1, 2] -> sum_abs 4, sum_sq 6, signs [1,-1,1]
+    # -> 2 zero crossings, peak 2
+    r1 = out[1]
+    assert (r1.n_samples, r1.sum_abs, r1.sum_sq, r1.zero_cross, r1.peak) == (3, 4, 6, 2, 2)
+    r2 = out[2]
+    assert (r2.n_samples, r2.sum_abs, r2.sum_sq, r2.zero_cross, r2.peak) == (0, 0, 0, 0, 0)
+    r3 = out[3]
+    assert r3.n_samples is None and r3.sum_abs is None and r3.peak is None

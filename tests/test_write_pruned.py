@@ -422,3 +422,22 @@ def test_r7_review_regressions(astro, tmp_path, spark):
     astro.sql("UPDATE pt SET n = n + 1 WHERE k = 2")
     assert astro.last_write_stats is None
     assert astro.sql("SELECT n FROM pt WHERE k = 2").collect()[0].n == 21
+
+
+def test_append_fragments_hint_bounds_island_growth(astro, tmp_path):
+    """r9: a small batch appended with a flush-size hint lands as ~1
+    fragment instead of num_regions slivers, so a later DELETE's island
+    closure stays local — the sf1 soak measured a 1k-key delete
+    rewriting 33 files of which ~31 were one unhinted batch's slivers."""
+    rel = _load_pt(astro, tmp_path)
+    n_before = len(rel.meta.regions)
+    batch = rel.spark.createDataFrame(
+        [(20000 + i, f"u{i}", i) for i in range(50)], "k int, v string, n int"
+    )
+    rel.append(batch, fragments=1)
+    regs = astro.catalog.get_table("pt").regions
+    assert len(regs) == n_before + 1  # one fragment, not num_regions slivers
+    # the hint is clamped and optional — default behavior unchanged
+    rel.append(batch.selectExpr("k + 100000 AS k", "v", "n"), fragments=999999)
+    regs2 = astro.catalog.get_table("pt").regions
+    assert len(regs2) <= len(regs) + rel.meta.num_regions

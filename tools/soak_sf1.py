@@ -134,8 +134,12 @@ def main() -> None:
             rel.write(li)
             n0 = astro.sql("SELECT count(*) c FROM soak_li").collect()[0].c
             t_load = round(time.time() - t0, 2)
-            # pending upserts: append a 10k-row batch over a narrow range
-            rel.append(li.filter(F.col("ok") < 40_000).limit(10_000))
+            # pending upserts: append a batch over a NARROW key range, the
+            # live-ingest shape, flushed as a couple of fragments (the
+            # micro-batch flush size a streaming writer would use) — the
+            # delete's island closure must stay local to the overlapped
+            # regions, not creep across the table
+            rel.append(li.filter(F.col("ok").between(19_000, 23_000)), fragments=2)
             # pruned DELETE under the pending-upsert state; the qty
             # conjunct is RESIDUAL, forcing the island-closure resolved
             # rewrite (the key-only purge would not exercise closure)
