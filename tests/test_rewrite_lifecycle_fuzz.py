@@ -32,7 +32,7 @@ def _table_rows(astro, name):
     }
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [11, 23, 47, 61, 83])
 def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
     rng = random.Random(seed)
     name = f"fz{seed}"
@@ -52,6 +52,26 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
             f"seed {seed} step {step}: {len(got)} rows vs model {len(model)}; "
             f"diff keys={sorted(set(got) ^ set(model))[:10]}"
         )
+        # r9 time-travel invariant — the PRESENT is always reachable via
+        # TIMESTAMP AS OF, no matter which write plan last ran (the r8
+        # keyset purge could strand history_floor above every surviving
+        # generation, bricking all versioned reads until COMPACT):
+        # resolving "now" must land at/above the floor and that snapshot
+        # must equal the current table
+        import time as _t
+
+        rel = astro.relation(name)
+        if rel.meta.generation_times:
+            n_asof = rel.seq_for_timestamp(_t.time() + 1)
+            assert n_asof >= rel.meta.history_floor, (
+                f"seed {seed} step {step}: now-resolve {n_asof} below "
+                f"floor {rel.meta.history_floor}"
+            )
+            snap = {
+                r.k: (r.v, r.n)
+                for r in rel.scan(as_of_seq=n_asof).select("k", "v", "n").collect()
+            }
+            assert snap == model, f"seed {seed} step {step}: as-of-now snapshot diverges"
 
     for step in range(10):
         op = rng.choice(
