@@ -466,8 +466,9 @@ def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """mapInPandas media decode: blob → MEDIA_META struct columns.
 
     Arrow-batched; batch size bounded by spark.sql.execution.arrow
-    .maxRecordsPerBatch.  BMP blobs decode for REAL (header-parsed dims,
-    r7 verdict #8); other formats keep the deterministic stub kernel."""
+    .maxRecordsPerBatch.  BMP/PNG/WAV blobs decode for REAL (header-
+    parsed dims / duration, r7 verdict #8 + r9); formats without a real
+    kernel keep the deterministic stub."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != blob_col]
         + [T.StructField("meta", MEDIA_META, True)]
@@ -475,14 +476,26 @@ def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     other_cols = [f.name for f in df.schema.fields if f.name != blob_col]
 
     def decode(b: bytes) -> dict:
-        d = decode_bmp(b)
+        d = decode_image(b)
         if d is not None:
+            mime = "image/bmp" if b[:2] == b"BM" else "image/png"
             return {
-                "mime": "image/bmp",
+                "mime": mime,
                 "width": d["width"],
                 "height": d["height"],
                 "duration_ms": None,
                 "codec": None,
+            }
+        w = decode_wav(b)
+        if w is not None:
+            return {
+                "mime": "audio/wav",
+                "width": None,
+                "height": None,
+                "duration_ms": int(
+                    w["samples"].size * 1000 // max(1, w["sample_rate"])
+                ),
+                "codec": "pcm_s16le",
             }
         return _decode_image_stub(b)
 

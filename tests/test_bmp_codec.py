@@ -246,3 +246,27 @@ def test_audio_sample_stats_exact(spark):
     assert (r2.n_samples, r2.sum_abs, r2.sum_sq, r2.zero_cross, r2.peak) == (0, 0, 0, 0, 0)
     r3 = out[3]
     assert r3.n_samples is None and r3.sum_abs is None and r3.peak is None
+
+
+def test_decode_media_real_formats(spark):
+    """decode_media dispatches BMP/PNG/WAV to the REAL codecs (dims and
+    duration from headers), stub only for unknown formats."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
+    rows = [
+        (1, encode_bmp(b"x" * 96, width=4)),     # 4x8 BMP
+        (2, encode_png(b"y" * 24, width=4)),     # 4x2 PNG
+        (3, encode_wav(b"z" * 16000, 8000)),     # 8000 samples @ 8 kHz = 1 s
+        (4, b"unknown-format-bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r.meta for r in decode_media(df, "blob").collect()}
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/bmp", 4, 8)
+    assert (got[2].mime, got[2].width, got[2].height) == ("image/png", 4, 2)
+    assert (got[3].mime, got[3].duration_ms, got[3].codec) == ("audio/wav", 1000, "pcm_s16le")
+    assert got[4].mime == "image/fake"  # honest stub for unknown formats
