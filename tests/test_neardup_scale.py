@@ -114,3 +114,18 @@ def test_tune_lsh_params():
     assert lo_bits // 8 <= 6
     # monotone: tighter thresholds earn more selectivity
     assert S.tune_lsh_params(0.95, bands=8)[0] >= bits
+
+
+def test_multiprobe_recovers_planted_twin(emb):
+    # recall measured against known ground truth, not assumed: the twin
+    # at cos ~0.9992 must rank first for >= 90% of queries when probing
+    # the own bucket + all Hamming-1 buckets
+    from pyspark.sql import functions as F
+
+    aug = neardup_planted_frame(emb)
+    q = aug.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = S.knn_lsh(aug, q, k=1, bits=8, multiprobe=True)
+    hits = top1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
+    assert hits >= 45, hits
