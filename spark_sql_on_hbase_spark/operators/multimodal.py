@@ -221,23 +221,28 @@ def decode_png(blob: bytes):
             rec = cur
         elif f == 2:  # Up
             rec = (cur + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the in-row left neighbor
+        elif f == 1:  # Sub: rec[i] = Σ cur[i-3k] mod 256 — a per-channel
+            # cumsum (mod distributes over the sum), fully vectorized
+            # (ADVICE r9: this was a per-byte Python loop)
+            rec = np.empty(stride, dtype=np.int64)
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(cur[c::bpp]) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: the floor-div / predictor
+            # choice makes the left-neighbor dependence truly sequential
             rec = np.empty(stride, dtype=np.int64)
             for i in range(stride):
                 a = rec[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                if f == 1:  # Sub
-                    rec[i] = (cur[i] + a) & 0xFF
-                elif f == 3:  # Average
+                if f == 3:  # Average
                     rec[i] = (cur[i] + (a + b) // 2) & 0xFF
-                elif f == 4:  # Paeth
+                else:  # Paeth
                     c = prev[i - bpp] if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     rec[i] = (cur[i] + pr) & 0xFF
-                else:
-                    return None
+        else:
+            return None
         out[r] = rec.astype(np.uint8)
     px = out.reshape(-1, 3)
     # RGB → BGR so the stats kernel is channel-uniform with decode_bmp
@@ -292,6 +297,8 @@ def decode_wav(blob: bytes):
             if afmt != 1:  # PCM only
                 return None
         elif tag == b"data":
+            if len(body) < ln:  # declared length past end of blob
+                return None  # truncated/corrupt — mirror decode_png's check
             data = body
         pos += 8 + ln + (ln % 2)  # RIFF chunks are word-aligned
     if rate is None or data is None or bps != 16:
@@ -488,13 +495,14 @@ def decode_media(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             }
         w = decode_wav(b)
         if w is not None:
+            # samples are channel-interleaved: duration counts FRAMES
+            # (a foreign stereo file would otherwise report 2× its length)
+            frames = w["samples"].size // max(1, w["n_channels"])
             return {
                 "mime": "audio/wav",
                 "width": None,
                 "height": None,
-                "duration_ms": int(
-                    w["samples"].size * 1000 // max(1, w["sample_rate"])
-                ),
+                "duration_ms": int(frames * 1000 // max(1, w["sample_rate"])),
                 "codec": "pcm_s16le",
             }
         return _decode_image_stub(b)

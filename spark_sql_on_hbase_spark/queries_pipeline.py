@@ -2522,16 +2522,22 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
     # the persisted frame must outlive this function (the returned union
     # is lazy — the caller materializes it), so it cannot be unpersisted
     # here; instead each call releases the PREVIOUS call's frame, capping
-    # the session-lifetime cache at one small frame (ADVICE r8: callers
-    # without a clearCache() discipline leaked one frame per call)
-    while _TOS_SPANS_CACHE:
-        try:
-            _TOS_SPANS_CACHE.pop().unpersist()
-        except Exception:
-            pass
+    # the session-lifetime cache at one small frame per SparkSession
+    # (ADVICE r8: callers without a clearCache() discipline leaked one
+    # frame per call; ADVICE r9: the cache is keyed per session and the
+    # new frame materializes BEFORE the old one is released, so only a
+    # union held lazy ACROSS two suite calls on the same session ever
+    # recomputes unpersisted — the returned frame is only guaranteed
+    # cached until the next suite call on that session)
     spans_df = duplicated_spans(docs, k=8, min_docs=2).persist()
     spans_df.count()
-    _TOS_SPANS_CACHE.append(spans_df)
+    prev = _TOS_SPANS_CACHE.pop(spark, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    _TOS_SPANS_CACHE[spark] = spans_df
     spans = _probe_agg(
         "dupspans",
         spans_df,
@@ -2550,8 +2556,9 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# at most one persisted shared-spans frame per session (see _text_ops_suite)
-_TOS_SPANS_CACHE: list = []
+# at most one persisted shared-spans frame per SparkSession, keyed by the
+# session object itself (see _text_ops_suite)
+_TOS_SPANS_CACHE: dict = {}
 
 
 def _tos_wrap(tag: str, body: str, chk: str) -> str:

@@ -142,28 +142,32 @@ def astro_table_sink(
         marker = os.path.join(marker_dir, f"{int(epoch_id)}.done")
         if os.path.exists(marker):
             return  # committed replay: this batch already landed
-        # count instead of isEmpty: the size prices the flush below, and
-        # a micro-batch is replayable source-side so the extra pass is
-        # batch-scale (foreachBatch frames re-read their own offsets)
-        cnt = batch_df.count()
-        if cnt == 0:
-            return
-        rel = astro.relation(table, namespace)
-        schema = table_schema(rel.meta)
-        cols = [n for n, _ in rel.meta.all_columns]
-        cast = batch_df.select(
-            *[batch_df[n].cast(schema[n].dataType) for n in cols]
-        )
-        if rel.meta.regions:
-            # flush-size the fragment count (r9): a small micro-batch
-            # must land as ~1 fragment, not num_regions slivers — every
-            # sliver later joins the island closure of any DELETE
-            # touching its key range
-            regs = rel.meta.regions
-            target = max(1, sum(r.num_rows for r in regs) // max(1, len(regs)))
-            rel.append(cast, fragments=max(1, -(-cnt // target)))
-        else:
-            rel.write(cast)
+        # count prices the flush below; persist the batch so the count
+        # and the append read the (possibly expensive) upstream transform
+        # once, not twice (r9 advice: count() alone re-evaluates the source)
+        batch_df.persist()
+        try:
+            cnt = batch_df.count()
+            if cnt == 0:
+                return
+            rel = astro.relation(table, namespace)
+            schema = table_schema(rel.meta)
+            cols = [n for n, _ in rel.meta.all_columns]
+            cast = batch_df.select(
+                *[batch_df[n].cast(schema[n].dataType) for n in cols]
+            )
+            if rel.meta.regions:
+                # flush-size the fragment count (r9): a small micro-batch
+                # must land as ~1 fragment, not num_regions slivers — every
+                # sliver later joins the island closure of any DELETE
+                # touching its key range
+                regs = rel.meta.regions
+                target = max(1, sum(r.num_rows for r in regs) // max(1, len(regs)))
+                rel.append(cast, fragments=max(1, -(-cnt // target)))
+            else:
+                rel.write(cast)
+        finally:
+            batch_df.unpersist()
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("ok")

@@ -171,6 +171,46 @@ def test_png_reverses_all_five_scanline_filters():
     assert np.array_equal(d["pixels"], img.reshape(-1, 3)[:, ::-1])
 
 
+def test_png_sub_filter_vectorized_wraparound():
+    """r10 (ADVICE r9 #2): Sub reversal is now a per-channel cumsum mod
+    256 — pin it on a wide row whose running sums wrap many times, where
+    a missing mod or channel-phase slip would diverge from the
+    sequential definition."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(13)
+    w, h = 300, 3  # 900-byte rows: sums wrap ~hundreds of times
+    img = rng.integers(0, 256, size=(h, w * 3), dtype=np.int64)
+    enc = []
+    for r in range(h):
+        cur = img[r]
+        out = np.empty(w * 3, np.int64)
+        for i in range(w * 3):
+            a = cur[i - 3] if i >= 3 else 0
+            out[i] = (cur[i] - a) & 0xFF  # forward Sub filter
+        enc.append(b"\x01" + bytes(out.astype(np.uint8)))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(enc)))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(blob)
+    assert d is not None
+    assert np.array_equal(d["pixels"], img.astype(np.uint8).reshape(-1, 3)[:, ::-1])
+
+
 def test_png_rejects_unsupported_shapes():
     from spark_sql_on_hbase_spark.operators.multimodal import decode_png, encode_png
 
@@ -219,6 +259,26 @@ def test_wav_rejects_unsupported():
     good = bytearray(encode_wav(b"abcd"))
     good[20] = 3  # audio format != PCM
     assert decode_wav(bytes(good)) is None
+    # r10 (ADVICE r9 #3): a data chunk whose declared length runs past
+    # the blob is corrupt — refuse, don't return a partial sample array
+    assert decode_wav(bytes(encode_wav(b"abcdef"))[:-2]) is None
+
+
+def test_decode_media_stereo_duration(spark):
+    """r10 (ADVICE r9 #2): duration counts FRAMES, not interleaved
+    samples — a foreign stereo file must not report 2× its length."""
+    import struct
+
+    from spark_sql_on_hbase_spark.operators.multimodal import decode_media, encode_wav
+
+    # rewrite the in-house mono header to declare 2 channels: 8000
+    # interleaved samples at 8000 Hz stereo = 4000 frames = 500 ms
+    blob = bytearray(encode_wav(b"\x01\x02" * 8000, sample_rate=8000))
+    struct.pack_into("<H", blob, 22, 2)  # n_channels
+    df = spark.createDataFrame([(1, bytes(blob))], "id long, blob binary")
+    meta = decode_media(df).collect()[0].meta
+    assert meta.mime == "audio/wav"
+    assert meta.duration_ms == 500
 
 
 def test_audio_sample_stats_exact(spark):
