@@ -73,6 +73,11 @@ class RegionFile:
     max_rowkey_hex: str
     seq: int = 0
     num_keys: int = -1
+    # MVCC retention (r10): generation at which a retained rewrite
+    # replaced this fragment. -1 = live. A retired fragment is visible
+    # to `VERSION/TIMESTAMP AS OF` snapshots with seq <= N < retired_at
+    # only, never to the present scan; COMPACT/OVERWRITE reclaim it.
+    retired_at: int = -1
     # true per-dimension min/max boxes (numeric key columns only; None
     # entry = no box for that dim).  Unlike min_key/max_key — which are
     # the LEXICOGRAPHIC first/last tuples — these bound every dimension
@@ -128,6 +133,18 @@ class TableMeta:
     # re-stamp everything at rewrite time, while resolved DELETEs retain
     # surviving stamps (retroactive-purge view above the floor).
     generation_times: dict = field(default_factory=dict)
+    # MVCC retention (r10, VERDICT r9 #1 — the reference's HBase
+    # cell-version model, doc §23 setTimeRange): when True, resolved
+    # UPDATE/MERGE/DELETE rewrites RETIRE the fragments they replace
+    # (kept on disk, bound to their generation via retired_at) instead
+    # of deleting them, and write survivors at a NEW generation — every
+    # pre-rewrite `VERSION/TIMESTAMP AS OF` snapshot stays readable.
+    # COMPACT / INSERT OVERWRITE are the reclaim points.  Off by
+    # default: retention trades history for storage and keeps deleted
+    # values readable (GDPR erasure wants the default fold/purge).
+    retain_history: bool = False
+    # fragments replaced by retained rewrites, each with retired_at set
+    retired_regions: list[RegionFile] = field(default_factory=list)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -300,6 +317,8 @@ class AstroCatalog:
             generation_times={
                 k: float(v) for k, v in raw.get("generation_times", {}).items()
             },
+            retain_history=raw.get("retain_history", False),
+            retired_regions=[RegionFile(**r) for r in raw.get("retired_regions", [])],
         )
         self._cache[key] = meta
         return meta
@@ -368,13 +387,17 @@ class AstroCatalog:
         #   post-rewrite data.
         now = time.time()
         present = {str(r.seq) for r in meta.regions}
+        # r10: generations that survive only in RETIRED fragments (MVCC
+        # retention) keep their stamps too — TIMESTAMP AS OF resolves
+        # pre-rewrite timestamps against them
+        present |= {str(r.seq) for r in meta.retired_regions}
         if restamp == "now":
             meta.generation_times = {s: now for s in present}
         else:
             gt = {s: t for s, t in meta.generation_times.items() if s in present}
             for s in present - set(gt):
                 mts = []
-                for r in meta.regions:
+                for r in meta.regions + meta.retired_regions:
                     if str(r.seq) == s:
                         try:
                             mts.append(os.path.getmtime(_strip_file_uri(r.path)))

@@ -68,6 +68,9 @@ _HELP = {
     "   degenerate — folding snapshots to the present while commit stamps\n"
     "   since the floor generation keep resolving to the purged view\n"
     "   [history: folded-purge]; non-sargable = full rewrite [folded].\n"
+    "   OPTIONS(retain_history=true) tables instead RETIRE replaced\n"
+    "   fragments [history: retained]: every pre-rewrite snapshot stays\n"
+    "   readable until COMPACT/OVERWRITE reclaims.\n"
     "   The chosen plan is reported in last_write_stats.history)",
     "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
     "SHOW": "SHOW TABLES",

@@ -53,6 +53,11 @@ class CreateTable:
     # OPTIONS(layout=zorder): bulk writes cluster on the bit-interleaved
     # key so every key dimension prunes at file level (our extension)
     zorder: bool = False
+    # OPTIONS(retain_history=true): resolved UPDATE/MERGE/DELETE rewrites
+    # RETIRE replaced fragments instead of deleting them — every
+    # pre-rewrite VERSION/TIMESTAMP AS OF snapshot stays readable until
+    # COMPACT/OVERWRITE reclaims (r10; the HBase cell-version model)
+    retain_history: bool = False
 
 
 @dataclass
@@ -426,6 +431,7 @@ def parse(sql: str) -> Command:
         num_regions = 8
         align_prefix = 0
         zorder = False
+        retain_history = False
         if m.group("opts"):
             for opt in _split_top_level(m.group("opts")):
                 k, v = opt.split("=", 1)
@@ -439,6 +445,13 @@ def parse(sql: str) -> Command:
                     if val not in ("zorder", "range"):
                         raise ValueError(f"unknown layout {val!r} (zorder|range)")
                     zorder = val == "zorder"
+                elif key == "retain_history":
+                    val = v.strip().strip("'\"").lower()
+                    if val not in ("true", "false"):
+                        raise ValueError(
+                            f"retain_history must be true|false, got {val!r}"
+                        )
+                    retain_history = val == "true"
         return CreateTable(
             table=table,
             namespace=ns,
@@ -451,6 +464,7 @@ def parse(sql: str) -> Command:
             if_not_exists=bool(m.group("ine")),
             align_prefix=align_prefix,
             zorder=zorder,
+            retain_history=retain_history,
         )
 
     if up.startswith("DROP TABLE"):

@@ -133,6 +133,10 @@ TAIL_ORDER = [
     "astro_table_agg",
     # r8: TIMESTAMP AS OF snapshot joined to merge-on-read current state
     "astro_timetravel_diff",
+    # r10: MVCC retention (retain_history) — pre-write snapshots served
+    # from retired fragments; values grade in-window through
+    # astro_write_ops' retained branch
+    "astro_retained_history",
     "dedup_minhash_signatures",
     # collapsed into dedup_suite (in-window); still runnable solo
     "dedup_simhash",

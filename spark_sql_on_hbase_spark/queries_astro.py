@@ -363,7 +363,10 @@ def _ensure_write_ops_table(spark: SparkSession, sf_dir: str):
     from spark_sql_on_hbase_spark.session import AstroSession
     from spark_sql_on_hbase_spark.tables import load_tables
 
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_wo_v1"
+    import json
+    import time as _t
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_wo_v2"
     astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
     done = os.path.join(_WAREHOUSE, tag, ".write_ops_done")
     if not os.path.exists(done):
@@ -392,16 +395,65 @@ def _ensure_write_ops_table(spark: SparkSession, sf_dir: str):
             "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus) "
             "VALUES (s.k, s.tp, s.st)"
         )
+        # r10 (VERDICT r9 #1): a second table under MVCC retention — a
+        # NULL-routing UPDATE and a DELETE both take RETAINED rewrites
+        # (replaced fragments retired at a new generation, floor
+        # unchanged), so the pre-write TIMESTAMP AS OF snapshot below
+        # still serves the original values.  The plan facts (history ==
+        # "retained", strictly partial rewrite, floor still 0) fold into
+        # the probe flag the oracle grades.
+        astro.sql(
+            "CREATE TABLE IF NOT EXISTS astro_rh (o_orderkey LONG, "
+            "o_totalprice DOUBLE, o_orderstatus STRING, PRIMARY KEY (o_orderkey)) "
+            "MAPPED BY (h_rh, COLS=[o_totalprice=f.tp, o_orderstatus=f.st]) "
+            "OPTIONS (regions=4, retain_history=true)"
+        )
+        astro.sql(
+            "INSERT INTO astro_rh SELECT o_orderkey, o_totalprice, o_orderstatus "
+            "FROM orders WHERE o_orderkey <= 1200"
+        )
+        t_mid = _t.time()
+        _t.sleep(0.05)
+
+        def _retained_partial(st):
+            return (
+                st is not None
+                and st.get("history") == "retained"
+                and 0 < st["files_rewritten"] < st["files_total"]
+            )
+
+        flags = []
+        astro.sql(
+            "UPDATE astro_rh SET o_orderstatus = NULL "
+            "WHERE o_orderkey BETWEEN 200 AND 260"
+        )
+        flags.append(_retained_partial(astro.last_write_stats))
+        astro.sql("DELETE FROM astro_rh WHERE o_orderkey BETWEEN 400 AND 450")
+        flags.append(_retained_partial(astro.last_write_stats))
+        flags.append(astro.catalog.get_table("astro_rh").history_floor == 0)
         with open(done, "w") as f:
-            f.write("ok")
-    return astro
+            json.dump({"t_mid": t_mid, "retained_ok": all(flags)}, f)
+    with open(done) as f:
+        d = json.load(f)
+    return astro, float(d["t_mid"]), bool(d["retained_ok"])
 
 
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    astro = _ensure_write_ops_table(spark, sf_dir)
+    astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
+    # the retained-history branch keys are offset so the three blocks
+    # stay distinguishable inside one value-hashed result set: +1000000
+    # = the retained table's PRESENT, +2000000 = its pre-write snapshot
     return astro.sql(
         "SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderstatus "
-        "FROM astro_wo"
+        "FROM astro_wo "
+        "UNION ALL "
+        "SELECT o_orderkey + 1000000, round(o_totalprice, 2), o_orderstatus "
+        "FROM astro_rh "
+        "UNION ALL "
+        "SELECT o_orderkey + 2000000, round(o_totalprice, 2), o_orderstatus "
+        f"FROM astro_rh TIMESTAMP AS OF {t_mid!r} "
+        "UNION ALL "
+        f"SELECT -7, {'1.0' if retained_ok else '0.0'}, 'retained_probe'"
     )
 
 
@@ -584,10 +636,73 @@ ASTRO["astro_write_ops"] = Q(
     SELECT o_orderkey, round(tp + 1, 2) AS totalprice, o_orderstatus FROM base
     UNION ALL
     SELECT o_orderkey, round(tp, 2) AS totalprice, o_orderstatus FROM ins
+    UNION ALL
+    -- r10 retained-history branch: the PRESENT of the retention table
+    -- (NULL-update applied, delete range gone) ...
+    SELECT o_orderkey + 1000000,
+           round(o_totalprice, 2) AS totalprice,
+           CASE WHEN o_orderkey BETWEEN 200 AND 260 THEN NULL
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 1200 AND o_orderkey NOT BETWEEN 400 AND 450
+    UNION ALL
+    -- ... and its PRE-WRITE snapshot served from retired fragments:
+    -- the original values, deleted rows included
+    SELECT o_orderkey + 2000000, round(o_totalprice, 2), o_orderstatus
+    FROM orders WHERE o_orderkey <= 1200
+    UNION ALL
+    SELECT -7, 1.0, 'retained_probe'
     """,
     doc="the r6 write surface end-to-end through the SQL session: INSERT "
     "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "
     "rewrite) -> MERGE (matched update + anti-join insert) — the final "
     "table contents recomputed independently by the oracle from orders "
-    "(ddl.py/session.py; beyond-reference, HBaseRelation.scala:660-663)",
+    "(ddl.py/session.py; beyond-reference, HBaseRelation.scala:660-663). "
+    "r10: plus the MVCC-retention branch — a retain_history table whose "
+    "NULL-UPDATE and DELETE take RETAINED rewrites, graded on BOTH the "
+    "post-write present and the pre-write TIMESTAMP AS OF snapshot the "
+    "retired fragments serve, with the plan facts (history=retained, "
+    "partial rewrite, floor unchanged) in the probe row "
+    "(relation.rewrite_pruned retain branch, catalog retired_regions)",
+)
+
+
+def _astro_retained_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (VERDICT r9 #1): MVCC retention solo entry — the retained
+    table's present and pre-write snapshot side by side with a tag
+    column; values also grade in-window through astro_write_ops'
+    retained branch (reference parity: HBase cell versions + Scan
+    setTimeRange, doc §23 — updates never destroy prior versions until
+    a major compaction, exactly retain_history + COMPACT here)."""
+    astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
+    return astro.sql(
+        "SELECT 'now' AS tag, o_orderkey, round(o_totalprice, 2) AS totalprice, "
+        "o_orderstatus AS status FROM astro_rh "
+        "UNION ALL "
+        "SELECT 'was', o_orderkey, round(o_totalprice, 2), o_orderstatus "
+        f"FROM astro_rh TIMESTAMP AS OF {t_mid!r} "
+        "UNION ALL "
+        f"SELECT 'probe', -7, {'1.0' if retained_ok else '0.0'}, 'plan'"
+    )
+
+
+ASTRO["astro_retained_history"] = Q(
+    spark=_astro_retained_history,
+    oracle="""
+    SELECT 'now' AS tag, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           CASE WHEN o_orderkey BETWEEN 200 AND 260 THEN NULL
+                ELSE o_orderstatus END AS status
+    FROM orders WHERE o_orderkey <= 1200 AND o_orderkey NOT BETWEEN 400 AND 450
+    UNION ALL
+    SELECT 'was', o_orderkey, round(o_totalprice, 2), o_orderstatus
+    FROM orders WHERE o_orderkey <= 1200
+    UNION ALL
+    SELECT 'probe', -7, 1.0, 'plan'
+    """,
+    doc="r10 MVCC retention (retain_history=true): resolved UPDATE/DELETE "
+    "rewrites retire replaced fragments at a new generation instead of "
+    "folding — the pre-write TIMESTAMP AS OF snapshot ('was') serves the "
+    "original values from retired fragments while the present ('now') "
+    "shows the writes; COMPACT reclaims (relation.rewrite_pruned, "
+    "catalog.RegionFile.retired_at; HBase cell-version parity, doc §23)",
 )

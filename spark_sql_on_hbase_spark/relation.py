@@ -310,6 +310,8 @@ class AstroRelation:
             )
             meta.layout = "zorder"
             meta.align_prefix = 0
+            if mode == "overwrite":
+                meta.retired_regions = []  # dir clobbered — reclaim (r10)
             if refresh:
                 self._refresh_region_bounds(restamp=restamp)
             return
@@ -343,6 +345,8 @@ class AstroRelation:
                 ranged.sortWithinPartitions(ROWKEY_COL).write.mode(mode)
             ).parquet(out_dir)
             meta.layout = "range"
+        if mode == "overwrite":
+            meta.retired_regions = []  # dir clobbered — reclaim (r10)
         if refresh:
             self._refresh_region_bounds(restamp=restamp)
 
@@ -387,7 +391,7 @@ class AstroRelation:
         files, and counting rows here would recompute the batch)."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
-        seq = max((r.seq for r in meta.regions), default=-1) + 1
+        seq = self._next_seq()
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(seq))
         n = max(1, meta.num_regions)
@@ -405,6 +409,17 @@ class AstroRelation:
             .write.mode("append")
         ).parquet(out_dir)
         self._refresh_region_bounds()
+
+    def _next_seq(self) -> int:
+        """Next unused LSM generation.  Retired generations count (r10):
+        a retained rewrite that emitted zero survivor files (e.g. a
+        DELETE matching a whole island) still consumed its generation —
+        reusing it would let a snapshot mix the retired fragments with
+        later rows."""
+        meta = self.meta
+        cands = [r.seq for r in meta.regions]
+        cands += [r.retired_at for r in meta.retired_regions]
+        return max(cands, default=-1) + 1
 
     def _physical_encode(self, keyed: DataFrame) -> DataFrame:
         """Physical value layout.  binaryformat: typed parquet columns.
@@ -484,6 +499,9 @@ class AstroRelation:
         if meta.layout == "bucketed":
             # re-point the session-catalog table at the final location
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+        # the whole-table rebuild is the MVCC reclaim point: retired
+        # fragments went with the old directory (r10 retention)
+        meta.retired_regions = []
         meta.history_floor = 0  # everything rebuilt at generation 0
         # folded history: gen 0 re-stamps at rewrite time (restamp="now",
         # applied only HERE — after the swap succeeded; see ADVICE r8 on
@@ -573,7 +591,11 @@ class AstroRelation:
             res = prune_files(meta, prune_where)
         except ValueError:
             return None  # non-sargable → full path
-        if meta.layout == "zorder":
+        if meta.layout == "zorder" and not meta.retain_history:
+            # (retention skips the z fast path: it reuses the SOURCE
+            # generation for survivors, but a retained rewrite must bind
+            # survivors to a NEW generation — the layout-independent
+            # island path below handles z-order tables correctly)
             z = self._rewrite_pruned_zorder(res, survivors_of, preserve_stamps)
             if z is not None:
                 return z
@@ -620,8 +642,17 @@ class AstroRelation:
         except Exception:
             return None  # predicate shape we can't evaluate directly → full path
 
+        retain = bool(meta.retain_history)
+        # MVCC retention (r10): survivors land at a NEW generation and
+        # the replaced fragments are RETIRED (kept on disk, visible only
+        # to snapshots below the rewrite) instead of deleted — the HBase
+        # cell-version model (reference doc §23 setTimeRange): every
+        # pre-rewrite VERSION/TIMESTAMP AS OF stays readable, COMPACT
+        # reclaims.  Without retention, survivors rebuild at gen 0 and
+        # history folds (floor/stamp rules below).
+        new_seq = self._next_seq() if retain else 0
         keyed = self._with_rowkey(out.select(*[c for c, _ in meta.all_columns]))
-        keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(0))
+        keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(new_seq))
         # output granularity = one file per SOURCE fragment, not per
         # island: the sorted per-fragment min keys split each island into
         # subranges sized like the originals, so a merged 100-fragment
@@ -634,6 +665,12 @@ class AstroRelation:
         idx = F.lit(0)
         for b in mins:
             idx = idx + (F.col(ROWKEY_COL) >= F.lit(bytes.fromhex(b))).cast("int")
+        if retain:
+            from dataclasses import replace as _dc_replace
+
+            meta.retired_regions = meta.retired_regions + [
+                _dc_replace(r, retired_at=new_seq) for r in hit
+            ]
         new_files = self._swap_in_survivors(keyed, idx, len(hit), keep)
         if meta.layout == "bucketed":
             # rewritten fragments break the bucket-file invariant; demote
@@ -644,6 +681,18 @@ class AstroRelation:
         # catalog entries (paths + stats) remain exact; stat only the new
         # files (same incremental discipline as _ensure_fresh_regions)
         meta.regions = keep
+        if retain:
+            # retention: the floor does NOT move — every previously
+            # readable snapshot remains readable (retired fragments serve
+            # the pre-rewrite ones); all stamps retained, the new
+            # generation stamps from its files' mtime (= now, exact)
+            stats["history"] = "retained"
+            if new_files:
+                self._refresh_region_bounds(only=new_files, restamp="keep")
+            else:
+                self.catalog.update_regions(meta, keep, restamp="keep")
+            self._ensure_generation_stamp(new_seq)
+            return stats
         # exactly ONE snapshot stays readable after a partial rewrite:
         # the current state, i.e. as_of >= the max SURVIVING generation
         # (any lower as_of would mix rewritten gen-0 content with a
@@ -755,6 +804,12 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.pruning import prune_files
 
         meta = self.meta
+        if meta.retain_history:
+            # the retroactive purge rewrites history in place — under
+            # MVCC retention the caller wants pre-write snapshots to
+            # keep their original values, so route to the retained
+            # rewrite plans instead
+            return None
         self._ensure_fresh_regions()
         if not meta.regions:
             return None
@@ -920,6 +975,11 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.pruning import prune_files
 
         meta = self.meta
+        if meta.retain_history:
+            # folds history in place (rows keep gens but replaced values
+            # vanish) — under MVCC retention the retained island/full
+            # rewrite plans apply instead
+            return None
         self._ensure_fresh_regions()
         if not meta.regions:
             return None
@@ -1006,6 +1066,68 @@ class AstroRelation:
         self.catalog.persist(meta)
         return stats
 
+    def _ensure_generation_stamp(self, seq: int) -> None:
+        """A retained rewrite that emitted zero survivor files (a DELETE
+        emptying its islands) has no file mtime to stamp its generation
+        from — stamp it explicitly, else ``TIMESTAMP AS OF now`` would
+        resolve to the pre-rewrite generation and resurrect deleted
+        rows."""
+        import time
+
+        meta = self.meta
+        if str(seq) not in meta.generation_times:
+            meta.generation_times[str(seq)] = time.time()
+            self.catalog.persist(meta)
+
+    def rewrite_full_retained(self, out: DataFrame) -> dict:
+        """Whole-table rewrite under MVCC retention (r10, VERDICT r9 #1):
+        the fallback plan when no pruned retained path applies (non-
+        sargable predicate, nothing prunes, or a literal-SET fallback
+        whose island closure degenerated).  Every live fragment is
+        RETIRED at the new generation and ``out`` — the table's full
+        post-write contents — lands as that generation's files; no data
+        is deleted, every pre-rewrite snapshot stays readable, and
+        COMPACT / INSERT OVERWRITE reclaim the retired storage.  Same
+        cost envelope as the non-retained full rewrite (one read + one
+        write of the table) plus the retired bytes until reclaim."""
+        meta = self.meta
+        self._ensure_fresh_regions()
+        hit = list(meta.regions)
+        if not hit:
+            self.write(out, align_prefix=meta.align_prefix or None)
+            return {"files_total": 0, "files_rewritten": 0, "history": "retained"}
+        new_seq = self._next_seq()
+        keyed = self._with_rowkey(out.select(*[c for c, _ in meta.all_columns]))
+        keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(new_seq))
+        # file granularity mirrors the pre-rewrite layout: sorted live
+        # min keys as subrange boundaries (the rewrite_pruned rule with
+        # hit = everything)
+        mins = sorted(f.min_rowkey_hex for f in hit)[1:]
+        idx = F.lit(0)
+        for b in mins:
+            idx = idx + (F.col(ROWKEY_COL) >= F.lit(bytes.fromhex(b))).cast("int")
+        from dataclasses import replace as _dc_replace
+
+        meta.retired_regions = meta.retired_regions + [
+            _dc_replace(r, retired_at=new_seq) for r in hit
+        ]
+        new_files = self._swap_in_survivors(keyed, idx, len(hit), [])
+        if meta.layout == "bucketed":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+            meta.layout = "range"
+        meta.regions = []
+        stats = {
+            "files_total": len(hit),
+            "files_rewritten": len(hit),
+            "history": "retained",
+        }
+        if new_files:
+            self._refresh_region_bounds(only=new_files, restamp="keep")
+        else:
+            self.catalog.update_regions(meta, [], restamp="keep")
+        self._ensure_generation_stamp(new_seq)
+        return stats
+
     def _swap_in_survivors(
         self,
         keyed: DataFrame,
@@ -1047,7 +1169,10 @@ class AstroRelation:
             for f in sorted(os.listdir(tmp_dir))
             if f.endswith(".parquet")
         ]
-        for rf in keep:
+        # retired fragments (MVCC retention) ride along: they share the
+        # directory and must survive every PARTIAL rewrite — only
+        # COMPACT / OVERWRITE (whole-table rebuilds) reclaim them
+        for rf in list(keep) + list(meta.retired_regions):
             src = self._local_path(rf.path)
             os.link(src, os.path.join(tmp_dir, os.path.basename(src)))
         os.rename(out_dir, old_dir)
@@ -1167,6 +1292,11 @@ class AstroRelation:
         if not os.path.isdir(out_dir):
             return
         on_disk = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+        # retired fragments (MVCC retention, r10) live in the same
+        # directory but are NOT part of the live region set — known to
+        # the freshness check, never re-adopted as live
+        retired = {os.path.basename(r.path) for r in self.meta.retired_regions}
+        on_disk -= retired
         known = {os.path.basename(r.path) for r in self.meta.regions}
         if on_disk == known:
             if self.meta.regions and not self.meta.generation_times:
@@ -1205,7 +1335,21 @@ class AstroRelation:
         the whole table directory."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
-        raw = self._read_fragments(*(only if only else [out_dir]))
+        if only is None and meta.retired_regions:
+            # a whole-directory restat would adopt retired fragments as
+            # live; stat the explicit non-retired file list instead
+            retired = {os.path.basename(r.path) for r in meta.retired_regions}
+            only_live = sorted(
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet") and f not in retired
+            )
+            raw = self._read_fragments(*only_live) if only_live else None
+            if raw is None:
+                self.catalog.update_regions(meta, [], restamp=restamp)
+                return
+        else:
+            raw = self._read_fragments(*(only if only else [out_dir]))
         key_dtypes = meta.key_dtypes
         # true per-dim boxes for numeric key columns (binaryformat stores
         # them typed; stringformat's string-ordered min/max would be
@@ -1377,8 +1521,21 @@ class AstroRelation:
         generation 0); ``current_seq()`` reports the newest generation."""
         self._ensure_fresh_regions()
         out_dir = self.catalog.data_dir(self.meta)
+        retired_read = False
         if as_of_seq is None:
-            df = self._read_fragments(out_dir)
+            if self.meta.retired_regions:
+                # retired fragments share the directory; the present
+                # scan reads the explicit live file list
+                live = [r.path for r in self.meta.regions]
+                if not live:
+                    return self._resolve(
+                        self.spark.createDataFrame([], self._file_schema()),
+                        with_rowkey=with_rowkey,
+                        needs_merge=False,
+                    )
+                df = self._read_fragments(*live)
+            else:
+                df = self._read_fragments(out_dir)
         else:
             if as_of_seq < self.meta.history_floor:
                 raise ValueError(
@@ -1387,6 +1544,15 @@ class AstroRelation:
                     "the snapshot would mix pre- and post-write fragments"
                 )
             paths = [r.path for r in self.meta.regions if r.seq <= as_of_seq]
+            # MVCC retention (r10): a retired fragment belongs to every
+            # snapshot in [its generation, the rewrite that retired it)
+            ret = [
+                r.path
+                for r in self.meta.retired_regions
+                if r.seq <= as_of_seq < r.retired_at
+            ]
+            retired_read = bool(ret)
+            paths += ret
             if not paths:
                 schema = table_schema(self.meta)
                 if with_rowkey:
@@ -1401,7 +1567,12 @@ class AstroRelation:
             # disjoint overall are disjoint in any subset; the converse
             # only costs an unneeded merge pass, never wrong rows
             df = self._read_fragments(*paths)
-        return self._resolve(df, with_rowkey=with_rowkey)
+        # a snapshot including retired fragments reconstructs a
+        # pre-rewrite state the LIVE metadata knows nothing about —
+        # force the merge (identity when the subset is actually unique)
+        return self._resolve(
+            df, with_rowkey=with_rowkey, needs_merge=True if retired_read else None
+        )
 
     def _resolve(
         self,

@@ -140,6 +140,7 @@ class AstroSession:
             declared_columns=declared,
             align_prefix=c.align_prefix,
             zorder=c.zorder,
+            retain_history=c.retain_history,
         )
         if c.align_prefix and c.align_prefix > len(c.key_columns):
             raise ValueError("align= exceeds the number of key columns")
@@ -242,8 +243,23 @@ class AstroSession:
                     "(floor raised; timestamps since the floor generation "
                     "resolve to the purged present, older ones refuse); "
                     "UPDATE/MERGE rewrites: folded (floor raised, all "
-                    "stamps reset at rewrite time)",
+                    "stamps reset at rewrite time)"
+                    if not meta.retain_history
+                    else "retain_history=true: resolved rewrites RETIRE "
+                    "replaced fragments at a new generation — every "
+                    "pre-rewrite snapshot/timestamp stays readable; "
+                    "COMPACT/OVERWRITE reclaim retired storage",
                     "per-statement plan reported in last_write_stats.history",
+                ),
+                (
+                    "retain_history",
+                    str(meta.retain_history).lower(),
+                    "MVCC retention for resolved rewrites (r10)",
+                ),
+                (
+                    "retired_files",
+                    str(len(meta.retired_regions)),
+                    "fragments kept for pre-rewrite snapshots (reclaimed by COMPACT)",
                 ),
             ]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
@@ -477,9 +493,15 @@ class AstroSession:
             stats = rel.update_rows_keyset(c.where, c.update_set)
         if stats is None:
             df = self.spark.sql(f"SELECT {', '.join(case_proj)} FROM {c.table}")
-            rel.overwrite(df.select(*[df[n].cast(schema[n].dataType) for n in cols]))
-            n = len(rel.meta.regions)
-            stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
+            out = df.select(*[df[n].cast(schema[n].dataType) for n in cols])
+            if rel.meta.retain_history:
+                # MVCC retention (r10): full rewrite at a new generation,
+                # replaced fragments retired — history stays readable
+                stats = rel.rewrite_full_retained(out)
+            else:
+                rel.overwrite(out)
+                n = len(rel.meta.regions)
+                stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
         self.last_write_stats = stats
         rel.register_view()
         return self._ok(f"updated {c.table}")
@@ -527,9 +549,13 @@ class AstroSession:
                 f"SELECT {cols} FROM {c.table} {a}"
                 + (f" WHERE NOT coalesce({c.where}, false)" if c.where else " WHERE false")
             )
-            n = len(rel.meta.regions)
-            rel.overwrite(survivors)
-            stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
+            if rel.meta.retain_history:
+                # MVCC retention (r10): pre-delete snapshots stay readable
+                stats = rel.rewrite_full_retained(survivors)
+            else:
+                n = len(rel.meta.regions)
+                rel.overwrite(survivors)
+                stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
         self.last_write_stats = stats
         rel.register_view()
         return self._ok(f"deleted from {c.table}")
@@ -767,9 +793,12 @@ class AstroSession:
                 out = _cast(survivors)
                 for p in parts:
                     out = out.unionByName(p)
-                n = len(rel.meta.regions)
-                rel.overwrite(out)
-                stats = {"files_total": n, "files_rewritten": n}
+                if rel.meta.retain_history:
+                    stats = rel.rewrite_full_retained(out)  # r10: MVCC retention
+                else:
+                    n = len(rel.meta.regions)
+                    rel.overwrite(out)
+                    stats = {"files_total": n, "files_rewritten": n}
             self.last_write_stats = stats
         else:
             if build_insert is not None:
@@ -819,9 +848,13 @@ class AstroSession:
             out = self.spark.sql(
                 f"SELECT {proj} FROM {c.table} {t} LEFT JOIN {wrapped} ON {c.on}"
             )
-            n = len(rel.meta.regions)
-            rel.overwrite(out.select(*[out[n_].cast(schema[n_].dataType) for n_ in cols]))
-            stats = {"files_total": n, "files_rewritten": n}
+            full = out.select(*[out[n_].cast(schema[n_].dataType) for n_ in cols])
+            if rel.meta.retain_history:
+                stats = rel.rewrite_full_retained(full)  # r10: MVCC retention
+            else:
+                n = len(rel.meta.regions)
+                rel.overwrite(full)
+                stats = {"files_total": n, "files_rewritten": n}
         self.last_write_stats = stats
 
     def _exec_CompactTable(self, c: ddl.CompactTable) -> DataFrame:

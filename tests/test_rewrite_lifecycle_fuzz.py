@@ -32,19 +32,31 @@ def _table_rows(astro, name):
     }
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47, 61, 83])
-def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,retain",
+    [(11, False), (23, False), (47, False), (61, False), (83, False),
+     # r10 (VERDICT r9 #1): the same lifecycle under MVCC retention —
+     # every pre-write snapshot recorded along the way must stay
+     # byte-stable until the next COMPACT folds history
+     (11, True), (83, True)],
+)
+def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed, retain):
     rng = random.Random(seed)
-    name = f"fz{seed}"
-    astro = AstroSession(spark, str(tmp_path / f"wh{seed}"))
+    name = f"fz{seed}{'r' if retain else ''}"
+    astro = AstroSession(spark, str(tmp_path / f"wh{seed}{retain}"))
     csv = tmp_path / f"{name}.csv"
     csv.write_text("".join(f"{k},v{k},{k * 10}\n" for k in range(1, 301)))
     astro.sql(
         f"CREATE TABLE {name} (k INT, v STRING, n INT, PRIMARY KEY (k)) "
-        f"MAPPED BY ({name}_ht) OPTIONS (regions=6)"
+        f"MAPPED BY ({name}_ht) OPTIONS (regions=6"
+        + (", retain_history=true" if retain else "")
+        + ")"
     )
     astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE {name}")
     model = {k: (f"v{k}", k * 10) for k in range(1, 301)}
+    # retention invariant: (generation, expected rows) recorded after
+    # every step; all must replay exactly until a COMPACT folds them
+    snapshots: list[tuple[int, dict]] = []
 
     def check(step):
         got = _table_rows(astro, name)
@@ -72,6 +84,21 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
                 for r in rel.scan(as_of_seq=n_asof).select("k", "v", "n").collect()
             }
             assert snap == model, f"seed {seed} step {step}: as-of-now snapshot diverges"
+            if retain:
+                # r10: every previously recorded snapshot must replay
+                # EXACTLY — retention means no write ever folds history
+                for gen, want in snapshots:
+                    old = {
+                        r.k: (r.v, r.n)
+                        for r in rel.scan(as_of_seq=gen)
+                        .select("k", "v", "n")
+                        .collect()
+                    }
+                    assert old == want, (
+                        f"seed {seed} step {step}: retained snapshot at "
+                        f"generation {gen} diverged"
+                    )
+                snapshots.append((n_asof, dict(model)))
 
     for step in range(10):
         op = rng.choice(
@@ -149,12 +176,15 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed):
                 model.pop(k, None)
         else:
             astro.sql(f"COMPACT TABLE {name}")
+            snapshots.clear()  # the reclaim point folds retained history
         check(step)
 
     # end state: a compact folds everything back to the fast path
     astro.sql(f"COMPACT TABLE {name}")
+    snapshots.clear()
     check("final")
     assert not astro.relation(name).needs_merge()
+    assert not astro.relation(name).meta.retired_regions  # reclaimed
 
 
 @pytest.mark.parametrize("seed", [5, 9])

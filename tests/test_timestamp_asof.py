@@ -283,6 +283,198 @@ def test_legacy_table_backfills_stamps_from_mtimes(astro):
     assert rel.scan(as_of_seq=0).count() == 1
 
 
+# --- r10 (VERDICT r9 #1): MVCC retention for resolved rewrites -------------
+
+
+def _load_retained(astro, tmp_path, name, n=100):
+    csv = tmp_path / f"{name}.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, n + 1)))
+    astro.sql(
+        f"CREATE TABLE {name} (k INT, v STRING, PRIMARY KEY (k)) "
+        f"MAPPED BY ({name}_ht) OPTIONS (regions=4, retain_history=true)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE {name}")
+
+
+def test_retained_update_keeps_pre_update_snapshots(astro, tmp_path):
+    """retain_history=true: a NULL-routing UPDATE takes the RETAINED
+    island rewrite — replaced fragments are retired at a new generation
+    and every pre-update VERSION/TIMESTAMP AS OF still serves the
+    pre-update values (the reference's HBase cell-version model,
+    doc §23 setTimeRange)."""
+    _load_retained(astro, tmp_path, "tr")
+    t_g0 = time.time()
+    time.sleep(0.05)
+    astro.sql("INSERT INTO tr VALUES (500, 'new')")  # gen 1, disjoint key
+    time.sleep(0.05)
+    t_g1 = time.time()
+    time.sleep(0.05)
+    astro.sql("UPDATE tr SET v = NULL WHERE k = 10 AND v = 'v10'")
+    rel = astro.relation("tr")
+    stats = astro.last_write_stats
+    assert stats["history"] == "retained"
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    meta = astro.catalog.get_table("tr")
+    assert meta.history_floor == 0  # retention: the floor does NOT move
+    assert len(meta.retired_regions) == stats["files_rewritten"]
+    # pre-update snapshots: both generations keep their original values
+    assert rel.seq_for_timestamp(t_g0) == 0
+    snap0 = rel.scan(as_of_seq=0)
+    assert snap0.count() == 100
+    assert snap0.filter("k = 10").collect()[0].v == "v10"
+    assert rel.seq_for_timestamp(t_g1) == 1
+    snap1 = rel.scan(as_of_seq=1)
+    assert snap1.count() == 101
+    assert snap1.filter("k = 10").collect()[0].v == "v10"
+    # the present (new generation) carries the NULL
+    assert rel.seq_for_timestamp(time.time()) == 2
+    now = astro.sql("SELECT * FROM tr").collect()
+    assert len(now) == 101
+    assert [r.v for r in now if r.k == 10] == [None]
+    # SQL time travel agrees
+    r = astro.sql(f"SELECT v FROM tr TIMESTAMP AS OF {t_g1} WHERE k = 10").collect()
+    assert [x.v for x in r] == ["v10"]
+    r = astro.sql("SELECT v FROM tr VERSION AS OF 0 WHERE k = 10").collect()
+    assert [x.v for x in r] == ["v10"]
+    # DESCRIBE EXTENDED surfaces the retention state
+    rows = {r.col_name: r.data_type
+            for r in astro.sql("DESCRIBE EXTENDED tr").collect()}
+    assert rows["retain_history"] == "true"
+    assert int(rows["retired_files"]) == stats["files_rewritten"]
+
+
+def test_retained_delete_keeps_deleted_rows_in_history(astro, tmp_path):
+    _load_retained(astro, tmp_path, "trd")
+    time.sleep(0.05)
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM trd WHERE k = 10")  # key-only, but retention
+    rel = astro.relation("trd")
+    stats = astro.last_write_stats
+    assert stats["history"] == "retained"  # NOT the retroactive purge
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    # pre-delete snapshot still shows the deleted row
+    n = rel.seq_for_timestamp(t_pre)
+    assert n == 0
+    assert rel.scan(as_of_seq=n).filter("k = 10").count() == 1
+    # the present does not
+    assert astro.sql("SELECT * FROM trd WHERE k = 10").count() == 0
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(time.time())).filter(
+        "k = 10"
+    ).count() == 0
+
+
+def test_retained_full_fallback_on_unprunable_update(astro, tmp_path):
+    """A WHERE that prunes nothing (non-key column) cannot take the
+    island path; under retention the whole table rewrites at a NEW
+    generation with every live fragment retired — never a fold."""
+    _load_retained(astro, tmp_path, "trf")
+    time.sleep(0.05)
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("UPDATE trf SET v = NULL WHERE v = 'v10'")
+    rel = astro.relation("trf")
+    stats = astro.last_write_stats
+    assert stats["history"] == "retained"
+    assert stats["files_rewritten"] == stats["files_total"] > 0
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_pre)).filter(
+        "k = 10"
+    ).collect()[0].v == "v10"
+    now = astro.sql("SELECT v FROM trf WHERE k = 10").collect()
+    assert [r.v for r in now] == [None]
+    # appends after a retained full rewrite take a FRESH generation
+    astro.sql("INSERT INTO trf VALUES (600, 'g2')")
+    meta = astro.catalog.get_table("trf")
+    assert max(r.seq for r in meta.regions) == 2
+    assert rel.scan(as_of_seq=0).filter("k = 600").count() == 0
+
+
+def test_retained_merge_delete(astro, tmp_path):
+    _load_retained(astro, tmp_path, "trm")
+    astro.sql("CREATE TABLE trm_src (k INT, x STRING, PRIMARY KEY (k)) MAPPED BY (trm_src_ht)")
+    astro.sql("INSERT INTO trm_src VALUES (10, 'hit')")
+    time.sleep(0.05)
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql(
+        "MERGE INTO trm AS t USING trm_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    rel = astro.relation("trm")
+    assert astro.last_write_stats["history"] == "retained"
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_pre)).filter(
+        "k = 10"
+    ).count() == 1
+    assert astro.sql("SELECT * FROM trm WHERE k = 10").count() == 0
+
+
+def test_retained_compact_reclaims(astro, tmp_path):
+    """COMPACT is the retention reclaim point: retired fragments are
+    physically dropped, metadata cleared, history folds to gen 0."""
+    import os
+
+    _load_retained(astro, tmp_path, "trc")
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("UPDATE trc SET v = NULL WHERE k BETWEEN 10 AND 20")
+    meta = astro.catalog.get_table("trc")
+    assert meta.retired_regions
+    retired_paths = [r.path for r in meta.retired_regions]
+    astro.sql("COMPACT TABLE trc")
+    meta = astro.catalog.get_table("trc")
+    assert meta.retired_regions == []
+    from spark_sql_on_hbase_spark.relation import AstroRelation
+
+    for p in retired_paths:
+        assert not os.path.exists(AstroRelation._local_path(p))
+    rel = astro.relation("trc")
+    with pytest.raises(ValueError, match="no generation"):
+        rel.seq_for_timestamp(t_pre)
+    # present unchanged by the reclaim
+    assert astro.sql("SELECT * FROM trc WHERE v IS NULL").count() == 11
+
+
+def test_retention_toggle_on_existing_table(astro, tmp_path):
+    """The property can be enabled on an existing table through the
+    catalog (the Python API surface); the next resolved rewrite retains."""
+    csv = tmp_path / "trt.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 51)))
+    astro.sql(
+        "CREATE TABLE trt (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (trt_ht) OPTIONS (regions=4)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE trt")
+    meta = astro.catalog.get_table("trt")
+    meta.retain_history = True
+    astro.catalog.persist(meta)
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("UPDATE trt SET v = NULL WHERE k = 5 AND v = 'v5'")
+    assert astro.last_write_stats["history"] == "retained"
+    rel = astro.relation("trt")
+    assert rel.scan(
+        as_of_seq=rel.seq_for_timestamp(t_pre)
+    ).filter("k = 5").collect()[0].v == "v5"
+
+
+def test_retained_metadata_survives_sessions(astro, tmp_path):
+    """retired_regions and retain_history round-trip through the JSON
+    catalog: a fresh session over the same warehouse serves the same
+    snapshots and never re-adopts retired fragments as live."""
+    _load_retained(astro, tmp_path, "trs", n=50)
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM trs WHERE k = 7")
+    rel = astro.relation("trs")
+    fresh = AstroSession(rel.spark, astro.catalog.root)
+    meta2 = fresh.catalog.get_table("trs")
+    assert meta2.retain_history and meta2.retired_regions
+    rel2 = fresh.relation("trs")
+    assert fresh.sql("SELECT * FROM trs").count() == 49
+    n = rel2.seq_for_timestamp(t_pre)
+    assert rel2.scan(as_of_seq=n).filter("k = 7").count() == 1
+
+
 def test_sibling_append_stamped_at_commit_not_discovery(astro):
     """ADVICE r8: a sibling writer's append discovered later must carry
     its COMMIT time (file mtime), not the discovery time — otherwise a
