@@ -372,14 +372,15 @@ class AstroCatalog:
         meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
         # per-generation commit times (TIMESTAMP AS OF), O(#generations +
         # #files) metadata.  ``restamp``:
-        # - "keep": retain existing stamps, drop generations no longer
-        #   present (compaction folded them), and stamp UNSEEN generations
-        #   from their files' max MTIME — the physical commit time.  Exact
-        #   for the writing session (the files were just closed) and the
-        #   honest estimate for a sibling writer's append discovered later
-        #   (ADVICE r8: a discovery-time stamp let TIMESTAMP AS OF resolve
-        #   a commit↔discovery-window timestamp to the OLDER generation).
-        #   Also what backfills legacy pre-r8 tables from file mtimes.
+        # - "keep": retain existing stamps (r10: writers PRESET the stamp
+        #   of the generation they just committed — exact wall-clock, no
+        #   filesystem dependence), drop generations no longer present
+        #   (compaction folded them), and stamp still-UNSEEN generations
+        #   from their files' max MTIME — the sibling-discovery fallback
+        #   (a generation first seen in a directory listing) and the
+        #   legacy-table backfill (ADVICE r8: a discovery-time stamp let
+        #   TIMESTAMP AS OF resolve a commit↔discovery-window timestamp
+        #   to the OLDER generation).
         # - "now": discard all stamps and stamp every present generation
         #   at the current time — the history-folding rewrites
         #   (OVERWRITE / COMPACT / resolved UPDATE/MERGE), where any

@@ -408,6 +408,16 @@ class AstroRelation:
             .sortWithinPartitions(ROWKEY_COL)
             .write.mode("append")
         ).parquet(out_dir)
+        # writer-path commit stamp (r10, VERDICT r9 #5): THIS session
+        # knows the commit moment exactly — record it directly instead
+        # of relying on file mtimes, which object stores don't preserve
+        # faithfully.  update_regions' mtime stamping remains only the
+        # SIBLING-DISCOVERY fallback (a generation first seen in a
+        # directory listing); a preset stamp for a present generation is
+        # always kept.
+        import time as _time
+
+        meta.generation_times[str(seq)] = _time.time()
         self._refresh_region_bounds()
 
     def _next_seq(self) -> int:
@@ -685,7 +695,11 @@ class AstroRelation:
             # retention: the floor does NOT move — every previously
             # readable snapshot remains readable (retired fragments serve
             # the pre-rewrite ones); all stamps retained, the new
-            # generation stamps from its files' mtime (= now, exact)
+            # generation stamped at the commit moment (writer-path, r10;
+            # mtime stamping is only the sibling-discovery fallback)
+            import time as _time
+
+            meta.generation_times[str(new_seq)] = _time.time()
             stats["history"] = "retained"
             if new_files:
                 self._refresh_region_bounds(only=new_files, restamp="keep")
@@ -1121,6 +1135,9 @@ class AstroRelation:
             "files_rewritten": len(hit),
             "history": "retained",
         }
+        import time as _time
+
+        meta.generation_times[str(new_seq)] = _time.time()  # writer-path stamp
         if new_files:
             self._refresh_region_bounds(only=new_files, restamp="keep")
         else:

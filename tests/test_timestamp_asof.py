@@ -475,6 +475,37 @@ def test_retained_metadata_survives_sessions(astro, tmp_path):
     assert rel2.scan(as_of_seq=n).filter("k = 7").count() == 1
 
 
+def test_writer_path_stamp_does_not_depend_on_mtime(astro, monkeypatch):
+    """r10 (VERDICT r9 #5): the WRITING session stamps the generation it
+    just committed directly (it knows the commit wall-clock exactly);
+    file mtimes are consulted only for sibling-discovered generations.
+    Object stores don't preserve mtime semantics — so with mtime
+    reporting garbage, the writer's own stamp must still be exact,
+    while a sibling discovering the files later falls back to mtime."""
+    import spark_sql_on_hbase_spark.catalog as catmod
+
+    astro.sql("CREATE TABLE tw (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (tw_ht)")
+    astro.sql("INSERT INTO tw VALUES (1, 'g0')")
+    # sabotage mtime: every lookup now returns epoch 0
+    monkeypatch.setattr(catmod.os.path, "getmtime", lambda p: 0.0)
+    t_before = time.time()
+    astro.sql("INSERT INTO tw VALUES (2, 'g1')")  # writer-path stamp
+    t_after = time.time()
+    gt = _gen_times(astro, "tw")
+    assert t_before <= gt[1] <= t_after, gt  # NOT 0.0 — no mtime involved
+    rel = astro.relation("tw")
+    assert rel.seq_for_timestamp(t_after) == 1
+    # sibling discovery still uses the (sabotaged) mtime fallback: wipe
+    # the stamps and re-discover — gen stamps become 0.0, proving the
+    # fallback is the only mtime consumer
+    meta = astro.catalog.get_table("tw")
+    meta.generation_times = {}
+    astro.catalog.persist(meta)
+    astro.relation("tw").current_seq()  # freshness check → legacy backfill
+    gt = _gen_times(astro, "tw")
+    assert gt == {0: 0.0, 1: 0.0}, gt
+
+
 def test_sibling_append_stamped_at_commit_not_discovery(astro):
     """ADVICE r8: a sibling writer's append discovered later must carry
     its COMMIT time (file mtime), not the discovery time — otherwise a
