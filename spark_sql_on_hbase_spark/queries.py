@@ -153,6 +153,9 @@ TAIL_ORDER = [
     "multimodal_png_decode",
     # r9: real RIFF/PCM audio decode; values grade through 'wav' branch
     "multimodal_wav_decode",
+    # r10: real baseline JFIF decode (numpy huffman+IDCT); values grade
+    # in-window through the suite's 'jpeg' branch
+    "multimodal_jpeg_decode",
     # r9: the multi-probe LSH path, oracle-graded over the planted frame
     "ann_multiprobe_topk",
     # r8: RAG/pretraining token chunking; values grade in-window through

@@ -225,6 +225,186 @@ def test_png_rejects_unsupported_shapes():
     assert decode_png(good[: len(good) - 20]) is None
 
 
+# --- r10: real baseline JPEG codec (numpy huffman + IDCT, no PIL) -----------
+
+
+def test_jpeg_constant_blocks_exact():
+    """The graded contract: constant 8x8 blocks under an all-ones quant
+    table decode EXACTLY through the full real chain (huffman, DC
+    prediction, dequant, IDCT)."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    for payload in (b"", b"\x00", b"\xff", bytes(range(256)) * 3, b"hello world"):
+        d = decode_jpeg(encode_jpeg(payload, width=16))
+        assert d is not None
+        n = max(len(payload), 1)
+        rows = -(-n // 16)
+        assert (d["width"], d["height"]) == (128, rows * 8)
+        grid = np.zeros(rows * 16, dtype=np.uint8)
+        data = payload if payload else b"\x00"
+        grid[: len(data)] = np.frombuffer(data, np.uint8)
+        img = np.repeat(np.repeat(grid.reshape(rows, 16), 8, 0), 8, 1)
+        exp = np.stack([img, img, img], -1).reshape(-1, 3)
+        assert np.array_equal(d["pixels"], exp)
+
+
+def test_jpeg_idct_matches_naive_reference():
+    """The vectorized basis-matrix IDCT must equal the textbook T.81
+    double-sum IDCT — an independent scalar recomputation, not the
+    encoder's own matrices."""
+    import math
+
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import _dct_basis
+
+    rng = np.random.default_rng(5)
+    coef = rng.integers(-200, 200, size=(8, 8)).astype(np.float64)
+    C = _dct_basis()
+    fast = C.T @ coef @ C
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            naive[x, y] = s / 4.0
+    assert np.allclose(fast, naive, atol=1e-9)
+
+
+def test_jpeg_gray_ac_roundtrip_and_restart():
+    """General gray content exercises AC coefficients, runs, ZRL and
+    EOB; with the all-ones quant table the round trip is within +/-1 of
+    the source, and restart markers (DRI/RSTn, DC predictor reset, byte
+    alignment) reproduce the exact same pixels."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(img))
+    got = d["pixels"][:, 0].reshape(24, 40)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+    for ri in (1, 3, 7):
+        dr = decode_jpeg(encode_jpeg_gray(img, restart_interval=ri))
+        assert np.array_equal(dr["pixels"], d["pixels"]), ri
+    # non-multiple-of-8 dims: edge padding + crop
+    odd = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    do = decode_jpeg(encode_jpeg_gray(odd))
+    assert (do["width"], do["height"]) == (21, 13)
+    assert np.abs(
+        do["pixels"][:, 0].reshape(13, 21).astype(int) - odd.astype(int)
+    ).max() <= 1
+
+
+def test_jpeg_color_roundtrip_444_and_420():
+    """3-component color: BT.601 conversion both ways, 4:4:4 exact-ish
+    at high quality on smooth content, and the 4:2:0 subsampled MCU
+    layout (2x2 luma blocks + upsampled chroma) structurally correct."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+
+    # smooth gradient: quantization error stays small, so a channel
+    # swap / plane misassembly (error ~100+) is unmistakable
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack(
+        [(xx * 5 + 40) % 200, (yy * 7 + 30) % 200, (xx * 2 + yy * 3 + 60) % 200],
+        axis=-1,
+    ).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_rgb(img, quality=95))
+    got = d["pixels"].reshape(16, 24, 3)[:, :, ::-1]  # BGR -> RGB
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 12
+    d420 = decode_jpeg(encode_jpeg_rgb(img, quality=95, subsample=True))
+    assert (d420["width"], d420["height"]) == (24, 16)
+    got420 = d420["pixels"].reshape(16, 24, 3)[:, :, ::-1]
+    # chroma is genuinely subsampled; luma must still be tight
+    lum = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]  # noqa: E731
+    assert np.abs(lum(got420) - lum(img.astype(float))).max() <= 14
+
+
+def test_jpeg_foreign_segments_and_rejects():
+    import struct
+
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"\xff\xd8junk") is None
+    good = encode_jpeg(b"abcdef")
+    assert decode_jpeg(good[:40]) is None  # truncated headers
+    assert decode_jpeg(good[:-30]) is None  # truncated entropy stream
+    # a foreign encoder inserts COM / extra APPn segments — skip cleanly
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    app9 = b"\xff\xe9" + struct.pack(">H", 6) + b"meta"
+    patched = good[:2] + com + app9 + good[2:]
+    d = decode_jpeg(patched)
+    assert d is not None and np.array_equal(d["pixels"], decode_jpeg(good)["pixels"])
+    # progressive SOF2 must refuse (unsupported, never wrong pixels)
+    bad = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(bad)) is None
+    # dispatch: decode_image routes FFD8 to the real decoder
+    assert decode_image(good)["width"] == 128
+
+
+def test_jpeg_huffman_tables_structurally_valid():
+    """Self-consistency is what the round trips pin; this additionally
+    checks the embedded Annex-K specs are VALID huffman specs: prefix
+    property (Kraft sum <= 1) and full (run,size) symbol coverage."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        _JH_AC_CHROMA,
+        _JH_AC_LUMA,
+        _JH_DC_CHROMA,
+        _JH_DC_LUMA,
+        _huff_codes,
+    )
+
+    for bits, vals in (_JH_DC_LUMA, _JH_DC_CHROMA, _JH_AC_LUMA, _JH_AC_CHROMA):
+        assert sum(bits) == len(vals) == len(set(vals))
+        assert sum(n / (1 << (ln + 1)) for ln, n in enumerate(bits)) <= 1.0
+        codes = _huff_codes(bits, vals)
+        assert len(codes) == len(vals)
+        assert all(code < (1 << ln) for ln, code in codes.values())
+    for bits, vals in (_JH_AC_LUMA, _JH_AC_CHROMA):
+        need = {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        assert set(vals) == need
+
+
+def test_decode_media_jpeg_mime(spark):
+    from spark_sql_on_hbase_spark.operators.multimodal import decode_media, encode_jpeg
+
+    df = spark.createDataFrame(
+        [(1, encode_jpeg(b"xyz", width=4))], "id long, blob binary"
+    )
+    meta = decode_media(df).collect()[0].meta
+    assert meta.mime == "image/jpeg"
+    assert (meta.width, meta.height) == (32, 8)
+
+
 # --- r9: real WAV codec (RIFF 16-bit PCM, stdlib struct + numpy) ------------
 
 def test_wav_roundtrip_and_stdlib_parity():
