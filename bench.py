@@ -211,6 +211,20 @@ def main() -> None:
             detail["sf1_soak"] = json.load(f)
     except (OSError, ValueError):
         pass
+    # scaling-exponent soak (r10, VERDICT r9 #4 — tools/soak_scaling.py):
+    # per-family task-time exponents between the sf1 dataset and a 3×
+    # variant; any family whose task ratio exceeds 1.5× the data ratio
+    # is a super-linear regression and surfaces in the compact line
+    scale_flags = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SOAK_SCALING.json"
+    )
+    try:
+        with open(scaling_path) as f:
+            detail["scaling_soak"] = json.load(f)
+            scale_flags = int(detail["scaling_soak"].get("flag_count", 0))
+    except (OSError, ValueError):
+        pass
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_DETAIL_r{_round_no():02d}.json",
@@ -270,6 +284,12 @@ def main() -> None:
     }
     if retry_info is not None:
         compact["cal_retry"] = retry_info["queries_improved"]
+    # only surfaced when non-zero (or missing artifact): a clean scaling
+    # soak costs zero bytes of the size-capped line (README documents)
+    if scale_flags:
+        compact["scale_flags"] = scale_flags
+    elif scale_flags is None:
+        compact["scale_flags"] = "no-artifact"
     line = json.dumps(compact, separators=(",", ":"))
     # cap within the documented <=1.5 KiB contract (the caller captures a
     # ~2 KiB tail; r4's overflow was a ~2.5 KiB line) — r9 raised from

@@ -457,6 +457,52 @@ def test_retention_toggle_on_existing_table(astro, tmp_path):
     ).filter("k = 5").collect()[0].v == "v5"
 
 
+def test_retention_on_zorder_and_bucketed_layouts(astro, tmp_path):
+    """Retention is layout-independent: z-order tables skip the z fast
+    path (it reuses the source generation) and take the island path;
+    bucketed tables demote to range like every partial rewrite."""
+    astro.sql(
+        "CREATE TABLE trz (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        "MAPPED BY (trz_ht, COLS=[v=f.v]) "
+        "OPTIONS(regions=8, layout=zorder, retain_history=true)"
+    )
+    rel = astro.relation("trz")
+    df = rel.spark.range(4000).selectExpr(
+        "CAST(pmod(id*7,100) AS INT) k1", "CAST(id/100 AS INT) k2",
+        "CAST(id AS DOUBLE) v",
+    )
+    rel.write(df)
+    rel.register_view("trz")
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM trz WHERE k1 BETWEEN 10 AND 12")
+    assert astro.last_write_stats["history"] == "retained"
+    n = rel.seq_for_timestamp(t_pre)
+    assert rel.scan(as_of_seq=n).filter("k1 BETWEEN 10 AND 12").count() == 120
+    assert astro.sql("SELECT * FROM trz WHERE k1 BETWEEN 10 AND 12").count() == 0
+
+    astro.sql(
+        "CREATE TABLE trb (k INT, v STRING, PRIMARY KEY (k)) MAPPED BY (trb_ht) "
+        "OPTIONS(regions=4, align=1, retain_history=true)"
+    )
+    r2 = astro.relation("trb")
+    r2.write(
+        r2.spark.range(1, 1001).selectExpr("CAST(id AS INT) k", "concat('v', id) v"),
+        align_prefix=1,
+    )
+    r2.register_view("trb")
+    t2 = time.time()
+    time.sleep(0.05)
+    astro.sql("UPDATE trb SET v = NULL WHERE k BETWEEN 100 AND 120")
+    st = astro.last_write_stats
+    assert st["history"] == "retained" and st["files_rewritten"] < st["files_total"]
+    assert r2.meta.layout == "range"  # demoted like every partial rewrite
+    assert r2.scan(
+        as_of_seq=r2.seq_for_timestamp(t2)
+    ).filter("k = 100").collect()[0].v == "v100"
+    assert astro.sql("SELECT v FROM trb WHERE k = 100").collect()[0].v is None
+
+
 def test_retained_metadata_survives_sessions(astro, tmp_path):
     """retired_regions and retain_history round-trip through the JSON
     catalog: a fresh session over the same warehouse serves the same

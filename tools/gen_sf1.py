@@ -45,7 +45,7 @@ DIM = 64
 SEED = 421
 
 
-def gen_documents(rng: np.random.Generator) -> pa.Table:
+def gen_documents(rng: np.random.Generator, n_docs: int = N_DOCS) -> pa.Table:
     con = duckdb.connect()
     vocab = [
         r[0]
@@ -58,7 +58,7 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
     langs = np.array(["en", "de", "es", "fr", "zh"])
     lang_p = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
     texts: list[str] = []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         r = rng.random()
         if i > 100 and r < 0.002:  # exact duplicate of an earlier doc
             texts.append(texts[rng.integers(0, i)])
@@ -73,35 +73,35 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
         texts.append(" ".join(vocab[j] for j in rng.integers(0, len(vocab), n)))
     return pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "doc_id": pa.array(range(n_docs), pa.int64()),
             "text": pa.array(texts),
-            "lang": pa.array(rng.choice(langs, N_DOCS, p=lang_p)),
-            "source": pa.array([f"src{int(i)}" for i in rng.integers(0, 20, N_DOCS)]),
+            "lang": pa.array(rng.choice(langs, n_docs, p=lang_p)),
+            "source": pa.array([f"src{int(i)}" for i in rng.integers(0, 20, n_docs)]),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
 
 
-def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+def gen_embeddings(rng: np.random.Generator, n_vecs: int = N_VECS) -> pa.Table:
     centers = rng.standard_normal((10, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, 10, N_VECS)
-    noise = rng.standard_normal((N_VECS, DIM))
+    labels = rng.integers(0, 10, n_vecs)
+    noise = rng.standard_normal((n_vecs, DIM))
     noise /= np.linalg.norm(noise, axis=1, keepdims=True)
     alpha = 0.5  # within-cluster cosine ≈ alpha² ± spread, matching sf0.1
     vecs = alpha * centers[labels] + np.sqrt(1 - alpha * alpha) * noise
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     # ~1% near-copies (cosine ≳0.95) for the embedding near-dup family
-    n_copy = N_VECS // 100
-    src_idx = rng.integers(0, N_VECS - n_copy, n_copy)
-    dst_idx = np.arange(N_VECS - n_copy, N_VECS)
+    n_copy = n_vecs // 100
+    src_idx = rng.integers(0, n_vecs - n_copy, n_copy)
+    dst_idx = np.arange(n_vecs - n_copy, n_vecs)
     pert = vecs[src_idx] + 0.12 * rng.standard_normal((n_copy, DIM)) / np.sqrt(DIM)
     pert /= np.linalg.norm(pert, axis=1, keepdims=True)
     vecs[dst_idx] = pert
     labels[dst_idx] = labels[src_idx]
     return pa.table(
         {
-            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
             "embedding": pa.array(
                 [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
             ),
