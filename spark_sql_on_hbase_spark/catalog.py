@@ -395,7 +395,18 @@ class AstroCatalog:
         if restamp == "now":
             meta.generation_times = {s: now for s in present}
         else:
-            gt = {s: t for s, t in meta.generation_times.items() if s in present}
+            # keep stamps for TRAILING generations with no surviving
+            # files (r10): a delete-everything retained rewrite consumes
+            # a generation without emitting files — its stamp is what
+            # makes `TIMESTAMP AS OF now` resolve to the empty present
+            # instead of resurrecting pre-delete data.  A VANISHED
+            # middle generation (folded by compaction) still drops.
+            max_present = max((int(s) for s in present), default=-1)
+            gt = {
+                s: t
+                for s, t in meta.generation_times.items()
+                if s in present or int(s) > max_present
+            }
             for s in present - set(gt):
                 mts = []
                 for r in meta.regions + meta.retired_regions:

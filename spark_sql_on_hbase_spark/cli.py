@@ -60,6 +60,10 @@ _HELP = {
     "  (newest generation committed at or before the UTC timestamp; "
     "DESCRIBE EXTENDED lists per-generation commit times)",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
+    "VACUUM": "VACUUM TABLE table_name\n"
+    "  (reclaim MVCC-retained fragments only — retain_history tables; live\n"
+    "   data untouched, pre-rewrite snapshots refuse afterwards; COMPACT\n"
+    "   additionally rewrites the live fragments)",
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
     "DELETE": "DELETE FROM table_name [WHERE cond]\n"
     "  (key-only predicates purge matching keys per fragment, erasing them\n"

@@ -196,6 +196,18 @@ class CompactTable:
 
 
 @dataclass
+class VacuumTable:
+    """r10: reclaim MVCC-retained fragments WITHOUT rewriting live data
+    (the cheap reclaim point next to COMPACT — the HBase analog is a
+    major compaction discarding old cell versions, doc §23): delete
+    retired fragments, raise the history floor past the snapshots they
+    served, leave every live fragment byte-identical."""
+
+    table: str
+    namespace: str = "default"
+
+
+@dataclass
 class PassThrough:
     sql: str
 
@@ -512,6 +524,11 @@ def parse(sql: str) -> Command:
             overwrite=bool(m.group("over")),
             delimiter=m.group("delim") or ",",
         )
+
+    vm = re.match(r"^\s*VACUUM\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
+    if vm:
+        ns, t = _parse_table_name(vm.group(1))
+        return VacuumTable(table=t, namespace=ns)
 
     cm = re.match(r"^\s*COMPACT\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
     if cm:

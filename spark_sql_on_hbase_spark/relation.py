@@ -419,6 +419,13 @@ class AstroRelation:
 
         meta.generation_times[str(seq)] = _time.time()
         self._refresh_region_bounds()
+        if not any(r.seq == seq for r in meta.regions):
+            # the batch was EMPTY (no files written): an empty append is
+            # not a commit — drop the preset stamp, or it lingers as a
+            # phantom generation (r10 fuzz: a no-op UPDATE's empty
+            # append left a stamped fileless generation behind)
+            meta.generation_times.pop(str(seq), None)
+            self.catalog.persist(meta)
 
     def _next_seq(self) -> int:
         """Next unused LSM generation.  Retired generations count (r10):
@@ -429,6 +436,11 @@ class AstroRelation:
         meta = self.meta
         cands = [r.seq for r in meta.regions]
         cands += [r.retired_at for r in meta.retired_regions]
+        # stamped generations count even when FILELESS (a
+        # delete-everything retained rewrite, or its stamp surviving
+        # VACUUM): reusing the number would backdate new rows into the
+        # stamped generation's timestamp window
+        cands += [int(s) for s in meta.generation_times]
         return max(cands, default=-1) + 1
 
     def _physical_encode(self, keyed: DataFrame) -> DataFrame:
@@ -1080,6 +1092,48 @@ class AstroRelation:
         self.catalog.persist(meta)
         return stats
 
+    def vacuum(self) -> dict:
+        """Reclaim MVCC-retained fragments WITHOUT touching live data
+        (r10 — the cheap reclaim next to :meth:`compact`; HBase analog:
+        a major compaction discarding old cell versions, doc §23).
+        Retired fragments are deleted, their metadata cleared, and the
+        history floor rises to the newest retirement epoch — snapshots
+        that depended on retired fragments refuse afterwards, everything
+        at/after the last retained rewrite stays readable, and every
+        live fragment is byte-identical (O(#retired) unlink calls, zero
+        data movement — COMPACT additionally rewrites the live set)."""
+        meta = self.meta
+        self._ensure_fresh_regions()
+        removed = list(meta.retired_regions)
+        if not removed:
+            return {
+                "retired_files_removed": 0,
+                "history_floor": meta.history_floor,
+            }
+        floor = max(r.retired_at for r in removed)
+        # the floor generation's stamp may live ONLY through the retired
+        # list (a retained rewrite that emitted zero survivor files);
+        # preserve it across the stamp pruning below or `TIMESTAMP AS OF
+        # now` could resolve below the floor and refuse everything
+        floor_stamp = meta.generation_times.get(str(floor))
+        for r in removed:
+            try:
+                os.unlink(self._local_path(r.path))
+            except OSError:
+                pass
+        meta.retired_regions = []
+        meta.history_floor = max(meta.history_floor, floor)
+        # re-persist: update_regions prunes stamps to generations still
+        # present (live only, now that retired is empty)
+        self.catalog.update_regions(meta, meta.regions)
+        if floor_stamp is not None and str(floor) not in meta.generation_times:
+            meta.generation_times[str(floor)] = floor_stamp
+            self.catalog.persist(meta)
+        return {
+            "retired_files_removed": len(removed),
+            "history_floor": meta.history_floor,
+        }
+
     def _ensure_generation_stamp(self, seq: int) -> None:
         """A retained rewrite that emitted zero survivor files (a DELETE
         emptying its islands) has no file mtime to stamp its generation
@@ -1352,21 +1406,22 @@ class AstroRelation:
         the whole table directory."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
-        if only is None and meta.retired_regions:
-            # a whole-directory restat would adopt retired fragments as
-            # live; stat the explicit non-retired file list instead
+        if only is not None:
+            stat_paths = list(only)
+        else:
+            # explicit file list in all cases: retired fragments (MVCC
+            # retention) must not be re-adopted as live, and the
+            # zero-row-file cleanup below needs to know what was read
             retired = {os.path.basename(r.path) for r in meta.retired_regions}
-            only_live = sorted(
+            stat_paths = sorted(
                 os.path.join(out_dir, f)
                 for f in os.listdir(out_dir)
                 if f.endswith(".parquet") and f not in retired
             )
-            raw = self._read_fragments(*only_live) if only_live else None
-            if raw is None:
-                self.catalog.update_regions(meta, [], restamp=restamp)
-                return
-        else:
-            raw = self._read_fragments(*(only if only else [out_dir]))
+        if not stat_paths:
+            self.catalog.update_regions(meta, [], restamp=restamp)
+            return
+        raw = self._read_fragments(*stat_paths)
         key_dtypes = meta.key_dtypes
         # true per-dim boxes for numeric key columns (binaryformat stores
         # them typed; stringformat's string-ordered min/max would be
@@ -1423,8 +1478,19 @@ class AstroRelation:
                     dim_max=dim_max,
                 )
             )
+        # a fragment that stats to ZERO rows (an empty-survivor rewrite's
+        # part file) can never become a region — delete it, or it stays
+        # on disk unknown to the catalog and every later freshness check
+        # pays a full restat for it (r10: the restat also re-pruned the
+        # zero-survivor generation's commit stamp)
+        statted = {os.path.basename(self._local_path(r.file)) for r in rows}
+        for p in stat_paths:
+            if os.path.basename(p) not in statted:
+                try:
+                    os.unlink(self._local_path(p))
+                except OSError:
+                    pass
         if only:
-            statted = {os.path.basename(p) for p in only}
             regions += [
                 r for r in meta.regions if os.path.basename(r.path) not in statted
             ]

@@ -248,7 +248,7 @@ class AstroSession:
                     else "retain_history=true: resolved rewrites RETIRE "
                     "replaced fragments at a new generation — every "
                     "pre-rewrite snapshot/timestamp stays readable; "
-                    "COMPACT/OVERWRITE reclaim retired storage",
+                    "VACUUM (retired only) / COMPACT / OVERWRITE reclaim",
                     "per-statement plan reported in last_write_stats.history",
                 ),
                 (
@@ -856,6 +856,16 @@ class AstroSession:
                 rel.overwrite(full)
                 stats = {"files_total": n, "files_rewritten": n}
         self.last_write_stats = stats
+
+    def _exec_VacuumTable(self, c: ddl.VacuumTable) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        stats = rel.vacuum()
+        self.last_write_stats = stats
+        rel.register_view()
+        return self._ok(
+            f"vacuumed {c.table}: {stats['retired_files_removed']} retired "
+            f"fragments reclaimed, history floor {stats['history_floor']}"
+        )
 
     def _exec_CompactTable(self, c: ddl.CompactTable) -> DataFrame:
         rel = self.relation(c.table, c.namespace)

@@ -434,6 +434,63 @@ def test_retained_compact_reclaims(astro, tmp_path):
     assert astro.sql("SELECT * FROM trc WHERE v IS NULL").count() == 11
 
 
+def test_vacuum_reclaims_retired_only(astro, tmp_path):
+    """VACUUM TABLE (r10): drops ONLY retired fragments — live files
+    byte-identical, pre-rewrite snapshots refuse afterwards, the present
+    and post-rewrite history stay readable, and `TIMESTAMP AS OF now`
+    still resolves (incl. the zero-survivor-rewrite edge where the floor
+    generation's stamp lives only through the retired list)."""
+    import os
+
+    _load_retained(astro, tmp_path, "tv")
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("UPDATE tv SET v = NULL WHERE k = 10 AND v = 'v10'")
+    rel = astro.relation("tv")
+    meta = astro.catalog.get_table("tv")
+    retired_paths = [r.path for r in meta.retired_regions]
+    live_before = {
+        r.path: os.stat(rel._local_path(r.path)).st_ino for r in meta.regions
+    }
+    assert retired_paths
+    astro.sql("VACUUM TABLE tv")
+    stats = astro.last_write_stats
+    assert stats["retired_files_removed"] == len(retired_paths)
+    meta = astro.catalog.get_table("tv")
+    assert meta.retired_regions == []
+    for p in retired_paths:
+        assert not os.path.exists(rel._local_path(p))
+    # live fragments untouched (same inode — byte-identical)
+    for p, ino in live_before.items():
+        assert os.stat(rel._local_path(p)).st_ino == ino
+    # pre-rewrite snapshots now refuse via the floor guard
+    assert meta.history_floor == 1
+    with pytest.raises(ValueError, match="history floor"):
+        rel.scan(as_of_seq=0).count()
+    # the present stays fully readable through both surfaces
+    assert astro.sql("SELECT * FROM tv").count() == 100
+    n = rel.seq_for_timestamp(time.time())
+    assert n >= 1
+    assert rel.scan(as_of_seq=n).filter("k = 10").collect()[0].v is None
+    # vacuum of a clean table is a no-op
+    astro.sql("VACUUM TABLE tv")
+    assert astro.last_write_stats["retired_files_removed"] == 0
+
+    # zero-survivor edge: a retained DELETE that empties its islands
+    # leaves the new generation stamped only via the sidecar stamp —
+    # vacuum must keep "now" resolvable
+    _load_retained(astro, tmp_path, "tv2", n=20)
+    astro.sql("DELETE FROM tv2 WHERE k BETWEEN 1 AND 20")  # everything
+    rel2 = astro.relation("tv2")
+    astro.sql("VACUUM TABLE tv2")
+    assert astro.sql("SELECT * FROM tv2").count() == 0
+    n2 = rel2.seq_for_timestamp(time.time())
+    assert n2 >= rel2.meta.history_floor
+    assert rel2.scan(as_of_seq=n2).count() == 0
+    with pytest.raises(ValueError, match="no generation"):
+        rel2.seq_for_timestamp(t_pre - 10_000)
+
+
 def test_retention_toggle_on_existing_table(astro, tmp_path):
     """The property can be enabled on an existing table through the
     catalog (the Python API surface); the next resolved rewrite retains."""
