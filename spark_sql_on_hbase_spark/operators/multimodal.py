@@ -547,8 +547,9 @@ def _encode_blocks(blocks, qtab, dc_codes, ac_codes, bw, pred):
     coef = np.einsum("ij,njk,lk->nil", C, blocks.astype(np.float64) - 128.0, C)
     q = np.rint(coef / qtab.reshape(8, 8)).astype(np.int64)
     flat = q.reshape(-1, 64)[:, _ZZ_FLAT]  # zigzag order
-    for row in flat:
-        dc = int(row[0])
+    for nrow in flat:
+        row = nrow.tolist()  # python ints: per-coef loop below
+        dc = row[0]
         diff = dc - pred
         pred = dc
         s = _jpeg_category(diff)
@@ -560,7 +561,7 @@ def _encode_blocks(blocks, qtab, dc_codes, ac_codes, bw, pred):
         nz = [k for k in range(1, 64) if row[k]]
         last_nz = nz[-1] if nz else 0
         for k in range(1, last_nz + 1):
-            v = int(row[k])
+            v = row[k]
             if v == 0:
                 run += 1
                 continue
@@ -741,30 +742,41 @@ def encode_jpeg(payload: bytes, width: int = 16) -> bytes:
 
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        import numpy as np
+    """MSB-first bit reader over the (unstuffed) entropy-coded bytes.
+    Reads slice out of the byte buffer via int.from_bytes — no per-bit
+    numpy indexing (the first implementation's per-bit walk dominated
+    decode time ~10:1)."""
 
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit offset
+        self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.bits):
+        pos = self.pos
+        if pos + n > self.nbits:
             raise EOFError
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
-        return v
+        start, end = pos >> 3, (pos + n + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        self.pos = pos + n
+        return (chunk >> ((end << 3) - pos - n)) & ((1 << n) - 1)
+
+    def _peek16(self) -> int:
+        start = self.pos >> 3
+        chunk = self.data[start : start + 3]
+        v = int.from_bytes(chunk, "big") << (8 * (3 - len(chunk)))
+        return (v >> (8 - (self.pos & 7))) & 0xFFFF
 
     def huff(self, table) -> int:
-        code = 0
+        if self.pos >= self.nbits:
+            raise EOFError
+        pk = self._peek16()
         for ln in range(1, 17):
-            if self.pos >= len(self.bits):
-                raise EOFError
-            code = (code << 1) | int(self.bits[self.pos])
-            self.pos += 1
-            sym = table.get((ln, code))
+            sym = table.get((ln, pk >> (16 - ln)))
             if sym is not None:
+                if self.pos + ln > self.nbits:
+                    raise EOFError
+                self.pos += ln
                 return sym
         raise ValueError("bad huffman code")
 
@@ -916,7 +928,8 @@ def decode_jpeg(blob: bytes):
                 bw_ = mcux * hs
                 for dy in range(vs):
                     for dx in range(hs):
-                        row = np.zeros(64, dtype=np.int64)
+                        row = [0] * 64  # python list: the per-coef loop
+                        # is ~5x faster than numpy scalar assignment
                         s = br.huff(dtab)
                         diff = _jpeg_extend(br.read(s), s) if s else 0
                         preds[ci] += diff
