@@ -62,6 +62,13 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
+        # r10 (found by the scaling soak): 32 concurrent Python workers ×
+        # multi-threaded BLAS oversubscribes the box and inflates TASK
+        # time 2-4× run-to-run on the GEMM-heavy ANN families — pin
+        # worker BLAS so task time measures plan shape
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,21 +90,30 @@ def main() -> None:
         "calibration_pre": bench._calibration(),
         "queries": {},
     }
-    for name in FAMILIES:
-        # cold cache per family (same discipline as bench._sweep): a
+    def _one(name: str) -> dict:
+        # cold cache per run (same discipline as bench._sweep): a
         # family that persists an intermediate must not leak cached data
         # into later families' memory or its own re-run
         spark.catalog.clearCache()
         before = bench._stage_marker(spark)
         t0 = time.time()
+        qs[name](spark, SF1_DIR).write.mode("overwrite").format("noop").save()
+        m = bench._stage_totals(spark, since=before) or {}
+        m["wall_sec"] = round(time.time() - t0, 2)
+        return m
+
+    for name in FAMILIES:
+        # min of 2 per family (r10): single-run task time swings 2-3×
+        # family-by-family under host contention (the r10 pilot measured
+        # tpc_suite 845 vs 466 task-sec across two otherwise idle runs);
+        # the min is the plan-shape number, the spread is recorded
         try:
-            qs[name](spark, SF1_DIR).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 2)
+            a, b = _one(name), _one(name)
         except Exception as ex:
             out["queries"][name] = {"error": str(ex)[:300]}
             continue
-        m = bench._stage_totals(spark, since=before) or {}
-        m["wall_sec"] = dt
+        m = a if a.get("task_time_sec", 1e18) <= b.get("task_time_sec", 1e18) else b
+        m["task_samples"] = [a.get("task_time_sec"), b.get("task_time_sec")]
         out["queries"][name] = m
     # r9 (VERDICT r8 #7): WRITE-path soak — the island-closure pruned
     # DELETE under pending upserts at sf1 (the
