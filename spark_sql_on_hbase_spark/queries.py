@@ -137,6 +137,9 @@ TAIL_ORDER = [
     # from retired fragments; values grade in-window through
     # astro_write_ops' retained branch
     "astro_retained_history",
+    # r10: generation-range change-data feed; values grade in-window
+    # through astro_write_ops' changes branch
+    "astro_changes_feed",
     "dedup_minhash_signatures",
     # collapsed into dedup_suite (in-window); still runnable solo
     "dedup_simhash",

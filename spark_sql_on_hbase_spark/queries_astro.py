@@ -440,10 +440,12 @@ def _ensure_write_ops_table(spark: SparkSession, sf_dir: str):
 
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
-    # the retained-history branch keys are offset so the three blocks
-    # stay distinguishable inside one value-hashed result set: +1000000
-    # = the retained table's PRESENT, +2000000 = its pre-write snapshot
-    return astro.sql(
+    # the retained-history branch keys are offset so the blocks stay
+    # distinguishable inside one value-hashed result set: +1000000
+    # = the retained table's PRESENT, +2000000 = its pre-write snapshot,
+    # +3000000 = the change-data feed (r10; change type folded into the
+    # status column, commit generation into the price)
+    base = astro.sql(
         "SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderstatus "
         "FROM astro_wo "
         "UNION ALL "
@@ -454,6 +456,16 @@ def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM astro_rh TIMESTAMP AS OF {t_mid!r} "
         "UNION ALL "
         f"SELECT -7, {'1.0' if retained_ok else '0.0'}, 'retained_probe'"
+    )
+    tt_astro, _ = _ensure_timetravel_table(spark, sf_dir)
+    feed = tt_astro.relation("astro_tt").changes(0)
+    return base.unionAll(
+        feed.select(
+            (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+            (F.round("o_totalprice", 2) + F.col("_commit_seq") * 10000000)
+            .alias("totalprice"),
+            F.col("_change_type").alias("o_orderstatus"),
+        )
     )
 
 
@@ -561,7 +573,7 @@ def _ensure_timetravel_table(spark: SparkSession, sf_dir: str):
     from spark_sql_on_hbase_spark.session import AstroSession
     from spark_sql_on_hbase_spark.tables import load_tables
 
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_tt_v2"
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_tt_v3"
     astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
     done = os.path.join(_WAREHOUSE, tag, ".timetravel_done")
     if not os.path.exists(done):
@@ -581,6 +593,14 @@ def _ensure_timetravel_table(spark: SparkSession, sf_dir: str):
             "INSERT INTO astro_tt SELECT o_orderkey, o_totalprice + 1000 "
             "FROM orders WHERE o_orderkey <= 300"
         )
+        # r10: generation 2 = genuinely NEW keys, so the change feed has
+        # both change types (update at gen 1, insert at gen 2); the
+        # timetravel-diff query is unaffected (its join only reaches
+        # keys present in BOTH the t_mid snapshot and the present)
+        astro.sql(
+            "INSERT INTO astro_tt SELECT o_orderkey, o_totalprice "
+            "FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600"
+        )
         with open(done, "w") as f:
             json.dump({"t_mid": t_mid}, f)
     with open(done) as f:
@@ -596,6 +616,44 @@ def _astro_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON cur.o_orderkey = old.o_orderkey "
         "WHERE cur.o_totalprice <> old.o_totalprice"
     )
+
+
+def _astro_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: generation-range CHANGE DATA FEED — rows whose newest version
+    landed in generations (0, current], resolved at the current snapshot
+    and tagged insert/update + commit generation.  The incremental-
+    training-data primitive ("docs added or changed since my last run's
+    snapshot") served from generation METADATA: delta fragments are
+    metadata-selected and both snapshot probes prune to the delta's
+    rowkey envelope (relation.changes; HBase Scan.setTimeRange parity,
+    doc §23)."""
+    astro, _t_mid = _ensure_timetravel_table(spark, sf_dir)
+    rel = astro.relation("astro_tt")
+    ch = rel.changes(0)
+    return ch.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_seq").cast("bigint").alias("commit_seq"),
+    )
+
+
+ASTRO["astro_changes_feed"] = Q(
+    spark=_astro_changes_feed,
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice + 1000, 2) AS totalprice,
+           'update' AS change_type, CAST(1 AS BIGINT) AS commit_seq
+    FROM orders WHERE o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2),
+           'insert', CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600
+    """,
+    doc="r10 change-data feed over LSM generations: newest-version-in-range "
+    "keys resolved at the to-snapshot with insert/update tagging and the "
+    "commit generation — both change types recomputed independently from "
+    "orders (relation.changes)",
+)
 
 
 ASTRO["astro_timetravel_diff"] = Q(
@@ -652,6 +710,16 @@ ASTRO["astro_write_ops"] = Q(
     FROM orders WHERE o_orderkey <= 1200
     UNION ALL
     SELECT -7, 1.0, 'retained_probe'
+    UNION ALL
+    -- r10 change-data-feed branch (astro_tt generations 1 and 2):
+    -- commit generation folded into the price, change type into status
+    SELECT o_orderkey + 3000000,
+           round(o_totalprice + 1000, 2) + 10000000, 'update'
+    FROM orders WHERE o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey + 3000000,
+           round(o_totalprice, 2) + 20000000, 'insert'
+    FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600
     """,
     doc="the r6 write surface end-to-end through the SQL session: INSERT "
     "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "

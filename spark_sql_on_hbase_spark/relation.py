@@ -1588,6 +1588,85 @@ class AstroRelation:
             )
         return max(cands)
 
+    def changes(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
+        """Change-data feed between two generation snapshots (r10): the
+        rows whose NEWEST version landed in generations ``(from_seq,
+        to_seq]``, resolved at the ``to_seq`` snapshot, tagged
+        ``_change_type`` ('insert' — key absent at ``from_seq``, or
+        'update') and ``_commit_seq`` (the newest contributing
+        generation).  The incremental-training-data primitive: "give me
+        the documents added or changed since the snapshot my last run
+        trained on" without re-diffing the corpus (reference parity:
+        HBase Scan.setTimeRange over cell versions, doc §23; Delta CDF
+        is the lakehouse analog).
+
+        Scale shape: the delta fragment set is selected from METADATA
+        (generation numbers); both the to-state resolution and the
+        from-snapshot existence probe scan only files intersecting the
+        delta's rowkey envelope (sorted-layout pushdown) — a small
+        incremental batch never pays a full-table diff.
+
+        DELETEs are not events in this feed (the LSM has no tombstones:
+        fold/purge semantics remove rows from snapshots instead) —
+        consumers needing deletions diff two retained snapshots.
+        ``from_seq`` must be at/above the history floor; ``to_seq``
+        defaults to the current generation."""
+        meta = self.meta
+        self._ensure_fresh_regions()
+        if to_seq is None:
+            to_seq = max((r.seq for r in meta.regions), default=0)
+        if from_seq < meta.history_floor:
+            raise ValueError(
+                f"changes from generation {from_seq} predate the last "
+                f"partial rewrite (history floor {meta.history_floor})"
+            )
+        if from_seq > to_seq:
+            raise ValueError(f"from_seq {from_seq} > to_seq {to_seq}")
+        # delta fragments: newest versions in (from, to] — live ones, plus
+        # retired ones still visible at the to-snapshot (MVCC retention)
+        delta = [r for r in meta.regions if from_seq < r.seq <= to_seq]
+        delta += [
+            r
+            for r in meta.retired_regions
+            if from_seq < r.seq <= to_seq < r.retired_at
+        ]
+        schema = table_schema(meta)
+        out_fields = schema.fields + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_seq", T.IntegerType(), False),
+        ]
+        if not delta:
+            return self.spark.createDataFrame([], T.StructType(out_fields))
+        # changed keys + their newest generation, from the delta only
+        keys = (
+            self._read_fragments(*[r.path for r in delta])
+            .groupBy(ROWKEY_COL)
+            .agg(F.max(SEQ_COL).alias("_commit_seq"))
+        )
+        # rowkey envelope of the delta: both snapshot scans prune to it
+        # (binary-sorted layout → parquet range pushdown)
+        lo = bytes.fromhex(min(r.min_rowkey_hex for r in delta))
+        hi = bytes.fromhex(max(r.max_rowkey_hex for r in delta))
+        bound = F.col(ROWKEY_COL).between(F.lit(lo), F.lit(hi))
+        to_state = self.scan(with_rowkey=True, as_of_seq=to_seq).filter(bound)
+        existed = (
+            self.scan(with_rowkey=True, as_of_seq=from_seq)
+            .filter(bound)
+            .select(F.col(ROWKEY_COL), F.lit(True).alias("_existed"))
+        )
+        cols = [c for c, _ in meta.all_columns]
+        return (
+            to_state.join(keys, ROWKEY_COL)
+            .join(existed, ROWKEY_COL, "left")
+            .select(
+                *cols,
+                F.when(F.col("_existed"), F.lit("update"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_type"),
+                F.col("_commit_seq").cast("int").alias("_commit_seq"),
+            )
+        )
+
     def scan(self, with_rowkey: bool = False, as_of_seq: int | None = None) -> DataFrame:
         """Full scan over all region fragments.  Column pruning/predicate
         pushdown reach parquet via Catalyst; row-group skipping on key

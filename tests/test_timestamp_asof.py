@@ -609,6 +609,60 @@ def test_writer_path_stamp_does_not_depend_on_mtime(astro, monkeypatch):
     assert gt == {0: 0.0, 1: 0.0}, gt
 
 
+def test_changes_feed(astro, tmp_path):
+    """r10: generation-range change-data feed — newest-version-in-range
+    keys resolved at the to-snapshot, tagged insert/update with the
+    commit generation; floor-guarded; empty range yields the declared
+    schema."""
+    csv = tmp_path / "cf.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, 51)))
+    astro.sql(
+        "CREATE TABLE cf (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (cf_ht) OPTIONS (regions=4)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE cf")  # gen 0
+    rel = astro.relation("cf")
+    rel.append(  # gen 1: one update + one insert in ONE generation
+        rel.spark.createDataFrame([(10, "upd10"), (60, "new60")], "k int, v string")
+    )
+    rel.append(  # gen 2
+        rel.spark.createDataFrame([(10, "upd10b"), (61, "new61")], "k int, v string")
+    )
+
+    ch = {r.k: (r.v, r._change_type, r._commit_seq) for r in rel.changes(0).collect()}
+    assert ch == {
+        10: ("upd10b", "update", 2),   # resolved at the TO snapshot
+        60: ("new60", "insert", 1),
+        61: ("new61", "insert", 2),
+    }
+    # bounded upper end: gen-2 rows invisible, key 10 resolves at gen 1
+    ch1 = {r.k: (r.v, r._change_type, r._commit_seq)
+           for r in rel.changes(0, 1).collect()}
+    assert ch1 == {10: ("upd10", "update", 1), 60: ("new60", "insert", 1)}
+    # empty range: declared schema, zero rows
+    empty = rel.changes(2)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns and "_commit_seq" in empty.columns
+    with pytest.raises(ValueError, match="from_seq"):
+        rel.changes(5, 1)
+    # a folding rewrite raises the floor; a pre-floor feed must refuse
+    astro.sql("DELETE FROM cf WHERE k = 20 AND v = 'v20'")  # resolved fold
+    assert astro.last_write_stats["history"] == "folded-purge"
+    with pytest.raises(ValueError, match="history floor"):
+        rel.changes(0)
+
+    # retention interplay: a retained rewrite re-lands its whole island
+    # at the new generation — every island key appears in the feed
+    # (documented coarseness), with values resolved post-write
+    _load_retained(astro, tmp_path, "cfr", n=40)
+    astro.sql("UPDATE cfr SET v = NULL WHERE k = 5 AND v = 'v5'")
+    rr = astro.relation("cfr")
+    feed = {r.k: (r.v, r._change_type) for r in rr.changes(0).collect()}
+    assert feed[5] == (None, "update")
+    assert all(t == "update" for _v, t in feed.values())
+    assert 0 < len(feed) <= 40
+
+
 def test_sibling_append_stamped_at_commit_not_discovery(astro):
     """ADVICE r8: a sibling writer's append discovered later must carry
     its COMMIT time (file mtime), not the discovery time — otherwise a
