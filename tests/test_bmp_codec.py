@@ -339,6 +339,43 @@ def test_jpeg_color_roundtrip_444_and_420():
     assert np.abs(lum(got420) - lum(img.astype(float))).max() <= 14
 
 
+def test_jpeg_roundtrip_property():
+    """Property fuzz over arbitrary dimensions and content: the MCU
+    boundary math (edge padding + crop), category coding, and run-length
+    paths must hold at every (w, h) shape — gray within ±1 under the
+    all-ones quant table, color 4:2:0 structurally exact dims."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+
+    @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        w=st.integers(1, 33),
+        h=st.integers(1, 33),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def _case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg_gray(img))
+        assert (d["width"], d["height"]) == (w, h)
+        got = d["pixels"][:, 0].reshape(h, w)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d3 = decode_jpeg(encode_jpeg_rgb(rgb, quality=90, subsample=True))
+        assert (d3["width"], d3["height"]) == (w, h)
+        assert d3["pixels"].shape == (h * w, 3)
+
+    _case()
+
+
 def test_jpeg_foreign_segments_and_rejects():
     import struct
 
