@@ -392,6 +392,16 @@ class AstroCatalog:
         # retention) keep their stamps too — TIMESTAMP AS OF resolves
         # pre-rewrite timestamps against them
         present |= {str(r.seq) for r in meta.retired_regions}
+        # r11 (ADVICE r10, high): the RETIREMENT generations as well — a
+        # retained rewrite that emptied its islands commits a generation
+        # with no surviving files, so its stamp lived only through the
+        # trailing-generation rule below; the next append made it a
+        # non-trailing fileless generation and the stamp was dropped,
+        # after which TIMESTAMP AS OF inside the delete→append window
+        # resolved to a PRE-delete generation and the retired fragments
+        # resurrected the deleted rows.  A retirement generation is
+        # present for exactly as long as its retired fragments are.
+        present |= {str(r.retired_at) for r in meta.retired_regions}
         if restamp == "now":
             meta.generation_times = {s: now for s in present}
         else:

@@ -1162,6 +1162,16 @@ class AstroRelation:
         self._ensure_fresh_regions()
         hit = list(meta.regions)
         if not hit:
+            if meta.retired_regions or meta.generation_times:
+                # r11 (ADVICE r10, medium): an emptied-but-retained table
+                # (retained delete-everything, or post-VACUUM with stamps)
+                # must NOT bulk-overwrite — that clobbers the data dir,
+                # deleting retired fragments and resetting stamps, i.e.
+                # destroying exactly the history this method promises to
+                # preserve.  Land the post-write contents as the next
+                # generation instead (append stamps the commit itself).
+                self.append(out)
+                return {"files_total": 0, "files_rewritten": 0, "history": "retained"}
             self.write(out, align_prefix=meta.align_prefix or None)
             return {"files_total": 0, "files_rewritten": 0, "history": "retained"}
         new_seq = self._next_seq()

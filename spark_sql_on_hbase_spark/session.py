@@ -295,15 +295,31 @@ class AstroSession:
         df = self.spark.createDataFrame(coerced, schema)
         if c.overwrite:
             rel.overwrite(df)
-        elif rel.meta.regions:
+        elif rel.meta.regions or self._table_has_history(rel):
             # literal VALUES: the row count is known — flush as few
             # fragments (r9; a handful of rows must not land as
-            # num_regions slivers that bloat later island closures)
+            # num_regions slivers that bloat later island closures).
+            # r11 (ADVICE r10, high): a table whose LIVE set is empty but
+            # which still carries history (retired fragments / commit
+            # stamps after a retained delete-everything) must APPEND —
+            # the bulk-write path clobbers the data dir, destroying every
+            # retained snapshot and resetting stamps.
             rel.append(df, fragments=max(1, -(-len(coerced) // 50_000)))
         else:
             rel.write(df)
         rel.register_view()
         return self._ok("overwrote 1 row" if c.overwrite else "inserted 1 row")
+
+    @staticmethod
+    def _table_has_history(rel: AstroRelation) -> bool:
+        """True when a table with an EMPTY live region set still carries
+        version history that a bulk write would destroy: retired MVCC
+        fragments (readable pre-delete snapshots) or generation commit
+        stamps (a post-VACUUM emptied table — a gen-0 bulk write would
+        land BELOW the history floor and brick ``TIMESTAMP AS OF now``).
+        Such tables take the append path (r11, ADVICE r10 high #2)."""
+        m = rel.meta
+        return bool(m.retired_regions or m.generation_times)
 
     @staticmethod
     def _coerce(v, dtype: str):
@@ -328,7 +344,10 @@ class AstroSession:
         )
         if c.overwrite:
             rel.overwrite(cast)
-        elif rel.meta.regions:
+        elif rel.meta.regions or self._table_has_history(rel):
+            # r11 (ADVICE r10, high): see _exec_InsertValues — an
+            # empty-live table with retained history must append, never
+            # bulk-overwrite the data dir.
             rel.append(cast)
         else:
             rel.write(cast)

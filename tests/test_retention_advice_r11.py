@@ -1,0 +1,145 @@
+"""r11 regressions for the three ADVICE r10 retention bugs: (1) a
+retained rewrite's RETIREMENT-generation stamp must survive later
+appends even when the rewrite emitted zero files (else TIMESTAMP AS OF
+inside the delete->append window resurrects deleted rows); (2)/(3) an
+emptied-but-retained table (empty live set, non-empty retired set) must
+never take the bulk-overwrite write path — INSERT INTO and the full
+retained rewrite both append, preserving retired fragments and stamps.
+"""
+
+import os
+import time
+
+import pytest
+
+from spark_sql_on_hbase_spark.session import AstroSession
+
+
+@pytest.fixture()
+def astro(spark, tmp_path):
+    return AstroSession(spark, str(tmp_path / "warehouse"))
+
+
+def _load_retained(astro, tmp_path, name, n=100):
+    csv = tmp_path / f"{name}.csv"
+    csv.write_text("".join(f"{k},v{k}\n" for k in range(1, n + 1)))
+    astro.sql(
+        f"CREATE TABLE {name} (k INT, v STRING, PRIMARY KEY (k)) "
+        f"MAPPED BY ({name}_ht) OPTIONS (regions=4, retain_history=true)"
+    )
+    astro.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE {name}")
+
+
+def test_emptied_island_delete_stamp_survives_next_append(astro, tmp_path):
+    """ADVICE r10 high #1: a retained DELETE that empties whole islands
+    commits a generation with NO surviving files.  Its stamp must stay
+    as long as its retired fragments do — a later append previously
+    dropped it (no longer trailing), and TIMESTAMP AS OF a moment
+    between the delete and the append resolved to a PRE-delete
+    generation, serving the retired fragments: deleted rows came back."""
+    _load_retained(astro, tmp_path, "tsa")
+    rel = astro.relation("tsa")
+    # empty the first region's whole island (keys are range-partitioned,
+    # so some file covers the low quartile entirely)
+    astro.sql("DELETE FROM tsa WHERE k <= 25")
+    assert astro.last_write_stats["history"] == "retained"
+    n_after_delete = astro.sql("SELECT * FROM tsa").count()
+    assert n_after_delete < 100
+    time.sleep(0.05)
+    t_mid = time.time()  # between the delete and the next append
+    time.sleep(0.05)
+    astro.sql("INSERT INTO tsa VALUES (500, 'late')")  # later append
+    # the delete generation's stamp survived the append's refresh …
+    seq_mid = rel.seq_for_timestamp(t_mid)
+    meta = astro.catalog.get_table("tsa")
+    assert seq_mid == max(r.retired_at for r in meta.retired_regions)
+    # … so the mid-window snapshot is the POST-delete state
+    snap = rel.scan(as_of_seq=seq_mid)
+    assert snap.count() == n_after_delete
+    assert snap.filter("k <= 25").count() == 0  # no resurrection
+    # SQL path agrees
+    assert (
+        astro.sql(f"SELECT * FROM tsa TIMESTAMP AS OF {t_mid} WHERE k <= 25").count()
+        == 0
+    )
+    # pre-delete history still readable through the retired fragments
+    assert rel.scan(as_of_seq=0).count() == 100
+
+
+def test_insert_into_emptied_retained_table_appends(astro, tmp_path):
+    """ADVICE r10 high #2: INSERT INTO a retain_history table whose live
+    set is empty (after a retained delete-everything) must APPEND — the
+    bulk-write fallback clobbered the data dir, destroying every
+    retained snapshot."""
+    _load_retained(astro, tmp_path, "tie")
+    rel = astro.relation("tie")
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM tie")  # full retained delete — live set empties
+    meta = astro.catalog.get_table("tie")
+    assert meta.regions == [] and meta.retired_regions
+    retired_paths = [r.path for r in meta.retired_regions]
+    astro.sql("INSERT INTO tie VALUES (7, 'fresh')")  # must append, not write
+    # retained history intact: files on disk, pre-delete snapshot readable
+    for p in retired_paths:
+        assert os.path.exists(rel._local_path(p))
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_pre)).count() == 100
+    # the present is just the new row, at a fresh generation
+    rows = astro.sql("SELECT * FROM tie").collect()
+    assert [(r.k, r.v) for r in rows] == [(7, "fresh")]
+    meta = astro.catalog.get_table("tie")
+    assert max(r.seq for r in meta.regions) > max(
+        r.retired_at for r in meta.retired_regions
+    ) - 1  # new generation at/after the retirement epoch
+
+
+def test_insert_select_into_emptied_retained_table_appends(astro, tmp_path):
+    _load_retained(astro, tmp_path, "tis")
+    rel = astro.relation("tis")
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM tis")
+    retired_paths = [r.path for r in astro.catalog.get_table("tis").retired_regions]
+    astro.sql("INSERT INTO tis SELECT 9, 'sel'")
+    for p in retired_paths:
+        assert os.path.exists(rel._local_path(p))
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_pre)).count() == 100
+    assert [r.k for r in astro.sql("SELECT * FROM tis").collect()] == [9]
+
+
+def test_full_retained_rewrite_on_emptied_table_preserves_history(astro, tmp_path):
+    """ADVICE r10 medium: rewrite_full_retained with an empty live set
+    used to call write(overwrite), deleting retired fragments — the
+    exact history its docstring promises to keep."""
+    _load_retained(astro, tmp_path, "tfe")
+    rel = astro.relation("tfe")
+    t_pre = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM tfe")
+    retired_paths = [r.path for r in astro.catalog.get_table("tfe").retired_regions]
+    # the full retained rewrite with zero live regions (the fallback a
+    # non-sargable UPDATE/MERGE would take) must not clobber the dir
+    repl = astro.spark.createDataFrame([(1, "z")], "k int, v string")
+    stats = rel.rewrite_full_retained(repl)
+    assert stats["history"] == "retained"
+    for p in retired_paths:
+        assert os.path.exists(rel._local_path(p))
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(t_pre)).count() == 100
+    assert [(r.k, r.v) for r in astro.sql("SELECT * FROM tfe").collect()] == [(1, "z")]
+
+
+def test_post_vacuum_insert_keeps_timestamp_now_resolvable(astro, tmp_path):
+    """The append-path routing also covers the post-VACUUM emptied table
+    (stamps + floor, no retired files): a gen-0 bulk write would land
+    below the history floor and brick TIMESTAMP AS OF now."""
+    _load_retained(astro, tmp_path, "tpv")
+    rel = astro.relation("tpv")
+    astro.sql("DELETE FROM tpv")
+    astro.sql("VACUUM TABLE tpv")
+    meta = astro.catalog.get_table("tpv")
+    assert meta.regions == [] and meta.retired_regions == []
+    assert meta.history_floor > 0
+    astro.sql("INSERT INTO tpv VALUES (3, 'post')")
+    # the new generation sits at/above the floor — "now" resolves
+    assert rel.scan(as_of_seq=rel.seq_for_timestamp(time.time())).count() == 1
+    assert astro.sql("SELECT * FROM tpv").count() == 1
