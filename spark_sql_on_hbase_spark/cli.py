@@ -59,6 +59,13 @@ _HELP = {
     "TIMESTAMP": "SELECT ... FROM table_name TIMESTAMP AS OF epoch_seconds | 'YYYY-MM-DD HH:MM:SS'\n"
     "  (newest generation committed at or before the UTC timestamp; "
     "DESCRIBE EXTENDED lists per-generation commit times)",
+    "CHANGES": "SELECT ... FROM table_name CHANGES FROM n [TO m] [WITH NOOP FILTER]\n"
+    "  (change-data feed between the generation-n and generation-m snapshots;\n"
+    "   columns + _change_type [insert/update/delete] + _commit_seq.  Deletes\n"
+    "   carry pre-image values and appear on retain_history tables only; n\n"
+    "   must be at/above the history floor [DESCRIBE EXTENDED lists it]; TO\n"
+    "   defaults to the newest committed generation; WITH NOOP FILTER drops\n"
+    "   unchanged-survivor update rows)",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
     "VACUUM": "VACUUM TABLE table_name\n"
     "  (reclaim MVCC-retained fragments only — retain_history tables; live\n"

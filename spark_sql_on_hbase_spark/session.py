@@ -234,7 +234,8 @@ class AstroSession:
                 (
                     "history_floor",
                     str(meta.history_floor),
-                    "versioned reads refuse below this generation",
+                    "versioned reads and CHANGES FROM n refuse below this "
+                    "generation",
                 ),
                 (
                     "delete_history_semantics",
@@ -919,15 +920,12 @@ class AstroSession:
                 dt = dt.replace(tzinfo=timezone.utc)
             return dt.timestamp()
 
-    def _rewrite_version_asof(self, text: str) -> str:
-        """SQL-level time travel: ``FROM t VERSION AS OF n`` resolves the
-        generation-N snapshot and ``FROM t TIMESTAMP AS OF t`` (epoch or
-        ISO literal, UTC) resolves the newest generation committed at or
-        before t (r7 verdict #6) — both over an astro table become a
-        registered snapshot view (the reference's doc §23
-        timestamp-versioned queries were SQL-level; Spark reserves the
-        same syntax for DSv2 time travel, so non-astro matches pass
-        through untouched).  String literals are skipped."""
+    @staticmethod
+    def _quote_map(text: str) -> list[bool]:
+        """Per-character inside-a-string-literal map, escape-aware (same
+        rule as ddl._find_top_level: ``\\'`` inside a literal must not
+        close it — r7 advice: a desynced quote map mis-skips later
+        rewrite sites)."""
         in_quote = [False] * len(text)
         q = None
         i = 0
@@ -936,9 +934,6 @@ class AstroSession:
             if q:
                 in_quote[i] = True
                 if ch == "\\":
-                    # escape-aware, same rule as ddl._find_top_level: \'
-                    # inside a literal must not close it (r7 advice — a
-                    # desynced quote map mis-skips later VERSION AS OF)
                     if i + 1 < len(text):
                         in_quote[i + 1] = True
                     i += 2
@@ -949,6 +944,18 @@ class AstroSession:
                 q = ch
                 in_quote[i] = True
             i += 1
+        return in_quote
+
+    def _rewrite_version_asof(self, text: str) -> str:
+        """SQL-level time travel: ``FROM t VERSION AS OF n`` resolves the
+        generation-N snapshot and ``FROM t TIMESTAMP AS OF t`` (epoch or
+        ISO literal, UTC) resolves the newest generation committed at or
+        before t (r7 verdict #6) — both over an astro table become a
+        registered snapshot view (the reference's doc §23
+        timestamp-versioned queries were SQL-level; Spark reserves the
+        same syntax for DSv2 time travel, so non-astro matches pass
+        through untouched).  String literals are skipped."""
+        in_quote = self._quote_map(text)
         out, last = [], 0
         for m in self._VERSION_ASOF_RE.finditer(text):
             if in_quote[m.start()]:
@@ -974,11 +981,57 @@ class AstroSession:
         out.append(text[last:])
         return "".join(out)
 
+    _CHANGES_RE = re.compile(
+        r"([\w.`]+)\s+CHANGES\s+FROM\s+(\d+)(?:\s+TO\s+(\d+))?"
+        r"(\s+WITH\s+NOOP\s+FILTER)?",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_changes(self, text: str) -> str:
+        """SQL surface of the change-data feed (r11, VERDICT r10 #2 —
+        the r10 feed was Python-only): ``SELECT … FROM t CHANGES FROM n
+        [TO m] [WITH NOOP FILTER]`` registers ``relation.changes(n, m)``
+        as a temp view carrying the table's columns plus ``_change_type``
+        ('insert'/'update'/'delete' — deletes on retain_history tables
+        only, with pre-image values) and ``_commit_seq``.  ``TO``
+        defaults to the newest committed generation; ``WITH NOOP
+        FILTER`` maps to ``drop_noop=True`` (drops the retained
+        rewrite's unchanged-survivor 'update' rows).  ``n`` must be
+        at/above the history floor (DESCRIBE EXTENDED lists it).
+        Mirrors the r7/r8 VERSION/TIMESTAMP AS OF rewrite; string
+        literals and non-astro tables are skipped."""
+        in_quote = self._quote_map(text)
+        out, last = [], 0
+        for m in self._CHANGES_RE.finditer(text):
+            if in_quote[m.start()]:
+                continue
+            ns, t = ddl._parse_table_name(m.group(1))
+            if not self.catalog.table_exists(t, ns):
+                continue
+            rel = self.relation(t, ns)
+            from_seq = int(m.group(2))
+            to_seq = int(m.group(3)) if m.group(3) is not None else None
+            drop_noop = m.group(4) is not None
+            view = (
+                f"{t}__changes_{from_seq}_"
+                f"{'cur' if to_seq is None else to_seq}{'_nn' if drop_noop else ''}"
+            )
+            rel.changes(from_seq, to_seq, drop_noop=drop_noop).createOrReplaceTempView(
+                view
+            )
+            out.append(text[last:m.start()])
+            out.append(view)
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
     def _exec_PassThrough(self, c: ddl.PassThrough) -> DataFrame:
         self._register_all()
         sql_text = c.sql
         if self._VERSION_ASOF_RE.search(sql_text):
             sql_text = self._rewrite_version_asof(sql_text)
+        if self._CHANGES_RE.search(sql_text):
+            sql_text = self._rewrite_changes(sql_text)
         return self.spark.sql(sql_text)
 
     def _ok(self, msg: str) -> DataFrame:

@@ -44,3 +44,13 @@ def test_repl_help_and_timing(spark, tmp_path):
     assert "Available commands:" in text
     assert "MAPPED BY" in text  # HELP CREATE syntax block
     assert "Time taken:" in text
+
+
+def test_repl_help_changes(spark, tmp_path):
+    """r11: HELP CHANGES documents the change-data-feed SQL surface."""
+    astro = AstroSession(spark, str(tmp_path / "wh"))
+    out = io.StringIO()
+    repl(astro, out=out, inp=io.StringIO("HELP CHANGES;\nexit\n"))
+    text = out.getvalue()
+    assert "CHANGES FROM n [TO m]" in text
+    assert "_change_type" in text and "retain_history" in text
