@@ -30,6 +30,7 @@ import time
 from dataclasses import asdict, dataclass, field
 
 from spark_sql_on_hbase_spark import codec as C
+from spark_sql_on_hbase_spark import fsops
 
 BINARY_FORMAT = "binaryformat"
 STRING_FORMAT = "stringformat"
@@ -440,5 +441,7 @@ class AstroCatalog:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(asdict(meta), f, indent=1, default=str)
-        os.replace(tmp, path)
+        # the metadata file replace IS the table's commit point — a
+        # single-object atomic put in every fsops mode (r11 fs contract)
+        fsops.replace(tmp, path)
         self._cache[f"{meta.namespace}.{meta.name}"] = meta

