@@ -1014,6 +1014,183 @@ def decode_image(blob: bytes):
     return None
 
 
+# --- undecodable-media accounting (r11, VERDICT r10 #6) ---------------------
+# Real web corpora are ~10% progressive JPEGs plus a long tail of
+# truncated/exotic files; a baseline decoder that silently yields None
+# for them reads as "covered everything" in a stats rollup.  These
+# classifiers name WHY a blob failed to decode so pipeline owners see
+# coverage, not silent NULLs.
+
+
+def media_format(blob: bytes | None) -> str:
+    """Magic-byte container guess — the histogram's format axis."""
+    if blob is None:
+        return "missing"
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:8] == _PNG_SIG:
+        return "png"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def _jpeg_fail_reason(b: bytes) -> str:
+    """Marker walk naming the decode-refusal cause.  SOF codes (T.81
+    table B.1): C0/C1/C5 sequential huffman (our baseline subset),
+    C2/C6/CA/CE progressive, C3/C7 lossless, C9/CB/CD/CF arithmetic."""
+    i, n = 2, len(b)
+    sof = prec = None
+    while i + 1 < n:
+        if b[i] != 0xFF:
+            return "corrupt"
+        m = b[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        if i + 3 >= n:
+            return "truncated"
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            sof = m
+            prec = b[i + 4] if i + 4 < n else None
+        if m == 0xDA:
+            break  # entropy-coded data follows
+        i += 2 + seg_len
+    if sof is None:
+        return "truncated"
+    if sof in (0xC2, 0xC6, 0xCA, 0xCE):
+        return "progressive-jpeg"
+    if sof in (0xC9, 0xCB, 0xCD, 0xCF):
+        return "arithmetic-jpeg"
+    if sof in (0xC3, 0xC7):
+        return "lossless-jpeg"
+    if prec is not None and prec != 8:
+        return "unsupported-depth"
+    if b[-2:] != b"\xff\xd9":
+        return "truncated"
+    return "corrupt"
+
+
+def _png_fail_reason(b: bytes) -> str:
+    import struct
+
+    if len(b) < 33 or b[12:16] != b"IHDR":
+        return "truncated"
+    _w, _h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", b[16:29])
+    if depth != 8 or ctype != 2:
+        return "unsupported-depth"
+    if inter != 0:
+        return "interlaced"
+    if comp != 0 or filt != 0:
+        return "corrupt"
+    return "truncated"  # well-formed header → missing/short IDAT bytes
+
+
+def _bmp_fail_reason(b: bytes) -> str:
+    import struct
+
+    if len(b) < 54:
+        return "truncated"
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24:
+        return "unsupported-depth"
+    if comp != 0:
+        return "compressed"
+    off = struct.unpack_from("<I", b, 10)[0]
+    _hsz, w, h = struct.unpack_from("<Iii", b, 14)
+    if w <= 0 or h == 0:
+        return "corrupt"
+    stride = (w * 3 + 3) & ~3
+    if off + stride * abs(h) > len(b):
+        return "truncated"
+    return "corrupt"
+
+
+def _wav_fail_reason(b: bytes) -> str:
+    import struct
+
+    if len(b) < 44:
+        return "truncated"
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + ln > len(b):
+            return "truncated"
+        if tag == b"fmt " and ln >= 16:
+            fmt_code = struct.unpack_from("<H", b, pos + 8)[0]
+            bits = struct.unpack_from("<H", b, pos + 22)[0]
+            if fmt_code != 1 or bits != 16:
+                return "unsupported-codec"
+        pos += 8 + ln + (ln & 1)
+    return "corrupt"
+
+
+def undecodable_reason(blob: bytes | None) -> str | None:
+    """None when a real codec decodes the blob; otherwise the reason it
+    cannot ('missing', 'unknown-format', 'progressive-jpeg',
+    'arithmetic-jpeg', 'lossless-jpeg', 'unsupported-depth',
+    'interlaced', 'compressed', 'unsupported-codec', 'truncated',
+    'corrupt')."""
+    fmt = media_format(blob)
+    if fmt == "missing":
+        return "missing"
+    if fmt == "unknown":
+        return "unknown-format"
+    if fmt == "wav":
+        return None if decode_wav(blob) is not None else _wav_fail_reason(blob)
+    if decode_image(blob) is not None:
+        return None
+    if fmt == "jpeg":
+        return _jpeg_fail_reason(blob)
+    if fmt == "png":
+        return _png_fail_reason(blob)
+    return _bmp_fail_reason(blob)
+
+
+def media_coverage(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Per-(format, reason) media-coverage histogram — ``reason`` is
+    'ok' for decodable blobs.  Map-side partial aggregation: each Arrow
+    batch collapses to at most a handful of (format, reason, cnt) rows
+    before the tiny final groupBy — blobs never shuffle, so at corpus
+    scale this costs one scan."""
+    out_schema = T.StructType(
+        [
+            T.StructField("format", T.StringType(), False),
+            T.StructField("reason", T.StringType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            for b in pdf[blob_col]:
+                blob = bytes(b) if b is not None else None
+                counts[(media_format(blob), undecodable_reason(blob) or "ok")] += 1
+        if counts:
+            yield pd.DataFrame(
+                [
+                    {"format": f, "reason": r, "cnt": n}
+                    for (f, r), n in counts.items()
+                ]
+            )
+
+    return (
+        df.mapInPandas(op, out_schema)
+        .groupBy("format", "reason")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def _encode_image_column(df, blob_col, width, out_col, kernel):
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.BinaryType(), True)]

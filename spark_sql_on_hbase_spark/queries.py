@@ -159,6 +159,9 @@ TAIL_ORDER = [
     # r10: real baseline JFIF decode (numpy huffman+IDCT); values grade
     # in-window through the suite's 'jpeg' branch
     "multimodal_jpeg_decode",
+    # r11: undecodable-media coverage histogram; values grade in-window
+    # through the suite's 'undecoded' branch
+    "multimodal_undecoded",
     # r9: the multi-probe LSH path, oracle-graded over the planted frame
     "ann_multiprobe_topk",
     # r8: RAG/pretraining token chunking; values grade in-window through

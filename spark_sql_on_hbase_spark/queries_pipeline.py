@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_sql_on_hbase_spark.queries_relational import Q
 from spark_sql_on_hbase_spark.tables import load_tables
@@ -1525,6 +1526,111 @@ PIPELINE["multimodal_wav_decode"] = Q(
 )
 
 
+def _mixed_media_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 'web-corpus' media mix over documents (doc_id <
+    400): per doc_id % 5 — a valid BMP, a PROGRESSIVE-marked JPEG (real
+    SOF2 marker the baseline decoder must refuse), a TRUNCATED BMP, a
+    16-bit-depth PNG, and an unknown-format blob; NULL text stays a
+    missing blob.  Every branch's (format, reason) is a pure function
+    of doc_id, so DuckDB recomputes the histogram exactly."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        attach_binary_column,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 400).select("doc_id", "text"),
+        "text",
+        "blob",
+    ).select("doc_id", "blob")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def mix(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                if b is None:
+                    media.append(None)
+                    continue
+                payload, m = bytes(b), int(d) % 5
+                if m == 0:
+                    media.append(encode_bmp(payload, 16))
+                elif m == 1:
+                    # real progressive marker: SOF0 -> SOF2 (the DQT is
+                    # all-ones and the Annex-K DHTs carry no 0xFF, so
+                    # the first FF C0 is the frame header)
+                    j = encode_jpeg(payload, 16)
+                    i = j.index(b"\xff\xc0")
+                    media.append(j[: i + 1] + b"\xc2" + j[i + 2 :])
+                elif m == 2:
+                    media.append(encode_bmp(payload, 16)[:40])  # truncated
+                elif m == 3:
+                    # IHDR bit depth 8 -> 16 (byte 24 of the stream)
+                    p = encode_png(payload, 16)
+                    media.append(p[:24] + b"\x10" + p[25:])
+                else:
+                    # NUL prefix defeats any accidental magic in text bytes
+                    media.append(b"\x00" + payload)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    return df.mapInPandas(mix, out_schema)
+
+
+def _multimodal_undecoded(spark: SparkSession, sf: str) -> DataFrame:
+    """r11 (VERDICT r10 #6): undecodable-media accounting — the
+    per-(format, reason) coverage histogram over a deterministic media
+    mix, so a pipeline owner sees 'progressive-jpeg: N' instead of
+    silent NULL stats (operators/multimodal.py media_coverage,
+    undecodable_reason)."""
+    from spark_sql_on_hbase_spark.operators.multimodal import media_coverage
+
+    return media_coverage(_mixed_media_frame(spark, sf), "media").orderBy(
+        "format", "reason"
+    )
+
+
+_UNDECODED_ORACLE = """
+    SELECT format, reason, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT CASE WHEN text IS NULL THEN 'missing'
+                  WHEN doc_id % 5 IN (0, 2) THEN 'bmp'
+                  WHEN doc_id % 5 = 1 THEN 'jpeg'
+                  WHEN doc_id % 5 = 3 THEN 'png'
+                  ELSE 'unknown' END AS format,
+             CASE WHEN text IS NULL THEN 'missing'
+                  WHEN doc_id % 5 = 0 THEN 'ok'
+                  WHEN doc_id % 5 = 1 THEN 'progressive-jpeg'
+                  WHEN doc_id % 5 = 2 THEN 'truncated'
+                  WHEN doc_id % 5 = 3 THEN 'unsupported-depth'
+                  ELSE 'unknown-format' END AS reason
+      FROM documents WHERE doc_id < 400
+    ) m
+    GROUP BY format, reason
+    ORDER BY format, reason
+"""
+
+PIPELINE["multimodal_undecoded"] = Q(
+    spark=_multimodal_undecoded,
+    oracle=_UNDECODED_ORACLE,
+    doc="r11 undecodable-media accounting: magic-byte format guess + "
+    "marker/header-walk refusal reasons (progressive/arithmetic/lossless "
+    "JPEG, unsupported depth, interlaced, truncated, unknown format, "
+    "missing) aggregated map-side into a (format, reason, cnt) coverage "
+    "histogram — graded over a deterministic per-doc_id media mix whose "
+    "histogram DuckDB recomputes from doc_id arithmetic",
+)
+
+
 def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Window-budget collapse of the multimodal rows (frame-sample /
     resize / feature-extract / r8 real-BMP decode) into one checksummed
@@ -1583,9 +1689,17 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
         + (F.col("px_weighted") % 1_000_000_000_000) * 17,
     )
+    from spark_sql_on_hbase_spark.functions.text import hash60
+
+    und = _probe_agg(
+        "undecoded",
+        _multimodal_undecoded(spark, sf),
+        F.col("cnt") * 7
+        + (hash60(F.concat_ws(":", "format", "reason")) % 1_000_000) * 3,
+    )
     return (
         fr.unionAll(rz).unionAll(fe).unionAll(bmp).unionAll(png)
-        .unionAll(wav).unionAll(jpg)
+        .unionAll(wav).unionAll(jpg).unionAll(und)
     )
 
 
@@ -1664,12 +1778,19 @@ PIPELINE["multimodal_suite"] = Q(
            CAST(sum(doc_id * 1 + width * 3 + height * 5 + sum_b * 7
                     + sum_g * 11 + sum_r * 13 + (px_weighted % 1000000000000) * 17) AS BIGINT) AS chk
     FROM jpg
+    UNION ALL
+    SELECT 'undecoded' AS probe, count(*) AS cnt,
+           CAST(sum(cnt * 7 + ({_dh("format || ':' || reason")} % 1000000) * 3) AS BIGINT) AS chk
+    FROM (
+      {_UNDECODED_ORACLE}
+    ) und
     """,
     doc="multimodal plumbing suite: frame-sample explode, mapInPandas resize "
     "byte-contract (len_ok must hold on the actual binary column — a False "
     "row flips its checksum term to -11 vs the oracle's constant +11), and "
     "the byte-histogram feature kernel vs DuckDB's hex-level recomputation; "
-    "r10: + the real-JPEG branch (constant-block identity contract)",
+    "r10: + the real-JPEG branch (constant-block identity contract); "
+    "r11: + the undecodable-media coverage histogram (VERDICT r10 #6)",
 )
 
 
