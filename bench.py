@@ -2,9 +2,15 @@
 
 The FINAL stdout line is the compact parseable contract (≤ ~1.5 KiB —
 the caller captures only a ~2 KiB tail):
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+  {"metric": "...", "value": <total WALL sec>, "unit": "sec",
+   "task_time_sec": <total task sec>, "q_unit": "task_sec(min-run)",
+   "queries": {"q1_pricing_summary": task_sec, ...}, "sf": 0.1,
    "plan_shapes": {...trimmed...}, "detail_file": "BENCH_DETAIL_rN.json"}
+Per-query values are EXECUTOR TASK seconds of each query's best run —
+the primary regression signal (r11, VERDICT r10 #5: wall swings ±30%
+with hypervisor steal and misled two rounds; task time tracks the work
+actually scheduled).  The wall total stays in "value" for cross-round
+continuity; per-query wall times live in the detail file.
 
 Full evidence (per-query stage/shuffle/task-time deltas, all plan
 shapes, host-noise calibration) goes to BENCH_DETAIL_r{N}.json beside
@@ -271,13 +277,23 @@ def main() -> None:
         )
         if k in plan_shapes
     }
+    # r11 (VERDICT r10 #5): per-query TASK seconds are the compact
+    # line's regression signal — wall misled two rounds running (host
+    # noise swings it ±30% while task time tracks scheduled work).
+    # "value" stays the wall total for cross-round driver continuity;
+    # per-query wall lives only in the detail file now (q_unit marks
+    # the semantics; "timing" moved to the detail file for the bytes).
+    q_task = {}
+    for k, v in timings.items():
+        t = query_metrics.get(k, {}).get("task_time_sec")
+        q_task[k] = round(t, 1) if (v > 0 and t is not None) else -1
     compact = {
         "metric": "headline query wall time (noop sink, warmed session)",
         "value": round(total, 3),
         "unit": "sec",
         "task_time_sec": task_total,
-        "timing": f"min of {runs} runs per query",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "q_unit": "task_sec(min-run)",
+        "queries": q_task,
         "sf": sf,
         "plan_shapes": compact_shapes,
         "detail_file": os.path.basename(detail_path),
