@@ -785,7 +785,63 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(blob: bytes):
+# 16-bit packed-LUT huffman decode (r11, VERDICT r10 #8): one list index
+# per symbol instead of the 1..16-length dict probe loop, with the
+# value/diff bits FOLDED IN whenever code_len + size <= 16 — the
+# classic libjpeg fast path.  Entry layout (int):
+#   bits 21+ : total bits to advance (code + value), 0 = slow path
+#   bits 16-20: run + 1 (AC; 0xEOB stored as run -1 -> 0, ZRL as 16+1)
+#   bits 0-15 : extended value + 32768
+# The dict reader (_BitReader.huff) stays as the slow path for long
+# code+value pairs, invalid codes, and near-EOF reads — and as the
+# independent oracle the fuzz tests compare against.
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_decode_packed(bits, vals, is_ac: bool):
+    key = (bytes(bits), bytes(vals), is_ac)
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            sym = int(vals[vi])
+            vi += 1
+            lo, hi = code << (16 - ln), (code + 1) << (16 - ln)
+            if is_ac and sym == 0x00:  # EOB
+                lut[lo:hi] = (ln << 21) | (0 << 16) | 32768
+            elif is_ac and sym == 0xF0:  # ZRL: skip 16, write nothing
+                lut[lo:hi] = (ln << 21) | (17 << 16) | 32768
+            else:
+                run, size = (sym >> 4, sym & 0xF) if is_ac else (0, sym)
+                if size == 0:
+                    if is_ac:
+                        pass  # run>0,size=0 is malformed -> slow path
+                    else:
+                        lut[lo:hi] = (ln << 21) | ((run + 1) << 16) | 32768
+                elif ln + size <= 16:
+                    idx = np.arange(lo, hi, dtype=np.int64)
+                    v = (idx >> (16 - ln - size)) & ((1 << size) - 1)
+                    ext = np.where(v >= (1 << (size - 1)), v, v - (1 << size) + 1)
+                    lut[idx] = (
+                        ((ln + size) << 21) | ((run + 1) << 16) | (ext + 32768)
+                    )
+                # ln + size > 16: slow path (entry stays 0)
+            code += 1
+        code <<= 1
+    packed = lut.tolist()  # list indexing beats numpy scalar getitem ~3x
+    if len(_HUFF_LUT_CACHE) >= 64:  # bounded: foreign corpora with many DHTs
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = packed
+    return packed
+
+
+def decode_jpeg(blob: bytes, _fast: bool = True):
     """REAL baseline JFIF decoder (pure numpy + stdlib): marker walk,
     DQT/DHT/SOF0/SOS/DRI parse, huffman entropy decode with byte
     unstuffing and restart markers, dezigzag, dequantization, vectorized
@@ -797,9 +853,10 @@ def decode_jpeg(blob: bytes):
     arithmetic, 12-bit, >2 sampling factors).
 
     The entropy pass is a per-symbol Python loop (huffman is inherently
-    sequential); the IDCT/color math is batched numpy.  Like the PNG
-    Paeth note: fine for the graded corpus, slow-but-correct for large
-    foreign files."""
+    sequential); r11 (VERDICT r10 #8) folds each (code, value-bits) pair
+    into ONE 16-bit packed-LUT list index (_huff_decode_packed) with the
+    per-length dict probe (``_fast=False``) kept as the slow path and
+    the fuzz oracle.  The IDCT/color math is batched numpy."""
     import struct
 
     import numpy as np
@@ -808,6 +865,7 @@ def decode_jpeg(blob: bytes):
         return None
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
+    huff_lut: dict[tuple[int, int], list] = {}
     w = h = None
     comps = []  # (cid, hs, vs, qid)
     scomp = []  # scan order: (idx into comps, dc_tid, ac_tid)
@@ -862,6 +920,10 @@ def decode_jpeg(blob: bytes):
                     nsym = sum(bits)
                     vals = list(body[p + 17 : p + 17 + nsym])
                     huff[(tclass, tid)] = _huff_decode_map(bits, vals)
+                    if _fast:
+                        huff_lut[(tclass, tid)] = _huff_decode_packed(
+                            bits, vals, tclass == 1
+                        )
                     p += 17 + nsym
             elif marker == 0xDD:
                 (restart,) = struct.unpack_from(">H", body, 0)
@@ -881,27 +943,21 @@ def decode_jpeg(blob: bytes):
         if scan_start is None or w is None or not comps or len(scomp) != len(comps):
             return None
 
-        # split the entropy-coded stream at restart markers, unstuff 0xFF00
-        intervals: list[bytes] = []
-        cur = bytearray()
-        p = scan_start
-        while p < len(blob):
-            b = blob[p]
-            if b == 0xFF and p + 1 < len(blob):
-                nxt = blob[p + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    p += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:  # RSTn
-                    intervals.append(bytes(cur))
-                    cur = bytearray()
-                    p += 2
-                    continue
-                break  # EOI or any other marker ends the scan
-            cur.append(b)
-            p += 1
-        intervals.append(bytes(cur))
+        # split the entropy-coded stream at restart markers, unstuff
+        # 0xFF00 — C-side regex/replace (r11: the original per-byte
+        # Python walk was ~1/3 of total decode time on large scans).
+        # The scan ends at the first 0xFF followed by a byte that is
+        # neither 0x00 (stuffing) nor an RSTn; a LONE trailing 0xFF
+        # belongs to the scan (matches the byte-walk's p+1 bound).
+        import re as _re
+
+        tail = blob[scan_start:]
+        m = _re.search(rb"\xff[^\x00\xd0-\xd7]", tail, _re.DOTALL)
+        seg = tail[: m.start()] if m else tail
+        intervals = [
+            part.replace(b"\xff\x00", b"\xff")
+            for part in _re.split(rb"\xff[\xd0-\xd7]", seg)
+        ]
 
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
@@ -914,42 +970,126 @@ def decode_jpeg(blob: bytes):
         preds = [0] * len(comps)
         it = iter(intervals)
         br = _BitReader(next(it))
+        # fast-path locals (r11): the packed-LUT loop keeps a classic
+        # bit ACCUMULATOR in local variables — refill 32 bits per
+        # int.from_bytes, then each symbol is one shift/mask peek + one
+        # list index, no method calls or per-symbol byte indexing.
+        # ``bpos`` tracks the absolute bit position for the EOF bound
+        # and for syncing br.pos around slow-path detours (long
+        # code+value pairs, invalid codes, near-EOF reads).
+        dpad = br.data + b"\x00\x00\x00\x00"
+        bpos, bnbits = 0, br.nbits
+        acc = navail = 0
+        bytepos = 0
         n_mcu = mcux * mcuy
+        # per-scan-component decode plan, hoisted out of the MCU loop
+        # (the per-MCU dict lookups were ~5% of decode time)
+        plan = []
+        for (ci, dct, act) in scomp:
+            _cid, hs, vs, _qid = comps[ci]
+            dtab, atab = huff.get((0, dct)), huff.get((1, act))
+            if dtab is None or atab is None:
+                return None
+            dlut, alut = huff_lut.get((0, dct)), huff_lut.get((1, act))
+            use_lut = _fast and dlut is not None and alut is not None
+            plan.append((ci, hs, vs, dtab, atab, dlut, alut, use_lut, mcux * hs))
         for m in range(n_mcu):
             if restart and m and m % restart == 0:
                 br = _BitReader(next(it))  # byte-aligned by construction
+                dpad = br.data + b"\x00\x00\x00\x00"
+                bpos, bnbits = 0, br.nbits
+                acc = navail = 0
+                bytepos = 0
                 preds = [0] * len(comps)
             my, mx = divmod(m, mcux)
-            for (ci, dct, act) in scomp:
-                _cid, hs, vs, _qid = comps[ci]
-                dtab, atab = huff.get((0, dct)), huff.get((1, act))
-                if dtab is None or atab is None:
-                    return None
-                bw_ = mcux * hs
+            for (ci, hs, vs, dtab, atab, dlut, alut, use_lut, bw_) in plan:
+                pred = preds[ci]
                 for dy in range(vs):
                     for dx in range(hs):
                         row = [0] * 64  # python list: the per-coef loop
                         # is ~5x faster than numpy scalar assignment
-                        s = br.huff(dtab)
-                        diff = _jpeg_extend(br.read(s), s) if s else 0
-                        preds[ci] += diff
-                        row[0] = preds[ci]
+                        # DC: one packed-LUT hit covers code + diff bits
+                        if use_lut:
+                            if navail < 16:
+                                acc = (
+                                    (acc & ((1 << navail) - 1)) << 32
+                                ) | int.from_bytes(
+                                    dpad[bytepos : bytepos + 4], "big"
+                                )
+                                bytepos += 4
+                                navail += 32
+                            p = dlut[(acc >> (navail - 16)) & 0xFFFF]
+                            a = p >> 21
+                        else:
+                            a = 0
+                        if a and bpos + a <= bnbits:
+                            bpos += a
+                            navail -= a
+                            pred += (p & 0xFFFF) - 32768
+                        else:
+                            br.pos = bpos
+                            s = br.huff(dtab)
+                            pred += _jpeg_extend(br.read(s), s) if s else 0
+                            bpos = br.pos
+                            navail = 0  # resync the accumulator below
+                            bytepos = (bpos + 7) >> 3
+                            if bpos & 7:
+                                acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
+                                navail = 8 - (bpos & 7)
+                        row[0] = pred
                         k = 1
                         while k < 64:
+                            if use_lut:
+                                if navail < 16:
+                                    acc = (
+                                        (acc & ((1 << navail) - 1)) << 32
+                                    ) | int.from_bytes(
+                                        dpad[bytepos : bytepos + 4], "big"
+                                    )
+                                    bytepos += 4
+                                    navail += 32
+                                p = alut[(acc >> (navail - 16)) & 0xFFFF]
+                                a = p >> 21
+                                if a and bpos + a <= bnbits:
+                                    bpos += a
+                                    navail -= a
+                                    r = ((p >> 16) & 0x1F) - 1
+                                    if r < 0:  # EOB
+                                        break
+                                    if r == 16:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += r
+                                    if k > 63:
+                                        return None
+                                    row[k] = (p & 0xFFFF) - 32768
+                                    k += 1
+                                    continue
+                            br.pos = bpos
                             rs = br.huff(atab)
+                            if rs == 0x00 or rs == 0xF0:
+                                bpos = br.pos
+                            else:
+                                k += rs >> 4
+                                sz = rs & 0xF
+                                if k > 63:
+                                    return None
+                                row[k] = _jpeg_extend(br.read(sz), sz)
+                                bpos = br.pos
+                            navail = 0  # resync the accumulator
+                            bytepos = (bpos + 7) >> 3
+                            if bpos & 7:
+                                acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
+                                navail = 8 - (bpos & 7)
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            k += rs >> 4
-                            sz = rs & 0xF
-                            if k > 63:
-                                return None
-                            row[k] = _jpeg_extend(br.read(sz), sz)
                             k += 1
                         bi = (my * vs + dy) * bw_ + (mx * hs + dx)
                         coefs[ci][bi] = row
+                preds[ci] = pred
         # dequant + batched IDCT + plane assembly per component
         C = _dct_basis()
         planes = []
@@ -959,9 +1099,9 @@ def decode_jpeg(blob: bytes):
                 return None
             deq = np.zeros((coefs[ci].shape[0], 64), dtype=np.float64)
             deq[:, _ZZ_FLAT] = coefs[ci] * qt[np.newaxis, _ZZ_FLAT]
-            blocks = np.einsum(
-                "ji,njk,kl->nil", C, deq.reshape(-1, 8, 8), C
-            ) + 128.0
+            # batched IDCT as two BLAS matmuls (r11: ~3x over c_einsum
+            # for the same C.T @ block @ C contraction)
+            blocks = (C.T @ deq.reshape(-1, 8, 8)) @ C + 128.0
             bw_, bh_ = mcux * hs, mcuy * vs
             plane = (
                 blocks.reshape(bh_, bw_, 8, 8)
@@ -969,7 +1109,10 @@ def decode_jpeg(blob: bytes):
                 .reshape(bh_ * 8, bw_ * 8)
             )
             # nearest-neighbor chroma upsampling to full resolution
-            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+            if vmax // vs > 1:
+                plane = np.repeat(plane, vmax // vs, axis=0)
+            if hmax // hs > 1:
+                plane = np.repeat(plane, hmax // hs, axis=1)
             planes.append(plane[:h, :w])
         if len(planes) == 1:
             gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)

@@ -376,6 +376,53 @@ def test_jpeg_roundtrip_property():
     _case()
 
 
+def test_jpeg_lut_decode_matches_dict_oracle():
+    """r11 (VERDICT r10 #8): the packed-LUT fast entropy path must be
+    bit-identical to the per-length dict reader (kept as the oracle) —
+    fuzzed over gray/color, restart intervals, subsampling, quality, and
+    truncated streams."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(41)
+    blobs = []
+    for i in range(12):
+        w, h = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        if i % 2 == 0:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            blobs.append(
+                encode_jpeg_gray(
+                    img,
+                    qtab=[(j % 16) + 1 for j in range(64)],
+                    restart_interval=int(rng.integers(1, 9)) if i % 4 == 0 else 0,
+                )
+            )
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(
+                encode_jpeg_rgb(
+                    img,
+                    quality=int(rng.integers(30, 96)),
+                    subsample=bool(i % 4 == 1),
+                )
+            )
+    # truncations exercise the near-EOF fallback equivalence
+    blobs += [b[: len(b) // 2] for b in blobs[:4]]
+    blobs += [b[:-1] for b in blobs[:2]]
+    for b in blobs:
+        f = decode_jpeg(b)
+        s = decode_jpeg(b, _fast=False)
+        assert (f is None) == (s is None)
+        if f is not None:
+            assert (f["width"], f["height"]) == (s["width"], s["height"])
+            assert np.array_equal(f["pixels"], s["pixels"])
+
+
 def test_jpeg_foreign_segments_and_rejects():
     import struct
 
