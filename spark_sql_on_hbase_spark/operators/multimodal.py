@@ -469,6 +469,22 @@ _JH_AC_CHROMA = (
 )
 
 
+# generic AC huffman table for PROGRESSIVE scans (r11): the Annex-K
+# sequential tables lack the EOBn symbols (0x10..0xE0) progressive
+# end-of-band runs require, so the progressive ENCODER ships its own —
+# a flat canonical table (every symbol 8 bits: EOB, ZRL, EOB1..EOB14,
+# and run/size for r 0..15 × s 1..10 = 176 symbols).  Suboptimal
+# compression, irrelevant for test vectors; the decoder always builds
+# tables from the file's DHT segments, so real progressive files with
+# optimized tables decode the same way.
+_JH_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0]
+    + [n << 4 for n in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
 def _dct_basis():
     """Orthonormal 8-point DCT-II matrix C: the T.81 FDCT is exactly
     F = C @ B @ C.T and the IDCT its transpose sandwich (the 1/4·c(u)c(v)
@@ -580,9 +596,10 @@ def _encode_blocks(blocks, qtab, dc_codes, ac_codes, bw, pred):
     return pred
 
 
-def _jpeg_headers(w, h, comps, qtabs, huff_specs):
-    """SOI + JFIF APP0 + DQT + SOF0 + DHT segments; ``comps`` is a list
-    of (component_id, h_samp, v_samp, qtab_idx, dc_tbl, ac_tbl)."""
+def _jpeg_headers(w, h, comps, qtabs, huff_specs, sof_marker=0xC0):
+    """SOI + JFIF APP0 + DQT + SOF + DHT segments; ``comps`` is a list
+    of (component_id, h_samp, v_samp, qtab_idx, dc_tbl, ac_tbl);
+    ``sof_marker`` 0xC0 = baseline, 0xC2 = progressive (r11)."""
     import struct
 
     def seg(marker, body):
@@ -596,7 +613,7 @@ def _jpeg_headers(w, h, comps, qtabs, huff_specs):
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for cid, hs, vs, qi, _dc, _ac in comps:
         sof += bytes([cid, (hs << 4) | vs, qi])
-    out += seg(0xC0, sof)
+    out += seg(sof_marker, sof)
     for tclass, tid, (bits, vals) in huff_specs:
         out += seg(0xC4, bytes([(tclass << 4) | tid] + bits + vals))
     return out
@@ -718,6 +735,324 @@ def encode_jpeg_rgb(img, quality: int = 90, subsample: bool = False) -> bytes:
     return out + bw.flush() + b"\xff\xd9"
 
 
+def _quant_zz_blocks(blocks, qtab):
+    """(n, 8, 8) pixel blocks -> (n, 64) quantized coefficients in
+    ZIGZAG order — the shared forward path of the baseline and
+    progressive encoders (identical rounding, so a progressive encode
+    of an image carries the EXACT same coefficients as its baseline
+    encode; the decoder identity tests lean on this)."""
+    import numpy as np
+
+    C = _dct_basis()
+    coef = np.einsum("ij,njk,lk->nil", C, blocks.astype(np.float64) - 128.0, C)
+    q = np.rint(coef / qtab.reshape(8, 8)).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZZ_FLAT]
+
+
+def _default_prog_scans(ncomp: int):
+    """libjpeg-shaped progressive scan script: DC first with one point
+    transform + DC refinement, AC spectral bands per component with two
+    successive-approximation refinement passes."""
+    comps_all = list(range(ncomp))
+    scans = [(comps_all, 0, 0, 0, 1)]  # DC first, Al=1 (interleaved)
+    for c in comps_all:
+        scans += [([c], 1, 5, 0, 2), ([c], 6, 63, 0, 2)]
+    for c in comps_all:
+        scans += [([c], 1, 63, 2, 1)]
+    scans.append((comps_all, 0, 0, 1, 0))  # DC refinement
+    for c in comps_all:
+        scans += [([c], 1, 63, 1, 0)]
+    return scans
+
+
+class _ProgACState:
+    """Per-scan AC encoder state: the end-of-band run and (for
+    refinement scans) the buffered correction bits that must ride
+    behind the next emitted symbol (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine)."""
+
+    def __init__(self, bw, ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.br: list[int] = []
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            ln, code = self.ac[nbits << 4]
+            self.bw.put(code, ln)
+            if nbits:
+                self.bw.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.br:
+            self.bw.put(bit, 1)
+        self.br = []
+
+
+def _enc_ac_first(st: _ProgACState, row, ss, se, al):
+    """AC first scan (Ah == 0) for one block: run/size coding of the
+    point-transformed band with EOB-run accumulation."""
+    vals = []
+    for k in range(ss, se + 1):
+        c = row[k]
+        vals.append(-((-c) >> al) if c < 0 else (c >> al))
+    last = -1
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            last = i
+            break
+    if last < 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    st.flush_eob()
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = st.ac[0xF0]
+            st.bw.put(code, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        ln, code = st.ac[(run << 4) | s]
+        st.bw.put(code, ln)
+        st.bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _enc_ac_refine(st: _ProgACState, row, ss, se, al):
+    """AC refinement scan (Ah = Al + 1) for one block: newly-nonzero
+    coefficients as run/1 symbols with a sign bit, correction bits for
+    history coefficients buffered behind the next symbol."""
+    vals = []
+    for k in range(ss, se + 1):
+        c = row[k]
+        vals.append(-((-c) >> al) if c < 0 else (c >> al))
+    last = -1
+    for i in range(len(vals) - 1, -1, -1):
+        if abs(vals[i]) == 1:
+            last = i
+            break
+    run = 0
+    pending: list[int] = []
+    for i in range(last + 1):
+        v = vals[i]
+        a = abs(v)
+        if a == 0:
+            run += 1
+            continue
+        # ZRL check at EVERY nonzero (history included, libjpeg order):
+        # the decoder's ZRL walk reads correction bits only for history
+        # coefs it passes BEFORE the 16th zero — emitting at the history
+        # coef keeps the buffered bits on the right side of the symbol
+        while run > 15:
+            st.flush_eob()
+            ln, code = st.ac[0xF0]
+            st.bw.put(code, ln)
+            run -= 16
+            for bit in pending:
+                st.bw.put(bit, 1)
+            pending = []
+        if a > 1:
+            pending.append(a & 1)  # history coef: correction bit
+            continue
+        # newly nonzero (|v| == 1)
+        st.flush_eob()
+        ln, code = st.ac[(run << 4) | 1]
+        st.bw.put(code, ln)
+        st.bw.put(1 if v > 0 else 0, 1)
+        for bit in pending:
+            st.bw.put(bit, 1)
+        pending = []
+        run = 0
+    # rest of band: correction bits join the EOB-run buffer
+    tail_bits = pending
+    for i in range(last + 1, len(vals)):
+        if abs(vals[i]) > 1:
+            tail_bits.append(abs(vals[i]) & 1)
+    if run > 0 or tail_bits or last < len(vals) - 1:
+        st.eobrun += 1
+        st.br.extend(tail_bits)
+        if st.eobrun == 0x7FFF or len(st.br) > 900:
+            st.flush_eob()
+    else:
+        for bit in tail_bits:
+            st.bw.put(bit, 1)
+
+
+def encode_jpeg_progressive(
+    img,
+    qtab=None,
+    quality: int = 90,
+    subsample: bool = False,
+    scans=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL progressive JFIF encoder (SOF2): spectral selection +
+    successive approximation over the SAME quantized coefficients the
+    baseline encoders produce — gray (h, w) or RGB (h, w, 3) input,
+    optional 4:2:0 subsampling and per-scan restart markers.  Exists
+    primarily as the self-contained test-vector source for
+    :func:`decode_jpeg`'s progressive path (no imaging libs in this
+    environment), so correctness is pinned by the coefficient identity:
+    progressive decode must be BIT-IDENTICAL to the baseline decode of
+    the same image/qtable.  ``scans`` overrides the libjpeg-shaped
+    default script with (comp_ids, Ss, Se, Ah, Al) tuples."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        qt = np.asarray(qtab if qtab is not None else [1] * 64, dtype=np.int64)
+        qtabs, comp_q = [qt], [0]
+        hs_list = vs_list = [1]
+        planes = [img.astype(np.uint8)]
+        huff_specs = [(0, 0, _JH_DC_LUMA), (1, 0, _JH_AC_PROG)]
+        comp_tbl = [(0, 0)]
+    else:
+        r, g, b = (img.astype(np.float64)[..., i] for i in range(3))
+        y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+        cr = np.clip(np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+        scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+
+        def _scaled(base):
+            t = np.asarray(base, dtype=np.int64)
+            return np.clip((t * scale + 50) // 100, 1, 255).astype(np.int64)
+
+        qtabs, comp_q = [_scaled(_JQ_LUMA), _scaled(_JQ_CHROMA)], [0, 1, 1]
+        hs = 2 if subsample else 1
+        hs_list, vs_list = [hs, 1, 1], [hs, 1, 1]
+        ph, pw = -(-h // (8 * hs)) * 8 * hs, -(-w // (8 * hs)) * 8 * hs
+
+        def _pad(p):
+            return np.pad(p.astype(np.uint8), ((0, ph - h), (0, pw - w)), mode="edge")
+
+        yp = _pad(y)
+        if subsample:
+            cbp, crp = _pad(cb), _pad(cr)
+            cbs = np.rint(cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))).astype(np.uint8)
+            crs = np.rint(crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))).astype(np.uint8)
+            planes = [yp, cbs, crs]
+        else:
+            planes = [yp, _pad(cb), _pad(cr)]
+        huff_specs = [
+            (0, 0, _JH_DC_LUMA), (1, 0, _JH_AC_PROG),
+            (0, 1, _JH_DC_CHROMA), (1, 1, _JH_AC_PROG),
+        ]
+        comp_tbl = [(0, 0), (1, 1), (1, 1)]
+    ncomp = len(planes)
+    hmax, vmax = max(hs_list), max(vs_list)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane to its MCU-grid multiple and take zigzag coefs
+    zz = []
+    for ci, p in enumerate(planes):
+        tw, th = mcux * hs_list[ci] * 8, mcuy * vs_list[ci] * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        blocks = (
+            p.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        zz.append(_quant_zz_blocks(blocks, qtabs[comp_q[ci]]).tolist())
+    comps_hdr = [
+        (ci + 1, hs_list[ci], vs_list[ci], comp_q[ci], *comp_tbl[ci])
+        for ci in range(ncomp)
+    ]
+    out = _jpeg_headers(w, h, comps_hdr, qtabs, huff_specs, sof_marker=0xC2)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    dc_codes = [
+        _huff_codes(*(_JH_DC_LUMA if comp_tbl[ci][0] == 0 else _JH_DC_CHROMA))
+        for ci in range(ncomp)
+    ]
+    ac_codes = [_huff_codes(*_JH_AC_PROG) for _ci in range(ncomp)]
+    if scans is None:
+        scans = _default_prog_scans(ncomp)
+
+    def comp_grid(ci):
+        # non-interleaved scans cover ceil(ceil(dim*samp/max_samp)/8)
+        # blocks (T.81 A.2.2), NOT the MCU-padded grid
+        cx = -(-(w * hs_list[ci]) // hmax)
+        cy = -(-(h * vs_list[ci]) // vmax)
+        return -(-cx // 8), -(-cy // 8)
+
+    for comp_ids, ss, se, ah, al in scans:
+        ns = len(comp_ids)
+        sos = bytes([ns])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, (comp_tbl[ci][0] << 4) | comp_tbl[ci][1]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        # scan units: MCUs when interleaved, component blocks otherwise
+        if ns > 1:
+            units = [
+                (ci, (my * vs_list[ci] + dy) * (mcux * hs_list[ci]) + mx * hs_list[ci] + dx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in comp_ids
+                for dy in range(vs_list[ci])
+                for dx in range(hs_list[ci])
+            ]
+            per_rst = restart_interval * sum(
+                hs_list[ci] * vs_list[ci] for ci in comp_ids
+            )
+        else:
+            ci = comp_ids[0]
+            cbw, cbh = comp_grid(ci)
+            stride = mcux * hs_list[ci]
+            units = [
+                (ci, by * stride + bx) for by in range(cbh) for bx in range(cbw)
+            ]
+            per_rst = restart_interval
+        chunks = (
+            [units[i : i + per_rst] for i in range(0, len(units), per_rst)]
+            if restart_interval
+            else [units]
+        )
+        scan_bytes = b""
+        for i, chunk in enumerate(chunks):
+            if i:
+                scan_bytes += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            bw = _BitWriter()
+            preds = [0] * ncomp
+            sts = [_ProgACState(bw, ac_codes[c]) for c in range(ncomp)]
+            for ci, bi in chunk:
+                row = zz[ci][bi]
+                if ss == 0:  # DC scan (Se == 0 enforced by construction)
+                    if ah == 0:
+                        v = row[0] >> al  # arithmetic shift, T.81 G.1.2.1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _jpeg_category(diff)
+                        ln, code = dc_codes[ci][s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    else:
+                        bw.put((row[0] >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(sts[ci], row, ss, se, al)
+                else:
+                    _enc_ac_refine(sts[ci], row, ss, se, al)
+            for st in sts:
+                st.flush_eob()
+            scan_bytes += bw.flush()
+        out += scan_bytes
+    return out + b"\xff\xd9"
+
+
 def encode_jpeg(payload: bytes, width: int = 16) -> bytes:
     """Graded-contract JFIF builder: each payload byte becomes one
     CONSTANT-gray 8x8 block (``width`` blocks per row), quantization
@@ -728,6 +1063,12 @@ def encode_jpeg(payload: bytes, width: int = 16) -> bytes:
     payload (the same identity contract the BMP/PNG/WAV codecs grade
     through).  Lossy general-image fidelity is pinned separately in
     tests via :func:`encode_jpeg_gray` / :func:`encode_jpeg_rgb`."""
+    return encode_jpeg_gray(_payload_gray_image(payload, width))
+
+
+def _payload_gray_image(payload: bytes, width: int):
+    """payload byte i -> constant-gray 8x8 block (i // width, i % width)
+    — the shared image builder of the graded JPEG contracts."""
     import numpy as np
 
     data = payload if payload else b"\x00"
@@ -737,8 +1078,19 @@ def encode_jpeg(payload: bytes, width: int = 16) -> bytes:
     vals = np.frombuffer(data, dtype=np.uint8)
     grid = np.zeros(rows * bpr, dtype=np.uint8)
     grid[:n] = vals
-    img = np.repeat(np.repeat(grid.reshape(rows, bpr), 8, axis=0), 8, axis=1)
-    return encode_jpeg_gray(img)
+    return np.repeat(np.repeat(grid.reshape(rows, bpr), 8, axis=0), 8, axis=1)
+
+
+def encode_jpeg_progressive_payload(payload: bytes, width: int = 16) -> bytes:
+    """Progressive (SOF2) twin of :func:`encode_jpeg`: the SAME
+    constant-block gray image under the all-ones quant table, encoded
+    through the full multi-scan script (spectral selection + successive
+    approximation).  The coefficient identity makes the progressive
+    decode reproduce the payload bytes exactly, so the SAME closed-form
+    DuckDB oracle grades the progressive path (r11)."""
+    return encode_jpeg_progressive(
+        _payload_gray_image(payload, width), qtab=[1] * 64
+    )
 
 
 class _BitReader:
@@ -841,16 +1193,160 @@ def _huff_decode_packed(bits, vals, is_ac: bool):
     return packed
 
 
+def _decode_progressive_scans(
+    comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, scans
+):
+    """Apply every progressive scan to the per-component zigzag
+    coefficient rows (python lists, mutated in place).  Implements the
+    four T.81 progressive passes — DC first (diff-coded, point
+    transform Al), DC refinement (one raw bit per block), AC first
+    (run/size per spectral band with EOB runs), AC refinement
+    (newly-nonzero run/1 symbols + positional correction bits) — with
+    per-scan restart intervals resetting predictors and the EOB run.
+    Returns False for malformed scan scripts (the caller yields None)."""
+    for (sc, ss, se, ah, al, intervals, restart, tabs) in scans:
+        ns = len(sc)
+        if ss == 0 and se != 0:
+            return False  # progressive DC scans carry DC only (G.1.1.1.1)
+        if ss > 0 and (ns != 1 or se < ss or se > 63):
+            return False
+        if ah and ah != al + 1:
+            return False  # successive approximation steps one bit
+        if ns > 1:
+            units = [
+                (
+                    i,
+                    (my * comps[sc[i][0]][2] + dy) * (mcux * comps[sc[i][0]][1])
+                    + mx * comps[sc[i][0]][1]
+                    + dx,
+                )
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for i in range(ns)
+                for dy in range(comps[sc[i][0]][2])
+                for dx in range(comps[sc[i][0]][1])
+            ]
+            per_rst = restart * sum(
+                comps[ci][1] * comps[ci][2] for ci, _d, _a in sc
+            )
+        else:
+            ci = sc[0][0]
+            _cid, hs, vs, _qid = comps[ci]
+            cbw = -(-(-(-(w * hs) // hmax)) // 8)
+            cbh = -(-(-(-(h * vs) // vmax)) // 8)
+            stride = mcux * hs
+            units = [(0, by * stride + bx) for by in range(cbh) for bx in range(cbw)]
+            per_rst = restart
+        chunks = (
+            [units[i : i + per_rst] for i in range(0, len(units), per_rst)]
+            if restart
+            else [units]
+        )
+        if len(intervals) < len(chunks):
+            return False
+        for chunk_i, chunk in enumerate(chunks):
+            br = _BitReader(intervals[chunk_i])
+            preds = [0] * ns
+            eobrun = 0
+            for (si, bi) in chunk:
+                ci, dct, act = sc[si]
+                dtab, atab = tabs[si]
+                rows = coef_rows[ci]
+                if bi >= len(rows):
+                    return False
+                row = rows[bi]
+                if ss == 0:  # DC pass
+                    if ah == 0:
+                        if dtab is None:
+                            return False
+                        s = br.huff(dtab)
+                        diff = _jpeg_extend(br.read(s), s) if s else 0
+                        preds[si] += diff
+                        row[0] = preds[si] << al
+                    else:
+                        if br.read(1):
+                            row[0] |= 1 << al
+                    continue
+                if atab is None:
+                    return False
+                if ah == 0:  # AC first pass over [ss, se]
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.huff(atab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            return False
+                        row[k] = _jpeg_extend(br.read(s), s) << al
+                        k += 1
+                    continue
+                # AC refinement pass
+                p1, m1 = 1 << al, -(1 << al)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(atab)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            # r == 15: ZRL — pass 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                return False
+                            newval = p1 if br.read(1) else m1
+                        while k <= se:
+                            c = row[k]
+                            if c != 0:
+                                if br.read(1) and (c & p1) == 0:
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            row[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = row[k]
+                        if c != 0:
+                            if br.read(1) and (c & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return True
+
+
 def decode_jpeg(blob: bytes, _fast: bool = True):
-    """REAL baseline JFIF decoder (pure numpy + stdlib): marker walk,
-    DQT/DHT/SOF0/SOS/DRI parse, huffman entropy decode with byte
+    """REAL JFIF decoder (pure numpy + stdlib): marker walk,
+    DQT/DHT/SOF/SOS/DRI parse, huffman entropy decode with byte
     unstuffing and restart markers, dezigzag, dequantization, vectorized
     orthonormal IDCT, MCU re-assembly with chroma upsampling (any
     sampling factors <= 2, so 4:4:4 / 4:2:2 / 4:2:0 all decode), BT.601
-    YCbCr->RGB.  Returns the BMP/PNG contract — ``{"width", "height",
-    "pixels"}`` with (h·w, 3) uint8 top-down row-major **BGR** pixels —
-    or None for anything outside the supported subset (progressive,
-    arithmetic, 12-bit, >2 sampling factors).
+    YCbCr->RGB.  Handles SOF0/SOF1 sequential AND — r11 — SOF2
+    PROGRESSIVE frames (multi-scan spectral selection + successive
+    approximation with EOB runs; _decode_progressive_scans).  Returns
+    the BMP/PNG contract — ``{"width", "height", "pixels"}`` with
+    (h·w, 3) uint8 top-down row-major **BGR** pixels — or None for
+    anything outside the supported subset (arithmetic, lossless,
+    hierarchical, 12-bit, >2 sampling factors).
 
     The entropy pass is a per-symbol Python loop (huffman is inherently
     sequential); r11 (VERDICT r10 #8) folds each (code, value-bits) pair
@@ -863,6 +1359,8 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
 
     if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
+    import re as _re
+
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     huff_lut: dict[tuple[int, int], list] = {}
@@ -872,13 +1370,19 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
     restart = 0
     pos = 2
     scan_start = None
+    progressive = False
+    # progressive scan records: (scan comps, Ss, Se, Ah, Al,
+    # unstuffed/RST-split intervals, DRI at scan time, table snapshots)
+    prog_scans: list = []
     try:
         while pos + 4 <= len(blob):
             if blob[pos] != 0xFF:
                 return None
             marker = blob[pos + 1]
-            if marker == 0xD9:  # EOI before SOS
-                return None
+            if marker == 0xD9:  # EOI
+                if progressive and prog_scans:
+                    break
+                return None  # EOI before SOS
             (ln,) = struct.unpack_from(">H", blob, pos + 2)
             body = blob[pos + 4 : pos + 2 + ln]
             if len(body) != ln - 2:
@@ -896,7 +1400,10 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                     qt[_ZZ_FLAT] = zz
                     qtabs[tid] = qt
                     p += 65
-            elif marker == 0xC0:  # baseline SOF0
+            elif marker in (0xC0, 0xC1, 0xC2):
+                # SOF0 baseline / SOF1 extended sequential (same huffman
+                # sequential semantics at 8-bit) / SOF2 progressive (r11)
+                progressive = marker == 0xC2
                 if body[0] != 8:
                     return None
                 h, w = struct.unpack_from(">HH", body, 1)
@@ -909,9 +1416,9 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                     if not (1 <= hs <= 2 and 1 <= vs <= 2):
                         return None
                     comps.append((cid, hs, vs, qid))
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types
+                return None  # lossless / differential / arithmetic frames
             elif marker == 0xC4:
                 p = 0
                 while p < len(body):
@@ -929,6 +1436,7 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                 (restart,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:
                 ns = body[0]
+                sc = []
                 for i in range(ns):
                     cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                     idx = next(
@@ -936,109 +1444,125 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                     )
                     if idx is None:
                         return None
-                    scomp.append((idx, tids >> 4, tids & 0xF))
-                scan_start = pos + 2 + ln
-                break
+                    sc.append((idx, tids >> 4, tids & 0xF))
+                if not progressive:
+                    scomp = sc
+                    scan_start = pos + 2 + ln
+                    break
+                # progressive: record this scan's spec + entropy data and
+                # keep walking — tables may be redefined between scans,
+                # so snapshot the maps this scan resolves to NOW
+                if len(body) < 1 + 2 * ns + 3:
+                    return None
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                data_start = pos + 2 + ln
+                ptail = blob[data_start:]
+                pm = _re.search(rb"\xff[^\x00\xd0-\xd7]", ptail)
+                pseg = ptail[: pm.start()] if pm else ptail
+                ivs = [
+                    part.replace(b"\xff\x00", b"\xff")
+                    for part in _re.split(rb"\xff[\xd0-\xd7]", pseg)
+                ]
+                tabs = [
+                    (huff.get((0, dct)), huff.get((1, act)))
+                    for (_ci, dct, act) in sc
+                ]
+                prog_scans.append(
+                    (sc, ss_, se_, ahal >> 4, ahal & 0xF, ivs, restart, tabs)
+                )
+                pos = data_start + (pm.start() if pm else len(ptail))
+                continue
             pos += 2 + ln
-        if scan_start is None or w is None or not comps or len(scomp) != len(comps):
+        if progressive:
+            if w is None or not comps or not prog_scans:
+                return None
+        elif scan_start is None or w is None or not comps or len(scomp) != len(comps):
             return None
-
-        # split the entropy-coded stream at restart markers, unstuff
-        # 0xFF00 — C-side regex/replace (r11: the original per-byte
-        # Python walk was ~1/3 of total decode time on large scans).
-        # The scan ends at the first 0xFF followed by a byte that is
-        # neither 0x00 (stuffing) nor an RSTn; a LONE trailing 0xFF
-        # belongs to the scan (matches the byte-walk's p+1 bound).
-        import re as _re
-
-        tail = blob[scan_start:]
-        m = _re.search(rb"\xff[^\x00\xd0-\xd7]", tail, _re.DOTALL)
-        seg = tail[: m.start()] if m else tail
-        intervals = [
-            part.replace(b"\xff\x00", b"\xff")
-            for part in _re.split(rb"\xff[\xd0-\xd7]", seg)
-        ]
 
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        coefs = [
-            np.zeros((mcuy * c[2] * mcux * c[1], 64), dtype=np.int64)
-            for c in comps
-        ]
-        preds = [0] * len(comps)
-        it = iter(intervals)
-        br = _BitReader(next(it))
-        # fast-path locals (r11): the packed-LUT loop keeps a classic
-        # bit ACCUMULATOR in local variables — refill 32 bits per
-        # int.from_bytes, then each symbol is one shift/mask peek + one
-        # list index, no method calls or per-symbol byte indexing.
-        # ``bpos`` tracks the absolute bit position for the EOF bound
-        # and for syncing br.pos around slow-path detours (long
-        # code+value pairs, invalid codes, near-EOF reads).
-        dpad = br.data + b"\x00\x00\x00\x00"
-        bpos, bnbits = 0, br.nbits
-        acc = navail = 0
-        bytepos = 0
-        n_mcu = mcux * mcuy
-        # per-scan-component decode plan, hoisted out of the MCU loop
-        # (the per-MCU dict lookups were ~5% of decode time)
-        plan = []
-        for (ci, dct, act) in scomp:
-            _cid, hs, vs, _qid = comps[ci]
-            dtab, atab = huff.get((0, dct)), huff.get((1, act))
-            if dtab is None or atab is None:
+        if progressive:
+            # multi-scan coefficient accumulation (r11) — python
+            # rows (cheap scalar updates across scans), converted
+            # once for the shared dequant/IDCT tail below
+            coef_rows = [
+                [[0] * 64 for _ in range(mcuy * c[2] * mcux * c[1])]
+                for c in comps
+            ]
+            if not _decode_progressive_scans(
+                comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, prog_scans
+            ):
                 return None
-            dlut, alut = huff_lut.get((0, dct)), huff_lut.get((1, act))
-            use_lut = _fast and dlut is not None and alut is not None
-            plan.append((ci, hs, vs, dtab, atab, dlut, alut, use_lut, mcux * hs))
-        for m in range(n_mcu):
-            if restart and m and m % restart == 0:
-                br = _BitReader(next(it))  # byte-aligned by construction
-                dpad = br.data + b"\x00\x00\x00\x00"
-                bpos, bnbits = 0, br.nbits
-                acc = navail = 0
-                bytepos = 0
-                preds = [0] * len(comps)
-            my, mx = divmod(m, mcux)
-            for (ci, hs, vs, dtab, atab, dlut, alut, use_lut, bw_) in plan:
-                pred = preds[ci]
-                for dy in range(vs):
-                    for dx in range(hs):
-                        row = [0] * 64  # python list: the per-coef loop
-                        # is ~5x faster than numpy scalar assignment
-                        # DC: one packed-LUT hit covers code + diff bits
-                        if use_lut:
-                            if navail < 16:
-                                acc = (
-                                    (acc & ((1 << navail) - 1)) << 32
-                                ) | int.from_bytes(
-                                    dpad[bytepos : bytepos + 4], "big"
-                                )
-                                bytepos += 4
-                                navail += 32
-                            p = dlut[(acc >> (navail - 16)) & 0xFFFF]
-                            a = p >> 21
-                        else:
-                            a = 0
-                        if a and bpos + a <= bnbits:
-                            bpos += a
-                            navail -= a
-                            pred += (p & 0xFFFF) - 32768
-                        else:
-                            br.pos = bpos
-                            s = br.huff(dtab)
-                            pred += _jpeg_extend(br.read(s), s) if s else 0
-                            bpos = br.pos
-                            navail = 0  # resync the accumulator below
-                            bytepos = (bpos + 7) >> 3
-                            if bpos & 7:
-                                acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
-                                navail = 8 - (bpos & 7)
-                        row[0] = pred
-                        k = 1
-                        while k < 64:
+            coefs = [
+                np.asarray(r, dtype=np.int64).reshape(-1, 64)
+                if r else np.zeros((0, 64), dtype=np.int64)
+                for r in coef_rows
+            ]
+        else:
+            # split the entropy-coded stream at restart markers, unstuff
+            # 0xFF00 — C-side regex/replace (r11: the original per-byte
+            # Python walk was ~1/3 of total decode time on large scans).
+            # The scan ends at the first 0xFF followed by a byte that is
+            # neither 0x00 (stuffing) nor an RSTn; a LONE trailing 0xFF
+            # belongs to the scan (matches the byte-walk's p+1 bound).
+
+            tail = blob[scan_start:]
+            m = _re.search(rb"\xff[^\x00\xd0-\xd7]", tail, _re.DOTALL)
+            seg = tail[: m.start()] if m else tail
+            intervals = [
+                part.replace(b"\xff\x00", b"\xff")
+                for part in _re.split(rb"\xff[\xd0-\xd7]", seg)
+            ]
+
+            coefs = [
+                np.zeros((mcuy * c[2] * mcux * c[1], 64), dtype=np.int64)
+                for c in comps
+            ]
+            preds = [0] * len(comps)
+            it = iter(intervals)
+            br = _BitReader(next(it))
+            # fast-path locals (r11): the packed-LUT loop keeps a classic
+            # bit ACCUMULATOR in local variables — refill 32 bits per
+            # int.from_bytes, then each symbol is one shift/mask peek + one
+            # list index, no method calls or per-symbol byte indexing.
+            # ``bpos`` tracks the absolute bit position for the EOF bound
+            # and for syncing br.pos around slow-path detours (long
+            # code+value pairs, invalid codes, near-EOF reads).
+            dpad = br.data + b"\x00\x00\x00\x00"
+            bpos, bnbits = 0, br.nbits
+            acc = navail = 0
+            bytepos = 0
+            n_mcu = mcux * mcuy
+            # per-scan-component decode plan, hoisted out of the MCU loop
+            # (the per-MCU dict lookups were ~5% of decode time)
+            plan = []
+            for (ci, dct, act) in scomp:
+                _cid, hs, vs, _qid = comps[ci]
+                dtab, atab = huff.get((0, dct)), huff.get((1, act))
+                if dtab is None or atab is None:
+                    return None
+                dlut, alut = huff_lut.get((0, dct)), huff_lut.get((1, act))
+                use_lut = _fast and dlut is not None and alut is not None
+                plan.append((ci, hs, vs, dtab, atab, dlut, alut, use_lut, mcux * hs))
+            for m in range(n_mcu):
+                if restart and m and m % restart == 0:
+                    br = _BitReader(next(it))  # byte-aligned by construction
+                    dpad = br.data + b"\x00\x00\x00\x00"
+                    bpos, bnbits = 0, br.nbits
+                    acc = navail = 0
+                    bytepos = 0
+                    preds = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for (ci, hs, vs, dtab, atab, dlut, alut, use_lut, bw_) in plan:
+                    pred = preds[ci]
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            row = [0] * 64  # python list: the per-coef loop
+                            # is ~5x faster than numpy scalar assignment
+                            # DC: one packed-LUT hit covers code + diff bits
                             if use_lut:
                                 if navail < 16:
                                     acc = (
@@ -1048,48 +1572,78 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                                     )
                                     bytepos += 4
                                     navail += 32
-                                p = alut[(acc >> (navail - 16)) & 0xFFFF]
+                                p = dlut[(acc >> (navail - 16)) & 0xFFFF]
                                 a = p >> 21
-                                if a and bpos + a <= bnbits:
-                                    bpos += a
-                                    navail -= a
-                                    r = ((p >> 16) & 0x1F) - 1
-                                    if r < 0:  # EOB
-                                        break
-                                    if r == 16:  # ZRL
-                                        k += 16
+                            else:
+                                a = 0
+                            if a and bpos + a <= bnbits:
+                                bpos += a
+                                navail -= a
+                                pred += (p & 0xFFFF) - 32768
+                            else:
+                                br.pos = bpos
+                                s = br.huff(dtab)
+                                pred += _jpeg_extend(br.read(s), s) if s else 0
+                                bpos = br.pos
+                                navail = 0  # resync the accumulator below
+                                bytepos = (bpos + 7) >> 3
+                                if bpos & 7:
+                                    acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
+                                    navail = 8 - (bpos & 7)
+                            row[0] = pred
+                            k = 1
+                            while k < 64:
+                                if use_lut:
+                                    if navail < 16:
+                                        acc = (
+                                            (acc & ((1 << navail) - 1)) << 32
+                                        ) | int.from_bytes(
+                                            dpad[bytepos : bytepos + 4], "big"
+                                        )
+                                        bytepos += 4
+                                        navail += 32
+                                    p = alut[(acc >> (navail - 16)) & 0xFFFF]
+                                    a = p >> 21
+                                    if a and bpos + a <= bnbits:
+                                        bpos += a
+                                        navail -= a
+                                        r = ((p >> 16) & 0x1F) - 1
+                                        if r < 0:  # EOB
+                                            break
+                                        if r == 16:  # ZRL
+                                            k += 16
+                                            continue
+                                        k += r
+                                        if k > 63:
+                                            return None
+                                        row[k] = (p & 0xFFFF) - 32768
+                                        k += 1
                                         continue
-                                    k += r
+                                br.pos = bpos
+                                rs = br.huff(atab)
+                                if rs == 0x00 or rs == 0xF0:
+                                    bpos = br.pos
+                                else:
+                                    k += rs >> 4
+                                    sz = rs & 0xF
                                     if k > 63:
                                         return None
-                                    row[k] = (p & 0xFFFF) - 32768
-                                    k += 1
+                                    row[k] = _jpeg_extend(br.read(sz), sz)
+                                    bpos = br.pos
+                                navail = 0  # resync the accumulator
+                                bytepos = (bpos + 7) >> 3
+                                if bpos & 7:
+                                    acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
+                                    navail = 8 - (bpos & 7)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
                                     continue
-                            br.pos = bpos
-                            rs = br.huff(atab)
-                            if rs == 0x00 or rs == 0xF0:
-                                bpos = br.pos
-                            else:
-                                k += rs >> 4
-                                sz = rs & 0xF
-                                if k > 63:
-                                    return None
-                                row[k] = _jpeg_extend(br.read(sz), sz)
-                                bpos = br.pos
-                            navail = 0  # resync the accumulator
-                            bytepos = (bpos + 7) >> 3
-                            if bpos & 7:
-                                acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
-                                navail = 8 - (bpos & 7)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += 1
-                        bi = (my * vs + dy) * bw_ + (mx * hs + dx)
-                        coefs[ci][bi] = row
-                preds[ci] = pred
+                                k += 1
+                            bi = (my * vs + dy) * bw_ + (mx * hs + dx)
+                            coefs[ci][bi] = row
+                    preds[ci] = pred
         # dequant + batched IDCT + plane assembly per component
         C = _dct_basis()
         planes = []
@@ -1182,8 +1736,9 @@ def media_format(blob: bytes | None) -> str:
 
 def _jpeg_fail_reason(b: bytes) -> str:
     """Marker walk naming the decode-refusal cause.  SOF codes (T.81
-    table B.1): C0/C1/C5 sequential huffman (our baseline subset),
-    C2/C6/CA/CE progressive, C3/C7 lossless, C9/CB/CD/CF arithmetic."""
+    table B.1): C0/C1 sequential and C2 progressive huffman are the
+    SUPPORTED subset (r11 adds progressive decode); C9/CA/CB/CD/CF
+    arithmetic, C3/C7 lossless, C5/C6/CE differential/hierarchical."""
     i, n = 2, len(b)
     sof = prec = None
     while i + 1 < n:
@@ -1201,17 +1756,25 @@ def _jpeg_fail_reason(b: bytes) -> str:
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
             sof = m
             prec = b[i + 4] if i + 4 < n else None
+        if m == 0xDA and sof not in (0xC2,):
+            break  # sequential: entropy-coded data follows
         if m == 0xDA:
-            break  # entropy-coded data follows
+            # progressive: skip this scan's entropy data, keep walking
+            import re as _re2
+
+            t2 = b[i + 2 + seg_len :]
+            m2 = _re2.search(rb"\xff[^\x00\xd0-\xd7]", t2)
+            i = i + 2 + seg_len + (m2.start() if m2 else len(t2))
+            continue
         i += 2 + seg_len
     if sof is None:
         return "truncated"
-    if sof in (0xC2, 0xC6, 0xCA, 0xCE):
-        return "progressive-jpeg"
-    if sof in (0xC9, 0xCB, 0xCD, 0xCF):
+    if sof in (0xC9, 0xCA, 0xCB, 0xCD, 0xCF):
         return "arithmetic-jpeg"
     if sof in (0xC3, 0xC7):
         return "lossless-jpeg"
+    if sof in (0xC5, 0xC6, 0xCE):
+        return "hierarchical-jpeg"
     if prec is not None and prec != 8:
         return "unsupported-depth"
     if b[-2:] != b"\xff\xd9":
@@ -1277,10 +1840,11 @@ def _wav_fail_reason(b: bytes) -> str:
 
 def undecodable_reason(blob: bytes | None) -> str | None:
     """None when a real codec decodes the blob; otherwise the reason it
-    cannot ('missing', 'unknown-format', 'progressive-jpeg',
-    'arithmetic-jpeg', 'lossless-jpeg', 'unsupported-depth',
+    cannot ('missing', 'unknown-format', 'arithmetic-jpeg',
+    'lossless-jpeg', 'hierarchical-jpeg', 'unsupported-depth',
     'interlaced', 'compressed', 'unsupported-codec', 'truncated',
-    'corrupt')."""
+    'corrupt').  Progressive JPEG decodes for real since r11, so it is
+    no longer a refusal reason."""
     fmt = media_format(blob)
     if fmt == "missing":
         return "missing"

@@ -162,6 +162,9 @@ TAIL_ORDER = [
     # r11: undecodable-media coverage histogram; values grade in-window
     # through the suite's 'undecoded' branch
     "multimodal_undecoded",
+    # r11: REAL progressive JPEG decode; values grade in-window through
+    # the suite's 'jpeg_prog' branch
+    "multimodal_progressive_decode",
     # r9: the multi-probe LSH path, oracle-graded over the planted frame
     "ann_multiprobe_topk",
     # r8: RAG/pretraining token chunking; values grade in-window through

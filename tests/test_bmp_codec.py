@@ -423,6 +423,138 @@ def test_jpeg_lut_decode_matches_dict_oracle():
             assert np.array_equal(f["pixels"], s["pixels"])
 
 
+def test_jpeg_progressive_identity_matrix():
+    """r11: PROGRESSIVE decode (SOF2) — the multi-scan encoding carries
+    the exact same quantized coefficients as the baseline encoding, so
+    the decode must be BIT-IDENTICAL to the baseline decode: gray and
+    color, 4:4:4 and 4:2:0, quality sweep, restart intervals."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(13)
+    for (h, w, sub, q, ri) in [
+        (24, 31, False, 80, 0), (20, 20, True, 90, 0), (17, 29, True, 70, 0),
+        (33, 15, False, 95, 3), (16, 16, True, 85, 2), (9, 40, True, 50, 5),
+        (8, 8, False, 75, 1), (1, 1, True, 90, 0),
+    ]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(img, quality=q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=q, subsample=sub, restart_interval=ri)
+        )
+        assert prog is not None, (h, w, sub, q, ri)
+        assert np.array_equal(prog["pixels"], base["pixels"]), (h, w, sub, q, ri)
+    gimg = rng.integers(0, 256, size=(25, 18), dtype=np.uint8)
+    qt = [(j % 16) + 1 for j in range(64)]
+    gb = decode_jpeg(encode_jpeg_gray(gimg, qtab=qt))
+    gp = decode_jpeg(encode_jpeg_progressive(gimg, qtab=qt, restart_interval=4))
+    assert np.array_equal(gp["pixels"], gb["pixels"])
+
+
+def test_jpeg_progressive_property():
+    """Property fuzz over arbitrary dimensions, scan scripts, and
+    content — every (w, h) shape must decode bit-identically to the
+    baseline path (MCU padding, EOB runs spanning blocks, ZRL in
+    first/refinement passes, interleaved DC)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+        encode_jpeg_rgb,
+    )
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        w=st.integers(1, 33),
+        h=st.integers(1, 33),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.booleans(),
+        smooth=st.booleans(),
+    )
+    def _case(w, h, seed, sub, smooth):
+        rng = np.random.default_rng(seed)
+        if smooth:  # long zero runs + EOB runs across many blocks
+            img = np.full((h, w, 3), rng.integers(0, 256), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(img, quality=85, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, subsample=sub))
+        assert prog is not None
+        assert np.array_equal(prog["pixels"], base["pixels"])
+
+    _case()
+
+
+def test_jpeg_progressive_custom_scan_scripts():
+    """Spectral-selection-only and deeper successive-approximation
+    scripts both reconstruct exactly; malformed scripts refuse."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(19, 22), dtype=np.uint8)
+    qt = [(j % 8) + 1 for j in range(64)]
+    base = decode_jpeg(encode_jpeg_gray(img, qtab=qt))
+    # spectral selection only (no successive approximation)
+    ss_only = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)]
+    p1 = decode_jpeg(encode_jpeg_progressive(img, qtab=qt, scans=ss_only))
+    assert np.array_equal(p1["pixels"], base["pixels"])
+    # deep successive approximation (3 refinement levels)
+    deep = (
+        [([0], 0, 0, 0, 3), ([0], 1, 63, 0, 3)]
+        + [([0], 0, 0, a, a - 1) for a in (3, 2, 1)]
+        + [([0], 1, 63, a, a - 1) for a in (3, 2, 1)]
+    )
+    p2 = decode_jpeg(encode_jpeg_progressive(img, qtab=qt, scans=deep))
+    assert np.array_equal(p2["pixels"], base["pixels"])
+    # fine-grained spectral bands
+    bands = [([0], 0, 0, 0, 0)] + [([0], k, min(k + 8, 63), 0, 0) for k in range(1, 64, 9)]
+    p3 = decode_jpeg(encode_jpeg_progressive(img, qtab=qt, scans=bands))
+    assert np.array_equal(p3["pixels"], base["pixels"])
+    # a malformed script (full-band DC+AC scan under SOF2) must refuse
+    blob = encode_jpeg_progressive(img, qtab=qt, scans=ss_only)
+    bad = encode_jpeg_progressive(img, qtab=qt, scans=[([0], 0, 63, 0, 0)])
+    assert decode_jpeg(blob) is not None and decode_jpeg(bad) is None
+
+
+def test_jpeg_progressive_truncation_and_payload_contract():
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive_payload,
+        undecodable_reason,
+    )
+
+    payload = bytes(range(256)) * 3
+    blob = encode_jpeg_progressive_payload(payload, 16)
+    d = decode_jpeg(blob)
+    # constant-block identity: gray pixels reproduce the payload exactly
+    got = d["pixels"][:, 0].reshape(d["height"] // 8, 8, d["width"] // 8, 8)
+    flat = got[:, 0, :, 0].reshape(-1)[: len(payload)]
+    assert bytes(flat.tolist()) == payload
+    # truncations refuse (never wrong pixels) and classify as truncated
+    for cut in (len(blob) // 3, len(blob) // 2, len(blob) - 3):
+        t = blob[:cut]
+        assert decode_jpeg(t) is None or cut == len(blob) - 3
+    assert undecodable_reason(blob[: len(blob) // 2]) == "truncated"
+
+
 def test_jpeg_foreign_segments_and_rejects():
     import struct
 

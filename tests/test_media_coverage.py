@@ -21,10 +21,15 @@ P = b"some deterministic payload bytes for the codecs 0123456789"
 
 
 def test_decodable_blobs_have_no_reason():
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        encode_jpeg_progressive_payload,
+    )
+
     for blob in (
         encode_bmp(P, 16),
         encode_png(P, 16),
         encode_jpeg(P, 16),
+        encode_jpeg_progressive_payload(P, 16),  # r11: progressive decodes
         encode_wav(P),
     ):
         assert undecodable_reason(blob) is None
@@ -37,10 +42,14 @@ def test_jpeg_reasons():
     def patched(marker):
         return j[: i + 1] + bytes([marker]) + j[i + 2 :]
 
-    assert undecodable_reason(patched(0xC2)) == "progressive-jpeg"
-    assert undecodable_reason(patched(0xCA)) == "progressive-jpeg"
+    assert undecodable_reason(patched(0xCA)) == "arithmetic-jpeg"
     assert undecodable_reason(patched(0xC9)) == "arithmetic-jpeg"
     assert undecodable_reason(patched(0xC3)) == "lossless-jpeg"
+    assert undecodable_reason(patched(0xC6)) == "hierarchical-jpeg"
+    # SOF2 with a full-band single scan is MALFORMED progressive — the
+    # r11 progressive decoder refuses it, and the classifier no longer
+    # calls supported-progressive a refusal reason
+    assert undecodable_reason(patched(0xC2)) == "corrupt"
     # 12-bit precision: patch the SOF precision byte (offset +4)
     deep = j[: i + 4] + b"\x0c" + j[i + 5 :]
     assert undecodable_reason(deep) == "unsupported-depth"
@@ -93,7 +102,7 @@ def test_media_coverage_histogram(spark):
     rows = [
         (1, encode_bmp(P, 16)),
         (2, encode_bmp(P, 16)),
-        (3, j[: i + 1] + b"\xc2" + j[i + 2 :]),
+        (3, j[: i + 1] + b"\xc9" + j[i + 2 :]),
         (4, encode_png(P, 16)[:40]),
         (5, None),
         (6, b"\x00junk"),
@@ -105,7 +114,7 @@ def test_media_coverage_histogram(spark):
     }
     assert got == {
         ("bmp", "ok"): 2,
-        ("jpeg", "progressive-jpeg"): 1,
+        ("jpeg", "arithmetic-jpeg"): 1,
         ("png", "truncated"): 1,
         ("missing", "missing"): 1,
         ("unknown", "unknown-format"): 1,
