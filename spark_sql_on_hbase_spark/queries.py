@@ -140,6 +140,9 @@ TAIL_ORDER = [
     # r10: generation-range change-data feed; values grade in-window
     # through astro_write_ops' changes branch
     "astro_changes_feed",
+    # r11: incremental change-feed consumer (durable generation offsets,
+    # per-generation batches, resumability probe)
+    "streaming_changes",
     "dedup_minhash_signatures",
     # collapsed into dedup_suite (in-window); still runnable solo
     "dedup_simhash",

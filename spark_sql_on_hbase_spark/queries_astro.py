@@ -666,6 +666,86 @@ ASTRO["astro_changes_feed"] = Q(
 )
 
 
+def _streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: INCREMENTAL change-feed consumption with durable offsets
+    (streaming/changes_source.py — the Delta readChangeFeed +
+    availableNow analog): drain the timetravel table's feed one
+    GENERATION per batch from a fresh checkpoint, tag each batch with
+    its window, and probe that a second drain from the committed offset
+    sees zero batches (resumability).  Offsets are generation numbers
+    committed only after the batch callback returns (at-least-once)."""
+    import tempfile
+
+    from spark_sql_on_hbase_spark.streaming import stream_changes
+
+    astro, _t_mid = _ensure_timetravel_table(spark, sf_dir)
+    rel = astro.relation("astro_tt")
+    os.makedirs(_WAREHOUSE, exist_ok=True)
+    ckpt = os.path.join(
+        tempfile.mkdtemp(prefix=".cdc_", dir=_WAREHOUSE), "offset.json"
+    )
+    batches: list = []
+    n1 = stream_changes(
+        rel, lambda df, lo, hi: batches.append((df, lo, hi)), ckpt,
+        batch_generations=1,
+    )
+    n2 = stream_changes(  # resumes at the committed offset: nothing new
+        rel, lambda df, lo, hi: batches.append((df, lo, hi)), ckpt,
+        batch_generations=1,
+    )
+    out = None
+    for df, lo, hi in batches:
+        part = df.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_seq").cast("bigint").alias("commit_seq"),
+            F.lit(lo).cast("bigint").alias("batch_lo"),
+            F.lit(hi).cast("bigint").alias("batch_hi"),
+        )
+        out = part if out is None else out.unionAll(part)
+    probe = spark.createDataFrame(
+        [(-99, float(n1), "batches", n2, 0, 0)],
+        "o_orderkey bigint, totalprice double, change_type string, "
+        "commit_seq bigint, batch_lo bigint, batch_hi bigint",
+    )
+    import shutil
+
+    shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
+    return out.unionAll(probe)
+
+
+ASTRO["streaming_changes"] = Q(
+    spark=_streaming_changes,
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice + 1000, 2) AS totalprice,
+           'update' AS change_type, CAST(1 AS BIGINT) AS commit_seq,
+           CAST(0 AS BIGINT) AS batch_lo, CAST(1 AS BIGINT) AS batch_hi
+    FROM orders WHERE o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2), 'insert', CAST(2 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600
+    UNION ALL
+    -- drain count is data-dependent: an sf whose orders carry no keys in
+    -- a generation's window commits no generation at all (empty appends
+    -- are not commits), so that batch never exists
+    SELECT CAST(-99 AS BIGINT),
+           (SELECT CASE WHEN count(*) > 0 THEN 1.0 ELSE 0.0 END
+            FROM orders WHERE o_orderkey <= 300)
+           + (SELECT CASE WHEN count(*) > 0 THEN 1.0 ELSE 0.0 END
+              FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600),
+           'batches', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+    doc="r11 incremental change-feed consumer: per-generation batches from "
+    "a fresh durable offset (checkpoint committed after each callback — "
+    "at-least-once), each window recomputed independently by the oracle; "
+    "the probe row pins drain count = 2 and a zero-batch re-drain from the "
+    "committed offset (streaming/changes_source.py stream_changes)",
+)
+
+
 ASTRO["astro_timetravel_diff"] = Q(
     spark=_astro_timetravel_diff,
     oracle="""

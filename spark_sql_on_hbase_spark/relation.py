@@ -1610,6 +1610,14 @@ class AstroRelation:
         self._ensure_fresh_regions()
         return max((r.seq for r in self.meta.regions), default=0)
 
+    def committed_seq(self) -> int:
+        """Newest COMMITTED generation, including fileless retirement
+        generations (a retained delete-everything consumes a generation
+        without emitting files) — the upper bound an incremental
+        change-feed consumer should read to (r11)."""
+        self._ensure_fresh_regions()
+        return max(self._next_seq() - 1, 0)
+
     def seq_for_timestamp(self, t: float) -> int:
         """Newest generation whose commit wall-clock is <= ``t`` (epoch
         seconds, UTC) — the resolution step of ``TIMESTAMP AS OF`` (r7
@@ -1720,7 +1728,7 @@ class AstroRelation:
         if to_seq is None:
             # the newest COMMITTED generation: live fragments, retirement
             # epochs (a delete-everything rewrite is fileless), stamps
-            to_seq = max(self._next_seq() - 1, 0)
+            to_seq = self.committed_seq()
         if from_seq < meta.history_floor:
             raise ValueError(
                 f"changes from generation {from_seq} predate the last "

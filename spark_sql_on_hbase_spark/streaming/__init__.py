@@ -16,11 +16,19 @@ from spark_sql_on_hbase_spark.streaming.events import (
     stream_interval_join,
     tumbling_window_agg,
 )
+from spark_sql_on_hbase_spark.streaming.changes_source import (
+    init_offset,
+    load_offset,
+    stream_changes,
+)
 from spark_sql_on_hbase_spark.streaming.sessions import sessionize_stateful
 from spark_sql_on_hbase_spark.streaming.sink import write_stream_to_table
 
 __all__ = [
     "dedup_within_watermark",
+    "init_offset",
+    "load_offset",
+    "stream_changes",
     "read_event_stream",
     "run_to_memory",
     "session_window_agg",

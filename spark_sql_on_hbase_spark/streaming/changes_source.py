@@ -1,0 +1,111 @@
+"""Incremental change-feed consumption with durable offsets (r11) —
+the streaming face of ``relation.changes``: the Delta-Lake
+``readChangeFeed`` + ``Trigger.AvailableNow`` analog for Astro tables.
+
+Offsets are LSM GENERATION numbers (pure metadata, no data scanned to
+find them), committed to a checkpoint file only AFTER the batch
+callback returns — a crash replays the last window, giving
+at-least-once delivery; sinks keyed on (row key, ``_commit_seq``) make
+it exactly-once.  Each batch is an ordinary DataFrame from
+``relation.changes(lo, hi)`` (insert/update rows resolved at the
+``hi`` snapshot; DELETE pre-images on ``retain_history`` tables), so
+everything downstream is plain Spark — the consumer never collects
+data to the driver.
+
+Why not a Structured Streaming ``readStream`` source: Spark's Python
+streaming DataSource API materializes simple-reader batches through the
+driver, and the partition-based variant cannot re-enter a SparkSession
+from executors to run the feed's snapshot anti-joins.  A driver-side
+offset loop dispatching full DataFrame plans per window is the shape
+Delta's own availableNow CDF processing takes, and it keeps every byte
+of data movement executor-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from spark_sql_on_hbase_spark import fsops
+from spark_sql_on_hbase_spark.relation import AstroRelation
+
+
+def load_offset(checkpoint_path: str) -> int | None:
+    """Last committed generation, or None before the first commit."""
+    try:
+        with open(checkpoint_path) as f:
+            return int(json.load(f)["last_seq"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _commit_offset(checkpoint_path: str, seq: int) -> None:
+    d = os.path.dirname(checkpoint_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = checkpoint_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_seq": int(seq)}, f)
+    fsops.replace(tmp, checkpoint_path)  # single-object atomic commit
+
+
+def stream_changes(
+    relation: AstroRelation,
+    process_batch: Callable[[DataFrame, int, int], None],
+    checkpoint_path: str,
+    *,
+    batch_generations: int | None = None,
+    drop_noop: bool = False,
+    poll_interval: float | None = None,
+    max_cycles: int | None = None,
+) -> int:
+    """Drain the table's change feed from the checkpointed offset to the
+    newest committed generation, calling ``process_batch(df, lo, hi)``
+    per window and committing ``hi`` after each callback returns.
+
+    - ``batch_generations=N`` caps each window at N generations, so a
+      long-idle consumer catches up in bounded batches instead of one
+      giant diff (every window still prunes to its own delta-fragment
+      envelope union).
+    - ``poll_interval=None`` (default) is availableNow semantics: drain
+      and return.  A number turns this into a poll loop; ``max_cycles``
+      bounds it (for tests / cron-style drivers).
+    - A fresh checkpoint starts at the table's HISTORY FLOOR — the
+      earliest snapshot the feed can diff against.  To start "from now"
+      (skip history), pre-commit ``relation.committed_seq()`` via
+      :func:`init_offset`.
+
+    Returns the number of batches processed."""
+    n_batches = 0
+    while True:
+        last = load_offset(checkpoint_path)
+        if last is None:
+            last = max(relation.meta.history_floor, 0)
+            _commit_offset(checkpoint_path, last)
+        cur = relation.committed_seq()
+        while last < cur:
+            hi = min(cur, last + batch_generations) if batch_generations else cur
+            df = relation.changes(last, hi, drop_noop=drop_noop)
+            process_batch(df, last, hi)
+            _commit_offset(checkpoint_path, hi)
+            last = hi
+            n_batches += 1
+        if poll_interval is None:
+            return n_batches
+        if max_cycles is not None:
+            max_cycles -= 1
+            if max_cycles <= 0:
+                return n_batches
+        time.sleep(poll_interval)
+
+
+def init_offset(relation: AstroRelation, checkpoint_path: str) -> int:
+    """Start a consumer 'from now': commit the current generation so the
+    first drain sees only future writes."""
+    seq = relation.committed_seq()
+    _commit_offset(checkpoint_path, seq)
+    return seq
