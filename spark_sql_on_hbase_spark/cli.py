@@ -60,7 +60,9 @@ _HELP = {
     "  (newest generation committed at or before the UTC timestamp; "
     "DESCRIBE EXTENDED lists per-generation commit times)",
     "CHANGES": "SELECT ... FROM table_name CHANGES FROM n [TO m] [WITH NOOP FILTER]\n"
-    "  (change-data feed between the generation-n and generation-m snapshots;\n"
+    "  (bounds are generation numbers, or quoted UTC timestamps resolved like\n"
+    "   TIMESTAMP AS OF: ... CHANGES FROM '2026-08-15 12:00:00';\n"
+    "   change-data feed between the generation-n and generation-m snapshots;\n"
     "   columns + _change_type [insert/update/delete] + _commit_seq.  Deletes\n"
     "   carry pre-image values and appear on retain_history tables only; n\n"
     "   must be at/above the history floor [DESCRIBE EXTENDED lists it]; TO\n"

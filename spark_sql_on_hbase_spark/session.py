@@ -1003,7 +1003,8 @@ class AstroSession:
         return "".join(out)
 
     _CHANGES_RE = re.compile(
-        r"([\w.`]+)\s+CHANGES\s+FROM\s+(\d+)(?:\s+TO\s+(\d+))?"
+        r"([\w.`]+)\s+CHANGES\s+FROM\s+(\d+|'(?:[^'\\]|\\.)*')"
+        r"(?:\s+TO\s+(\d+|'(?:[^'\\]|\\.)*'))?"
         r"(\s+WITH\s+NOOP\s+FILTER)?",
         re.IGNORECASE,
     )
@@ -1030,8 +1031,19 @@ class AstroSession:
             if not self.catalog.table_exists(t, ns):
                 continue
             rel = self.relation(t, ns)
-            from_seq = int(m.group(2))
-            to_seq = int(m.group(3)) if m.group(3) is not None else None
+
+            def _bound(op: str | None) -> int | None:
+                # generation number, or a quoted timestamp resolved via
+                # the TIMESTAMP AS OF machinery (Delta CDF's
+                # startingTimestamp analog, r11)
+                if op is None:
+                    return None
+                if op[0] == "'":
+                    return rel.seq_for_timestamp(self._parse_asof_timestamp(op))
+                return int(op)
+
+            from_seq = _bound(m.group(2))
+            to_seq = _bound(m.group(3))
             drop_noop = m.group(4) is not None
             view = (
                 f"{t}__changes_{from_seq}_"

@@ -232,6 +232,32 @@ def test_changes_sql_surface(astro, tmp_path):
         astro.relation("cs1").changes(-1)
 
 
+def test_changes_sql_timestamp_bounds(astro, tmp_path):
+    """r11: quoted timestamp operands resolve through the TIMESTAMP AS
+    OF machinery — Delta CDF's startingTimestamp analog."""
+    _load(astro, tmp_path, "cs2")
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    astro.sql("DELETE FROM cs2 WHERE k BETWEEN 3 AND 5")  # gen 1
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t_mid, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    rows = astro.sql(
+        f"SELECT k, _change_type FROM cs2 CHANGES FROM '{iso}' "
+        "WHERE _change_type = 'delete' ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == [3, 4, 5]
+    # numeric epoch also accepted as a quoted literal
+    rows2 = astro.sql(
+        f"SELECT k FROM cs2 CHANGES FROM '{t_mid}' "
+        "WHERE _change_type = 'delete'"
+    ).count()
+    assert rows2 == 3
+
+
 def test_changes_after_delete_everything(astro, tmp_path):
     """A retained delete-everything commits a FILELESS generation; the
     feed's default to_seq must still reach it and report every row as

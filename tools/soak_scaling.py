@@ -193,6 +193,11 @@ def main() -> None:
             "exponent": round(exponent, 3),
             "flagged_superlinear": flagged,
             "spill_disk_mb_3x": m3.get("spill_disk_mb", 0.0),
+            # both samples of each min-of-2 point: a flag whose two
+            # sides show 2x within-point spread is host noise, not a
+            # plan regression (r11 — adjudication evidence)
+            "task_samples_1x": m1.get("task_samples"),
+            "task_samples_3x": m3.get("task_samples"),
         }
     # semantic_dedup under its documented parameter rule (K ∝ N) — this
     # is the flagged measurement; the fixed-K quadratic is recorded
