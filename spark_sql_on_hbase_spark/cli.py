@@ -69,6 +69,12 @@ _HELP = {
     "   defaults to the newest committed generation; WITH NOOP FILTER drops\n"
     "   unchanged-survivor update rows)",
     "COMPACT": "COMPACT TABLE table_name   (rewrite LSM fragments into clean sorted regions)",
+    "RESTORE": "RESTORE TABLE table_name TO VERSION AS OF n\n"
+    "RESTORE TABLE table_name TO TIMESTAMP AS OF epoch | 'YYYY-MM-DD HH:MM:SS'\n"
+    "  (roll back to a past snapshot as a NEW commit; on retain_history\n"
+    "   tables the restore is itself versioned — the rolled-back state\n"
+    "   stays readable and a second RESTORE undoes the first; without\n"
+    "   retention history folds to the restored contents)",
     "VACUUM": "VACUUM TABLE table_name\n"
     "  (reclaim MVCC-retained fragments only — retain_history tables; live\n"
     "   data untouched, pre-rewrite snapshots refuse afterwards; COMPACT\n"

@@ -208,6 +208,22 @@ class VacuumTable:
 
 
 @dataclass
+class RestoreTable:
+    """r11: roll a table back to a past snapshot (Delta RESTORE analog,
+    natural over the engine's retained history): the snapshot's contents
+    land as a NEW commit.  On retain_history tables the restore itself
+    is versioned — every pre-restore snapshot (including the state being
+    rolled back) stays readable; without retention the table is simply
+    rebuilt with the snapshot (history folds).  ``version`` is a
+    generation number or None with ``timestamp`` set (epoch/ISO, UTC)."""
+
+    table: str
+    namespace: str = "default"
+    version: int | None = None
+    timestamp: str | None = None
+
+
+@dataclass
 class PassThrough:
     sql: str
 
@@ -529,6 +545,21 @@ def parse(sql: str) -> Command:
     if vm:
         ns, t = _parse_table_name(vm.group(1))
         return VacuumTable(table=t, namespace=ns)
+
+    rm = re.match(
+        r"^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(\d+(?:\.\d+)?|'(?:[^'\\]|\\.)*')\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if rm:
+        ns, t = _parse_table_name(rm.group(1))
+        kind, op = rm.group(2).upper(), rm.group(3)
+        if kind == "VERSION":
+            if not op.isdigit():
+                raise ValueError(f"RESTORE ... VERSION AS OF takes a generation, got {op}")
+            return RestoreTable(table=t, namespace=ns, version=int(op))
+        return RestoreTable(table=t, namespace=ns, timestamp=op)
 
     cm = re.match(r"^\s*COMPACT\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
     if cm:

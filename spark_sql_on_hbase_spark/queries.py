@@ -143,6 +143,8 @@ TAIL_ORDER = [
     # r11: incremental change-feed consumer (durable generation offsets,
     # per-generation batches, resumability probe)
     "streaming_changes",
+    # r11: RESTORE TABLE ... TO VERSION AS OF over retained history
+    "astro_restore",
     "dedup_minhash_signatures",
     # collapsed into dedup_suite (in-window); still runnable solo
     "dedup_simhash",

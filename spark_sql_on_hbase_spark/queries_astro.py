@@ -666,6 +666,90 @@ ASTRO["astro_changes_feed"] = Q(
 )
 
 
+def _ensure_restore_table(spark: SparkSession, sf_dir: str):
+    """r11: RESTORE end-to-end — a retained table damaged by an upsert
+    UPDATE (gen 1) and a retained DELETE (gen 2), then rolled back to
+    generation 0 via SQL RESTORE (gen 3).  The graded query checks BOTH
+    directions of the time arrow: the present equals the original
+    snapshot, and the pre-restore (damaged) state is still readable
+    through the retired fragments."""
+    import json
+
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_rs_v1"
+    astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
+    done = os.path.join(_WAREHOUSE, tag, ".restore_done")
+    if not os.path.exists(done):
+        load_tables(spark, sf_dir)
+        astro.sql(
+            "CREATE TABLE IF NOT EXISTS astro_rs (o_orderkey LONG, "
+            "o_totalprice DOUBLE, PRIMARY KEY (o_orderkey)) "
+            "MAPPED BY (h_rs, COLS=[o_totalprice=f.tp]) "
+            "OPTIONS (regions=4, retain_history=true)"
+        )
+        astro.sql(
+            "INSERT INTO astro_rs SELECT o_orderkey, o_totalprice "
+            "FROM orders WHERE o_orderkey <= 800"
+        )
+        astro.sql(
+            "UPDATE astro_rs SET o_totalprice = o_totalprice + 100 "
+            "WHERE o_orderkey < 50"
+        )
+        astro.sql("DELETE FROM astro_rs WHERE o_orderkey BETWEEN 100 AND 150")
+        pre_seq = astro.relation("astro_rs").committed_seq()
+        astro.sql("RESTORE TABLE astro_rs TO VERSION AS OF 0")
+        st = astro.last_write_stats
+        ok = (
+            st is not None
+            and st.get("restored_to") == 0
+            and st.get("history") == "retained"
+        )
+        with open(done, "w") as f:
+            json.dump({"pre_seq": pre_seq, "ok": bool(ok)}, f)
+    with open(done) as f:
+        d = json.load(f)
+    return astro, int(d["pre_seq"]), bool(d["ok"])
+
+
+def _astro_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    astro, pre_seq, ok = _ensure_restore_table(spark, sf_dir)
+    return astro.sql(
+        "SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM astro_rs "
+        "UNION ALL "
+        "SELECT o_orderkey + 1000000, round(o_totalprice, 2) "
+        f"FROM astro_rs VERSION AS OF {pre_seq} "
+        "UNION ALL "
+        f"SELECT -5, {'1.0' if ok else '0.0'}"
+    )
+
+
+ASTRO["astro_restore"] = Q(
+    spark=_astro_restore,
+    oracle="""
+    -- present after RESTORE TO VERSION 0 = the original load
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_orderkey <= 800
+    UNION ALL
+    -- the pre-restore (damaged) snapshot stays readable: +100 below 50,
+    -- the deleted range gone
+    SELECT o_orderkey + 1000000,
+           round(CASE WHEN o_orderkey < 50 THEN o_totalprice + 100
+                      ELSE o_totalprice END, 2)
+    FROM orders
+    WHERE o_orderkey <= 800 AND o_orderkey NOT BETWEEN 100 AND 150
+    UNION ALL
+    SELECT -5, 1.0
+    """,
+    doc="r11 RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE analog over "
+    "retained history): present rolled back to the original snapshot AND "
+    "the rolled-back damaged state still readable pre-restore, both "
+    "recomputed independently from orders; the probe pins "
+    "restored_to/history=retained (relation.restore, ddl RestoreTable)",
+)
+
+
 def _streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: INCREMENTAL change-feed consumption with durable offsets
     (streaming/changes_source.py — the Delta readChangeFeed +

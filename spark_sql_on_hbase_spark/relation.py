@@ -1610,6 +1610,34 @@ class AstroRelation:
         self._ensure_fresh_regions()
         return max((r.seq for r in self.meta.regions), default=0)
 
+    def restore(self, as_of_seq: int) -> dict:
+        """Roll the table back to its generation-``as_of_seq`` snapshot
+        (r11 — the Delta RESTORE analog, the write-side complement of
+        VERSION/TIMESTAMP AS OF reads): the snapshot's contents land as
+        a NEW commit.  On ``retain_history`` tables the restore is
+        itself versioned — current live fragments retire, every
+        pre-restore snapshot (including the state being rolled back)
+        stays readable, and a second RESTORE undoes the first.  Without
+        retention the table is atomically rebuilt with the snapshot
+        (history folds, like every whole-table rewrite).  The floor
+        guard applies exactly as for versioned reads."""
+        meta = self.meta
+        self._ensure_fresh_regions()
+        snap = self.scan(as_of_seq=as_of_seq).select(
+            *[c for c, _ in meta.all_columns]
+        )
+        if meta.retain_history:
+            stats = self.rewrite_full_retained(snap)
+            return {**stats, "restored_to": as_of_seq}
+        self.overwrite(snap)
+        n = len(meta.regions)
+        return {
+            "files_total": n,
+            "files_rewritten": n,
+            "history": "folded",
+            "restored_to": as_of_seq,
+        }
+
     def committed_seq(self) -> int:
         """Newest COMMITTED generation, including fileless retirement
         generations (a retained delete-everything consumes a generation

@@ -898,6 +898,18 @@ class AstroSession:
                 stats = {"files_total": n, "files_rewritten": n}
         self.last_write_stats = stats
 
+    def _exec_RestoreTable(self, c: ddl.RestoreTable) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        seq = (
+            c.version
+            if c.version is not None
+            else rel.seq_for_timestamp(self._parse_asof_timestamp(c.timestamp))
+        )
+        stats = rel.restore(seq)
+        self.last_write_stats = stats
+        rel.register_view()
+        return self._ok(f"restored {c.table} to generation {seq}")
+
     def _exec_VacuumTable(self, c: ddl.VacuumTable) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
         stats = rel.vacuum()
