@@ -146,6 +146,13 @@ class TableMeta:
     retain_history: bool = False
     # fragments replaced by retained rewrites, each with retired_at set
     retired_regions: list[RegionFile] = field(default_factory=list)
+    # operation name per generation (r11 — DESCRIBE HISTORY): keys are
+    # str(seq) like generation_times; maintained with the SAME pruning
+    # rules (a generation whose stamp drops loses its op too).  Writers
+    # record the mechanism; the SQL session overrides with the statement
+    # name.  Generations committed before this field existed show as
+    # 'unknown'.
+    generation_ops: dict = field(default_factory=dict)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -320,6 +327,7 @@ class AstroCatalog:
             },
             retain_history=raw.get("retain_history", False),
             retired_regions=[RegionFile(**r) for r in raw.get("retired_regions", [])],
+            generation_ops=dict(raw.get("generation_ops", {})),
         )
         self._cache[key] = meta
         return meta
@@ -405,6 +413,11 @@ class AstroCatalog:
         present |= {str(r.retired_at) for r in meta.retired_regions}
         if restamp == "now":
             meta.generation_times = {s: now for s in present}
+            # ops follow stamps: a fold keeps only the present
+            # generations' entries (the folding writer re-records its own)
+            meta.generation_ops = {
+                s: meta.generation_ops[s] for s in present if s in meta.generation_ops
+            }
         else:
             # keep stamps for TRAILING generations with no surviving
             # files (r10): a delete-everything retained rewrite consumes
@@ -428,6 +441,11 @@ class AstroCatalog:
                             pass
                 gt[s] = max(mts, default=now)
             meta.generation_times = gt
+            # ops track the surviving stamp set (r11 DESCRIBE HISTORY);
+            # sibling-discovered generations have no recorded op
+            meta.generation_ops = {
+                s: op for s, op in meta.generation_ops.items() if s in gt
+            }
         self._write(meta)
 
     def persist(self, meta: TableMeta) -> None:

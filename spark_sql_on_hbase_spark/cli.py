@@ -91,7 +91,10 @@ _HELP = {
     "   fragments [history: retained]: every pre-rewrite snapshot stays\n"
     "   readable until COMPACT/OVERWRITE reclaims.\n"
     "   The chosen plan is reported in last_write_stats.history)",
-    "DESCRIBE": "DESCRIBE [EXTENDED] table_name",
+    "DESCRIBE": "DESCRIBE [EXTENDED] table_name\n"
+    "DESCRIBE HISTORY table_name\n"
+    "  (HISTORY: one row per committed generation, newest first — commit\n"
+    "   time, operation, live/retired file counts, snapshot readability)",
     "SHOW": "SHOW TABLES",
 }
 

@@ -79,6 +79,16 @@ class DescribeTable:
 
 
 @dataclass
+class DescribeHistory:
+    """r11: the table's generation log (Delta DESCRIBE HISTORY analog) —
+    one row per stamped generation: commit time, recording operation,
+    live/retired file counts, snapshot status."""
+
+    table: str
+    namespace: str = "default"
+
+
+@dataclass
 class AlterAddCol:
     table: str
     col: str
@@ -502,6 +512,13 @@ def parse(sql: str) -> Command:
 
     if re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE):
         return ShowTables()
+
+    hm = re.match(
+        r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE
+    )
+    if hm:
+        ns, t = _parse_table_name(hm.group(1))
+        return DescribeHistory(table=t, namespace=ns)
 
     dm = re.match(
         r"^\s*DESC(?:RIBE)?\s+(?:(?P<ext>EXTENDED|FORMATTED)\s+)?([\w.`]+)\s*;?\s*$",

@@ -315,6 +315,7 @@ class AstroRelation:
                 meta.retired_regions = []  # dir clobbered — reclaim (r10)
             if refresh:
                 self._refresh_region_bounds(restamp=restamp)
+                self._record_gen_op(0, "WRITE")
             return
         if align_prefix:
             part_cols = [F.col(c) for c in meta.key_names[:align_prefix]]
@@ -350,6 +351,7 @@ class AstroRelation:
             meta.retired_regions = []  # dir clobbered — reclaim (r10)
         if refresh:
             self._refresh_region_bounds(restamp=restamp)
+            self._record_gen_op(0, "WRITE")
 
     def ensure_spark_table(self) -> str:
         """Re-register the bucketed table in a fresh session from catalog
@@ -374,7 +376,7 @@ class AstroRelation:
             )
         return tbl
 
-    def append(self, df: DataFrame, fragments: int | None = None) -> None:
+    def append(self, df: DataFrame, fragments: int | None = None, op: str = "APPEND") -> None:
         """INSERT INTO …: append sorted fragment files at the next LSM
         generation (HBase memstore-flush analog; reference insert =
         batched Puts, HBaseRelation.scala:657-708).  A re-inserted row
@@ -419,6 +421,7 @@ class AstroRelation:
         import time as _time
 
         meta.generation_times[str(seq)] = _time.time()
+        meta.generation_ops[str(seq)] = op  # r11: DESCRIBE HISTORY
         self._refresh_region_bounds()
         if not any(r.seq == seq for r in meta.regions):
             # the batch was EMPTY (no files written): an empty append is
@@ -426,6 +429,7 @@ class AstroRelation:
             # phantom generation (r10 fuzz: a no-op UPDATE's empty
             # append left a stamped fileless generation behind)
             meta.generation_times.pop(str(seq), None)
+            meta.generation_ops.pop(str(seq), None)
             self.catalog.persist(meta)
 
     def _next_seq(self) -> int:
@@ -480,7 +484,7 @@ class AstroRelation:
         exactly there needs the .compact.old dir restored by hand.
         """
         df = self.scan().select(*[c for c, _ in self.meta.all_columns])
-        self._rewrite_with(df)
+        self._rewrite_with(df, op="COMPACT")
 
     def overwrite(self, df: DataFrame) -> None:
         """INSERT OVERWRITE …: atomically replace the table's contents
@@ -493,9 +497,9 @@ class AstroRelation:
         if not self.meta.regions and not os.path.isdir(self.catalog.data_dir(self.meta)):
             self.write(df, align_prefix=self.meta.align_prefix or None)
             return
-        self._rewrite_with(df)
+        self._rewrite_with(df, op="OVERWRITE")
 
-    def _rewrite_with(self, df: DataFrame) -> None:
+    def _rewrite_with(self, df: DataFrame, op: str = "REWRITE") -> None:
         """Write ``df`` as the table's new full contents into a sibling
         temp directory, then swap with O(1) renames (see :meth:`compact`
         for the crash-safety discussion)."""
@@ -529,6 +533,7 @@ class AstroRelation:
         # applied only HERE — after the swap succeeded; see ADVICE r8 on
         # clearing stamps before an uncommitted write)
         self._refresh_region_bounds(restamp="now")
+        self._record_gen_op(0, op)
 
     @staticmethod
     def _local_path(p: str) -> str:
@@ -712,6 +717,7 @@ class AstroRelation:
             import time as _time
 
             meta.generation_times[str(new_seq)] = _time.time()
+            meta.generation_ops[str(new_seq)] = "REWRITE"  # session overrides
             stats["history"] = "retained"
             if new_files:
                 self._refresh_region_bounds(only=new_files, restamp="keep")
@@ -1165,6 +1171,13 @@ class AstroRelation:
             "history_floor": meta.history_floor,
         }
 
+    def _record_gen_op(self, seq: int, op: str) -> None:
+        """Record the operation that committed generation ``seq`` (r11 —
+        DESCRIBE HISTORY).  Writers record the MECHANISM; the SQL
+        session overrides with the statement name."""
+        self.meta.generation_ops[str(seq)] = op
+        self.catalog.persist(self.meta)
+
     def _ensure_generation_stamp(self, seq: int) -> None:
         """A retained rewrite that emitted zero survivor files (a DELETE
         emptying its islands) has no file mtime to stamp its generation
@@ -1233,6 +1246,7 @@ class AstroRelation:
         import time as _time
 
         meta.generation_times[str(new_seq)] = _time.time()  # writer-path stamp
+        meta.generation_ops[str(new_seq)] = "REWRITE"  # session overrides
         if new_files:
             self._refresh_region_bounds(only=new_files, restamp="keep")
         else:

@@ -281,12 +281,15 @@ class AstroSession:
 
     def _exec_BulkLoad(self, c: ddl.BulkLoad) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
+        before = rel.committed_seq()
         rel.load_csv(c.path, delimiter=c.delimiter)
+        self._record_op(rel, "LOAD", before, always=True)
         rel.register_view()
         return self._ok(f"loaded {c.path} into {c.table}")
 
     def _exec_InsertValues(self, c: ddl.InsertValues) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
+        before = rel.committed_seq()
         schema = table_schema(rel.meta)
         coerced = []
         for row in c.values:
@@ -308,6 +311,12 @@ class AstroSession:
             rel.append(df, fragments=max(1, -(-len(coerced) // 50_000)))
         else:
             rel.write(df)
+        self._record_op(
+            rel,
+            "INSERT OVERWRITE" if c.overwrite else "INSERT",
+            before,
+            always=c.overwrite,
+        )
         rel.register_view()
         return self._ok("overwrote 1 row" if c.overwrite else "inserted 1 row")
 
@@ -358,6 +367,7 @@ class AstroSession:
         self._register_all()
         src = self.spark.sql(c.select_sql)
         rel = self.relation(c.table, c.namespace)
+        before = rel.committed_seq()
         named = src.toDF(*[n for n, _ in rel.meta.all_columns])
         cast = named.select(
             *[named[n].cast(table_schema(rel.meta)[n].dataType) for n, _ in rel.meta.all_columns]
@@ -371,6 +381,12 @@ class AstroSession:
             rel.append(cast)
         else:
             rel.write(cast)
+        self._record_op(
+            rel,
+            "INSERT OVERWRITE" if c.overwrite else "INSERT",
+            before,
+            always=c.overwrite,
+        )
         rel.register_view()
         return self._ok(f"{'overwrote' if c.overwrite else 'inserted into'} {c.table}")
 
@@ -456,6 +472,7 @@ class AstroSession:
             return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
+        before = rel.committed_seq()
         cols = [n for n, _ in rel.meta.all_columns]
         schema = table_schema(rel.meta)
         proj = self._update_projection(rel, c.update_set, "")
@@ -471,12 +488,14 @@ class AstroSession:
                 + " LIMIT 1"
             )
             if probe.take(1):
-                return self._update_via_rewrite(rel, c)
+                out = self._update_via_rewrite(rel, c)
+                self._record_op(rel, "UPDATE", before)
+                return out
         df = self.spark.sql(
             f"SELECT {proj} FROM {c.table}" + (f" WHERE {c.where}" if c.where else "")
         )
         cast = df.select(*[df[n].cast(schema[n].dataType) for n in cols])
-        rel.append(cast)
+        rel.append(cast, op="UPDATE")
         rel.register_view()
         return self._ok(f"updated {c.table}")
 
@@ -565,6 +584,7 @@ class AstroSession:
             return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
+        before = rel.committed_seq()
         self.last_write_stats = None
         stats = None
         if c.where:
@@ -598,6 +618,7 @@ class AstroSession:
                 rel.overwrite(survivors)
                 stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
         self.last_write_stats = stats
+        self._record_op(rel, "DELETE", before)
         rel.register_view()
         return self._ok(f"deleted from {c.table}")
 
@@ -720,6 +741,7 @@ class AstroSession:
             return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
+        before = rel.committed_seq()
         cols = [n for n, _ in rel.meta.all_columns]
         keyset = {k.name for k in rel.meta.key_columns}
         t, s = c.target_alias, c.source_alias
@@ -852,6 +874,7 @@ class AstroSession:
             else:
                 rel.write(merged)
         rel.register_view()
+        self._record_op(rel, "MERGE", before)
         return self._ok(f"merged into {c.table}")
 
     def _merge_update_rewrite(self, rel: AstroRelation, c: ddl.MergeInto) -> None:
@@ -898,6 +921,52 @@ class AstroSession:
                 stats = {"files_total": n, "files_rewritten": n}
         self.last_write_stats = stats
 
+    def _record_op(self, rel: AstroRelation, op: str, before_seq: int, always: bool = False) -> None:
+        """Override the writer-recorded MECHANISM with the statement name
+        for DESCRIBE HISTORY (r11).  Recorded only when the statement
+        actually committed a generation (``committed_seq`` moved), or
+        unconditionally for whole-table rebuilds (``always`` — an
+        OVERWRITE of a gen-0 table re-lands at generation 0)."""
+        cur = rel.committed_seq()
+        if always or cur != before_seq:
+            rel.meta.generation_ops[str(cur)] = op
+            self.catalog.persist(rel.meta)
+
+    def _exec_DescribeHistory(self, c: ddl.DescribeHistory) -> DataFrame:
+        """DESCRIBE HISTORY t (r11 — Delta analog): one row per stamped
+        generation, newest first: commit wall-clock, the operation that
+        committed it ('unknown' for generations predating op recording
+        or discovered from sibling writers), live/retired file counts,
+        and whether the snapshot is readable (at/above the history
+        floor)."""
+        rel = self.relation(c.table, c.namespace)
+        rel._ensure_fresh_regions()
+        meta = rel.meta
+        live = {}
+        for r in meta.regions:
+            live[r.seq] = live.get(r.seq, 0) + 1
+        retired = {}
+        for r in meta.retired_regions:
+            retired[r.seq] = retired.get(r.seq, 0) + 1
+        rows = []
+        for s, ts in sorted(meta.generation_times.items(), key=lambda kv: -int(kv[0])):
+            g = int(s)
+            rows.append(
+                (
+                    g,
+                    _iso_utc(ts),
+                    meta.generation_ops.get(s, "unknown"),
+                    live.get(g, 0),
+                    retired.get(g, 0),
+                    "readable" if g >= meta.history_floor else "below-floor",
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "generation int, committed_at string, operation string, "
+            "live_files int, retired_files int, snapshot string",
+        )
+
     def _exec_RestoreTable(self, c: ddl.RestoreTable) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
         seq = (
@@ -906,6 +975,7 @@ class AstroSession:
             else rel.seq_for_timestamp(self._parse_asof_timestamp(c.timestamp))
         )
         stats = rel.restore(seq)
+        self._record_op(rel, "RESTORE", -1, always=True)
         self.last_write_stats = stats
         rel.register_view()
         return self._ok(f"restored {c.table} to generation {seq}")
