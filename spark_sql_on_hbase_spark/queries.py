@@ -145,6 +145,8 @@ TAIL_ORDER = [
     "streaming_changes",
     # r11: RESTORE TABLE ... TO VERSION AS OF over retained history
     "astro_restore",
+    # r11: DESCRIBE HISTORY generation log over the same lifecycle
+    "astro_history",
     "dedup_minhash_signatures",
     # collapsed into dedup_suite (in-window); still runnable solo
     "dedup_simhash",

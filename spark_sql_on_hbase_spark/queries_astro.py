@@ -725,6 +725,32 @@ def _astro_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _astro_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: DESCRIBE HISTORY graded over the restore table's known
+    lifecycle — generation numbers, recorded statement operations, and
+    snapshot readability are fully deterministic (commit wall-clocks
+    are excluded; they are host facts, not recomputable)."""
+    astro, _pre, _ok = _ensure_restore_table(spark, sf_dir)
+    return astro.sql("DESCRIBE HISTORY astro_rs").select(
+        "generation", "operation", "snapshot"
+    )
+
+
+ASTRO["astro_history"] = Q(
+    spark=_astro_history,
+    oracle="""
+    SELECT 3 AS generation, 'RESTORE' AS operation, 'readable' AS snapshot
+    UNION ALL SELECT 2, 'DELETE', 'readable'
+    UNION ALL SELECT 1, 'UPDATE', 'readable'
+    UNION ALL SELECT 0, 'INSERT', 'readable'
+    """,
+    doc="r11 DESCRIBE HISTORY: the generation log of the restore table's "
+    "INSERT -> UPDATE -> DELETE -> RESTORE lifecycle — operations recorded "
+    "per commit, every snapshot readable under retention "
+    "(catalog.generation_ops, session._exec_DescribeHistory)",
+)
+
+
 ASTRO["astro_restore"] = Q(
     spark=_astro_restore,
     oracle="""

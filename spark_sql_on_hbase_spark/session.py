@@ -281,7 +281,9 @@ class AstroSession:
 
     def _exec_BulkLoad(self, c: ddl.BulkLoad) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
-        before = rel.committed_seq()
+        # a never-committed table reports seq 0 both before and after
+        # its first write: use -1 so the statement op still records
+        before = rel.committed_seq() if rel.meta.generation_times else -1
         rel.load_csv(c.path, delimiter=c.delimiter)
         self._record_op(rel, "LOAD", before, always=True)
         rel.register_view()
@@ -289,7 +291,9 @@ class AstroSession:
 
     def _exec_InsertValues(self, c: ddl.InsertValues) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
-        before = rel.committed_seq()
+        # a never-committed table reports seq 0 both before and after
+        # its first write: use -1 so the statement op still records
+        before = rel.committed_seq() if rel.meta.generation_times else -1
         schema = table_schema(rel.meta)
         coerced = []
         for row in c.values:
@@ -367,7 +371,9 @@ class AstroSession:
         self._register_all()
         src = self.spark.sql(c.select_sql)
         rel = self.relation(c.table, c.namespace)
-        before = rel.committed_seq()
+        # a never-committed table reports seq 0 both before and after
+        # its first write: use -1 so the statement op still records
+        before = rel.committed_seq() if rel.meta.generation_times else -1
         named = src.toDF(*[n for n, _ in rel.meta.all_columns])
         cast = named.select(
             *[named[n].cast(table_schema(rel.meta)[n].dataType) for n, _ in rel.meta.all_columns]
@@ -472,7 +478,9 @@ class AstroSession:
             return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
-        before = rel.committed_seq()
+        # a never-committed table reports seq 0 both before and after
+        # its first write: use -1 so the statement op still records
+        before = rel.committed_seq() if rel.meta.generation_times else -1
         cols = [n for n, _ in rel.meta.all_columns]
         schema = table_schema(rel.meta)
         proj = self._update_projection(rel, c.update_set, "")
@@ -584,7 +592,9 @@ class AstroSession:
             return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
-        before = rel.committed_seq()
+        # a never-committed table reports seq 0 both before and after
+        # its first write: use -1 so the statement op still records
+        before = rel.committed_seq() if rel.meta.generation_times else -1
         self.last_write_stats = None
         stats = None
         if c.where:
@@ -741,7 +751,9 @@ class AstroSession:
             return self.spark.sql(c.raw)
         self._register_all()
         rel = self.relation(c.table, c.namespace)
-        before = rel.committed_seq()
+        # a never-committed table reports seq 0 both before and after
+        # its first write: use -1 so the statement op still records
+        before = rel.committed_seq() if rel.meta.generation_times else -1
         cols = [n for n, _ in rel.meta.all_columns]
         keyset = {k.name for k in rel.meta.key_columns}
         t, s = c.target_alias, c.source_alias
