@@ -555,16 +555,23 @@ def _jpeg_category(v: int) -> int:
 
 
 def _encode_blocks(blocks, qtab, dc_codes, ac_codes, bw, pred):
-    """Huffman-encode quantized coefficient blocks (n, 8, 8) -> bits.
-    ``pred`` is the running DC predictor (returned updated)."""
-    import numpy as np
+    """Huffman-encode pixel blocks (n, 8, 8) -> bits via the SHARED
+    batched coefficient path (``pred`` = running DC predictor, returned
+    updated).  NOTE (r11): callers that split one image across several
+    calls (per-MCU color interleave, restart chunks) must precompute
+    rows once with :func:`_quant_zz_blocks` over the WHOLE plane and
+    feed :func:`_encode_rows` — per-call DCT batches can round
+    knife-edge coefficients differently (BLAS summation order flips
+    np.rint at .5 ties), breaking cross-encoder coefficient identity."""
+    return _encode_rows(
+        _quant_zz_blocks(blocks, qtab).tolist(), dc_codes, ac_codes, bw, pred
+    )
 
-    C = _dct_basis()
-    coef = np.einsum("ij,njk,lk->nil", C, blocks.astype(np.float64) - 128.0, C)
-    q = np.rint(coef / qtab.reshape(8, 8)).astype(np.int64)
-    flat = q.reshape(-1, 64)[:, _ZZ_FLAT]  # zigzag order
-    for nrow in flat:
-        row = nrow.tolist()  # python ints: per-coef loop below
+
+def _encode_rows(rows, dc_codes, ac_codes, bw, pred):
+    """Sequential-huffman entropy coding of quantized ZIGZAG coefficient
+    rows (lists of 64 python ints)."""
+    for row in rows:
         dc = row[0]
         diff = dc - pred
         pred = dc
@@ -649,16 +656,20 @@ def encode_jpeg_gray(img, qtab=None, restart_interval: int = 0) -> bytes:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
     dc, ac = _huff_codes(*_JH_DC_LUMA), _huff_codes(*_JH_AC_LUMA)
+    # coefficients computed ONCE over the whole plane (r11): restart
+    # chunks index into the shared rows, so chunking can never change
+    # a knife-edge rounding
+    rows = _quant_zz_blocks(blocks, qt).tolist()
     if not restart_interval:
         bw = _BitWriter()
-        _encode_blocks(blocks, qt, dc, ac, bw, 0)
+        _encode_rows(rows, dc, ac, bw, 0)
         return out + bw.flush() + b"\xff\xd9"
     scan = b""
-    for i, start in enumerate(range(0, len(blocks), restart_interval)):
+    for i, start in enumerate(range(0, len(rows), restart_interval)):
         if i:
             scan += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
         bw = _BitWriter()
-        _encode_blocks(blocks[start : start + restart_interval], qt, dc, ac, bw, 0)
+        _encode_rows(rows[start : start + restart_interval], dc, ac, bw, 0)
         scan += bw.flush()
     return out + scan + b"\xff\xd9"
 
@@ -719,19 +730,33 @@ def encode_jpeg_rgb(img, quality: int = 90, subsample: bool = False) -> bytes:
         return plane.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3)
 
     mcux, mcuy = pw // (8 * hs), ph // (8 * hs)
-    yb = _blocks_of(y, pw // 8, ph // 8)
-    cbb = _blocks_of(cb, pw // (8 * hs), ph // (8 * hs))
-    crb = _blocks_of(cr, pw // (8 * hs), ph // (8 * hs))
+    ybw, cbw_ = pw // 8, pw // (8 * hs)
+    # coefficients computed ONCE per plane over the FULL block batch
+    # (r11): the old per-MCU single-block DCT could round knife-edge
+    # values differently from the batched computation (BLAS summation
+    # order flips np.rint at .5 ties), so a progressive encode of the
+    # same image carried a ±1-different coefficient.  Shared rows make
+    # baseline and progressive coefficient-identical by construction.
+    yrows = _quant_zz_blocks(
+        _blocks_of(y, ybw, ph // 8).reshape(-1, 8, 8), qy
+    ).tolist()
+    cbrows = _quant_zz_blocks(
+        _blocks_of(cb, cbw_, ph // (8 * hs)).reshape(-1, 8, 8), qc
+    ).tolist()
+    crrows = _quant_zz_blocks(
+        _blocks_of(cr, cbw_, ph // (8 * hs)).reshape(-1, 8, 8), qc
+    ).tolist()
     bw = _BitWriter()
     py = pcb = pcr = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for dy in range(hs):
                 for dx in range(hs):
-                    blk = yb[my * hs + dy, mx * hs + dx][None]
-                    py = _encode_blocks(blk, qy, dc_l, ac_l, bw, py)
-            pcb = _encode_blocks(cbb[my, mx][None], qc, dc_c, ac_c, bw, pcb)
-            pcr = _encode_blocks(crb[my, mx][None], qc, dc_c, ac_c, bw, pcr)
+                    bi = (my * hs + dy) * ybw + (mx * hs + dx)
+                    py = _encode_rows([yrows[bi]], dc_l, ac_l, bw, py)
+            ci = my * cbw_ + mx
+            pcb = _encode_rows([cbrows[ci]], dc_c, ac_c, bw, pcb)
+            pcr = _encode_rows([crrows[ci]], dc_c, ac_c, bw, pcr)
     return out + bw.flush() + b"\xff\xd9"
 
 
