@@ -75,10 +75,15 @@ _HELP = {
     "   tables the restore is itself versioned — the rolled-back state\n"
     "   stays readable and a second RESTORE undoes the first; without\n"
     "   retention history folds to the restored contents)",
-    "VACUUM": "VACUUM TABLE table_name\n"
+    "VACUUM": "VACUUM TABLE table_name [RETAIN n GENERATIONS | RETAIN n HOURS] [DRY RUN]\n"
     "  (reclaim MVCC-retained fragments only — retain_history tables; live\n"
     "   data untouched, pre-rewrite snapshots refuse afterwards; COMPACT\n"
-    "   additionally rewrites the live fragments)",
+    "   additionally rewrites the live fragments.  RETAIN bounds the\n"
+    "   reclaim — the newest n retirement generations, or retirements\n"
+    "   committed within the last n hours, keep their snapshots readable\n"
+    "   [the change-feed consumer grace window]; DRY RUN lists the\n"
+    "   reclaimable fragments + the floor the real run would set, without\n"
+    "   deleting anything)",
     "UPDATE": "UPDATE table_name SET col = expr, ... [WHERE cond]",
     "DELETE": "DELETE FROM table_name [WHERE cond]\n"
     "  (key-only predicates purge matching keys per fragment, erasing them\n"

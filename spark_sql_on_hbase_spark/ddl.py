@@ -211,10 +211,21 @@ class VacuumTable:
     (the cheap reclaim point next to COMPACT — the HBase analog is a
     major compaction discarding old cell versions, doc §23): delete
     retired fragments, raise the history floor past the snapshots they
-    served, leave every live fragment byte-identical."""
+    served, leave every live fragment byte-identical.
+
+    r12 (VERDICT r11 #3 — the Delta ``VACUUM … RETAIN n HOURS`` analog):
+    ``RETAIN n GENERATIONS`` reclaims only fragments retired at/below
+    ``committed - n`` (the newest n retirement epochs keep their
+    snapshots readable); ``RETAIN n HOURS`` keeps every fragment whose
+    retiring generation committed within the last n hours — the grace
+    window a change-feed consumer mid-catch-up needs.  ``DRY RUN``
+    lists the reclaimable fragments without deleting anything."""
 
     table: str
     namespace: str = "default"
+    retain_generations: int | None = None
+    retain_hours: float | None = None
+    dry_run: bool = False
 
 
 @dataclass
@@ -558,10 +569,30 @@ def parse(sql: str) -> Command:
             delimiter=m.group("delim") or ",",
         )
 
-    vm = re.match(r"^\s*VACUUM\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
+    vm = re.match(
+        r"^\s*VACUUM\s+TABLE\s+([\w.`]+)"
+        r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(GENERATIONS?|HOURS?))?"
+        r"(\s+DRY\s+RUN)?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
     if vm:
         ns, t = _parse_table_name(vm.group(1))
-        return VacuumTable(table=t, namespace=ns)
+        gens = hours = None
+        if vm.group(2) is not None:
+            if vm.group(3).upper().startswith("GENERATION"):
+                if "." in vm.group(2):
+                    raise ValueError("RETAIN n GENERATIONS takes an integer")
+                gens = int(vm.group(2))
+            else:
+                hours = float(vm.group(2))
+        return VacuumTable(
+            table=t,
+            namespace=ns,
+            retain_generations=gens,
+            retain_hours=hours,
+            dry_run=vm.group(4) is not None,
+        )
 
     rm = re.match(
         r"^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"

@@ -1212,8 +1212,14 @@ def _huff_decode_packed(bits, vals, is_ac: bool):
             code += 1
         code <<= 1
     packed = lut.tolist()  # list indexing beats numpy scalar getitem ~3x
-    if len(_HUFF_LUT_CACHE) >= 64:  # bounded: foreign corpora with many DHTs
-        _HUFF_LUT_CACHE.clear()
+    # bounded per worker process (ADVICE r11): each LUT is a 65536-entry
+    # int list (~2-3 MB incl. int objects), so evict OLDEST-FIRST one at
+    # a time instead of a wholesale clear() — foreign corpora with many
+    # distinct DHTs stay under ~100 MB/worker and in-use tables for the
+    # current image are never dropped mid-decode (they were just
+    # inserted, i.e. newest)
+    while len(_HUFF_LUT_CACHE) >= 32:
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
     _HUFF_LUT_CACHE[key] = packed
     return packed
 

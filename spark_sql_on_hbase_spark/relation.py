@@ -1129,46 +1129,112 @@ class AstroRelation:
         self.catalog.persist(meta)
         return stats
 
-    def vacuum(self) -> dict:
+    def vacuum(
+        self,
+        retain_generations: int | None = None,
+        retain_hours: float | None = None,
+        dry_run: bool = False,
+    ) -> dict:
         """Reclaim MVCC-retained fragments WITHOUT touching live data
         (r10 — the cheap reclaim next to :meth:`compact`; HBase analog:
         a major compaction discarding old cell versions, doc §23).
         Retired fragments are deleted, their metadata cleared, and the
-        history floor rises to the newest retirement epoch — snapshots
-        that depended on retired fragments refuse afterwards, everything
-        at/after the last retained rewrite stays readable, and every
-        live fragment is byte-identical (O(#retired) unlink calls, zero
-        data movement — COMPACT additionally rewrites the live set)."""
+        history floor rises to the newest RECLAIMED retirement epoch —
+        snapshots that depended on reclaimed fragments refuse
+        afterwards, everything newer stays readable, and every live
+        fragment is byte-identical (O(#retired) unlink calls, zero data
+        movement — COMPACT additionally rewrites the live set).
+
+        Bounded reclaim (r12, VERDICT r11 #3 — Delta's ``RETAIN n
+        HOURS`` analog, the grace window an incremental change-feed
+        consumer mid-catch-up needs):
+
+        - ``retain_generations=n``: keep fragments retired within the
+          newest n generations (reclaim ``retired_at <= committed - n``
+          only).
+        - ``retain_hours=h``: keep fragments whose retiring generation
+          committed within the last h hours (by the catalog's commit
+          stamps; a retirement with no surviving stamp is treated as
+          reclaimable).
+        - ``dry_run=True``: report what WOULD be reclaimed — paths,
+          count, and the floor the real run would set — without
+          deleting or changing any metadata.
+
+        Soundness of partial reclaim: a fragment retired at generation R
+        serves only snapshots in [its seq, R); with floor = max reclaimed
+        R, every snapshot at/above the new floor never needed a
+        reclaimed fragment, and every KEPT retired fragment has
+        retired_at > floor, so the snapshots it serves stay coherent."""
+        import time as _time
+
         meta = self.meta
         self._ensure_fresh_regions()
-        removed = list(meta.retired_regions)
+        gen_cutoff = None  # reclaimable iff retired_at <= gen_cutoff
+        if retain_generations is not None:
+            if retain_generations < 0:
+                raise ValueError("retain_generations must be >= 0")
+            gen_cutoff = self.committed_seq() - int(retain_generations)
+        t_cutoff = None  # reclaimable iff retiring-gen commit <= t_cutoff
+        if retain_hours is not None:
+            if retain_hours < 0:
+                raise ValueError("retain_hours must be >= 0")
+            t_cutoff = _time.time() - retain_hours * 3600.0
+
+        def _reclaimable(r: RegionFile) -> bool:
+            if gen_cutoff is not None and r.retired_at > gen_cutoff:
+                return False
+            if t_cutoff is not None:
+                ts = meta.generation_times.get(str(r.retired_at))
+                if ts is not None and ts > t_cutoff:
+                    return False
+            return True
+
+        removed = [r for r in meta.retired_regions if _reclaimable(r)]
+        kept = [r for r in meta.retired_regions if r not in removed]
         if not removed:
             return {
                 "retired_files_removed": 0,
+                "retired_files_kept": len(kept),
                 "history_floor": meta.history_floor,
+                "dry_run": dry_run,
+                "reclaimable_paths": [],
             }
         floor = max(r.retired_at for r in removed)
-        # the floor generation's stamp may live ONLY through the retired
-        # list (a retained rewrite that emitted zero survivor files);
-        # preserve it across the stamp pruning below or `TIMESTAMP AS OF
-        # now` could resolve below the floor and refuse everything
+        paths = [r.path for r in removed]
+        if dry_run:
+            return {
+                "retired_files_removed": len(removed),
+                "retired_files_kept": len(kept),
+                "history_floor": max(meta.history_floor, floor),
+                "dry_run": True,
+                "reclaimable_paths": paths,
+            }
+        # stamps that live ONLY through reclaimed retirements (a retained
+        # rewrite that emitted zero survivor files): the floor
+        # generation's must survive the stamp pruning below, or
+        # `TIMESTAMP AS OF now` could resolve below the floor and refuse
+        # everything; kept retirements keep their own stamps via
+        # update_regions' retired-set rule
         floor_stamp = meta.generation_times.get(str(floor))
         for r in removed:
             try:
                 fsops.unlink(self._local_path(r.path))
             except OSError:
                 pass
-        meta.retired_regions = []
+        meta.retired_regions = kept
         meta.history_floor = max(meta.history_floor, floor)
         # re-persist: update_regions prunes stamps to generations still
-        # present (live only, now that retired is empty)
+        # present (live + kept retired)
         self.catalog.update_regions(meta, meta.regions)
         if floor_stamp is not None and str(floor) not in meta.generation_times:
             meta.generation_times[str(floor)] = floor_stamp
             self.catalog.persist(meta)
         return {
             "retired_files_removed": len(removed),
+            "retired_files_kept": len(kept),
             "history_floor": meta.history_floor,
+            "dry_run": False,
+            "reclaimable_paths": paths,
         }
 
     def _record_gen_op(self, seq: int, op: str) -> None:
@@ -1772,9 +1838,18 @@ class AstroRelation:
             # epochs (a delete-everything rewrite is fileless), stamps
             to_seq = self.committed_seq()
         if from_seq < meta.history_floor:
+            # actionable floor violation (r12, VERDICT r11 #8): name the
+            # nearest valid bounds and the remediation, not just the fact
             raise ValueError(
-                f"changes from generation {from_seq} predate the last "
-                f"partial rewrite (history floor {meta.history_floor})"
+                f"changes from generation {from_seq} of {meta.name} "
+                f"predate the history floor {meta.history_floor} (a "
+                f"partial rewrite or VACUUM reclaimed the snapshots "
+                f"below it). Valid bounds: FROM {meta.history_floor} "
+                f"(.. TO {self.committed_seq()}). Run `DESCRIBE HISTORY "
+                f"{meta.name}` to see readable generations; restart the "
+                f"consumer from the floor (full re-sync of rows below "
+                f"it), or VACUUM with RETAIN n GENERATIONS|HOURS next "
+                f"time to keep a catch-up grace window."
             )
         if from_seq > to_seq:
             raise ValueError(f"from_seq {from_seq} > to_seq {to_seq}")
@@ -1818,20 +1893,30 @@ class AstroRelation:
             bound = self._ranges_bound(self._envelope_union(delta))
             to_state = self.scan(with_rowkey=True, as_of_seq=to_seq).filter(bound)
             from_snap = self.scan(with_rowkey=True, as_of_seq=from_seq).filter(bound)
+            # collision-proof helper names (ADVICE r11): a user table may
+            # legitimately declare columns named `_existed` or `__old_*`
+            # (only _change_type/_commit_seq are documented as reserved) —
+            # grow a suffix until neither helper collides
+            tag = ""
+            while f"_existed{tag}" in cols or any(
+                f"__old{tag}_{c}" in cols for c in cols
+            ):
+                tag += "x"
+            ex_col = f"_existed{tag}"
             if drop_noop:
                 existed = from_snap.select(
                     F.col(ROWKEY_COL),
-                    *[F.col(c).alias(f"__old_{c}") for c in cols],
-                    F.lit(True).alias("_existed"),
+                    *[F.col(c).alias(f"__old{tag}_{c}") for c in cols],
+                    F.lit(True).alias(ex_col),
                 )
                 changed = None
                 for c in cols:
-                    d = ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+                    d = ~F.col(c).eqNullSafe(F.col(f"__old{tag}_{c}"))
                     changed = d if changed is None else (changed | d)
-                keep = F.col("_existed").isNull() | changed
+                keep = F.col(ex_col).isNull() | changed
             else:
                 existed = from_snap.select(
-                    F.col(ROWKEY_COL), F.lit(True).alias("_existed")
+                    F.col(ROWKEY_COL), F.lit(True).alias(ex_col)
                 )
                 keep = F.lit(True)
             parts.append(
@@ -1840,7 +1925,7 @@ class AstroRelation:
                 .filter(keep)
                 .select(
                     *cols,
-                    F.when(F.col("_existed"), F.lit("update"))
+                    F.when(F.col(ex_col), F.lit("update"))
                     .otherwise(F.lit("insert"))
                     .alias("_change_type"),
                     F.col("_commit_seq").cast("int").alias("_commit_seq"),

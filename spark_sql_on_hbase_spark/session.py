@@ -285,7 +285,10 @@ class AstroSession:
         # its first write: use -1 so the statement op still records
         before = rel.committed_seq() if rel.meta.generation_times else -1
         rel.load_csv(c.path, delimiter=c.delimiter)
-        self._record_op(rel, "LOAD", before, always=True)
+        # force-record only for a FRESH table (before == -1, where both
+        # seqs read 0); an empty LOAD into an already-written table must
+        # not relabel the previous newest generation's op (ADVICE r11)
+        self._record_op(rel, "LOAD", before, always=(before == -1))
         rel.register_view()
         return self._ok(f"loaded {c.path} into {c.table}")
 
@@ -497,7 +500,7 @@ class AstroSession:
             )
             if probe.take(1):
                 out = self._update_via_rewrite(rel, c)
-                self._record_op(rel, "UPDATE", before)
+                self._record_fold_op(rel, "UPDATE", before, self.last_write_stats)
                 return out
         df = self.spark.sql(
             f"SELECT {proj} FROM {c.table}" + (f" WHERE {c.where}" if c.where else "")
@@ -628,7 +631,7 @@ class AstroSession:
                 rel.overwrite(survivors)
                 stats = {"files_total": n, "files_rewritten": n, "history": "folded"}
         self.last_write_stats = stats
-        self._record_op(rel, "DELETE", before)
+        self._record_fold_op(rel, "DELETE", before, stats)
         rel.register_view()
         return self._ok(f"deleted from {c.table}")
 
@@ -886,7 +889,7 @@ class AstroSession:
             else:
                 rel.write(merged)
         rel.register_view()
-        self._record_op(rel, "MERGE", before)
+        self._record_fold_op(rel, "MERGE", before, self.last_write_stats)
         return self._ok(f"merged into {c.table}")
 
     def _merge_update_rewrite(self, rel: AstroRelation, c: ddl.MergeInto) -> None:
@@ -944,6 +947,27 @@ class AstroSession:
             rel.meta.generation_ops[str(cur)] = op
             self.catalog.persist(rel.meta)
 
+    def _record_fold_op(
+        self, rel: AstroRelation, op: str, before_seq: int, stats: dict | None
+    ) -> None:
+        """_record_op for statements that may FOLD history back to
+        generation 0 (DELETE / UPDATE-via-rewrite / MERGE rewrites —
+        ADVICE r11): on a table whose only generation is 0, a folding
+        rewrite leaves ``committed_seq`` unchanged (0 == 0), so the
+        cur != before check alone would leave DESCRIBE HISTORY showing
+        the mechanism ('OVERWRITE'/'REWRITE') instead of the statement —
+        the identical gen-0 hazard INSERT OVERWRITE already handles with
+        always=True.  Force-record exactly when the rewrite actually
+        rebuilt files AND the table folded to generation 0; a fold whose
+        survivors keep higher generations must NOT relabel them (those
+        generations were committed by earlier statements)."""
+        folded_to_zero = bool(
+            stats
+            and stats.get("files_rewritten", 0) > 0
+            and rel.committed_seq() == 0
+        )
+        self._record_op(rel, op, before_seq, always=folded_to_zero)
+
     def _exec_DescribeHistory(self, c: ddl.DescribeHistory) -> DataFrame:
         """DESCRIBE HISTORY t (r11 — Delta analog): one row per stamped
         generation, newest first: commit wall-clock, the operation that
@@ -994,12 +1018,27 @@ class AstroSession:
 
     def _exec_VacuumTable(self, c: ddl.VacuumTable) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
-        stats = rel.vacuum()
+        stats = rel.vacuum(
+            retain_generations=c.retain_generations,
+            retain_hours=c.retain_hours,
+            dry_run=c.dry_run,
+        )
         self.last_write_stats = stats
+        if c.dry_run:
+            # DRY RUN (r12, VERDICT r11 #3): one row per reclaimable
+            # fragment + the floor the real run would set; nothing
+            # deleted, no metadata changed
+            rows = [
+                (p, stats["history_floor"]) for p in stats["reclaimable_paths"]
+            ]
+            return self.spark.createDataFrame(
+                rows, "reclaimable_path string, would_set_floor int"
+            )
         rel.register_view()
         return self._ok(
             f"vacuumed {c.table}: {stats['retired_files_removed']} retired "
-            f"fragments reclaimed, history floor {stats['history_floor']}"
+            f"fragments reclaimed ({stats['retired_files_kept']} kept by "
+            f"RETAIN), history floor {stats['history_floor']}"
         )
 
     def _exec_CompactTable(self, c: ddl.CompactTable) -> DataFrame:

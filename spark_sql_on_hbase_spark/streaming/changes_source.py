@@ -87,6 +87,23 @@ def stream_changes(
             last = max(relation.meta.history_floor, 0)
             _commit_offset(checkpoint_path, last)
         cur = relation.committed_seq()
+        floor = relation.meta.history_floor
+        if last < floor:
+            # the checkpointed offset predates the floor (r12, VERDICT
+            # r11 #8): an unbounded VACUUM / partial rewrite reclaimed
+            # the snapshots this consumer still needed — fail with the
+            # floor and the remediation instead of a bare feed error
+            raise ValueError(
+                f"change-feed checkpoint {checkpoint_path!r} is at "
+                f"generation {last}, below {relation.meta.name}'s "
+                f"history floor {floor}: the snapshots it would diff "
+                f"against were reclaimed (VACUUM or a history-folding "
+                f"rewrite). Re-sync the sink from a full snapshot and "
+                f"restart from the floor (init_offset, or delete the "
+                f"checkpoint to start at {floor}); to leave catch-up "
+                f"room next time, VACUUM with RETAIN n "
+                f"GENERATIONS|HOURS."
+            )
         while last < cur:
             hi = min(cur, last + batch_generations) if batch_generations else cur
             df = relation.changes(last, hi, drop_noop=drop_noop)
