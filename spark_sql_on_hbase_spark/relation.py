@@ -311,8 +311,12 @@ class AstroRelation:
             )
             meta.layout = "zorder"
             meta.align_prefix = 0
-            if mode == "overwrite":
-                meta.retired_regions = []  # dir clobbered — reclaim (r10)
+            if mode == "overwrite" and refresh:
+                # dir clobbered — reclaim (r10).  refresh=False targets a
+                # TEMP dir (_rewrite_with): the real dir's retired
+                # fragments are untouched there
+                meta.retired_regions = []
+                meta.gc_pending = []
             if refresh:
                 self._refresh_region_bounds(restamp=restamp)
                 self._record_gen_op(0, "WRITE")
@@ -347,8 +351,11 @@ class AstroRelation:
                 ranged.sortWithinPartitions(ROWKEY_COL).write.mode(mode)
             ).parquet(out_dir)
             meta.layout = "range"
-        if mode == "overwrite":
-            meta.retired_regions = []  # dir clobbered — reclaim (r10)
+        if mode == "overwrite" and refresh:
+            # dir clobbered — reclaim (r10); refresh=False targets a TEMP
+            # dir (_rewrite_with), where the real dir is untouched
+            meta.retired_regions = []
+            meta.gc_pending = []
         if refresh:
             self._refresh_region_bounds(restamp=restamp)
             self._record_gen_op(0, "WRITE")
@@ -359,6 +366,11 @@ class AstroRelation:
         one — reference region-info caching analog, HBaseRelation.scala:199)."""
         meta = self.meta
         assert meta.layout == "bucketed", "not a bucketed-layout table"
+        # the bucketed scan is DIRECTORY-based (Spark lists the table
+        # location), so complete any pending post-commit reclaim first —
+        # a crash between a rewrite's commit and its GC must not leave
+        # replaced files readable through this path (r12)
+        self._ensure_fresh_regions()
         tbl = self.spark_table_name
         if not self.spark.catalog.tableExists(tbl):
             from spark_sql_on_hbase_spark.catalog import STRING_FORMAT as _SF
@@ -394,13 +406,20 @@ class AstroRelation:
         files, and counting rows here would recompute the batch)."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
-        seq = self._next_seq()
+        # RESERVE the generation before the data job (r12): the small
+        # CAS commit stamps + pins it — the writer-path commit stamp
+        # (r10, VERDICT r9 #5: this session knows the commit moment
+        # exactly; mtime stamping stays the sibling-discovery fallback)
+        # now doubles as the concurrency claim, so a sibling appending
+        # or retiring in parallel can never allocate the same number.
+        seq = self._reserve_generation(op)
         keyed = self._with_rowkey(df.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(seq))
         n = max(1, meta.num_regions)
         if fragments is not None:
             n = max(1, min(n, int(fragments)))
-        if meta.layout == "bucketed":
+        demoted = meta.layout == "bucketed"
+        if demoted:
             # plain fragment files break the bucket-file invariant; demote
             # the layout (one-phase agg falls back to 2-phase) until
             # compact() restores the declared alignment
@@ -411,26 +430,128 @@ class AstroRelation:
             .sortWithinPartitions(ROWKEY_COL)
             .write.mode("append")
         ).parquet(out_dir)
-        # writer-path commit stamp (r10, VERDICT r9 #5): THIS session
-        # knows the commit moment exactly — record it directly instead
-        # of relying on file mtimes, which object stores don't preserve
-        # faithfully.  update_regions' mtime stamping remains only the
-        # SIBLING-DISCOVERY fallback (a generation first seen in a
-        # directory listing); a preset stamp for a present generation is
-        # always kept.
-        import time as _time
 
-        meta.generation_times[str(seq)] = _time.time()
-        meta.generation_ops[str(seq)] = op  # r11: DESCRIBE HISTORY
-        self._refresh_region_bounds()
+        # finalize: adopt the new fragments + unpin.  An append replaces
+        # nothing, so a concurrent sibling commit is always commutative —
+        # on conflict, reload (the sibling's retirements/stamps are now
+        # the base; our reservation survives the reload, it was durably
+        # committed) and re-derive from the directory ground truth.
+        def finalize():
+            self.meta.pinned_gens = [g for g in self.meta.pinned_gens if g != seq]
+            if demoted:
+                self.meta.layout = "range"  # re-apply after a conflict reload
+            self._refresh_region_bounds()
+
+        self._commit_retry(finalize)
         if not any(r.seq == seq for r in meta.regions):
             # the batch was EMPTY (no files written): an empty append is
-            # not a commit — drop the preset stamp, or it lingers as a
-            # phantom generation (r10 fuzz: a no-op UPDATE's empty
+            # not a commit — roll the reservation back, or it lingers as
+            # a phantom generation (r10 fuzz: a no-op UPDATE's empty
             # append left a stamped fileless generation behind)
+            self._unreserve_generation(seq)
+
+    def _commit_retry(self, apply_fn, require_live: list[str] | None = None, attempts: int = 8):
+        """Optimistic-concurrency commit loop (r12, VERDICT r11 #1):
+        run ``apply_fn`` — a closure that derives this write's metadata
+        mutations from ``self.meta``'s CURRENT state and persists them
+        (any catalog write inside may raise ConcurrentWriteError).  On a
+        conflict, reload the on-disk metadata IN PLACE (adopting the
+        sibling's commit — its retirements/stamps/ops are now the base)
+        and re-apply.  ``apply_fn`` must therefore be re-runnable from a
+        fresh base: recompute, don't capture, anything derived from
+        meta.
+
+        ``require_live``: fragment paths this write RESOLVED or
+        REPLACED.  If the sibling's commit removed any of them, our
+        survivors were computed from fragments that no longer exist —
+        a write-write conflict on the same data (Delta's
+        ConcurrentDeleteDelete analog) that no metadata merge can fix;
+        abort with the conflict instead of double-applying.  Appends
+        pass None (they replace nothing — always commutative)."""
+        from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+        last: Exception | None = None
+        for i in range(attempts):
+            try:
+                return apply_fn()
+            except ConcurrentWriteError as e:
+                last = e
+                self.catalog.reload_into(self.meta)
+                if require_live is not None:
+                    live = {r.path for r in self.meta.regions}
+                    gone = [p for p in require_live if p not in live]
+                    if gone:
+                        raise ConcurrentWriteError(
+                            f"{self.meta.namespace}.{self.meta.name}",
+                            e.expected,
+                            e.found,
+                            detail=(
+                                f"a concurrent writer rewrote {len(gone)} of "
+                                f"the fragments this statement resolved "
+                                f"(write-write conflict on the same rows) — "
+                                f"re-run the statement against the new state"
+                            ),
+                        ) from e
+        raise last  # type: ignore[misc]
+
+    def _reserve_generation(self, op: str) -> int:
+        """Claim the next LSM generation number BEFORE the data-file job
+        (r12): a small CAS commit stamps + pins the generation, so a
+        concurrent writer's ``_next_seq`` — which it must recompute
+        after any conflict reload — can never allocate the same number.
+        Files bake their generation into the ``_seq`` column, so a
+        post-hoc renumber would mean rewriting them; reserving first
+        makes the later finalize commit purely additive.  The finalize
+        (or the empty-batch rollback) unpins."""
+        import time as _time
+
+        def reserve():
+            meta = self.meta
+            seq = self._next_seq()
+            meta.generation_times[str(seq)] = _time.time()
+            meta.generation_ops[str(seq)] = op
+            if seq not in meta.pinned_gens:
+                meta.pinned_gens.append(seq)
+            self.catalog.persist(meta)
+            return seq
+
+        return self._commit_retry(reserve)
+
+    def _unreserve_generation(self, seq: int) -> None:
+        """Roll back a reservation whose write committed NOTHING (an
+        empty batch): drop the stamp/op/pin, or a phantom fileless
+        generation lingers in DESCRIBE HISTORY and TIMESTAMP AS OF."""
+
+        def rollback():
+            meta = self.meta
             meta.generation_times.pop(str(seq), None)
             meta.generation_ops.pop(str(seq), None)
+            meta.pinned_gens = [g for g in meta.pinned_gens if g != seq]
             self.catalog.persist(meta)
+
+        self._commit_retry(rollback)
+
+    def _run_gc(self) -> None:
+        """Complete the manifest-pointer reclaim (r12, VERDICT r11 #2):
+        the rewrite's metadata commit recorded the replaced files in
+        ``gc_pending``; delete them now and clear the list.  Runs right
+        after every rewrite commit and — for crash recovery — from the
+        freshness pass, so a file sits in limbo only between a commit
+        and the very next touch of the table."""
+        meta = self.meta
+        if not meta.gc_pending:
+            return
+        for p in list(meta.gc_pending):
+            try:
+                fsops.unlink(self._local_path(p))
+            except OSError:
+                pass  # already reclaimed (crash-recovery re-run)
+
+        def clear():
+            self.meta.gc_pending = []
+            self.catalog.persist(self.meta)
+
+        self._commit_retry(clear)
 
     def _next_seq(self) -> int:
         """Next unused LSM generation.  Retired generations count (r10):
@@ -468,21 +589,18 @@ class AstroRelation:
         """Rewrite all fragments into num_regions clean sorted regions,
         restoring the table's declared alignment (bucketed layout) if any.
 
-        Data-crash-safe: the merged result is written to a sibling temp
-        directory first, then swapped in with O(1) renames — the source
-        files stay intact until the replacement is fully materialized, so
-        executor loss / cache eviction during the rewrite can always
-        recompute from the originals (never read-and-overwrite the same
-        path; reference compaction is HBase-side and has the same
-        write-new-then-switch structure).  The catalog is only persisted
-        AFTER the swap (refresh=False suppresses the writer's interim
-        bounds refresh, which would durably record .compact.tmp paths): a
-        crash mid-compact leaves the old catalog + old data dir — a
-        consistent pre-compact table — plus orphan tmp dirs that the next
-        compact() clears.  The window between the two renames (old dir
-        moved aside, new dir not yet in place) is NOT covered: a crash
-        exactly there needs the .compact.old dir restored by hand.
-        """
+        Crash-safe at EVERY point (r12 manifest-pointer commit): the
+        merged result is written to a sibling temp directory, published
+        into the live directory under fresh ``rw-`` names invisible to
+        readers, and committed by the catalog's single atomic metadata
+        replace — the source files stay intact and referenced until that
+        replace, so executor loss / cache eviction during the rewrite
+        can always recompute from the originals, and a crash anywhere
+        leaves either the consistent pre-compact table (plus orphan
+        temp/rw files the next rewrite clears) or the committed
+        post-compact table (plus a persisted ``gc_pending`` reclaim the
+        next touch completes).  Reference compaction is HBase-side with
+        the same write-new-then-switch structure."""
         df = self.scan().select(*[c for c, _ in self.meta.all_columns])
         self._rewrite_with(df, op="COMPACT")
 
@@ -500,19 +618,45 @@ class AstroRelation:
         self._rewrite_with(df, op="OVERWRITE")
 
     def _rewrite_with(self, df: DataFrame, op: str = "REWRITE") -> None:
-        """Write ``df`` as the table's new full contents into a sibling
-        temp directory, then swap with O(1) renames (see :meth:`compact`
-        for the crash-safety discussion)."""
+        """Write ``df`` as the table's new full contents via a
+        MANIFEST-POINTER commit (r12, VERDICT r11 #2 — the 100 TB /
+        object-store design the r11 fsops notes named): the rewrite job
+        lands in a sibling temp directory, each output file is then
+        linked into the LIVE directory under a fresh ``rw-<table>-…``
+        name (discovery never adopts unknown ``rw-`` files, so readers
+        cannot see them early), and the catalog's single-object metadata
+        replace is the ONLY commit — no directory swap in any fsops
+        mode, no mixed-listing window.  The replaced files are recorded
+        in ``gc_pending`` by the same commit and deleted right after
+        (a crash in between leaves the list persisted; the next
+        freshness pass completes the reclaim).  Crash before the commit
+        leaves the old catalog + untouched old files — a consistent
+        pre-rewrite table — plus orphan ``rw-`` files that the next
+        rewrite of this table clears."""
         import shutil
+        import uuid
 
         meta = self.meta
         out_dir = self.catalog.data_dir(meta).rstrip("/")
-        tmp_dir = out_dir + ".compact.tmp"
-        old_dir = out_dir + ".compact.old"
+        tmp_dir = out_dir + ".rewrite.tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(out_dir + ".compact.tmp", ignore_errors=True)  # legacy
+        self._clear_orphan_rw(out_dir)
+        # everything this table references AT THIS POINT is what the fold
+        # replaces: live fragments AND retired ones (the whole-table
+        # rebuild is the MVCC reclaim point, r10 retention).  Captured
+        # from the SAME metadata snapshot ``df`` was planned against —
+        # deliberately NOT re-freshened here: a fold is NON-commutative,
+        # and silently adopting a sibling's mid-statement commit would
+        # fold it away with contents computed before it existed.  Any
+        # drift since this snapshot trips the CAS at the commit below
+        # and aborts the statement instead.
+        old_paths = sorted(
+            {self._local_path(r.path) for r in meta.regions}
+            | {self._local_path(r.path) for r in meta.retired_regions}
+        )
 
-        real_dir, real_phys = out_dir, meta.physical_table
+        real_phys = meta.physical_table
         try:
             # point the writer at the temp dir by temporarily renaming the
             # physical table (data_dir derives from it)
@@ -520,20 +664,94 @@ class AstroRelation:
             self.write(df, align_prefix=meta.align_prefix or None, refresh=False)
         finally:
             meta.physical_table = real_phys
-        fsops.swap_dirs(real_dir, tmp_dir, old_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:8]
+        new_files = []
+        for f in sorted(os.listdir(tmp_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            # the rw- prefix keeps Spark's bucket-id suffix (_NNNNN.c000)
+            # intact, so aligned tables re-register as bucketed unchanged
+            dst = os.path.join(out_dir, f"rw-{meta.name}-{token}-{f}")
+            fsops.link(os.path.join(tmp_dir, f), dst)
+            new_files.append(dst)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         if meta.layout == "bucketed":
             # re-point the session-catalog table at the final location
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
-        # the whole-table rebuild is the MVCC reclaim point: retired
-        # fragments went with the old directory (r10 retention)
-        meta.retired_regions = []
-        meta.history_floor = 0  # everything rebuilt at generation 0
-        # folded history: gen 0 re-stamps at rewrite time (restamp="now",
-        # applied only HERE — after the swap succeeded; see ADVICE r8 on
-        # clearing stamps before an uncommitted write)
-        self._refresh_region_bounds(restamp="now")
+        new_layout, new_align = meta.layout, meta.align_prefix
+
+        from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+        m = self.meta
+        m.gc_pending = old_paths
+        m.retired_regions = []
+        m.history_floor = 0  # everything rebuilt at generation 0
+        m.regions = []
+        m.layout, m.align_prefix = new_layout, new_align
+        try:
+            # folded history: gen 0 re-stamps at rewrite time
+            # (restamp="now", applied only HERE — after the files are in
+            # place; see ADVICE r8 on clearing stamps before an
+            # uncommitted write).  only=new_files: the old files still
+            # exist until the post-commit GC, a directory restat would
+            # resurrect them.
+            self._refresh_region_bounds(only=new_files, restamp="now")
+        except ConcurrentWriteError as e:
+            # a sibling committed during the rewrite job.  A fold based
+            # on the pre-commit snapshot would LOSE that commit's rows —
+            # discard our dirty in-memory state, reclaim our uncommitted
+            # rw- files, and surface the conflict (re-running the
+            # statement folds the merged state instead).
+            self.catalog.reload_into(self.meta)
+            for p in new_files:
+                try:
+                    fsops.unlink(p)
+                except OSError:
+                    pass
+            raise ConcurrentWriteError(
+                f"{self.meta.namespace}.{self.meta.name}",
+                e.expected,
+                e.found,
+                detail=(
+                    "a whole-table rewrite (COMPACT/OVERWRITE/fold) raced a "
+                    "concurrent commit; nothing was changed — re-run the "
+                    "statement"
+                ),
+            ) from e
+        self._run_gc()
         self._record_gen_op(0, op)
+
+    def _clear_orphan_rw(self, out_dir: str) -> None:
+        """Reclaim ``rw-<this-table>-…`` files a CRASHED rewrite left
+        behind (linked but never committed): they are unknown to the
+        catalog and invisible to readers, but hold storage.  Only
+        this table's prefix, only when not referenced by the (fresh)
+        metadata, and only when older than an hour — a CONCURRENT
+        rewrite of the same table mid-link must not lose its files (its
+        commit would then point at nothing; the CAS makes the two
+        commits themselves safe)."""
+        import time as _time
+
+        if not os.path.isdir(out_dir):
+            return
+        meta = self.meta
+        known = {os.path.basename(self._local_path(r.path)) for r in meta.regions}
+        known |= {
+            os.path.basename(self._local_path(r.path)) for r in meta.retired_regions
+        }
+        known |= {os.path.basename(p) for p in meta.gc_pending}
+        pfx = f"rw-{meta.name}-"
+        now = _time.time()
+        for f in os.listdir(out_dir):
+            if not f.startswith(pfx) or not f.endswith(".parquet") or f in known:
+                continue
+            p = os.path.join(out_dir, f)
+            try:
+                if now - os.path.getmtime(p) > 3600:
+                    fsops.unlink(p)
+            except OSError:
+                pass
 
     @staticmethod
     def _local_path(p: str) -> str:
@@ -676,8 +894,9 @@ class AstroRelation:
         # cell-version model (reference doc §23 setTimeRange): every
         # pre-rewrite VERSION/TIMESTAMP AS OF stays readable, COMPACT
         # reclaims.  Without retention, survivors rebuild at gen 0 and
-        # history folds (floor/stamp rules below).
-        new_seq = self._next_seq() if retain else 0
+        # history folds (floor/stamp rules below).  Retained rewrites
+        # RESERVE their generation before the data job (r12 CAS).
+        new_seq = self._reserve_generation("REWRITE") if retain else 0
         keyed = self._with_rowkey(out.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(new_seq))
         # output granularity = one file per SOURCE fragment, not per
@@ -692,48 +911,75 @@ class AstroRelation:
         idx = F.lit(0)
         for b in mins:
             idx = idx + (F.col(ROWKEY_COL) >= F.lit(bytes.fromhex(b))).cast("int")
-        if retain:
-            from dataclasses import replace as _dc_replace
-
-            meta.retired_regions = meta.retired_regions + [
-                _dc_replace(r, retired_at=new_seq) for r in hit
-            ]
-        new_files = self._swap_in_survivors(keyed, idx, len(hit), keep)
-        if meta.layout == "bucketed":
+        new_files = self._publish_survivors(keyed, idx, len(hit))
+        demoted = meta.layout == "bucketed"
+        if demoted:
             # rewritten fragments break the bucket-file invariant; demote
             # (one-phase agg falls back) until COMPACT restores alignment
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
-            meta.layout = "range"
-        # kept fragments: directory name and basenames unchanged → their
-        # catalog entries (paths + stats) remain exact; stat only the new
-        # files (same incremental discipline as _ensure_fresh_regions)
-        meta.regions = keep
+
+        hit_paths_l = [f.path for f in hit]
         if retain:
             # retention: the floor does NOT move — every previously
             # readable snapshot remains readable (retired fragments serve
             # the pre-rewrite ones); all stamps retained, the new
-            # generation stamped at the commit moment (writer-path, r10;
-            # mtime stamping is only the sibling-discovery fallback)
-            import time as _time
+            # generation stamped at the reservation moment (writer-path,
+            # r10).  Commutative vs concurrent appends: on conflict,
+            # reload and re-derive from the fresh base — unless the
+            # sibling rewrote our hit fragments (require_live aborts).
+            def commit_retained():
+                from dataclasses import replace as _dc_replace
 
-            meta.generation_times[str(new_seq)] = _time.time()
-            meta.generation_ops[str(new_seq)] = "REWRITE"  # session overrides
+                from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+                m = self.meta
+                # hit fragments must still be live on EVERY attempt (the
+                # reservation's conflict-reload may have absorbed a
+                # sibling's commit already — see _commit_fold_partial)
+                live = {r.path for r in m.regions}
+                if not set(hit_paths) <= live:
+                    raise ConcurrentWriteError(
+                        f"{m.namespace}.{m.name}",
+                        m.meta_version,
+                        m.meta_version,
+                        detail=(
+                            "a concurrent writer rewrote fragments this "
+                            "statement resolved — re-run the statement"
+                        ),
+                    )
+                if demoted:
+                    m.layout = "range"
+                m.pinned_gens = [g for g in m.pinned_gens if g != new_seq]
+                m.retired_regions = m.retired_regions + [
+                    _dc_replace(r, retired_at=new_seq)
+                    for r in m.regions
+                    if r.path in hit_paths
+                ]
+                # kept fragments: basenames unchanged → catalog entries
+                # stay exact; stat only the new files (same incremental
+                # discipline as _ensure_fresh_regions)
+                m.regions = [r for r in m.regions if r.path not in hit_paths]
+                if new_files:
+                    self._refresh_region_bounds(only=new_files, restamp="keep")
+                else:
+                    self.catalog.update_regions(m, m.regions, restamp="keep")
+
+            self._abortable_retained_commit(
+                commit_retained, hit_paths_l, new_files, new_seq
+            )
             stats["history"] = "retained"
-            if new_files:
-                self._refresh_region_bounds(only=new_files, restamp="keep")
-            else:
-                self.catalog.update_regions(meta, keep, restamp="keep")
             self._ensure_generation_stamp(new_seq)
             return stats
-        # exactly ONE snapshot stays readable after a partial rewrite:
-        # the current state, i.e. as_of >= the max SURVIVING generation
-        # (any lower as_of would mix rewritten gen-0 content with a
-        # partial generation set).  The floor is that post-rewrite max —
-        # NOT the pre-rewrite max: when the newest generation's fragments
-        # were themselves rewritten (island closure pulls them in), a
-        # pre-max floor would exceed every surviving seq and ALL
-        # versioned reads would refuse until COMPACT (r8 review #2).
-        meta.history_floor = max([r.seq for r in keep], default=0)
+
+        # non-retained fold: exactly ONE snapshot stays readable after a
+        # partial rewrite — the current state, i.e. as_of >= the max
+        # SURVIVING generation (any lower as_of would mix rewritten
+        # gen-0 content with a partial generation set).  The floor is
+        # that post-rewrite max — NOT the pre-rewrite max: when the
+        # newest generation's fragments were themselves rewritten
+        # (island closure pulls them in), a pre-max floor would exceed
+        # every surviving seq and ALL versioned reads would refuse until
+        # COMPACT (r8 review #2).
         # timestamp semantics after the fold (r9, VERDICT r8 #3):
         # - DELETE (preserve_stamps=True): surviving generations KEEP
         #   their original commit stamps — a timestamp at/after the
@@ -748,11 +994,103 @@ class AstroRelation:
         #   rewrite time.
         restamp = "keep" if preserve_stamps else "now"
         stats["history"] = "folded-purge" if preserve_stamps else "folded"
-        if new_files:
-            self._refresh_region_bounds(only=new_files, restamp=restamp)
-        else:
-            self.catalog.update_regions(meta, keep, restamp=restamp)
+        self._commit_fold_partial(hit, new_files, restamp=restamp, demoted=demoted)
         return stats
+
+    def _abortable_retained_commit(
+        self, commit_fn, require_live: list[str], new_files: list[str], new_seq: int
+    ) -> None:
+        """Run a retained rewrite's commit with optimistic retry; on a
+        genuine write-write conflict (our base fragments are gone), undo
+        everything this statement materialized — the published rw- files
+        AND the generation reservation — before surfacing the error, so
+        an aborted statement leaves no phantom generation and no orphan
+        storage."""
+        from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+        try:
+            self._commit_retry(commit_fn, require_live=require_live)
+        except ConcurrentWriteError:
+            for p in new_files:
+                try:
+                    fsops.unlink(p)
+                except OSError:
+                    pass
+            self._unreserve_generation(new_seq)
+            raise
+
+    def _commit_fold_partial(
+        self,
+        hit: list[RegionFile],
+        new_files: list[str],
+        restamp: str,
+        demoted: bool,
+        floor_rule: str = "max_surviving",
+    ) -> None:
+        """Shared metadata commit of the NON-retained partial rewrites
+        (r12 manifest-pointer): drop the hit fragments from the live
+        set, adopt the published survivor files, record the hit files
+        in ``gc_pending`` (same commit), apply the floor rule, then
+        reclaim.  Optimistic retry: a concurrent APPEND is commutative
+        (reload + re-derive); a concurrent rewrite of our own hit
+        fragments aborts via ``require_live`` — our survivors were
+        computed from fragments that no longer exist.
+
+        ``floor_rule``: 'max_surviving' folds history to the newest
+        surviving generation (island/keyset/zorder rewrites);
+        'keep' leaves floor and stamps untouched (the key-only
+        retroactive purge, which rewrites every generation
+        consistently)."""
+        from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+        hit_paths = [f.path for f in hit]
+        hp = set(hit_paths)
+
+        def commit():
+            m = self.meta
+            # the hit fragments must still be LIVE in the state we are
+            # committing against (checked on EVERY attempt: an earlier
+            # reservation's conflict-reload may have already absorbed a
+            # sibling's commit, so require_live's on-conflict check alone
+            # would miss it) — our survivors were computed from them
+            live = {r.path for r in m.regions}
+            if not hp <= live:
+                raise ConcurrentWriteError(
+                    f"{m.namespace}.{m.name}",
+                    m.meta_version,
+                    m.meta_version,
+                    detail=(
+                        "a concurrent writer rewrote fragments this "
+                        "statement resolved — re-run the statement"
+                    ),
+                )
+            if demoted:
+                m.layout = "range"
+            m.gc_pending = sorted({self._local_path(p) for p in hp})
+            m.regions = [r for r in m.regions if r.path not in hp]
+            if new_files:
+                self._refresh_region_bounds(only=new_files, restamp=restamp)
+            else:
+                self.catalog.update_regions(m, m.regions, restamp=restamp)
+            if floor_rule == "max_surviving":
+                # floor = max SURVIVING generation (r8 review #2 / r9):
+                # computed after the refresh so delete-everything states
+                # (no surviving newest gens) floor correctly
+                m.history_floor = max((r.seq for r in m.regions), default=0)
+                self.catalog.persist(m)
+
+        try:
+            self._commit_retry(commit, require_live=hit_paths)
+        except ConcurrentWriteError:
+            # nothing committed: reclaim the published-but-unreferenced
+            # survivor files before surfacing the conflict
+            for p in new_files:
+                try:
+                    fsops.unlink(p)
+                except OSError:
+                    pass
+            raise
+        self._run_gc()
 
     def delete_rows_keyonly(self, where: str) -> dict | None:
         """Per-fragment retroactive purge for KEY-ONLY delete predicates
@@ -896,20 +1234,19 @@ class AstroRelation:
             sort_cols = ["__z", ROWKEY_COL]
         else:
             sort_cols = [ROWKEY_COL]
-        new_files = self._swap_in_survivors(
-            survivors, idx, len(hit), keep, sort_cols=sort_cols
+        new_files = self._publish_survivors(
+            survivors, idx, len(hit), sort_cols=sort_cols
         )
-        if meta.layout == "bucketed":
+        demoted = meta.layout == "bucketed"
+        if demoted:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
-            meta.layout = "range"
-        meta.regions = keep
-        # history_floor and generation_times intentionally unchanged:
-        # every generation was purged consistently, so every previously
-        # readable snapshot stays readable (minus the deleted keys)
-        if new_files:
-            self._refresh_region_bounds(only=new_files)
-        else:
-            self.catalog.update_regions(meta, keep)
+        # history_floor and generation_times intentionally unchanged
+        # (floor_rule="keep"): every generation was purged consistently,
+        # so every previously readable snapshot stays readable (minus
+        # the deleted keys)
+        self._commit_fold_partial(
+            hit, new_files, restamp="keep", demoted=demoted, floor_rule="keep"
+        )
         return stats
 
     def delete_rows_resolved_keys(self, where: str) -> dict | None:
@@ -1093,40 +1430,25 @@ class AstroRelation:
             sort_cols = ["__z", ROWKEY_COL]
         else:
             sort_cols = [ROWKEY_COL]
-        # fold history BEFORE swapping state: exactly one snapshot stays
-        # readable (the present) — same rule as the resolved island path
-        pre_max = max(r.seq for r in meta.regions)
-        new_files = self._swap_in_survivors(
-            survivors, F.col("__kidx"), len(hit), keep, sort_cols=sort_cols
+        new_files = self._publish_survivors(
+            survivors, F.col("__kidx"), len(hit), sort_cols=sort_cols
         )
-        if meta.layout == "bucketed":
+        demoted = meta.layout == "bucketed"
+        if demoted:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
-            meta.layout = "range"
-        meta.regions = keep
-        # interim floor (guards concurrent readers between the swap and
-        # the refresh below); the final floor is recomputed after the
-        # refresh from the generations that actually SURVIVED
-        meta.history_floor = pre_max
         # DELETE keeps surviving stamps (retroactive purge view above the
         # floor — rows keep their generation numbers here, so the floor
         # snapshot is exactly the old one minus purged keys); UPDATE
-        # re-stamps at rewrite time (see rewrite_pruned)
+        # re-stamps at rewrite time (see rewrite_pruned).  floor = max
+        # SURVIVING generation (r9; the r8-review-#2 rule): when the
+        # purge removed every row of the newest generations, a pre-max
+        # floor would exceed every surviving seq and ALL versioned reads
+        # would refuse until COMPACT — _commit_fold_partial recomputes it
+        # post-refresh.  (The r11 interim floor between swap and refresh
+        # is obsolete: the manifest-pointer commit has no swap window.)
         restamp = "keep" if preserve_stamps else "now"
         stats["history"] = "folded-purge" if preserve_stamps else "folded"
-        if new_files:
-            self._refresh_region_bounds(only=new_files, restamp=restamp)
-        else:
-            self.catalog.update_regions(meta, keep, restamp=restamp)
-        # floor = max SURVIVING generation (r9; the r8-review-#2 rule,
-        # previously applied only to the island path): when the purge
-        # removed every row of the newest generations, a pre-max floor
-        # would exceed every surviving seq — and the vanished floor
-        # generation's stamp is dropped by update_regions — so ALL
-        # versioned reads would refuse until COMPACT.  Timestamps in the
-        # vanished generations' window then resolve to the surviving
-        # floor, i.e. the purged present — exactly the retroactive view.
-        meta.history_floor = max((r.seq for r in meta.regions), default=0)
-        self.catalog.persist(meta)
+        self._commit_fold_partial(hit, new_files, restamp=restamp, demoted=demoted)
         return stats
 
     def vacuum(
@@ -1284,7 +1606,9 @@ class AstroRelation:
                 return {"files_total": 0, "files_rewritten": 0, "history": "retained"}
             self.write(out, align_prefix=meta.align_prefix or None)
             return {"files_total": 0, "files_rewritten": 0, "history": "retained"}
-        new_seq = self._next_seq()
+        # reservation = the writer-path commit stamp + the concurrency
+        # claim (r12 CAS; see append)
+        new_seq = self._reserve_generation("REWRITE")  # session overrides op
         keyed = self._with_rowkey(out.select(*[c for c, _ in meta.all_columns]))
         keyed = self._physical_encode(keyed).withColumn(SEQ_COL, F.lit(new_seq))
         # file granularity mirrors the pre-rewrite layout: sorted live
@@ -1294,55 +1618,84 @@ class AstroRelation:
         idx = F.lit(0)
         for b in mins:
             idx = idx + (F.col(ROWKEY_COL) >= F.lit(bytes.fromhex(b))).cast("int")
-        from dataclasses import replace as _dc_replace
-
-        meta.retired_regions = meta.retired_regions + [
-            _dc_replace(r, retired_at=new_seq) for r in hit
-        ]
-        new_files = self._swap_in_survivors(keyed, idx, len(hit), [])
-        if meta.layout == "bucketed":
+        new_files = self._publish_survivors(keyed, idx, len(hit))
+        demoted = meta.layout == "bucketed"
+        if demoted:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
-            meta.layout = "range"
-        meta.regions = []
         stats = {
             "files_total": len(hit),
             "files_rewritten": len(hit),
             "history": "retained",
         }
-        import time as _time
+        hit_paths_l = [r.path for r in hit]
+        hp = set(hit_paths_l)
 
-        meta.generation_times[str(new_seq)] = _time.time()  # writer-path stamp
-        meta.generation_ops[str(new_seq)] = "REWRITE"  # session overrides
-        if new_files:
-            self._refresh_region_bounds(only=new_files, restamp="keep")
-        else:
-            self.catalog.update_regions(meta, [], restamp="keep")
+        def commit():
+            from dataclasses import replace as _dc_replace
+
+            from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+            m = self.meta
+            # base fragments must still be live on every attempt (see
+            # _commit_fold_partial)
+            live = {r.path for r in m.regions}
+            if not hp <= live:
+                raise ConcurrentWriteError(
+                    f"{m.namespace}.{m.name}",
+                    m.meta_version,
+                    m.meta_version,
+                    detail=(
+                        "a concurrent writer rewrote fragments this "
+                        "statement resolved — re-run the statement"
+                    ),
+                )
+            if demoted:
+                m.layout = "range"
+            m.pinned_gens = [g for g in m.pinned_gens if g != new_seq]
+            m.retired_regions = m.retired_regions + [
+                _dc_replace(r, retired_at=new_seq)
+                for r in m.regions
+                if r.path in hp
+            ]
+            m.regions = [r for r in m.regions if r.path not in hp]
+            if new_files:
+                self._refresh_region_bounds(only=new_files, restamp="keep")
+            else:
+                self.catalog.update_regions(m, m.regions, restamp="keep")
+
+        self._abortable_retained_commit(commit, hit_paths_l, new_files, new_seq)
         self._ensure_generation_stamp(new_seq)
         return stats
 
-    def _swap_in_survivors(
+    def _publish_survivors(
         self,
         keyed: DataFrame,
         idx,
         n_out: int,
-        keep: list[RegionFile],
         sort_cols: list[str] | None = None,
     ) -> list[str]:
-        """Shared tail of the partial rewrites: write ``keyed`` (already
+        """Shared tail of the partial rewrites, as a MANIFEST-POINTER
+        publish (r12, VERDICT r11 #2): write ``keyed`` (already
         rowkey'd/encoded/seq'd) into ``n_out`` files by the ``idx``
-        partition expression via mined identity bucket ids, hard-link the
-        ``keep`` fragments (same inode — byte-identical, O(#files)
-        metadata ops), then swap directories with O(1) renames (same
-        crash-safety envelope as :meth:`compact`).  Returns the new file
-        paths under the live directory."""
+        partition expression via mined identity bucket ids into a temp
+        directory, then link each output into the LIVE directory under
+        a fresh ``rw-<table>-…`` name.  Nothing else moves: kept
+        fragments stay in place untouched — a 2-of-1000-file rewrite
+        touches 2 files + one metadata object, where the old
+        directory-swap re-linked every kept and retired fragment
+        (O(#files) ops and a rename window) — and discovery never
+        adopts unknown rw- files, so readers see the survivors only
+        through the caller's catalog commit.  The caller records the
+        replaced files in ``gc_pending`` inside that same commit and
+        runs :meth:`_run_gc` after it."""
         import shutil
+        import uuid
 
         meta = self.meta
         out_dir = self.catalog.data_dir(meta).rstrip("/")
-        tmp_dir = out_dir + ".compact.tmp"
-        old_dir = out_dir + ".compact.old"
+        tmp_dir = out_dir + ".rewrite.tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        self._clear_orphan_rw(out_dir)
 
         ids = mine_region_ids(n_out)
         keyed = keyed.withColumn(
@@ -1356,19 +1709,15 @@ class AstroRelation:
             .drop(*[c for c in scols if c.startswith("__")])  # helper sort keys
             .write.mode("overwrite")
         ).parquet(tmp_dir)
-        new_files = [
-            os.path.join(out_dir, f)
-            for f in sorted(os.listdir(tmp_dir))
-            if f.endswith(".parquet")
-        ]
-        # retired fragments (MVCC retention) ride along: they share the
-        # directory and must survive every PARTIAL rewrite — only
-        # COMPACT / OVERWRITE (whole-table rebuilds) reclaim them
-        for rf in list(keep) + list(meta.retired_regions):
-            src = self._local_path(rf.path)
-            fsops.link(src, os.path.join(tmp_dir, os.path.basename(src)))
-        fsops.swap_dirs(out_dir, tmp_dir, old_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        token = uuid.uuid4().hex[:8]
+        new_files = []
+        for f in sorted(os.listdir(tmp_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(out_dir, f"rw-{meta.name}-{token}-{f}")
+            fsops.link(os.path.join(tmp_dir, f), dst)
+            new_files.append(dst)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         return new_files
 
     def _rewrite_pruned_zorder(
@@ -1431,21 +1780,16 @@ class AstroRelation:
         idx = F.lit(0)
         for zb in zmaxs[:-1]:
             idx = idx + (F.col("__z") > F.lit(zb)).cast("int")
-        new_files = self._swap_in_survivors(
-            keyed, idx, len(hit), keep, sort_cols=["__z", ROWKEY_COL]
+        new_files = self._publish_survivors(
+            keyed, idx, len(hit), sort_cols=["__z", ROWKEY_COL]
         )
-        meta.regions = keep
         # same post-rewrite-max floor rule as rewrite_pruned (all files
-        # share one generation here, so this is just that generation)
-        meta.history_floor = max([r.seq for r in keep], default=0)
+        # share one generation here, so this is just that generation);
         # fold timestamp history — DELETE keeps surviving stamps for the
         # retroactive view above the floor (see rewrite_pruned)
         restamp = "keep" if preserve_stamps else "now"
         stats["history"] = "folded-purge" if preserve_stamps else "folded"
-        if new_files:
-            self._refresh_region_bounds(only=new_files, restamp=restamp)
-        else:
-            self.catalog.update_regions(meta, keep, restamp=restamp)
+        self._commit_fold_partial(hit, new_files, restamp=restamp, demoted=False)
         return stats
 
     def _file_schema(self) -> T.StructType:
@@ -1471,24 +1815,40 @@ class AstroRelation:
         return df.withColumn(SEQ_COL, F.coalesce(F.col(SEQ_COL), F.lit(0)))
 
     def _ensure_fresh_regions(self) -> None:
-        """Region-info freshness for many-to-one tables: a sibling logical
-        table over the same physical store may have appended fragments this
-        meta hasn't seen.  One driver-side directory listing (the
-        reference's region-cache refresh analog, HBaseRelation.scala:
-        199-243); the stats job only runs when the file set drifted —
-        the single-writer fast path stays listing-only."""
+        """Region-info freshness: (1) cross-SESSION — a sibling session's
+        catalog commit moves the metadata version (r12 CAS); one small
+        version probe adopts its retirements/stamps/ops before trusting
+        cached state.  (2) crash recovery — complete an interrupted
+        post-commit reclaim (r12 manifest-pointer ``gc_pending``).
+        (3) many-to-one — a sibling LOGICAL table over the same physical
+        store may have appended fragments this meta's own commits never
+        see; one driver-side directory listing (the reference's
+        region-cache refresh analog, HBaseRelation.scala:199-243)
+        adopts them.  Unknown ``rw-`` files are PRE-COMMIT rewrite
+        outputs (published only through a catalog commit) and are never
+        adopted from a listing.  The stats job only runs when the file
+        set drifted — the single-writer fast path stays probe+listing."""
         import os
 
+        meta = self.meta
+        dv = self.catalog.disk_version(meta.name, meta.namespace)
+        if dv >= 0 and dv != meta.meta_version:
+            self.catalog.reload_into(meta)
+        self._run_gc()
         out_dir = self.catalog.data_dir(self.meta)
         if not os.path.isdir(out_dir):
             return
         on_disk = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
         # retired fragments (MVCC retention, r10) live in the same
         # directory but are NOT part of the live region set — known to
-        # the freshness check, never re-adopted as live
+        # the freshness check, never re-adopted as live; ditto anything
+        # still awaiting the post-commit reclaim
         retired = {os.path.basename(r.path) for r in self.meta.retired_regions}
+        retired |= {os.path.basename(p) for p in self.meta.gc_pending}
         on_disk -= retired
         known = {os.path.basename(r.path) for r in self.meta.regions}
+        # unknown rewrite outputs: ours or a sibling's, not yet committed
+        on_disk -= {f for f in on_disk - known if f.startswith("rw-")}
         if on_disk == known:
             if self.meta.regions and not self.meta.generation_times:
                 # legacy table written before commit stamping existed:
@@ -1501,9 +1861,14 @@ class AstroRelation:
         new = on_disk - known
         gone = known - on_disk
         if gone or not new:
-            # files vanished (compaction / overwrite by a sibling): the
-            # catalog's view of survivors may be stale too — full restat
-            self._refresh_region_bounds()
+            # files vanished (compaction / overwrite by a MANY-TO-ONE
+            # sibling, whose commit lives in ITS meta file): the
+            # catalog's view of survivors may be stale too — full restat,
+            # adopting the sibling's committed rw- outputs (the only
+            # listing-based path that may; an in-progress third writer's
+            # rw- files are a documented race corner here, narrowed by
+            # the one-hour orphan grace in _clear_orphan_rw)
+            self._refresh_region_bounds(adopt_rw=True)
         else:
             # pure appends: stat ONLY the unseen fragments and merge with
             # the known region metadata — at 10⁵-10⁶ files one sibling
@@ -1514,7 +1879,10 @@ class AstroRelation:
             )
 
     def _refresh_region_bounds(
-        self, only: list[str] | None = None, restamp: str = "keep"
+        self,
+        only: list[str] | None = None,
+        restamp: str = "keep",
+        adopt_rw: bool = False,
     ) -> None:
         """One aggregate job → per-file (min,max) key bounds + generation
         + distinct-key count into catalog.  All stats ride the same
@@ -1523,20 +1891,30 @@ class AstroRelation:
         ``only``: incremental mode — stat just these fragment paths and
         merge with the existing region entries (whose files are untouched
         by an append, so their stats remain exact); default None restats
-        the whole table directory."""
+        the whole table directory.  ``adopt_rw``: whether a full restat
+        may adopt UNKNOWN ``rw-`` files — normally never (they are
+        pre-commit rewrite outputs; adopting one mid-rewrite would
+        double-count its source rows), except in the sibling-rewrite
+        recovery path (_ensure_fresh_regions' gone-files case, where a
+        many-to-one sibling's committed rewrite replaced the store)."""
         meta = self.meta
         out_dir = self.catalog.data_dir(meta)
         if only is not None:
             stat_paths = list(only)
         else:
             # explicit file list in all cases: retired fragments (MVCC
-            # retention) must not be re-adopted as live, and the
+            # retention) and files awaiting post-commit reclaim
+            # (gc_pending, r12) must not be re-adopted as live, and the
             # zero-row-file cleanup below needs to know what was read
             retired = {os.path.basename(r.path) for r in meta.retired_regions}
+            retired |= {os.path.basename(p) for p in meta.gc_pending}
+            known = {os.path.basename(r.path) for r in meta.regions}
             stat_paths = sorted(
                 os.path.join(out_dir, f)
                 for f in os.listdir(out_dir)
-                if f.endswith(".parquet") and f not in retired
+                if f.endswith(".parquet")
+                and f not in retired
+                and (adopt_rw or not f.startswith("rw-") or f in known)
             )
         if not stat_paths:
             self.catalog.update_regions(meta, [], restamp=restamp)
@@ -1987,22 +2365,21 @@ class AstroRelation:
         COMPACT / INSERT OVERWRITE / pruned rewrite (those restart at
         generation 0); ``current_seq()`` reports the newest generation."""
         self._ensure_fresh_regions()
-        out_dir = self.catalog.data_dir(self.meta)
         retired_read = False
         if as_of_seq is None:
-            if self.meta.retired_regions:
-                # retired fragments share the directory; the present
-                # scan reads the explicit live file list
-                live = [r.path for r in self.meta.regions]
-                if not live:
-                    return self._resolve(
-                        self.spark.createDataFrame([], self._file_schema()),
-                        with_rowkey=with_rowkey,
-                        needs_merge=False,
-                    )
-                df = self._read_fragments(*live)
-            else:
-                df = self._read_fragments(out_dir)
+            # the scan ALWAYS reads the explicit committed file list
+            # (r12 manifest-pointer): the directory may hold retired
+            # fragments, files awaiting post-commit reclaim, and
+            # in-progress rw- rewrite outputs — only the catalog says
+            # which files are the table
+            live = [r.path for r in self.meta.regions]
+            if not live:
+                return self._resolve(
+                    self.spark.createDataFrame([], self._file_schema()),
+                    with_rowkey=with_rowkey,
+                    needs_merge=False,
+                )
+            df = self._read_fragments(*live)
         else:
             if as_of_seq < self.meta.history_floor:
                 raise ValueError(

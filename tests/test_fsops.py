@@ -51,23 +51,34 @@ def test_link_copy_mode_materializes(tmp_path):
     assert dst.read_bytes() == b"y" * 100
 
 
-@pytest.mark.parametrize("mode", ["posix", "copy"])
-def test_swap_dirs_both_modes(tmp_path, mode):
-    real = tmp_path / "data"
-    tmp = tmp_path / "data.compact.tmp"
-    old = tmp_path / "data.compact.old"
-    real.mkdir()
-    (real / "live.parquet").write_bytes(b"old-contents")
-    tmp.mkdir()
-    (tmp / "new.parquet").write_bytes(b"new-contents")
-    fsops.set_mode(mode)
-    fsops.swap_dirs(str(real), str(tmp), str(old))
-    # promoted: the new tree is live, the old one moved aside, tmp gone
-    assert sorted(os.listdir(real)) == ["new.parquet"]
-    assert (real / "new.parquet").read_bytes() == b"new-contents"
-    assert sorted(os.listdir(old)) == ["live.parquet"]
-    assert (old / "live.parquet").read_bytes() == b"old-contents"
-    assert not tmp.exists()
+def test_swap_dirs_removed():
+    """r12 manifest-pointer: no code path moves directories anymore —
+    the shim must not regrow one silently."""
+    assert not hasattr(fsops, "swap_dirs")
+
+
+def test_lock_mutual_exclusion_and_release(tmp_path):
+    target = str(tmp_path / "t.meta.json")
+    lock = fsops.acquire_lock(target)
+    assert os.path.exists(lock)
+    # a second acquirer times out while held
+    with pytest.raises(TimeoutError, match="commit lock"):
+        fsops.acquire_lock(target, timeout=0.1)
+    fsops.release_lock(lock)
+    assert not os.path.exists(lock)
+    # and succeeds after release
+    lock2 = fsops.acquire_lock(target, timeout=0.5)
+    fsops.release_lock(lock2)
+
+
+def test_lock_breaks_stale_holder(tmp_path):
+    target = str(tmp_path / "t.meta.json")
+    lock = fsops.acquire_lock(target)
+    # age the lock past the stale threshold (a crashed holder)
+    os.utime(lock, (0, 0))
+    lock2 = fsops.acquire_lock(target, timeout=0.5, stale=1.0)
+    assert os.path.exists(lock2)
+    fsops.release_lock(lock2)
 
 
 def test_unlink_and_replace(tmp_path):
