@@ -554,20 +554,9 @@ class AstroRelation:
         self._commit_retry(clear)
 
     def _next_seq(self) -> int:
-        """Next unused LSM generation.  Retired generations count (r10):
-        a retained rewrite that emitted zero survivor files (e.g. a
-        DELETE matching a whole island) still consumed its generation —
-        reusing it would let a snapshot mix the retired fragments with
-        later rows."""
-        meta = self.meta
-        cands = [r.seq for r in meta.regions]
-        cands += [r.retired_at for r in meta.retired_regions]
-        # stamped generations count even when FILELESS (a
-        # delete-everything retained rewrite, or its stamp surviving
-        # VACUUM): reusing the number would backdate new rows into the
-        # stamped generation's timestamp window
-        cands += [int(s) for s in meta.generation_times]
-        return max(cands, default=-1) + 1
+        """Next unused LSM generation — see TableMeta.next_seq (retired
+        epochs and fileless stamped generations count, r10; pins, r12)."""
+        return self.meta.next_seq()
 
     def _physical_encode(self, keyed: DataFrame) -> DataFrame:
         """Physical value layout.  binaryformat: typed parquet columns.
@@ -2054,7 +2043,13 @@ class AstroRelation:
             return col.cast(spark_type(dt)).alias(n)
 
         typed = raw.select(*[field(n, dt) for n, dt in self.meta.all_columns])
-        if self.meta.regions:
+        meta = self.meta
+        if meta.regions or meta.retired_regions or meta.generation_times:
+            # any history (live fragments, retained snapshots, commit
+            # stamps from an ALTER or a delete-everything) routes to the
+            # append path — a gen-0 bulk write would clobber/backdate it
+            # (r11 ADVICE; r12 ALTER commits).  The declared layout is
+            # restored by the next COMPACT.
             self.append(typed)
         else:
             # first load honors the table's declared layout (DDL

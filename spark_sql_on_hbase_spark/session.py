@@ -266,16 +266,32 @@ class AstroSession:
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
 
     def _exec_AlterAddCol(self, c: ddl.AlterAddCol) -> DataFrame:
-        self.catalog.alter_add_column(
-            c.table,
-            NonKeyColumn(name=c.col, dtype=C.normalize_type(c.dtype), family=c.family, qualifier=c.qualifier),
-            c.namespace,
+        # freshness + optimistic retry (r12): the ALTER is itself a
+        # commit (stamped generation + DESCRIBE HISTORY row) and must
+        # base on the current metadata version
+        rel = self.relation(c.table, c.namespace)
+        rel._ensure_fresh_regions()
+        rel._commit_retry(
+            lambda: self.catalog.alter_add_column(
+                c.table,
+                NonKeyColumn(
+                    name=c.col,
+                    dtype=C.normalize_type(c.dtype),
+                    family=c.family,
+                    qualifier=c.qualifier,
+                ),
+                c.namespace,
+            )
         )
         self._register_all()
         return self._ok(f"added column {c.col}")
 
     def _exec_AlterDropCol(self, c: ddl.AlterDropCol) -> DataFrame:
-        self.catalog.alter_drop_column(c.table, c.col, c.namespace)
+        rel = self.relation(c.table, c.namespace)
+        rel._ensure_fresh_regions()
+        rel._commit_retry(
+            lambda: self.catalog.alter_drop_column(c.table, c.col, c.namespace)
+        )
         self._register_all()
         return self._ok(f"dropped column {c.col}")
 
