@@ -174,6 +174,15 @@ def main() -> None:
         }
     total = sum(v for v in timings.values() if v > 0)
 
+    # per-branch task attribution for the multi-branch suite heavyweights
+    # (r12, VERDICT r11 #7): the suites dominate bench task time but were
+    # opaque single numbers — run each branch as its own action once and
+    # record its executor task seconds under query_metrics.<suite>.branches,
+    # so a future branch regression localizes instantly.  Detail-file
+    # only (zero compact-line bytes); SPARK_GRAFT_BENCH_BRANCHES=0 skips.
+    if os.environ.get("SPARK_GRAFT_BENCH_BRANCHES", "1") != "0":
+        _branch_attribution(spark, sf_dir, query_metrics)
+
     plan_shapes = _plan_shapes(spark, sf_dir)
 
     # full evidence → side file (+ its own stdout line, which may be
@@ -354,6 +363,47 @@ def _sweep(spark, qs, sf_dir, runs, budget_s):
         if best_m is not None:
             query_metrics[name] = best_m
     return timings, query_metrics
+
+
+def _branch_attribution(spark, sf_dir, query_metrics) -> None:
+    """Executor task seconds per SUITE BRANCH (one action per branch,
+    single run — attribution evidence, not a regression gate; the
+    suite-level min-of-2 task number stays the gate)."""
+    try:
+        from spark_sql_on_hbase_spark.queries_pipeline import (
+            _corpus_ops_branches,
+            _multimodal_branches,
+            _text_ops_branches,
+        )
+    except ImportError:
+        return
+    builders = {
+        "text_ops_suite": _text_ops_branches,
+        "corpus_ops_suite": _corpus_ops_branches,
+        "multimodal_suite": _multimodal_branches,
+    }
+    for suite, build in builders.items():
+        if suite not in query_metrics:
+            continue
+        try:
+            spark.catalog.clearCache()
+            branches = build(spark, sf_dir)
+        except Exception as ex:
+            print(f"branch attribution build failed for {suite}: {ex}", file=sys.stderr)
+            continue
+        out: dict[str, float] = {}
+        for tag, df in branches.items():
+            before = _stage_marker(spark)
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as ex:
+                print(f"branch {suite}.{tag} failed: {ex}", file=sys.stderr)
+                continue
+            after = _stage_totals(spark, since=before)
+            if after is not None:
+                out[tag] = after.get("task_time_sec", 0.0)
+        if out:
+            query_metrics[suite]["branches"] = out
 
 
 def _round_no() -> int:

@@ -172,6 +172,9 @@ TAIL_ORDER = [
     # r11: REAL progressive JPEG decode; values grade in-window through
     # the suite's 'jpeg_prog' branch
     "multimodal_progressive_decode",
+    # r12: REAL MJPEG/AVI video decode (the last stub replaced); values
+    # grade in-window through the suite's 'video' branch
+    "multimodal_video",
     # r9: the multi-probe LSH path, oracle-graded over the planted frame
     "ann_multiprobe_topk",
     # r8: RAG/pretraining token chunking; values grade in-window through

@@ -1569,6 +1569,95 @@ PIPELINE["multimodal_wav_decode"] = Q(
 )
 
 
+def _multimodal_video(spark: SparkSession, sf: str) -> DataFrame:
+    """r12 (VERDICT r11 #6): REAL MJPEG/AVI video decode — the last
+    multimodal stub replaced.  Document bytes → (doc_id % 3 + 1) JPEG
+    frames (frame f encodes payload + byte(f), so every frame is
+    DISTINCT and a decoder returning frame 0 repeatedly is caught) in a
+    real RIFF/AVI container (encode_avi_mjpeg) → decode_avi/video_frames
+    explode → per-frame REAL pixel statistics via the same
+    constant-block identity contract the image branches grade through.
+    Container metadata (declared dims, frame count) is graded alongside
+    the decoded pixels."""
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        attach_binary_column,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        image_pixel_stats,
+        video_frames,
+    )
+
+    t = load_tables(spark, sf)
+    df = attach_binary_column(
+        t["documents"].filter(F.col("doc_id") < 150).select("doc_id", "text"),
+        "text",
+        "blob",
+    ).select("doc_id", "blob")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("avi", T.BinaryType(), True),
+        ]
+    )
+
+    def mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            avis = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                if b is None:
+                    avis.append(None)
+                    continue
+                payload = bytes(b)
+                nf = int(d) % 3 + 1
+                frames = [
+                    encode_jpeg(payload + bytes([f]), 16) for f in range(nf)
+                ]
+                h = 8 * ((len(payload) + 16) // 16)
+                avis.append(encode_avi_mjpeg(frames, 128, h, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "avi": avis})
+
+    vids = df.mapInPandas(mk, out_schema)
+    fr = video_frames(vids, "avi")
+    stats = image_pixel_stats(fr, "frame")
+    return stats.select(
+        "doc_id", "frame_idx", "n_frames", "vid_w", "vid_h",
+        "width", "height", "sum_b", "sum_g", "sum_r", "px_weighted",
+    ).orderBy("doc_id", "frame_idx")
+
+
+# frame f encodes payload + byte(f): its stats are the payload's plus
+# the appended byte's contribution at position n = octet_length(text)
+_VIDEO_ORACLE_BODY = f"""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+           128 AS vid_w,
+           CAST(8 * ((octet_length(encode(text)) + 16) // 16) AS INT) AS vid_h,
+           128 AS width,
+           CAST(8 * ((octet_length(encode(text)) + 16) // 16) AS INT) AS height,
+           CAST(64 * (coalesce(list_sum(list_transform(range(0, octet_length(encode(text))), i -> {_BMP_BYTE})), 0) + f) AS BIGINT) AS sum_b,
+           CAST(64 * (coalesce(list_sum(list_transform(range(0, octet_length(encode(text))), i -> {_BMP_BYTE})), 0) + f) AS BIGINT) AS sum_g,
+           CAST(64 * (coalesce(list_sum(list_transform(range(0, octet_length(encode(text))), i -> {_BMP_BYTE})), 0) + f) AS BIGINT) AS sum_r,
+           CAST(6 * (coalesce(list_sum(list_transform(range(0, octet_length(encode(text))), i -> {_BMP_BYTE} * (64 * (1024 * (i // 16) + 8 * (i % 16) + 1) + 28896))), 0)
+                     + f * (64 * (1024 * (octet_length(encode(text)) // 16) + 8 * (octet_length(encode(text)) % 16) + 1) + 28896)) AS BIGINT) AS px_weighted
+    FROM documents, unnest(range(doc_id % 3 + 1)) AS t(f)
+    WHERE doc_id < 150 AND text IS NOT NULL
+    ORDER BY doc_id, frame_idx
+"""
+
+PIPELINE["multimodal_video"] = Q(
+    spark=_multimodal_video,
+    oracle=_VIDEO_ORACLE_BODY,
+    doc="r12 REAL MJPEG/AVI video decode (RIFF container parse + per-frame "
+    "JPEG decode, pure stdlib/numpy): per-frame exact pixel statistics via "
+    "the constant-block identity contract, with distinct per-frame payloads "
+    "and container dims/frame-count graded alongside — the last multimodal "
+    "stub (video) is gone; non-MJPEG fourccs classify in media_coverage",
+)
+
+
 def _mixed_media_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 'web-corpus' media mix over documents (doc_id <
     400): per doc_id % 5 — a valid BMP, a PROGRESSIVE-marked JPEG (real
@@ -1676,7 +1765,7 @@ PIPELINE["multimodal_undecoded"] = Q(
 )
 
 
-def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
+def _multimodal_branches(spark: SparkSession, sf: str) -> dict:
     """Window-budget collapse of the multimodal rows (frame-sample /
     resize / feature-extract / r8 real-BMP decode) into one checksummed
     suite: each branch is the EXACT original query wrapped in
@@ -1749,10 +1838,28 @@ def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
         + (F.col("px_weighted") % 1_000_000_000_000) * 17,
     )
-    return (
-        fr.unionAll(rz).unionAll(fe).unionAll(bmp).unionAll(png)
-        .unionAll(wav).unionAll(jpg).unionAll(und).unionAll(prg)
+    vid = _probe_agg(
+        "video",
+        _multimodal_video(spark, sf),
+        F.col("doc_id") * 1 + F.col("frame_idx") * 19 + F.col("n_frames") * 23
+        + F.col("vid_w") * 29 + F.col("vid_h") * 31
+        + F.col("width") * 3 + F.col("height") * 5
+        + F.col("sum_b") * 7 + F.col("sum_g") * 11 + F.col("sum_r") * 13
+        + (F.col("px_weighted") % 1_000_000_000_000) * 17,
     )
+    return {
+        "frames": fr, "resize": rz, "features": fe, "bmp": bmp, "png": png,
+        "wav": wav, "jpeg": jpg, "undecoded": und, "jpeg_prog": prg,
+        "video": vid,
+    }
+
+
+def _multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
+    bs = list(_multimodal_branches(spark, sf).values())
+    out = bs[0]
+    for b in bs[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 PIPELINE["multimodal_suite"] = Q(
@@ -1841,6 +1948,14 @@ PIPELINE["multimodal_suite"] = Q(
            CAST(sum(doc_id * 1 + width * 3 + height * 5 + sum_b * 7
                     + sum_g * 11 + sum_r * 13 + (px_weighted % 1000000000000) * 17) AS BIGINT) AS chk
     FROM jpg
+    UNION ALL
+    SELECT 'video' AS probe, count(*) AS cnt,
+           CAST(sum(doc_id * 1 + frame_idx * 19 + n_frames * 23 + vid_w * 29
+                    + vid_h * 31 + width * 3 + height * 5 + sum_b * 7
+                    + sum_g * 11 + sum_r * 13 + (px_weighted % 1000000000000) * 17) AS BIGINT) AS chk
+    FROM (
+      {_VIDEO_ORACLE_BODY}
+    ) vid
     """,
     doc="multimodal plumbing suite: frame-sample explode, mapInPandas resize "
     "byte-contract (len_ok must hold on the actual binary column — a False "
@@ -1849,7 +1964,9 @@ PIPELINE["multimodal_suite"] = Q(
     "r10: + the real-JPEG branch (constant-block identity contract); "
     "r11: + the undecodable-media coverage histogram (VERDICT r10 #6) and "
     "the PROGRESSIVE-JPEG decode branch (same identity contract over the "
-    "SOF2 multi-scan encoding)",
+    "SOF2 multi-scan encoding); r12: + the REAL MJPEG/AVI video branch "
+    "(container parse + per-frame decode, distinct per-frame payloads, "
+    "container dims/frame-count graded — the last stub is gone)",
 )
 
 
@@ -2270,7 +2387,10 @@ PIPELINE["temporal_join_suite"] = Q(
 # corpus ops: deterministic sampling / splits / normalize / redact
 # (operators/sampling.py + functions/text.py)
 # ---------------------------------------------------------------------------
-def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+def _corpus_ops_branches(spark: SparkSession, sf: str) -> dict:
+    """The corpus-ops suite's branch DataFrames by tag (r12, VERDICT r11
+    #7: the bench attributes executor task seconds per branch so a
+    regression inside the suite localizes instantly)."""
     from spark_sql_on_hbase_spark.functions.text import (
         hash60,
         normalize_ws,
@@ -2456,20 +2576,20 @@ def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         + (hash60(F.col("chunk_text")) % 1_000_000) * 7 + F.col("n_tokens") * 11
         + F.col("start_pos") * 13,
     )
-    return (
-        sample.unionAll(split)
-        .unionAll(strat)
-        .unionAll(norm)
-        .unionAll(red)
-        .unionAll(pack)
-        .unionAll(skew)
-        .unionAll(quant)
-        .unionAll(quant_topk)
-        .unionAll(mix)
-        .unionAll(shard)
-        .unionAll(shuf)
-        .unionAll(clf)
-        .unionAll(chunk)
+    return {
+        "sample": sample, "split": split, "strat": strat, "normalize": norm,
+        "redact": red, "pack": pack, "skew": skew, "quantize": quant,
+        "quantized_topk": quant_topk, "mixture": mix, "shard": shard,
+        "shuffle": shuf, "clf": clf, "chunk": chunk,
+    }
+
+
+def _corpus_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    bs = list(_corpus_ops_branches(spark, sf).values())
+    out = bs[0]
+    for b in bs[1:]:
+        out = out.unionAll(b)
+    return (out
     )
 
 
@@ -2710,7 +2830,9 @@ PIPELINE["corpus_ops_suite"] = Q(
 # prime-weighted, strings as length + hash60 mod 1e6, doubles as 1e4
 # fixed point) against the same wrap of the tail entry's DuckDB oracle.
 # ---------------------------------------------------------------------------
-def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+def _text_ops_branches(spark: SparkSession, sf: str) -> dict:
+    """The text-ops suite's branch DataFrames by tag (r12 per-branch
+    bench attribution — see _corpus_ops_branches)."""
     from spark_sql_on_hbase_spark.functions.text import hash60
 
     def h6(c: str):
@@ -2806,10 +2928,19 @@ def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") * 1 + F.length("clean_text") * 3 + h6("clean_text") * 5
         + F.col("n_removed") * 7,
     )
-    return (
-        boiler.unionAll(perp).unionAll(trunc).unionAll(stats)
-        .unionAll(leak).unionAll(fing).unionAll(spans).unionAll(strip)
-    )
+    return {
+        "boiler": boiler, "perplexity": perp, "truncate": trunc,
+        "stats": stats, "leak": leak, "fingerprint": fing,
+        "dupspans": spans, "spanstrip": strip,
+    }
+
+
+def _text_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    bs = list(_text_ops_branches(spark, sf).values())
+    out = bs[0]
+    for b in bs[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 # at most one persisted shared-spans frame per SparkSession, keyed by the
