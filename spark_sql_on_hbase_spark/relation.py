@@ -1501,6 +1501,36 @@ class AstroRelation:
             return True
 
         removed = [r for r in meta.retired_regions if _reclaimable(r)]
+        # r12 housekeeping (skipped under DRY RUN): reap crashed-writer
+        # leftovers — (a) stale RESERVATIONS: pinned fileless generations
+        # whose writer died before its data job landed (>1 h old by their
+        # commit stamp; ALTER pins are metadata-only commits and are
+        # never reaped); (b) orphan rw- files this table's crashed
+        # rewrites linked but never committed (same 1 h grace so an
+        # in-flight rewrite is never robbed of its files).
+        if not dry_run:
+            import time as _t2
+
+            with_files = {r.seq for r in meta.regions}
+            with_files |= {r.seq for r in meta.retired_regions}
+            stale = [
+                g
+                for g in meta.pinned_gens
+                if g not in with_files
+                and not str(meta.generation_ops.get(str(g), "")).startswith("ALTER")
+                and _t2.time() - meta.generation_times.get(str(g), _t2.time()) > 3600
+            ]
+            if stale:
+                def _reap():
+                    m = self.meta
+                    m.pinned_gens = [g for g in m.pinned_gens if g not in stale]
+                    for g in stale:
+                        m.generation_times.pop(str(g), None)
+                        m.generation_ops.pop(str(g), None)
+                    self.catalog.persist(m)
+
+                self._commit_retry(_reap)
+            self._clear_orphan_rw(self.catalog.data_dir(meta).rstrip("/"))
         kept = [r for r in meta.retired_regions if r not in removed]
         if not removed:
             return {

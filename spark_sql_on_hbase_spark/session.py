@@ -262,6 +262,24 @@ class AstroSession:
                     str(len(meta.retired_regions)),
                     "fragments kept for pre-rewrite snapshots (reclaimed by COMPACT)",
                 ),
+                (
+                    "meta_version",
+                    str(meta.meta_version),
+                    "optimistic-concurrency commit counter (r12 CAS): every "
+                    "catalog commit compare-and-swaps on it",
+                ),
+                (
+                    "gc_pending",
+                    str(len(meta.gc_pending)),
+                    "files replaced by the last rewrite commit, awaiting "
+                    "post-commit reclaim (completed by the next touch)",
+                ),
+                (
+                    "pinned_generations",
+                    ", ".join(str(g) for g in sorted(meta.pinned_gens)) or "none",
+                    "fileless stamped commits kept alive: in-flight write "
+                    "reservations + ALTER history rows",
+                ),
             ]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
 

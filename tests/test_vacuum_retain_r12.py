@@ -186,6 +186,38 @@ def test_vacuum_retain_preserves_consumer_catchup(astro, tmp_path):
     assert deleted.count() == 20
 
 
+def test_vacuum_reaps_stale_reservations_not_alter_pins(astro, tmp_path):
+    """r12 housekeeping: VACUUM reaps pinned fileless generations whose
+    writer crashed >1 h ago (by commit stamp), but never ALTER pins
+    (metadata-only commits DESCRIBE HISTORY must keep) and never fresh
+    reservations."""
+    _load_retained(astro, tmp_path, "vhk")
+    astro.sql("ALTER TABLE vhk ADD extra INT MAPPED BY (cf.extra)")
+    rel = astro.relation("vhk")
+    meta = astro.catalog.get_table("vhk")
+    alter_pin = [g for g in meta.pinned_gens][0]
+    # simulate a crashed writer: a reservation stamped >1h in the past
+    stale_seq = rel._reserve_generation("APPEND")
+    fresh_seq = rel._reserve_generation("APPEND")
+    meta.generation_times[str(stale_seq)] -= 7200
+    astro.catalog.persist(meta)
+    rel.vacuum()
+    meta = astro.catalog.get_table("vhk")
+    assert stale_seq not in meta.pinned_gens
+    assert str(stale_seq) not in meta.generation_times
+    assert alter_pin in meta.pinned_gens  # ALTER history row survives
+    assert fresh_seq in meta.pinned_gens  # in-flight writer untouched
+    ops = [r.operation for r in astro.sql("DESCRIBE HISTORY vhk").collect()]
+    assert "ALTER ADD extra" in ops
+    # DRY RUN never reaps
+    stale2 = rel._reserve_generation("APPEND")
+    meta = astro.catalog.get_table("vhk")
+    meta.generation_times[str(stale2)] -= 7200
+    astro.catalog.persist(meta)
+    rel.vacuum(dry_run=True)
+    assert stale2 in astro.catalog.get_table("vhk").pinned_gens
+
+
 def test_fold_op_recorded_on_gen0_delete(astro, tmp_path):
     """ADVICE r11 #1: a history-folding DELETE on a table whose only
     generation is 0 must show 'DELETE' in DESCRIBE HISTORY, not the
