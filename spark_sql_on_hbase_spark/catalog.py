@@ -398,13 +398,23 @@ class AstroCatalog:
         )
         return meta
 
-    def disk_version(self, table: str, namespace: str = "default") -> int:
-        """On-disk metadata version (-1 = absent) — the cheap staleness
-        probe a reader runs before trusting its cached meta.  One small
-        object read; at scale the version would ride a tiny sidecar or
-        a conditional GET, but the meta file IS small relative to a
-        stats job either way."""
-        path = self._meta_path(namespace, table)
+    @staticmethod
+    def _read_disk_version(path: str) -> int:
+        """On-disk metadata version (-1 = absent).  O(1), not O(meta
+        size): ``_write`` serializes ``meta_version`` as the FIRST key,
+        so one 256-byte head read answers the staleness probe even when
+        the region list runs to 10⁵ entries (at object-store scale this
+        is a ranged GET / conditional GET).  Legacy files (version not
+        in the head) fall back to a full parse once; their first CAS
+        commit rewrites them head-first."""
+        try:
+            with open(path) as f:
+                head = f.read(256)
+        except OSError:
+            return -1
+        m = re.search(r'"meta_version":\s*(-?\d+)', head)
+        if m:
+            return int(m.group(1))
         try:
             with open(path) as f:
                 return int(json.load(f).get("meta_version", 0))
@@ -412,6 +422,11 @@ class AstroCatalog:
             return -1
         except (ValueError, AttributeError):
             return 0
+
+    def disk_version(self, table: str, namespace: str = "default") -> int:
+        """The cheap staleness probe a reader runs before trusting its
+        cached meta — see :meth:`_read_disk_version`."""
+        return self._read_disk_version(self._meta_path(namespace, table))
 
     def reload_into(self, meta: TableMeta) -> TableMeta:
         """Adopt the on-disk state IN PLACE: copy every field of the
@@ -589,13 +604,7 @@ class AstroCatalog:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         lock = fsops.acquire_lock(path)
         try:
-            disk_v = -1
-            if os.path.exists(path):
-                try:
-                    with open(path) as f:
-                        disk_v = int(json.load(f).get("meta_version", 0))
-                except (ValueError, AttributeError, OSError):
-                    disk_v = 0
+            disk_v = self._read_disk_version(path)
             if disk_v != meta.meta_version:
                 raise ConcurrentWriteError(
                     f"{meta.namespace}.{meta.name}", meta.meta_version, disk_v
@@ -603,8 +612,11 @@ class AstroCatalog:
             meta.meta_version += 1
             tmp = path + ".tmp"
             try:
+                d = asdict(meta)
+                # version FIRST: the staleness probe reads only the head
+                d = {"meta_version": d.pop("meta_version"), **d}
                 with open(tmp, "w") as f:
-                    json.dump(asdict(meta), f, indent=1, default=str)
+                    json.dump(d, f, indent=1, default=str)
                 # the metadata file replace IS the table's commit point —
                 # a single-object atomic put in every fsops mode
                 fsops.replace(tmp, path)
