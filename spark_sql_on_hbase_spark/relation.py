@@ -541,15 +541,22 @@ class AstroRelation:
         meta = self.meta
         if not meta.gc_pending:
             return
+        done = set()
         for p in list(meta.gc_pending):
             try:
                 fsops.unlink(self._local_path(p))
             except OSError:
                 pass  # already reclaimed (crash-recovery re-run)
+            done.add(p)
 
         def clear():
-            self.meta.gc_pending = []
-            self.catalog.persist(self.meta)
+            # drop only what THIS pass reclaimed: a conflict reload may
+            # bring a sibling's freshly-recorded entries, whose files we
+            # never touched — they stay for the sibling's (or the next)
+            # reclaim pass
+            m = self.meta
+            m.gc_pending = [p for p in m.gc_pending if p not in done]
+            self.catalog.persist(m)
 
         self._commit_retry(clear)
 
@@ -673,7 +680,7 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
 
         m = self.meta
-        m.gc_pending = old_paths
+        m.gc_pending = sorted(set(m.gc_pending) | set(old_paths))
         m.retired_regions = []
         m.history_floor = 0  # everything rebuilt at generation 0
         m.regions = []
@@ -1055,7 +1062,12 @@ class AstroRelation:
                 )
             if demoted:
                 m.layout = "range"
-            m.gc_pending = sorted({self._local_path(p) for p in hp})
+            # MERGE with (never replace) any entries a conflict reload
+            # adopted from a sibling's commit — dropping them would leak
+            # the sibling's replaced files on disk forever
+            m.gc_pending = sorted(
+                set(m.gc_pending) | {self._local_path(p) for p in hp}
+            )
             m.regions = [r for r in m.regions if r.path not in hp]
             if new_files:
                 self._refresh_region_bounds(only=new_files, restamp=restamp)
