@@ -914,7 +914,6 @@ class AstroRelation:
             # (one-phase agg falls back) until COMPACT restores alignment
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
 
-        hit_paths_l = [f.path for f in hit]
         if retain:
             # retention: the floor does NOT move — every previously
             # readable snapshot remains readable (retired fragments serve
@@ -923,48 +922,8 @@ class AstroRelation:
             # r10).  Commutative vs concurrent appends: on conflict,
             # reload and re-derive from the fresh base — unless the
             # sibling rewrote our hit fragments (require_live aborts).
-            def commit_retained():
-                from dataclasses import replace as _dc_replace
-
-                from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
-
-                m = self.meta
-                # hit fragments must still be live on EVERY attempt (the
-                # reservation's conflict-reload may have absorbed a
-                # sibling's commit already — see _commit_fold_partial)
-                live = {r.path for r in m.regions}
-                if not set(hit_paths) <= live:
-                    raise ConcurrentWriteError(
-                        f"{m.namespace}.{m.name}",
-                        m.meta_version,
-                        m.meta_version,
-                        detail=(
-                            "a concurrent writer rewrote fragments this "
-                            "statement resolved — re-run the statement"
-                        ),
-                    )
-                if demoted:
-                    m.layout = "range"
-                m.pinned_gens = [g for g in m.pinned_gens if g != new_seq]
-                m.retired_regions = m.retired_regions + [
-                    _dc_replace(r, retired_at=new_seq)
-                    for r in m.regions
-                    if r.path in hit_paths
-                ]
-                # kept fragments: basenames unchanged → catalog entries
-                # stay exact; stat only the new files (same incremental
-                # discipline as _ensure_fresh_regions)
-                m.regions = [r for r in m.regions if r.path not in hit_paths]
-                if new_files:
-                    self._refresh_region_bounds(only=new_files, restamp="keep")
-                else:
-                    self.catalog.update_regions(m, m.regions, restamp="keep")
-
-            self._abortable_retained_commit(
-                commit_retained, hit_paths_l, new_files, new_seq
-            )
+            self._commit_retired_hit(hit, new_files, new_seq, demoted)
             stats["history"] = "retained"
-            self._ensure_generation_stamp(new_seq)
             return stats
 
         # non-retained fold: exactly ONE snapshot stays readable after a
@@ -992,6 +951,60 @@ class AstroRelation:
         stats["history"] = "folded-purge" if preserve_stamps else "folded"
         self._commit_fold_partial(hit, new_files, restamp=restamp, demoted=demoted)
         return stats
+
+    def _commit_retired_hit(
+        self, hit: list[RegionFile], new_files: list[str], new_seq: int, demoted: bool
+    ) -> None:
+        """Shared retained-rewrite commit: RETIRE the hit fragments at
+        the reserved generation ``new_seq``, adopt the published
+        survivor files, keep every stamp, leave the floor untouched,
+        unpin the reservation — all in one optimistic commit (with
+        abort-and-cleanup on a write-write conflict).  Used by the
+        island rewrite (survivors at the NEW generation) and by the
+        r12 retained per-fragment purge (value-identical survivors at
+        their ORIGINAL generations)."""
+        hit_paths_l = [f.path for f in hit]
+        hp = set(hit_paths_l)
+
+        def commit():
+            from dataclasses import replace as _dc_replace
+
+            from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+            m = self.meta
+            # hit fragments must still be live on EVERY attempt (the
+            # reservation's conflict-reload may have absorbed a
+            # sibling's commit already — see _commit_fold_partial)
+            live = {r.path for r in m.regions}
+            if not hp <= live:
+                raise ConcurrentWriteError(
+                    f"{m.namespace}.{m.name}",
+                    m.meta_version,
+                    m.meta_version,
+                    detail=(
+                        "a concurrent writer rewrote fragments this "
+                        "statement resolved — re-run the statement"
+                    ),
+                )
+            if demoted:
+                m.layout = "range"
+            m.pinned_gens = [g for g in m.pinned_gens if g != new_seq]
+            m.retired_regions = m.retired_regions + [
+                _dc_replace(r, retired_at=new_seq)
+                for r in m.regions
+                if r.path in hp
+            ]
+            # kept fragments: basenames unchanged → catalog entries
+            # stay exact; stat only the new files (same incremental
+            # discipline as _ensure_fresh_regions)
+            m.regions = [r for r in m.regions if r.path not in hp]
+            if new_files:
+                self._refresh_region_bounds(only=new_files, restamp="keep")
+            else:
+                self.catalog.update_regions(m, m.regions, restamp="keep")
+
+        self._abortable_retained_commit(commit, hit_paths_l, new_files, new_seq)
+        self._ensure_generation_stamp(new_seq)
 
     def _abortable_retained_commit(
         self, commit_fn, require_live: list[str], new_files: list[str], new_seq: int
@@ -1117,9 +1130,17 @@ class AstroRelation:
 
         Returns the rewrite stats, or None when the predicate is not
         key-only/structured (caller falls back to the resolved
-        island-closure rewrite, then to the full rewrite)."""
+        island-closure rewrite, then to the full rewrite).
+
+        r12: on ``retain_history`` tables the same machinery runs as a
+        RETAINED purge instead (survivors are value-identical rows of
+        the originals, so the retire-and-republish plan is sound — see
+        _rewrite_fragments_keyonly), closing the r11 cost cliff for
+        key-only DELETEs."""
         return self._rewrite_fragments_keyonly(
-            where, lambda raw, cond: raw.filter(~F.coalesce(cond, F.lit(False)))
+            where,
+            lambda raw, cond: raw.filter(~F.coalesce(cond, F.lit(False))),
+            value_identical_survivors=True,
         )
 
     def update_rows_keyonly(self, where: str, set_literals: dict[str, str]) -> dict | None:
@@ -1160,13 +1181,31 @@ class AstroRelation:
 
         return self._rewrite_fragments_keyonly(where, transform)
 
-    def _rewrite_fragments_keyonly(self, where: str, transform) -> dict | None:
+    def _rewrite_fragments_keyonly(
+        self, where: str, transform, value_identical_survivors: bool = False
+    ) -> dict | None:
         """Shared engine of the per-fragment key-only rewrites:
         ``transform(raw, cond)`` maps the raw physical rows of the
         intersecting fragments (+ the compiled predicate Column) to their
         post-write rows — a filter for DELETE, a literal CASE projection
         for UPDATE.  One output file per source fragment, generations and
-        commit stamps preserved."""
+        commit stamps preserved.
+
+        ``value_identical_survivors`` (r12, closing the r11 retention
+        cost cliff): declares that every surviving row is BYTE-VALUE
+        IDENTICAL to its original (true for DELETE — a pure filter;
+        false for UPDATE — values change).  That property makes a
+        RETAINED per-fragment purge sound on retain_history tables:
+        hit fragments RETIRE at a reserved generation R while their
+        survivors (original generation numbers) go live — a pre-write
+        snapshot then reads the retired originals PLUS the rewritten
+        survivors, and the newest-cell-wins merge collapses the
+        value-identical duplicates exactly, so every pre-write snapshot
+        stays readable (deleted keys included), the present drops them,
+        and the change feed emits precisely the deleted keys at commit
+        R.  UPDATE cannot take this path: old and new values would
+        collide at the SAME generation and the merge's tie-break would
+        be nondeterministic."""
         from spark_sql_on_hbase_spark.predicate import (
             parse_predicate,
             referenced_columns,
@@ -1175,11 +1214,12 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.pruning import prune_files
 
         meta = self.meta
-        if meta.retain_history:
+        retain = bool(meta.retain_history)
+        if retain and not value_identical_survivors:
             # the retroactive purge rewrites history in place — under
-            # MVCC retention the caller wants pre-write snapshots to
-            # keep their original values, so route to the retained
-            # rewrite plans instead
+            # MVCC retention an UPDATE's pre-write snapshots must keep
+            # their original values, so route to the retained rewrite
+            # plans instead (see value_identical_survivors above)
             return None
         self._ensure_fresh_regions()
         if not meta.regions:
@@ -1208,16 +1248,16 @@ class AstroRelation:
         hit = sorted(res.files, key=lambda r: r.path)
         # "purged": retroactive per-fragment purge — every snapshot and
         # commit stamp stays readable, minus the affected keys (ADVICE
-        # r8: surface which history semantics the chosen plan has)
+        # r8: surface which history semantics the chosen plan has);
+        # "retained" (r12): same file subset, but the hit originals
+        # RETIRE so pre-write snapshots keep the deleted keys too
         stats = {
             "files_total": res.total,
             "files_rewritten": len(hit),
-            "history": "purged",
+            "history": "retained" if retain else "purged",
         }
         if not hit:
             return stats
-        hit_paths = {f.path for f in hit}
-        keep = [r for r in meta.regions if r.path not in hit_paths]
 
         raw = self._read_fragments(*[f.path for f in hit])
         survivors = transform(raw, cond)
@@ -1235,12 +1275,19 @@ class AstroRelation:
             sort_cols = ["__z", ROWKEY_COL]
         else:
             sort_cols = [ROWKEY_COL]
+        new_seq = self._reserve_generation("REWRITE") if retain else None
         new_files = self._publish_survivors(
             survivors, idx, len(hit), sort_cols=sort_cols
         )
         demoted = meta.layout == "bucketed"
         if demoted:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+        if retain:
+            # r12 retained purge: hit originals retire at the reserved
+            # generation; value-identical survivors keep their original
+            # generations; floor and stamps untouched
+            self._commit_retired_hit(hit, new_files, new_seq, demoted)
+            return stats
         # history_floor and generation_times intentionally unchanged
         # (floor_rule="keep"): every generation was purged consistently,
         # so every previously readable snapshot stays readable (minus
@@ -1288,11 +1335,18 @@ class AstroRelation:
         key-set join, instead of one read+write of the ENTIRE table.
         Returns stats, or None when nothing prunes (the single-pass full
         rewrite is then the better plan) or the predicate/alias shape
-        cannot be evaluated directly."""
+        cannot be evaluated directly.
+
+        r12: on ``retain_history`` tables this runs as a RETAINED purge
+        (value-identical survivors at original generations, hit
+        originals retired — see _rewrite_fragments_keyonly), closing
+        the r11 cost cliff: a prunable residual DELETE no longer pays a
+        full-table retained rewrite."""
         return self._rewrite_fragments_keyset(
             where,
             lambda raw, dkeys: raw.join(dkeys, on=ROWKEY_COL, how="left_anti"),
             preserve_stamps=True,
+            value_identical_survivors=True,
         )
 
     def update_rows_keyset(self, where: str, set_literals: dict[str, str]) -> dict | None:
@@ -1334,28 +1388,37 @@ class AstroRelation:
         return self._rewrite_fragments_keyset(where, transform)
 
     def _rewrite_fragments_keyset(
-        self, where: str, transform, preserve_stamps: bool = False
+        self,
+        where: str,
+        transform,
+        preserve_stamps: bool = False,
+        value_identical_survivors: bool = False,
     ) -> dict | None:
         """Shared engine of the resolved-key-set rewrites:
         ``transform(raw, dkeys)`` maps the raw physical rows of the hit
         fragments (with a ``__src`` source-file column) plus the matched
         rowkey set to their post-write rows.  One output file per source
-        fragment; rows keep their generation numbers, but history FOLDS
-        (see :meth:`delete_rows_resolved_keys`)."""
+        fragment; rows keep their generation numbers; history FOLDS
+        (see :meth:`delete_rows_resolved_keys`) — except the r12
+        RETAINED variant for value-identical survivors (DELETE on
+        retain_history tables; see _rewrite_fragments_keyonly), where
+        the hit originals retire and every snapshot stays readable."""
         from spark_sql_on_hbase_spark.pruning import prune_files
 
         meta = self.meta
         self._keyset_retention_fallback = None
-        if meta.retain_history:
-            # folds history in place (rows keep gens but replaced values
-            # vanish) — under MVCC retention the retained island/full
-            # rewrite plans apply instead.  The refusal is SOUND but a
-            # cost cliff (r11, VERDICT r10 #4): when the predicate would
-            # have pruned, the caller's only remaining retained plan is
-            # the whole-table rewrite_full_retained — one read + one
-            # write of the ENTIRE table for a statement that would have
-            # rewritten a strict file subset without retention.  Warn,
-            # and leave the prunability facts for last_write_stats.
+        retain = bool(meta.retain_history)
+        if retain and not value_identical_survivors:
+            # an UPDATE's survivors carry NEW values at the ORIGINAL
+            # generations — retiring the originals would put old and new
+            # values at the same generation (nondeterministic merge
+            # tie-break), and folding in place destroys the history
+            # retention promises.  The refusal is SOUND but a cost cliff
+            # (r11, VERDICT r10 #4): when the predicate would have
+            # pruned, the caller's only remaining retained plan is the
+            # whole-table rewrite_full_retained.  Warn, and leave the
+            # prunability facts for last_write_stats.  (DELETEs no
+            # longer hit this: r12's retained purge covers them.)
             self._ensure_fresh_regions()
             if meta.regions:
                 try:
@@ -1371,8 +1434,9 @@ class AstroRelation:
                     }
                     warnings.warn(
                         f"{meta.name}: retain_history refuses the resolved-"
-                        f"key-set plan (unmatched keys span hit/keep files — "
-                        f"unsound to retire), so a predicate pruning "
+                        f"key-set UPDATE plan (old and new values would "
+                        f"collide at one generation — unsound to retire), "
+                        f"so a predicate pruning "
                         f"{len(res.files)}/{res.total} files falls back to a "
                         f"FULL-table retained rewrite. COMPACT first (resets "
                         f"islands) or disable retain_history to regain "
@@ -1431,12 +1495,20 @@ class AstroRelation:
             sort_cols = ["__z", ROWKEY_COL]
         else:
             sort_cols = [ROWKEY_COL]
+        new_seq = self._reserve_generation("REWRITE") if retain else None
         new_files = self._publish_survivors(
             survivors, F.col("__kidx"), len(hit), sort_cols=sort_cols
         )
         demoted = meta.layout == "bucketed"
         if demoted:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.spark_table_name}")
+        if retain:
+            # r12 retained purge (DELETE only): hit originals retire at
+            # the reserved generation; survivors keep their generations;
+            # floor and stamps untouched — every snapshot stays readable
+            self._commit_retired_hit(hit, new_files, new_seq, demoted)
+            stats["history"] = "retained"
+            return stats
         # DELETE keeps surviving stamps (retroactive purge view above the
         # floor — rows keep their generation numbers here, so the floor
         # snapshot is exactly the old one minus purged keys); UPDATE

@@ -152,9 +152,28 @@ def test_keyset_refusal_under_retention_warns_and_discriminates(astro, spark):
     # degenerate; without retention the keyset purge would prune
     astro.sql("INSERT INTO kw VALUES (60, 5, 111.0)")
     astro.sql("INSERT INTO kw VALUES (60, 9999, 222.0)")
+    # r12 UPDATE: the DELETE no longer hits the cliff at all — the
+    # retained keyset PURGE prunes it (value-identical survivors at
+    # original generations, hit originals retired; see
+    # tests/test_retained_purge_r12.py) — so no WARN and a strict
+    # partial rewrite:
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         astro.sql("DELETE FROM kw WHERE k1 <= 60 AND v < 1000")
+        hits = [x for x in w if "retain_history refuses" in str(x.message)]
+    assert not hits
+    stats = astro.last_write_stats
+    assert stats["history"] == "retained"
+    assert 0 < stats["files_rewritten"] < stats["files_total"]  # cliff gone
+    assert "keyset_refused_prunable" not in stats
+    # correctness unaffected: rows gone from the present, kept in history
+    assert astro.sql("SELECT count(*) AS c FROM kw WHERE k1 <= 60 AND v < 1000").collect()[0].c == 0
+    assert rel.scan(as_of_seq=0).filter("k1 <= 60 AND v < 1000").count() > 0
+    # the WARN + discrimination key REMAIN for the UPDATE shape (old and
+    # new values would collide at one generation — unsound to retire)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        astro.sql("UPDATE kw SET v = NULL WHERE k1 <= 30")
         hits = [x for x in w if "retain_history refuses" in str(x.message)]
     assert len(hits) == 1 and issubclass(hits[0].category, RuntimeWarning)
     stats = astro.last_write_stats
@@ -162,9 +181,6 @@ def test_keyset_refusal_under_retention_warns_and_discriminates(astro, spark):
     assert stats["files_rewritten"] == stats["files_total"] > 0  # the cliff
     a, b = stats["keyset_refused_prunable"].split("/")
     assert 0 < int(a) < int(b)  # what a non-retained table would have paid
-    # correctness unaffected: rows gone from the present, kept in history
-    assert astro.sql("SELECT count(*) AS c FROM kw WHERE k1 <= 60 AND v < 1000").collect()[0].c == 0
-    assert rel.scan(as_of_seq=0).filter("k1 <= 60 AND v < 1000").count() > 0
 
 
 def test_island_pruned_retained_delete_does_not_warn(astro, tmp_path):
