@@ -206,18 +206,22 @@ class AstroWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         from spark_sql_on_hbase_spark import codec as C
-        from spark_sql_on_hbase_spark.catalog import RegionFile, _json_key_value
+        from spark_sql_on_hbase_spark.catalog import (
+            ConcurrentWriteError,
+            RegionFile,
+            _json_key_value,
+        )
 
         catalog = AstroCatalog(self.warehouse)
         meta = catalog.get_table(self.meta.name, self.meta.namespace)
         key_dtypes = meta.key_dtypes
-        new_regions = list(meta.regions)
+        shipped = []
         for m in messages:
             if not isinstance(m, _FragmentCommit):
                 continue
             min_t = C.decode_key(bytes(m.min_rk), key_dtypes)
             max_t = C.decode_key(bytes(m.max_rk), key_dtypes)
-            new_regions.append(
+            shipped.append(
                 RegionFile(
                     path=m.path,
                     num_rows=m.num_rows,
@@ -229,7 +233,17 @@ class AstroWriter(DataSourceWriter):
                     num_keys=m.num_keys,
                 )
             )
-        catalog.update_regions(meta, new_regions)
+        # appends are commutative: on an optimistic-concurrency conflict
+        # (r12 CAS) reload the sibling's commit and re-merge our shipped
+        # fragments on top of the fresh base
+        for attempt in range(8):
+            try:
+                catalog.update_regions(meta, list(meta.regions) + shipped)
+                return
+            except ConcurrentWriteError:
+                if attempt == 7:
+                    raise
+                catalog.reload_into(meta)
 
     def abort(self, messages) -> None:
         """Best-effort cleanup: directory scans would otherwise see the
