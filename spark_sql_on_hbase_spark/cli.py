@@ -43,7 +43,12 @@ _HELP = {
     "  MAPPED BY (htable_name, COLS=[col_name=family_name.qualifier]) [IN stringformat]",
     "DROP": "DROP TABLE table_name",
     "ALTER": "ALTER TABLE table_name ADD col_name data_type MAPPED BY (family_name.qualifier)\n"
-    "ALTER TABLE table_name DROP col_name",
+    "ALTER TABLE table_name DROP col_name\n"
+    "  (non-key columns only; the schema is NOT versioned — every read,\n"
+    "   including VERSION/TIMESTAMP AS OF, CHANGES and RESTORE, projects\n"
+    "   the CURRENT columns: an ADDed column is NULL in pre-ALTER data,\n"
+    "   a DROPped one disappears everywhere.  The ALTER itself commits a\n"
+    "   generation and shows in DESCRIBE HISTORY)",
     "LOAD": "LOAD [PARALL] DATA [LOCAL] INPATH file_path [OVERWRITE] INTO TABLE table_name "
     "[FIELDS TERMINATED BY char]",
     "SELECT": "SELECT [DISTINCT] select_expr, ... FROM table_reference [WHERE ...] "
