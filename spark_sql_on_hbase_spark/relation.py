@@ -537,7 +537,16 @@ class AstroRelation:
         ``gc_pending``; delete them now and clear the list.  Runs right
         after every rewrite commit and — for crash recovery — from the
         freshness pass, so a file sits in limbo only between a commit
-        and the very next touch of the table."""
+        and the very next touch of the table.
+
+        In-flight readers: a query planned BEFORE a fold commits holds
+        the old file list and can fail mid-flight when this reclaim
+        lands (the hazard every non-MVCC format has — Delta's VACUUM
+        grace exists for it).  The engine's answer is the retention
+        tier, not a fold-side delay: ``retain_history`` tables never
+        reclaim on rewrite (replaced fragments RETIRE, still readable),
+        and ``VACUUM … RETAIN n GENERATIONS|HOURS`` bounds the eventual
+        reclaim to a grace window sized to the longest reader."""
         meta = self.meta
         if not meta.gc_pending:
             return

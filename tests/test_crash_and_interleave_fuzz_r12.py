@@ -116,7 +116,7 @@ def test_crash_between_commit_and_gc_recovers(spark, tmp_path, fsmode, monkeypat
 
 
 @pytest.mark.parametrize(
-    "seed,fsmode", [(7, "posix"), (19, "posix"), (31, "copy")]
+    "seed,fsmode", [(7, "posix"), (19, "posix"), (43, "posix"), (31, "copy")]
 )
 def test_two_session_interleaving_fuzz(spark, tmp_path, seed, fsmode, monkeypatch):
     monkeypatch.setattr(fsops, "_mode", fsmode)
