@@ -73,6 +73,46 @@ def test_cas_no_lost_updates_across_threads(tmp_path, fsmode, monkeypatch):
     assert final.meta_version == n_threads * n_ops
 
 
+def _proc_worker(args):
+    """Module-level for pickling: one PROCESS doing CAS read-modify-write
+    loops from its own catalog instance."""
+    wh, pid, n_ops = args
+    from spark_sql_on_hbase_spark.catalog import AstroCatalog, ConcurrentWriteError
+
+    cat = AstroCatalog(wh)
+    for i in range(n_ops):
+        for _attempt in range(400):
+            meta = cat.get_table("t")
+            try:
+                meta.generation_ops[f"p{pid}:{i}"] = "OP"
+                cat.persist(meta)
+                break
+            except ConcurrentWriteError:
+                cat.reload_into(meta)
+        else:
+            return f"proc {pid} op {i} starved"
+    return None
+
+
+def test_cas_no_lost_updates_across_processes(tmp_path):
+    """The commit lock is O_CREAT|O_EXCL — true inter-PROCESS mutual
+    exclusion, not just thread safety: separate interpreters hammering
+    one table's metadata must not lose a single update."""
+    from multiprocessing import get_context
+
+    wh = str(tmp_path / "whp")
+    _mk_table(wh)
+    n_procs, n_ops = 4, 10
+    with get_context("spawn").Pool(n_procs) as pool:
+        errs = pool.map(_proc_worker, [(wh, p, n_ops) for p in range(n_procs)])
+    assert all(e is None for e in errs), errs
+    final = AstroCatalog(wh).get_table("t")
+    want = {f"p{p}:{i}" for p in range(n_procs) for i in range(n_ops)}
+    missing = want - set(final.generation_ops)
+    assert not missing, f"LOST UPDATES across processes: {sorted(missing)[:10]}"
+    assert final.meta_version == n_procs * n_ops
+
+
 def test_lock_contention_times_out_then_recovers(tmp_path):
     cat = _mk_table(tmp_path / "whl")
     path = cat._meta_path("default", "t")
