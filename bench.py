@@ -79,7 +79,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    from spark_sql_on_hbase_spark.tuning import local_shuffle_confs
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("spark_sql_on_hbase_spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -100,8 +102,13 @@ def main() -> None:
         # between snapshots cannot corrupt the per-query deltas.
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # at-scale shuffle behavior on a local session (sort writer, AQE
+    # size-based coalescing, tmpfs scratch) — see tuning.py for the
+    # measured 6× per-task overhead reduction and the 100 TB rationale
+    for k, v in local_shuffle_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from spark_sql_on_hbase_spark.queries import spark_queries

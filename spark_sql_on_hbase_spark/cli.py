@@ -162,12 +162,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from spark_sql_on_hbase_spark.session import AstroSession
 
-    spark = (
+    from spark_sql_on_hbase_spark.tuning import local_shuffle_confs
+
+    builder = (
         SparkSession.builder.master(args.master)
         .appName("astro-sql")
         .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
     )
+    for k, v in local_shuffle_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     astro = AstroSession(spark, args.warehouse)
     print("astro engine ready — AstroSession available; statements end with ';'")

@@ -10,15 +10,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def spark():
     from pyspark.sql import SparkSession
 
-    s = (
+    from spark_sql_on_hbase_spark.tuning import local_shuffle_confs
+
+    builder = (
         SparkSession.builder.master("local[4]")
         .appName("spark_sql_on_hbase_spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    for k, v in local_shuffle_confs().items():
+        builder = builder.config(k, v)
+    s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
