@@ -554,6 +554,29 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _, res = rel.scan_where("k1 = 7 AND k2 = 7")
             out["point_lookup_files_read"] = len(res.files)
             out["region_files_total"] = len(meta.regions)
+            # r12 ROW bloom sidecars (bloom.py — HBase BLOOMFILTER=ROW
+            # analog): after 4 trickle appends that all span the key
+            # space, a point get must read ~1 file, not 1 region + 4
+            # append fragments — the sidecars prove the key absent from
+            # generations that never wrote it
+            astro.sql(
+                "CREATE TABLE bench_bl (k INT, v DOUBLE, PRIMARY KEY (k)) "
+                "MAPPED BY (bench_bl_ht, COLS=[v=f.v]) "
+                "OPTIONS (regions=4, bloomfilter=row)"
+            )
+            bl_rel = astro.relation("bench_bl")
+            bl_rel.write(
+                spark.range(50_000).selectExpr("CAST(id AS INT) k", "CAST(id AS DOUBLE) v")
+            )
+            for g in range(1, 5):
+                astro.sql(
+                    "INSERT INTO bench_bl SELECT * FROM VALUES "
+                    + ", ".join(f"({k}, {g}.0)" for k in (g, 25_000 + g, 49_999 - g))
+                    + " AS t(k, v)"
+                )
+            _, bres = bl_rel.scan_where("k = 12345")  # gen0-only key
+            out["bloom_point_files_read"] = len(bres.files)
+            out["bloom_files_range_surviving"] = 1 + 4  # region + 4 spanning appends
             agg_df, one_phase = agg_by_key_prefix(rel, ["k1"], [AggSpec("s", "sum", "v")])
             out["prefix_agg_one_phase"] = bool(one_phase)
             out["prefix_agg_exchanges"] = executed_plan(agg_df).count("Exchange")

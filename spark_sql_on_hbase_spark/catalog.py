@@ -198,6 +198,15 @@ class TableMeta:
     # completes the reclaim.  Discovery never re-adopts a gc_pending
     # file.
     gc_pending: list = field(default_factory=list)
+    # per-fragment ROW bloom sidecars (r12 — HBase BLOOMFILTER=ROW
+    # analog, default ROW since HBase 0.96; see bloom.py).  "row" =
+    # every fragment stat pass also builds <fragment>.bloom, and
+    # full-key point/IN scans consult it to skip range-surviving
+    # fragments that definitely lack the key (the LSM Get path: k
+    # trickle appends no longer mean k fragment reads per lookup).
+    # "none" = no sidecars.  Fragments written before the option (or by
+    # legacy sessions) simply lack sidecars and stay "maybe present".
+    bloomfilter: str = "none"
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -395,6 +404,7 @@ class AstroCatalog:
             meta_version=int(raw.get("meta_version", 0)),
             pinned_gens=[int(g) for g in raw.get("pinned_gens", [])],
             gc_pending=list(raw.get("gc_pending", [])),
+            bloomfilter=raw.get("bloomfilter", "none"),
         )
         return meta
 

@@ -40,7 +40,11 @@ def _print_df(df, max_rows: int, out=sys.stdout) -> None:
 # HELP topics — HBaseSQLCliDriver.printHelp (HBaseSQLCliDriver.scala:140-178)
 _HELP = {
     "CREATE": "CREATE TABLE table_name (col_name data_type, ..., PRIMARY KEY(col_name, ...))\n"
-    "  MAPPED BY (htable_name, COLS=[col_name=family_name.qualifier]) [IN stringformat]",
+    "  MAPPED BY (htable_name, COLS=[col_name=family_name.qualifier]) [IN stringformat]\n"
+    "  [OPTIONS (regions=N, align=K, layout=zorder|range,\n"
+    "            retain_history=true|false, bloomfilter=row|none)]\n"
+    "  (bloomfilter=row: per-fragment ROW bloom sidecars — full-key =/IN\n"
+    "   lookups skip LSM fragments that provably lack the key)",
     "DROP": "DROP TABLE table_name",
     "ALTER": "ALTER TABLE table_name ADD col_name data_type MAPPED BY (family_name.qualifier)\n"
     "ALTER TABLE table_name DROP col_name\n"

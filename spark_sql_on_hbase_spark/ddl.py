@@ -58,6 +58,11 @@ class CreateTable:
     # pre-rewrite VERSION/TIMESTAMP AS OF snapshot stays readable until
     # COMPACT/OVERWRITE reclaims (r10; the HBase cell-version model)
     retain_history: bool = False
+    # OPTIONS(bloomfilter=row): per-fragment ROW bloom sidecars so
+    # full-key point/IN lookups skip range-surviving fragments that
+    # definitely lack the key (HBase's BLOOMFILTER=ROW attribute —
+    # the LSM Get path; see bloom.py)
+    bloomfilter: str = "none"
 
 
 @dataclass
@@ -481,6 +486,7 @@ def parse(sql: str) -> Command:
         align_prefix = 0
         zorder = False
         retain_history = False
+        bloomfilter = "none"
         if m.group("opts"):
             for opt in _split_top_level(m.group("opts")):
                 k, v = opt.split("=", 1)
@@ -501,6 +507,13 @@ def parse(sql: str) -> Command:
                             f"retain_history must be true|false, got {val!r}"
                         )
                     retain_history = val == "true"
+                elif key == "bloomfilter":
+                    val = v.strip().strip("'\"").lower()
+                    if val not in ("row", "none"):
+                        raise ValueError(
+                            f"bloomfilter must be row|none, got {val!r}"
+                        )
+                    bloomfilter = val
         return CreateTable(
             table=table,
             namespace=ns,
@@ -514,6 +527,7 @@ def parse(sql: str) -> Command:
             align_prefix=align_prefix,
             zorder=zorder,
             retain_history=retain_history,
+            bloomfilter=bloomfilter,
         )
 
     if up.startswith("DROP TABLE"):

@@ -105,6 +105,67 @@ def file_envelope(rf: RegionFile, meta: TableMeta) -> dict[str, Interval]:
     return env
 
 
+def point_rowkeys(pred: Pred | None, meta: TableMeta, cap: int = 256) -> list[bytes] | None:
+    """Explicit full-rowkey point set of a predicate, or None.
+
+    Returns the encoded rowkeys the predicate restricts the scan to when
+    every key column is pinned to a finite value set by a TOP-LEVEL
+    conjunct (``=`` or ``IN``) — the same all-point detection behind the
+    reference's batched-Get path (HBaseSQLReaderRDD.scala:270-315).
+    Conjuncts of any other shape are ignored: they only narrow the
+    result further, so probing the cross product of the pinned sets
+    stays sound (a fragment lacking every pinned key cannot hold a row
+    satisfying the full conjunction).  None = not a point scan (some key
+    column unpinned, a non-conjunctive structure pins it, the cross
+    product exceeds ``cap``, or a literal does not encode under the key
+    schema).
+    """
+    from spark_sql_on_hbase_spark.predicate import And, Comparison, InList
+
+    if pred is None:
+        return None
+    conjuncts: list[Pred] = []
+
+    def flatten(p: Pred) -> None:
+        if isinstance(p, And):
+            for c in p.children:
+                flatten(c)
+        else:
+            conjuncts.append(p)
+
+    flatten(pred)
+    names = meta.key_names
+    pinned: dict[str, set] = {}
+
+    def narrow(col: str, vals: set) -> None:
+        pinned[col] = pinned[col] & vals if col in pinned else vals
+
+    for c in conjuncts:
+        if isinstance(c, Comparison) and c.op == "=" and c.col in names:
+            narrow(c.col, {c.value})
+        elif isinstance(c, InList) and c.col in names:
+            narrow(c.col, set(c.values))
+    if set(names) - set(pinned):
+        return None
+    total = 1
+    for col in names:
+        total *= len(pinned[col])
+        if total > cap or total == 0:
+            return None if total else []
+    import itertools
+
+    dtypes = meta.key_dtypes
+    out = []
+    try:
+        for combo in itertools.product(*[sorted(pinned[c]) for c in names]):
+            out.append(C.encode_key(list(combo), dtypes))
+    except (ValueError, TypeError, AttributeError):
+        # literal/type mismatch (e.g. a string bound for a timestamp
+        # key) — not a probe-able point set; fall back to maybe-present
+        return None
+    return out
+
+
 def prune_files(meta: TableMeta, where: str | Pred) -> PruneResult:
     pred = parse_predicate(where) if isinstance(where, str) else where
     key_pushed, residual = classify(pred, set(meta.key_names))

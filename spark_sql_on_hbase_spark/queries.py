@@ -109,6 +109,11 @@ GRADED_ORDER = [
 # one past the window, leaving its full oracle unrecorded).
 TAIL_ORDER = [
     "streaming_sessionize",
+    # r12: ROW bloom-filter sidecars (HBase BLOOMFILTER=ROW analog) —
+    # point lookup over a multi-generation LSM state with a files-read
+    # probe; values grade in-window through astro_write_ops' +8000000
+    # block
+    "astro_bloom_lookup",
     "text_token_count",
     "ann_lsh_signatures",
     # full-value scalar-function originals; their row counts AND values

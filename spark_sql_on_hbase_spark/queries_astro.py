@@ -438,6 +438,100 @@ def _ensure_write_ops_table(spark: SparkSession, sf_dir: str):
     return astro, float(d["t_mid"]), bool(d["retained_ok"])
 
 
+def _ensure_bloom_table(spark: SparkSession, sf_dir: str) -> AstroRelation:
+    """An LSM state where range pruning is helpless and ROW blooms are
+    not (bloom.py — HBase BLOOMFILTER=ROW): generation 0 bulk-loads
+    every order key below 1500 EXCEPT those ≡13 (mod 50); three trickle
+    appends then each add one mod-150 residue class of the held-out
+    keys, so every append fragment SPANS the whole key range.  Any point
+    lookup therefore survives range pruning in 1 region + every append
+    fragment; the sidecars prove the key absent from the generations
+    that never wrote it.  Keys < 1500 exist at every sf, so the
+    layout — and the bloom bitmaps — are sf-independent."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_bloom_v1"
+    wh = os.path.join(_WAREHOUSE, tag)
+    catalog = AstroCatalog(wh)
+    if not catalog.table_exists("astro_bl"):
+        meta = TableMeta(
+            name="astro_bl",
+            namespace="default",
+            physical_table="h_bl",
+            key_columns=[KeyColumn("o_orderkey", "long", 0)],
+            nonkey_columns=[
+                NonKeyColumn("o_totalprice", "double", "f", "tp"),
+                NonKeyColumn("o_orderstatus", "string", "f", "st"),
+            ],
+            num_regions=4,
+            declared_columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+            bloomfilter="row",
+        )
+        catalog.create_table(meta)
+        rel = AstroRelation(catalog, meta, spark)
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).filter("o_orderkey < 1500")
+        rel.write(src.filter("o_orderkey % 50 != 13"))
+        for resid in (13, 63, 113):
+            rel.append(src.filter(f"o_orderkey % 150 = {resid}"), fragments=1)
+        return rel
+    return AstroRelation(catalog, catalog.get_table("astro_bl"), spark)
+
+
+def _bloom_lookup_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
+    """(o_orderkey+offset, totalprice, o_orderstatus) for the two probe
+    keys — 442 (gen 0 only) and 563 (gen 3 only) — plus one probe row
+    (-10+offset marker-free; offset folds into the key) asserting the
+    sidecars actually skipped fragments: each lookup must read at most
+    1 file out of the ≥4 that survive range pruning."""
+    from spark_sql_on_hbase_spark.pruning import prune_files
+
+    rel = _ensure_bloom_table(spark, sf_dir)
+    out = None
+    skipped = 0
+    surviving = 0
+    for key in (442, 563):
+        where = f"o_orderkey = {key}"
+        df, res = rel.scan_where(where)
+        range_only = len(prune_files(rel.meta, where).files)
+        surviving += range_only
+        skipped += range_only - len(res.files)
+        part = df.select(
+            (F.col("o_orderkey") + offset).alias("o_orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("o_orderstatus"),
+        )
+        out = part if out is None else out.unionAll(part)
+    # ≥4 fragments survive range pruning per lookup (1 region + 3
+    # spanning appends); blooms must cut each read set to ≤1 file
+    ok = surviving >= 8 and skipped >= surviving - 2
+    probe = spark.createDataFrame(
+        [(-10 + offset, 1.0 if ok else 0.0, "bloom_probe")],
+        "o_orderkey bigint, totalprice double, o_orderstatus string",
+    )
+    return out.unionAll(probe)
+
+
+_BLOOM_ORACLE = """
+    SELECT o_orderkey{off} AS o_orderkey, round(o_totalprice, 2) AS totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey IN (442, 563)
+    UNION ALL
+    SELECT -10{off}, 1.0, 'bloom_probe'
+"""
+
+ASTRO["astro_bloom_lookup"] = Q(
+    spark=lambda spark, sf_dir: _bloom_lookup_frame(spark, sf_dir, 0),
+    oracle=_BLOOM_ORACLE.format(off=""),
+    doc="ROW bloom-sidecar point lookup over a 4-generation LSM state "
+    "whose appends all span the key range: range pruning keeps 1 region "
+    "+ 3 append fragments, the per-fragment blooms (bloom.py — HBase "
+    "BLOOMFILTER=ROW, HFile bloom chunk analog) prove the key absent "
+    "from the generations that never wrote it, and the probe row grades "
+    "the files-actually-read claim (values grade in-window through "
+    "astro_write_ops' +8000000 block)",
+)
+
+
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
     # the retained-history branch keys are offset so the blocks stay
@@ -540,6 +634,9 @@ def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionAll(rs).unionAll(hist)
     if cons is not None:
         out = out.unionAll(cons)
+    # r12: ROW bloom-sidecar lookup values + files-read probe (+8000000
+    # block) — the tail entry astro_bloom_lookup folded in-window
+    out = out.unionAll(_bloom_lookup_frame(spark, sf_dir, 8000000))
     return out.unionAll(probe)
 
 
@@ -1041,6 +1138,13 @@ ASTRO["astro_write_ops"] = Q(
            + (SELECT CASE WHEN count(*) > 0 THEN 1.0 ELSE 0.0 END
               FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600),
            'consumer_probe'
+    UNION ALL
+    -- r12 +8000000 block: ROW bloom-sidecar lookup (astro_bloom_lookup
+    -- folded in-window); the -10+8000000 probe row grades files-read
+    SELECT o_orderkey + 8000000, round(o_totalprice, 2), o_orderstatus
+    FROM orders WHERE o_orderkey IN (442, 563)
+    UNION ALL
+    SELECT -10 + 8000000, 1.0, 'bloom_probe'
     """,
     doc="the r6 write surface end-to-end through the SQL session: INSERT "
     "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "

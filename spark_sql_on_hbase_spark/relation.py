@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_sql_on_hbase_spark import bloom
 from spark_sql_on_hbase_spark import codec as C
 from spark_sql_on_hbase_spark import fsops
 from spark_sql_on_hbase_spark.catalog import (
@@ -556,6 +557,7 @@ class AstroRelation:
                 fsops.unlink(self._local_path(p))
             except OSError:
                 pass  # already reclaimed (crash-recovery re-run)
+            bloom.drop_sidecar(self._local_path(p))
             done.add(p)
 
         def clear():
@@ -714,6 +716,7 @@ class AstroRelation:
                     fsops.unlink(p)
                 except OSError:
                     pass
+                bloom.drop_sidecar(p)
             raise ConcurrentWriteError(
                 f"{self.meta.namespace}.{self.meta.name}",
                 e.expected,
@@ -755,6 +758,7 @@ class AstroRelation:
             try:
                 if now - os.path.getmtime(p) > 3600:
                     fsops.unlink(p)
+                    bloom.drop_sidecar(p)
             except OSError:
                 pass
 
@@ -1034,6 +1038,7 @@ class AstroRelation:
                     fsops.unlink(p)
                 except OSError:
                     pass
+                bloom.drop_sidecar(p)
             self._unreserve_generation(new_seq)
             raise
 
@@ -1112,6 +1117,7 @@ class AstroRelation:
                     fsops.unlink(p)
                 except OSError:
                     pass
+                bloom.drop_sidecar(p)
             raise
         self._run_gc()
 
@@ -1655,6 +1661,7 @@ class AstroRelation:
                 fsops.unlink(self._local_path(r.path))
             except OSError:
                 pass
+            bloom.drop_sidecar(self._local_path(r.path))
         meta.retired_regions = kept
         meta.history_floor = max(meta.history_floor, floor)
         # re-persist: update_regions prunes stamps to generations still
@@ -1926,6 +1933,60 @@ class AstroRelation:
         df = self.spark.read.schema(self._file_schema()).parquet(*paths)
         return df.withColumn(SEQ_COL, F.coalesce(F.col(SEQ_COL), F.lit(0)))
 
+    def _build_bloom_sidecars(self, paths: list[str]) -> None:
+        """Build missing ``<fragment>.bloom`` sidecars (bloom.py) — one
+        executor task per fragment via applyInPandas, so the pass scales
+        with the cluster exactly like the stat pass it rides behind.
+        The sidecar write is executor-side and atomic (tmp + rename);
+        a lost task just leaves a missing sidecar (= maybe present)."""
+        need = [
+            p
+            for p in paths
+            if not os.path.exists(bloom.sidecar_path(self._local_path(p)))
+        ]
+        if not need:
+            return
+        local_path = AstroRelation._local_path
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            from spark_sql_on_hbase_spark import bloom as _b
+
+            frag = local_path(str(pdf["__f"].iloc[0]))
+            keys = pdf["__rk"]
+            m, k = _b.params_for(len(keys))
+            bits = _b.build_bits(keys, m, k)
+            _b.write_sidecar(frag, bits, m, k, len(keys))
+            return pd.DataFrame({"f": [frag]})
+
+        (
+            self._read_fragments(*need)
+            .select(
+                F.input_file_name().alias("__f"), F.col(ROWKEY_COL).alias("__rk")
+            )
+            .groupBy("__f")
+            .applyInPandas(build, "f string")
+            .collect()  # O(#fragments) rows — the job barrier, not data
+        )
+
+    _BLOOM_CACHE: dict = {}  # sidecar path → (bits, m, k); immutable files
+
+    def _bloom_admits(self, rf: "RegionFile", rowkeys: list[bytes]) -> bool:
+        """False only when the fragment's sidecar proves every probed
+        rowkey absent; missing/corrupt sidecar = True (maybe present)."""
+        p = self._local_path(rf.path)
+        cache = AstroRelation._BLOOM_CACHE
+        sc = bloom.sidecar_path(p)
+        loaded = cache.get(sc)
+        if loaded is None:
+            loaded = bloom.load_sidecar(p)
+            if loaded is None:
+                return True
+            if len(cache) >= 4096:
+                cache.pop(next(iter(cache)))
+            cache[sc] = loaded
+        bits, m, k = loaded
+        return any(bloom.maybe_contains(bits, m, k, rk) for rk in rowkeys)
+
     def _ensure_fresh_regions(self) -> None:
         """Region-info freshness: (1) cross-SESSION — a sibling session's
         catalog commit moves the metadata version (r12 CAS); one small
@@ -2100,10 +2161,17 @@ class AstroRelation:
                     fsops.unlink(self._local_path(p))
                 except OSError:
                     pass
+                bloom.drop_sidecar(self._local_path(p))
         if only:
             regions += [
                 r for r in meta.regions if os.path.basename(r.path) not in statted
             ]
+        if meta.bloomfilter == "row":
+            # per-fragment ROW bloom sidecars (HBase BLOOMFILTER analog,
+            # bloom.py) — built on the same freshly-statted fragments,
+            # one executor task per fragment; existing sidecars are kept
+            # (fragments are immutable)
+            self._build_bloom_sidecars([r.path for r in regions])
         self.catalog.update_regions(meta, regions, restamp=restamp)
 
     # -- upsert resolution ---------------------------------------------------
@@ -2607,6 +2675,17 @@ class AstroRelation:
                 files=list(meta.regions), total=len(meta.regions),
                 predicate=Opaque(where), key_pushed=None, residual=Opaque(where),
             )
+        if meta.bloomfilter == "row" and res.files and not isinstance(res.predicate, Opaque):
+            # ROW-bloom fragment skipping (HBase Get path, bloom.py): a
+            # full-key point/IN scan drops range-surviving fragments
+            # whose sidecar proves every probed key absent — after k
+            # trickle appends a point lookup reads the 1-2 fragments
+            # that may hold the key, not all k
+            from spark_sql_on_hbase_spark.pruning import point_rowkeys
+
+            pts = point_rowkeys(res.predicate, meta)
+            if pts is not None:
+                res.files = [rf for rf in res.files if self._bloom_admits(rf, pts)]
         if not res.files:
             df = self.spark.createDataFrame([], self.scan().schema)
             return df, res

@@ -141,6 +141,7 @@ class AstroSession:
             align_prefix=c.align_prefix,
             zorder=c.zorder,
             retain_history=c.retain_history,
+            bloomfilter=c.bloomfilter,
         )
         if c.align_prefix and c.align_prefix > len(c.key_columns):
             raise ValueError("align= exceeds the number of key columns")
@@ -210,6 +211,7 @@ class AstroSession:
                 ("layout", meta.layout or "range", "bucketed = one-phase-agg eligible; zorder = all-dim file pruning"),
                 ("align_prefix", str(meta.align_prefix or 0), "region-aligned leading key columns"),
                 ("num_regions", str(meta.num_regions), "declared region count"),
+                ("bloomfilter", meta.bloomfilter or "none", "row = per-fragment ROW bloom sidecars prune point lookups"),
                 ("region_files", str(len(meta.regions)), "current fragment/region files"),
                 (
                     "pending_merge",
