@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
+
 from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens
 
 
@@ -485,7 +487,8 @@ def _write_index_params(spark, path: str, params: dict) -> None:
     ``open()`` would crash after the parquet writes on any non-local path
     (s3://, hdfs://) and silently disable the mismatch guard if lost
     (ADVICE r5)."""
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(params["num_perm"], params["bands"], params["shingle_n"])],
         "num_perm int, bands int, shingle_n int",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/params")

@@ -28,6 +28,8 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
+
 from spark_sql_on_hbase_spark.functions.text import hash60
 
 # hash-space resolution for rate comparisons: rates are exact multiples
@@ -102,8 +104,8 @@ def mixture_sample(
     """
     assert sum(weights_ppm.values()) == RESOLUTION, "weights_ppm must sum to 1e6"
     spark = df.sparkSession
-    w_df = spark.createDataFrame(
-        sorted(weights_ppm.items()), f"{domain} string, __w_ppm long"
+    w_df = local_rows_df(
+        spark, sorted(weights_ppm.items()), f"{domain} string, __w_ppm long"
     )
     counts = df.groupBy(domain).agg(F.count(F.lit(1)).alias("__n_d"))
     rates = (
@@ -142,7 +144,7 @@ def stratified_sample(
     """
     spark = df.sparkSession
     rows = [(k, int(round(v * RESOLUTION))) for k, v in sorted(rates.items())]
-    rate_df = spark.createDataFrame(rows, f"{strata} string, __thresh int")
+    rate_df = local_rows_df(spark, rows, f"{strata} string, __thresh int")
     default_thresh = int(round(default_rate * RESOLUTION))
     return (
         df.join(F.broadcast(rate_df), strata, "left")

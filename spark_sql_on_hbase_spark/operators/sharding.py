@@ -37,6 +37,8 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
+
 from spark_sql_on_hbase_spark.functions.text import hash60
 
 
@@ -82,7 +84,8 @@ def assign_shards(
         offsets[r["__pid"]] = acc
         acc += r["__total"]
     off_df = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
             "__pid int, __offset long",
         )

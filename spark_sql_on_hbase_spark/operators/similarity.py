@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
+
 from spark_sql_on_hbase_spark.functions.vector import (
     cosine_similarity,
     cosine_similarity_batch,
@@ -481,8 +483,8 @@ def ivf_centroids(
         rows = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-        return vecs.sparkSession.createDataFrame(
-            rows, "centroid_id long, centroid array<double>"
+        return local_rows_df(
+            vecs.sparkSession, rows, "centroid_id long, centroid array<double>"
         )
     return (
         vecs.orderBy(id_col)
@@ -558,7 +560,8 @@ def ivf_build_index(
         # assignment pass and persisted as a 1-row JSON dataset (same
         # filesystem-abstraction discipline as the minhash sidecar)
         row = assign.agg(F.avg("cos_best").alias("c")).collect()[0]
-        corpus.sparkSession.createDataFrame(
+        local_rows_df(
+            corpus.sparkSession,
             [(float(row.c if row.c is not None else 0.0), int(n_centroids))],
             "baseline_cos double, n_centroids int",
         ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
@@ -702,7 +705,7 @@ def ivf_topk(
         # exactly once (not a second time inside the candidate join).
         probe_schema = probe.schema
         probe_rows = [(r[0], r[1]) for r in probe.collect()]
-        probe = corpus.sparkSession.createDataFrame(probe_rows, probe_schema)
+        probe = local_rows_df(corpus.sparkSession, probe_rows, probe_schema)
         probed = sorted({c for _, c in probe_rows})
         assign = assign.filter(F.col("cluster_id").isin(probed))
     cand = probe.join(assign, "cluster_id").select(

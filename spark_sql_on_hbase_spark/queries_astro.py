@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark.catalog import AstroCatalog, KeyColumn, NonKeyColumn, TableMeta
+from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
 from spark_sql_on_hbase_spark.queries_relational import Q
 from spark_sql_on_hbase_spark.relation import AstroRelation
 
@@ -504,7 +505,7 @@ def _bloom_lookup_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFr
     # ≥4 fragments survive range pruning per lookup (1 region + 3
     # spanning appends); blooms must cut each read set to ≤1 file
     ok = surviving >= 8 and skipped >= surviving - 2
-    probe = spark.createDataFrame(
+    probe = local_rows_df(spark, 
         [(-10 + offset, 1.0 if ok else 0.0, "bloom_probe")],
         "o_orderkey bigint, totalprice double, o_orderstatus string",
     )
@@ -626,7 +627,7 @@ def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_change_type").alias("o_orderstatus"),
         )
         cons = part if cons is None else cons.unionAll(part)
-    probe = spark.createDataFrame(
+    probe = local_rows_df(spark, 
         [(-9, float(n1) + 100.0 * float(n2), "consumer_probe")],
         "o_orderkey bigint, totalprice double, o_orderstatus string",
     )
@@ -975,7 +976,7 @@ def _streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(hi).cast("bigint").alias("batch_hi"),
         )
         out = part if out is None else out.unionAll(part)
-    probe = spark.createDataFrame(
+    probe = local_rows_df(spark, 
         [(-99, float(n1), "batches", n2, 0, 0)],
         "o_orderkey bigint, totalprice double, change_type string, "
         "commit_seq bigint, batch_lo bigint, batch_hi bigint",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark import codec as C
 from spark_sql_on_hbase_spark import ddl
+from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
 from spark_sql_on_hbase_spark.catalog import (
     AstroCatalog,
     KeyColumn,
@@ -182,7 +183,7 @@ class AstroSession:
 
     def _exec_ShowTables(self, c: ddl.ShowTables) -> DataFrame:
         rows = [(ns, t) for ns, t in self.catalog.list_tables()]
-        return self.spark.createDataFrame(rows or [], "namespace string, tableName string")
+        return local_rows_df(self.spark, rows or [], "namespace string, tableName string")
 
     def _exec_DescribeTable(self, c: ddl.DescribeTable) -> DataFrame:
         """Reference DESCRIBE output: col name, type, KEY COLUMN/NON KEY
@@ -283,7 +284,7 @@ class AstroSession:
                     "reservations + ALTER history rows",
                 ),
             ]
-        return self.spark.createDataFrame(rows, "col_name string, data_type string, comment string")
+        return local_rows_df(self.spark, rows, "col_name string, data_type string, comment string")
 
     def _exec_AlterAddCol(self, c: ddl.AlterAddCol) -> DataFrame:
         # freshness + optimistic retry (r12): the ALTER is itself a
@@ -339,7 +340,7 @@ class AstroSession:
             coerced.append(
                 [self._coerce(v, dt) for v, (_, dt) in zip(row, rel.meta.all_columns)]
             )
-        df = self.spark.createDataFrame(coerced, schema)
+        df = local_rows_df(self.spark, coerced, schema)
         if c.overwrite:
             rel.overwrite(df)
         elif rel.meta.regions or self._table_has_history(rel):
@@ -1033,7 +1034,8 @@ class AstroSession:
                     "readable" if g >= meta.history_floor else "below-floor",
                 )
             )
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "generation int, committed_at string, operation string, "
             "live_files int, retired_files int, snapshot string",
@@ -1067,8 +1069,8 @@ class AstroSession:
             rows = [
                 (p, stats["history_floor"]) for p in stats["reclaimable_paths"]
             ]
-            return self.spark.createDataFrame(
-                rows, "reclaimable_path string, would_set_floor int"
+            return local_rows_df(
+                self.spark, rows, "reclaimable_path string, would_set_floor int"
             )
         rel.register_view()
         return self._ok(
@@ -1237,4 +1239,4 @@ class AstroSession:
         return self.spark.sql(sql_text)
 
     def _ok(self, msg: str) -> DataFrame:
-        return self.spark.createDataFrame([(msg,)], "result string")
+        return local_rows_df(self.spark, [(msg,)], "result string")
