@@ -57,7 +57,7 @@ _HELP = {
     "[FIELDS TERMINATED BY char]",
     "SELECT": "SELECT [DISTINCT] select_expr, ... FROM table_reference [WHERE ...] "
     "[GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]",
-    "INSERT": "INSERT INTO table_name SELECT ... | INSERT INTO table_name VALUES (...)\n"
+    "INSERT": "INSERT INTO table_name SELECT ... | INSERT INTO table_name VALUES (...)[, (...)]\n"
     "INSERT OVERWRITE [TABLE] table_name SELECT ... | VALUES (...)   (atomic replace)",
     "MERGE": "MERGE INTO target [AS t] USING (source | (SELECT ...)) [AS s] ON cond\n"
     "  [WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... | DELETE]\n"

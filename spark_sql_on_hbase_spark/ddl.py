@@ -14,7 +14,7 @@ Covered statements (reference citation per command class):
   ALTER TABLE t DROP c
   LOAD [PARALL] DATA [LOCAL] INPATH 'p' [OVERWRITE] INTO TABLE t
       [FIELDS TERMINATED BY 'x']                   :211-222
-  INSERT INTO [TABLE] t VALUES (...)               :67-75
+  INSERT INTO [TABLE] t VALUES (...)[, (...)]*     :67-75 (multi-row is ours)
   INSERT INTO [TABLE] t SELECT ...                 (InsertableRelation path)
   INSERT OVERWRITE [TABLE] t VALUES (...)|SELECT … (ours — atomic replace;
       the reference appends only, HBaseRelation.scala:660-663)
@@ -310,7 +310,10 @@ _LOAD_RE = re.compile(
 )
 
 _INSERT_VALUES_RE = re.compile(
-    r"^\s*INSERT\s+(?P<over>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+VALUES\s*\((?P<vals>.*)\)\s*;?\s*$",
+    # one or more parenthesized row tuples: VALUES (…) [, (…)]* —
+    # multi-row is standard SQL; the reference grammar
+    # (HBaseSQLParser.scala:67-75) is single-row, ours is a superset
+    r"^\s*INSERT\s+(?P<over>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s+VALUES\s*(?P<vals>\(.*\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -632,9 +635,17 @@ def parse(sql: str) -> Command:
         m = _INSERT_VALUES_RE.match(s)
         if m:
             ns, t = _parse_table_name(m.group("name"))
-            vals = [_parse_literal(v) for v in _split_top_level(m.group("vals"))]
+            rows = []
+            for tup in _split_top_level(m.group("vals")):
+                if not (tup.startswith("(") and tup.endswith(")")):
+                    raise ValueError(f"malformed VALUES row tuple: {tup!r}")
+                rows.append(
+                    [_parse_literal(v) for v in _split_top_level(tup[1:-1])]
+                )
+            if len({len(r) for r in rows}) > 1:
+                raise ValueError("VALUES rows have differing arity")
             return InsertValues(
-                table=t, namespace=ns, values=[vals],
+                table=t, namespace=ns, values=rows,
                 overwrite=m.group("over").upper() == "OVERWRITE",
             )
         m = _INSERT_SELECT_RE.match(s)

@@ -746,3 +746,24 @@ def test_register_all_fingerprint_cache(astro, tmp_path, monkeypatch):
     assert [r.k for r in other.sql("SELECT k FROM rc").collect()] == [99]
     assert [r.k for r in astro.sql("SELECT k FROM rc ORDER BY k").collect()] == [1, 2]
     assert [r.k for r in other.sql("SELECT k FROM rc").collect()] == [99]
+
+
+def test_multirow_insert_values(spark, tmp_path):
+    """INSERT INTO t VALUES (...), (...) — standard-SQL multi-row form
+    (the reference grammar is single-row; ours is a superset).  All rows
+    land in ONE appended generation, and quoted commas/parens inside
+    literals do not split tuples."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+
+    a = AstroSession(spark, str(tmp_path / "mr_wh"))
+    a.sql(
+        "CREATE TABLE mr (k INT, v STRING, PRIMARY KEY (k)) "
+        "MAPPED BY (mr_ht, COLS=[v=f.v])"
+    )
+    a.sql("INSERT INTO mr VALUES (1, 'one'), (2, 'two, (2)'), (3, NULL)")
+    got = sorted((r.k, r.v) for r in a.sql("SELECT * FROM mr").collect())
+    assert got == [(1, "one"), (2, "two, (2)"), (3, None)]
+    rel = a.relation("mr")
+    assert len({r.seq for r in rel.meta.regions}) == 1  # one generation
+    a.sql("INSERT INTO mr VALUES (4, 'x'),(5,'y')")
+    assert a.sql("SELECT count(*) AS n FROM mr").collect()[0].n == 5
