@@ -577,6 +577,15 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _, bres = bl_rel.scan_where("k = 12345")  # gen0-only key
             out["bloom_point_files_read"] = len(bres.files)
             out["bloom_files_range_surviving"] = 1 + 4  # region + 4 spanning appends
+            # r12 secondary index (relation.create_index — Phoenix-global
+            # analog): a NON-KEY equality must route through the index's
+            # candidate keys and then compose with the blooms — one file
+            # read instead of a full scan of every region + append
+            astro.sql("CREATE INDEX ON bench_bl (v)")
+            bl_rel = astro.relation("bench_bl")
+            _, ires = bl_rel.scan_where("v = 12345.0")
+            out["index_nonkey_files_read"] = len(ires.files)
+            out["index_engaged"] = ires.index_used == "v"
             agg_df, one_phase = agg_by_key_prefix(rel, ["k1"], [AggSpec("s", "sum", "v")])
             out["prefix_agg_one_phase"] = bool(one_phase)
             out["prefix_agg_exchanges"] = executed_plan(agg_df).count("Exchange")

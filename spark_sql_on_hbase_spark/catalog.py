@@ -207,6 +207,18 @@ class TableMeta:
     # "none" = no sidecars.  Fragments written before the option (or by
     # legacy sessions) simply lack sidecars and stay "maybe present".
     bloomfilter: str = "none"
+    # secondary indexes (r12 — the Phoenix-global-index analog the
+    # reference lacks: non-key equality predicates full-scan there).
+    # Maps indexed NON-KEY column name → name of the index table (a
+    # regular astro table in the same namespace keyed
+    # (col, *main_key_cols)).  SUPERSET semantics: the index may hold
+    # stale-extra entries (old upsert values, deleted rows) but never
+    # misses a live (value, key) pair — maintenance appends entries for
+    # every new fragment BEFORE the main commit, and the lookup path
+    # re-verifies on the main table, so the index is an accelerator,
+    # never a correctness dependency (same contract as CPR pruning and
+    # the bloom sidecars).
+    indexes: dict = field(default_factory=dict)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -405,6 +417,7 @@ class AstroCatalog:
             pinned_gens=[int(g) for g in raw.get("pinned_gens", [])],
             gc_pending=list(raw.get("gc_pending", [])),
             bloomfilter=raw.get("bloomfilter", "none"),
+            indexes=dict(raw.get("indexes", {})),
         )
         return meta
 

@@ -45,7 +45,14 @@ _HELP = {
     "            retain_history=true|false, bloomfilter=row|none)]\n"
     "  (bloomfilter=row: per-fragment ROW bloom sidecars — full-key =/IN\n"
     "   lookups skip LSM fragments that provably lack the key)",
-    "DROP": "DROP TABLE table_name",
+    "DROP": "DROP TABLE table_name   (drops the table's secondary indexes too)",
+    "INDEX": "CREATE INDEX [IF NOT EXISTS] ON table_name (col)\n"
+    "DROP INDEX ON table_name (col)\n"
+    "  (secondary index on a NON-KEY column — =/IN scans route through a\n"
+    "   derived index table keyed (col, *key_cols), maintained on every\n"
+    "   write; superset semantics, full predicate re-verified, over-cap\n"
+    "   lookups fall back to a full scan.  binaryformat tables only;\n"
+    "   DESCRIBE EXTENDED lists a table's indexes)",
     "ALTER": "ALTER TABLE table_name ADD col_name data_type MAPPED BY (family_name.qualifier)\n"
     "ALTER TABLE table_name DROP col_name\n"
     "  (non-key columns only; the schema is NOT versioned — every read,\n"

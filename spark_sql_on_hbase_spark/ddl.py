@@ -201,6 +201,28 @@ class MergeInto:
 
 
 @dataclass
+class CreateIndex:
+    """CREATE INDEX [IF NOT EXISTS] ON t (col) — a Phoenix-global-index
+    analog (ours; the reference full-scans non-key predicates): a
+    derived astro table keyed (col, *main_key_cols), bulk-built from
+    the current table and maintained superset-style on every write, so
+    non-key =/IN scans become an index range scan + verified point
+    gets.  binaryformat tables, non-key codec-typed columns only."""
+
+    table: str
+    col: str
+    namespace: str = "default"
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropIndex:
+    table: str
+    col: str
+    namespace: str = "default"
+
+
+@dataclass
 class CompactTable:
     """Engine extension (no reference analog — HBase compaction is a
     server-side background process): rewrite all LSM fragments into
@@ -630,6 +652,27 @@ def parse(sql: str) -> Command:
     if cm:
         ns, t = _parse_table_name(cm.group(1))
         return CompactTable(table=t, namespace=ns)
+
+    im = re.match(
+        r"^\s*CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?ON\s+(?P<name>[\w.`]+)"
+        r"\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if im:
+        ns, t = _parse_table_name(im.group("name"))
+        return CreateIndex(
+            table=t, col=im.group("col"), namespace=ns,
+            if_not_exists=bool(im.group("ine")),
+        )
+    im = re.match(
+        r"^\s*DROP\s+INDEX\s+ON\s+(?P<name>[\w.`]+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if im:
+        ns, t = _parse_table_name(im.group("name"))
+        return DropIndex(table=t, col=im.group("col"), namespace=ns)
 
     if up.startswith("INSERT"):
         m = _INSERT_VALUES_RE.match(s)

@@ -61,6 +61,9 @@ class PruneResult:
     # set by scan_where when the key-pushed part proved definitely TRUE
     # over every surviving file, so only the residual was applied
     residual_only: bool = False
+    # name of the secondary-index column whose candidate key set
+    # augmented the pruning predicate (r12), None when no index engaged
+    index_used: str | None = None
 
     @property
     def pruned(self) -> int:

@@ -114,6 +114,11 @@ TAIL_ORDER = [
     # probe; values grade in-window through astro_write_ops' +8000000
     # block
     "astro_bloom_lookup",
+    # r12: secondary-index lookup (Phoenix-global-index analog) — non-key
+    # =/IN scan routed through the superset-maintained index table with
+    # an index-engaged probe; values grade in-window through
+    # astro_write_ops' +10000000 block
+    "astro_index_lookup",
     "text_token_count",
     "ann_lsh_signatures",
     # full-value scalar-function originals; their row counts AND values

@@ -533,6 +533,99 @@ ASTRO["astro_bloom_lookup"] = Q(
 )
 
 
+def _ensure_index_table(spark: SparkSession, sf_dir: str):
+    """Secondary-index lifecycle (r12): load orders, CREATE INDEX on the
+    non-key o_custkey, then INSERT more rows so the superset maintenance
+    path (entries appended before the main commit) is part of the graded
+    state — not just the bulk build."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_six_v1"
+    astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
+    done = os.path.join(_WAREHOUSE, tag, ".index_done")
+    if not os.path.exists(done):
+        load_tables(spark, sf_dir)
+        astro.sql(
+            "CREATE TABLE IF NOT EXISTS astro_six (o_orderkey LONG, "
+            "o_custkey LONG, o_totalprice DOUBLE, PRIMARY KEY (o_orderkey)) "
+            "MAPPED BY (h_six, COLS=[o_custkey=f.ck, o_totalprice=f.tp]) "
+            "OPTIONS (regions=8)"
+        )
+        astro.sql(
+            "INSERT INTO astro_six SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        )
+        astro.sql("CREATE INDEX ON astro_six (o_custkey)")
+        # post-index writes flow through the maintenance hook
+        astro.sql(
+            "INSERT INTO astro_six SELECT o_orderkey + 500000, o_custkey, "
+            "o_totalprice FROM orders WHERE o_custkey = 7 AND o_orderkey < 1000"
+        )
+        with open(done, "w") as f:
+            f.write("1")
+    return astro
+
+
+def _index_lookup_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
+    """(o_orderkey+offset, o_custkey, totalprice) for the two probed
+    customers plus a probe row asserting the scan actually routed
+    through the index."""
+    astro = _ensure_index_table(spark, sf_dir)
+    rel = astro.relation("astro_six")
+    df, res = rel.scan_where("o_custkey IN (42, 7)")
+    ok = res.index_used == "o_custkey"
+    if offset:
+        # write_ops fold shape (o_orderkey, totalprice, o_orderstatus):
+        # the customer id rides the price (exact integer multiple)
+        out = df.select(
+            (F.col("o_orderkey") + offset).alias("o_orderkey"),
+            (F.round("o_totalprice", 2) + F.col("o_custkey") * 10000000)
+            .alias("totalprice"),
+            F.lit("index").alias("o_orderstatus"),
+        )
+        probe = local_rows_df(
+            spark,
+            [(-11 + offset, 1.0 if ok else 0.0, "index_probe")],
+            "o_orderkey bigint, totalprice double, o_orderstatus string",
+        )
+        return out.unionAll(probe)
+    out = df.select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    probe = local_rows_df(
+        spark,
+        [(-11, -1, 1.0 if ok else 0.0)],
+        "o_orderkey bigint, o_custkey bigint, totalprice double",
+    )
+    return out.unionAll(probe)
+
+
+_INDEX_ORACLE = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_custkey IN (42, 7)
+    UNION ALL
+    SELECT o_orderkey + 500000, o_custkey, round(o_totalprice, 2)
+    FROM orders WHERE o_custkey = 7 AND o_orderkey < 1000
+    UNION ALL
+    SELECT -11, -1, 1.0
+"""
+
+ASTRO["astro_index_lookup"] = Q(
+    spark=lambda spark, sf_dir: _index_lookup_frame(spark, sf_dir, 0),
+    oracle=_INDEX_ORACLE,
+    doc="secondary-index lookup (r12 — Phoenix-global-index analog the "
+    "reference lacks: it residual-filters a full scan for non-key "
+    "predicates): CREATE INDEX ON astro_six (o_custkey) builds a derived "
+    "astro table keyed (o_custkey, o_orderkey), superset-maintained on "
+    "every write; the =/IN scan routes through a capped candidate-key "
+    "lookup with the full predicate re-applied, and the probe row grades "
+    "that the index actually engaged (values grade in-window through "
+    "astro_write_ops' +10000000 block)",
+)
+
+
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
     # the retained-history branch keys are offset so the blocks stay
@@ -638,6 +731,10 @@ def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: ROW bloom-sidecar lookup values + files-read probe (+8000000
     # block) — the tail entry astro_bloom_lookup folded in-window
     out = out.unionAll(_bloom_lookup_frame(spark, sf_dir, 8000000))
+    # r12: secondary-index lookup values + index-engaged probe
+    # (+10000000 block) — the tail entry astro_index_lookup folded
+    # in-window; the index frame's 3 columns match by position
+    out = out.unionAll(_index_lookup_frame(spark, sf_dir, 10000000))
     return out.unionAll(probe)
 
 
@@ -1146,6 +1243,19 @@ ASTRO["astro_write_ops"] = Q(
     FROM orders WHERE o_orderkey IN (442, 563)
     UNION ALL
     SELECT -10 + 8000000, 1.0, 'bloom_probe'
+    UNION ALL
+    -- r12 +10000000 block: secondary-index lookup (astro_index_lookup
+    -- folded in-window); customer id rides the price, the probe row
+    -- grades that the scan actually routed through the index
+    SELECT o_orderkey + 10000000,
+           round(o_totalprice, 2) + o_custkey * 10000000, 'index'
+    FROM orders WHERE o_custkey IN (42, 7)
+    UNION ALL
+    SELECT o_orderkey + 500000 + 10000000,
+           round(o_totalprice, 2) + o_custkey * 10000000, 'index'
+    FROM orders WHERE o_custkey = 7 AND o_orderkey < 1000
+    UNION ALL
+    SELECT -11 + 10000000, 1.0, 'index_probe'
     """,
     doc="the r6 write surface end-to-end through the SQL session: INSERT "
     "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "

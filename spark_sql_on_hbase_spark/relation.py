@@ -43,6 +43,8 @@ from spark_sql_on_hbase_spark import fsops
 from spark_sql_on_hbase_spark.catalog import (
     STRING_FORMAT,
     AstroCatalog,
+    KeyColumn,
+    NonKeyColumn,
     RegionFile,
     TableMeta,
     _json_key_value,
@@ -1987,6 +1989,202 @@ class AstroRelation:
         bits, m, k = loaded
         return any(bloom.maybe_contains(bits, m, k, rk) for rk in rowkeys)
 
+    # -- secondary indexes (r12 — Phoenix-global-index analog) ---------------
+    # the reference full-scans non-key predicates (residual filtering,
+    # ScanPredClassifier); at 100 TB an equality on a non-key column
+    # should be an index range scan + verified point gets.  The index is
+    # a REGULAR astro table in the same catalog keyed
+    # (col, *main_key_cols) with SUPERSET semantics — see
+    # TableMeta.indexes for the contract and crash-ordering argument.
+    INDEX_LOOKUP_CAP = 4096
+
+    def index_table_name(self, col: str) -> str:
+        return f"{self.meta.name}__idx_{col}"
+
+    def _index_relation(self, col: str) -> "AstroRelation":
+        name = self.meta.indexes[col]
+        return AstroRelation(
+            self.catalog, self.catalog.get_table(name, self.meta.namespace), self.spark
+        )
+
+    def _index_source_frame(self, paths: list[str], col: str) -> DataFrame:
+        """(col, *main_keys, _g) rows of the given fragments — every
+        version, unresolved (extra stale entries are allowed; a missing
+        live pair is not).  NULL values are unindexed (IS NULL never
+        routes through the index) and a string value containing NUL is
+        skipped (it cannot be a non-final rowkey component — lookups
+        for such values bypass the index)."""
+        raw = self._read_fragments(*paths)
+        df = raw.select(col, *self.meta.key_names, F.col(SEQ_COL).alias("_g"))
+        df = df.filter(F.col(col).isNotNull())
+        if C.normalize_type(self.meta.column_type(col)) == C.STRING:
+            df = df.filter(~F.col(col).contains("\x00"))
+        return df
+
+    def create_index(self, col: str, if_not_exists: bool = False) -> str:
+        meta = self.meta
+        if meta.encoding == STRING_FORMAT:
+            raise ValueError("secondary indexes require a binaryformat table")
+        if col in meta.key_names:
+            raise ValueError(f"{col!r} is a key column — already prunable")
+        if col in meta.indexes:
+            if if_not_exists:
+                return meta.indexes[col]
+            raise ValueError(f"index on {col!r} already exists")
+        dt = C.normalize_type(meta.column_type(col))  # raises on unknown col
+        if dt not in C.FIXED_WIDTH and dt != C.STRING:
+            raise ValueError(f"column type {dt!r} is not index-keyable")
+        name = self.index_table_name(col)
+        idx_meta = TableMeta(
+            name=name,
+            namespace=meta.namespace,
+            physical_table=f"idx_{meta.physical_table}_{col}",
+            key_columns=[KeyColumn(col, dt, 0)]
+            + [
+                KeyColumn(k.name, k.dtype, k.order + 1)
+                for k in sorted(meta.key_columns, key=lambda k: k.order)
+            ],
+            nonkey_columns=[NonKeyColumn("_g", "int", "f", "g")],
+            num_regions=meta.num_regions,
+            declared_columns=[col] + meta.key_names + ["_g"],
+        )
+        self.catalog.create_table(idx_meta, if_not_exists=if_not_exists)
+        idx_rel = AstroRelation(self.catalog, idx_meta, self.spark)
+        # bulk-build from LIVE + RETIRED fragments: retained history a
+        # later RESTORE could re-activate must already be covered — the
+        # superset invariant has no "since index creation" carve-out
+        paths = [r.path for r in meta.regions] + [r.path for r in meta.retired_regions]
+        if paths:
+            idx_rel.write(self._index_source_frame(paths, col))
+        # register AFTER the build commits: a reader that sees the index
+        # in meta.indexes must find it complete (index-first ordering)
+        def commit():
+            self.meta.indexes[col] = name
+            self.catalog.persist(self.meta)
+
+        self._commit_retry(commit)
+        return name
+
+    def drop_index(self, col: str) -> None:
+        name = self.meta.indexes.get(col)
+        if name is None:
+            raise ValueError(f"no index on {col!r}")
+
+        def commit():
+            self.meta.indexes.pop(col, None)
+            self.catalog.persist(self.meta)
+
+        # unregister FIRST (readers stop consulting it), then drop files
+        self._commit_retry(commit)
+        self.catalog.drop_table(name, self.meta.namespace)
+
+    def _maintain_indexes(self, new_paths: list[str]) -> None:
+        """Append (value, key) entries for freshly-discovered fragments
+        to every index — runs BEFORE the main-table commit, so a crash
+        in between leaves extra index entries (sound) rather than
+        missing ones.  Re-runs after a conflict retry just re-append
+        duplicates, which upsert-collapse in the index table."""
+        if not self.meta.indexes or not new_paths:
+            return
+        for col in list(self.meta.indexes):
+            try:
+                idx_rel = self._index_relation(col)
+            except KeyError:
+                continue  # index table vanished (concurrent DROP INDEX)
+            src = self._index_source_frame(new_paths, col)
+            idx_rel.append(src, fragments=1, op="INDEX")
+            # bound index fragment growth (one fragment per main append
+            # otherwise — unbounded under trickle/streaming ingest):
+            # same 4×regions amortized-compaction policy as the
+            # streaming sink's auto_compact (ingest.astro_table_sink)
+            if len(idx_rel.meta.regions) > 4 * max(1, idx_rel.meta.num_regions):
+                idx_rel.compact()
+
+    def _index_candidates(self, where: str):
+        """(augment_predicate_sql, col, n_candidates) when a secondary
+        index can serve an =/IN conjunct of ``where``; None otherwise.
+        The augment is a PER-DIMENSION ``IN`` superset of the candidate
+        main-key tuples — sound because the full predicate is re-applied
+        after the pruned scan — or the literal empty marker ("", col, 0)
+        when the index proves no key matches."""
+        from spark_sql_on_hbase_spark.predicate import (
+            And,
+            Comparison,
+            InList,
+            Opaque,
+            parse_predicate,
+            render,
+            _lit_sql,
+        )
+
+        try:
+            pred = parse_predicate(where)
+        except ValueError:
+            return None
+        conjuncts: list = []
+
+        def flatten(p):
+            if isinstance(p, And):
+                for c in p.children:
+                    flatten(c)
+            else:
+                conjuncts.append(p)
+
+        flatten(pred)
+        hit = None
+        for c in conjuncts:
+            if isinstance(c, Comparison) and c.op == "=" and c.col in self.meta.indexes:
+                hit = (c.col, [c.value])
+                break
+            if isinstance(c, InList) and c.col in self.meta.indexes:
+                hit = (c.col, list(c.values))
+                break
+        if hit is None:
+            return None
+        # the candidate keys must render back into parseable SQL
+        # literals — temporal/decimal key columns don't round-trip
+        # through _lit_sql, so such tables take the ordinary scan path
+        _SIMPLE = {C.BYTE, C.SHORT, C.INT, C.LONG, C.FLOAT, C.DOUBLE, C.STRING, C.BOOLEAN}
+        if any(C.normalize_type(d) not in _SIMPLE for d in self.meta.key_dtypes):
+            return None
+        col, values = hit
+        values = [
+            v
+            for v in values
+            if v is not None and not (isinstance(v, str) and "\x00" in v)
+        ]
+        if not values:
+            return None
+        try:
+            idx_rel = self._index_relation(col)
+        except KeyError:
+            return None  # stale meta.indexes entry
+        probe = (
+            Comparison("=", col, values[0])
+            if len(values) == 1
+            else InList(col, tuple(values))
+        )
+        try:
+            idx_df, _ = idx_rel.scan_where(render(probe))
+            cap = self.INDEX_LOOKUP_CAP
+            rows = (
+                idx_df.select(*self.meta.key_names).distinct().limit(cap + 1).collect()
+            )
+        except Exception:
+            return None  # index unreadable → full scan (never a dependency)
+        if len(rows) > cap:
+            return None  # not selective enough — full scan wins at scale
+        if not rows:
+            return ("", col, 0)
+        parts = []
+        try:
+            for i, k in enumerate(self.meta.key_names):
+                vals = sorted({r[i] for r in rows})
+                parts.append(f"{k} IN ({', '.join(_lit_sql(v) for v in vals)})")
+        except (TypeError, ValueError):
+            return None  # un-renderable key literal (exotic type)
+        return (" AND ".join(parts), col, len(rows))
+
     def _ensure_fresh_regions(self) -> None:
         """Region-info freshness: (1) cross-SESSION — a sibling session's
         catalog commit moves the metadata version (r12 CAS); one small
@@ -2172,6 +2370,17 @@ class AstroRelation:
             # one executor task per fragment; existing sidecars are kept
             # (fragments are immutable)
             self._build_bloom_sidecars([r.path for r in regions])
+        if meta.indexes:
+            # secondary-index maintenance (r12): append (value, key)
+            # entries for fragments this catalog has never seen, BEFORE
+            # the main commit below — crash in between = extra entries
+            # (superset-sound), never missing ones
+            prev = {os.path.basename(r.path) for r in meta.regions}
+            prev |= {os.path.basename(r.path) for r in meta.retired_regions}
+            fresh = [
+                r.path for r in regions if os.path.basename(r.path) not in prev
+            ]
+            self._maintain_indexes(fresh)
         self.catalog.update_regions(meta, regions, restamp=restamp)
 
     # -- upsert resolution ---------------------------------------------------
@@ -2665,8 +2874,29 @@ class AstroRelation:
 
         self._ensure_fresh_regions()
         meta = self.meta
+        index_col = None
+        if meta.indexes:
+            # secondary-index routing (r12): an =/IN conjunct on an
+            # indexed non-key column resolves to a capped candidate
+            # main-key set; a per-dimension IN superset of those keys
+            # joins the pruning predicate, turning the non-key scan into
+            # pruned point reads.  The FULL original predicate is still
+            # applied below, so stale index entries (old upsert values,
+            # deleted rows) only cost reads, never wrong rows.
+            cand = self._index_candidates(where)
+            if cand is not None:
+                aug, index_col, n = cand
+                if n == 0:
+                    # the index proves no key carries the value
+                    res = prune_files(meta, where)
+                    res.files = []
+                    res.index_used = index_col
+                    df = self.spark.createDataFrame([], self.scan().schema)
+                    return df, res
+                where = f"({where}) AND {aug}"
         try:
             res = prune_files(meta, where)
+            res.index_used = index_col
         except ValueError:
             # non-sargable / unparseable predicate → graceful full scan
             # (reference Tpc Query 27: ss_ticket_number + 0 = 3 scans all,

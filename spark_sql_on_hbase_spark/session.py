@@ -177,9 +177,30 @@ class AstroSession:
         return self._ok(f"created {c.namespace}.{c.table}")
 
     def _exec_DropTable(self, c: ddl.DropTable) -> DataFrame:
+        # cascade: a secondary index is meaningless without its table
+        try:
+            idx_names = list(self.catalog.get_table(c.table, c.namespace).indexes.values())
+        except KeyError:
+            idx_names = []
         self.catalog.drop_table(c.table, c.namespace)
+        for n in idx_names:
+            try:
+                self.catalog.drop_table(n, c.namespace)
+            except KeyError:
+                pass
         self.spark.catalog.dropTempView(c.table)
         return self._ok(f"dropped {c.namespace}.{c.table}")
+
+    def _exec_CreateIndex(self, c: ddl.CreateIndex) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        rel._ensure_fresh_regions()
+        name = rel.create_index(c.col, if_not_exists=c.if_not_exists)
+        return self._ok(f"created index {name} on {c.table}({c.col})")
+
+    def _exec_DropIndex(self, c: ddl.DropIndex) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        rel.drop_index(c.col)
+        return self._ok(f"dropped index on {c.table}({c.col})")
 
     def _exec_ShowTables(self, c: ddl.ShowTables) -> DataFrame:
         rows = [(ns, t) for ns, t in self.catalog.list_tables()]
@@ -213,6 +234,11 @@ class AstroSession:
                 ("align_prefix", str(meta.align_prefix or 0), "region-aligned leading key columns"),
                 ("num_regions", str(meta.num_regions), "declared region count"),
                 ("bloomfilter", meta.bloomfilter or "none", "row = per-fragment ROW bloom sidecars prune point lookups"),
+                (
+                    "indexes",
+                    ", ".join(f"{c}->{n}" for c, n in sorted(meta.indexes.items())) or "none",
+                    "secondary indexes: non-key =/IN scans route via index table",
+                ),
                 ("region_files", str(len(meta.regions)), "current fragment/region files"),
                 (
                     "pending_merge",
@@ -309,6 +335,11 @@ class AstroSession:
 
     def _exec_AlterDropCol(self, c: ddl.AlterDropCol) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
+        if c.col in rel.meta.indexes:
+            raise ValueError(
+                f"column {c.col!r} is indexed — DROP INDEX ON "
+                f"{c.table} ({c.col}) first"
+            )
         rel._ensure_fresh_regions()
         rel._commit_retry(
             lambda: self.catalog.alter_drop_column(c.table, c.col, c.namespace)
