@@ -48,6 +48,8 @@ _HELP = {
     "DROP": "DROP TABLE table_name   (drops the table's secondary indexes too)",
     "INDEX": "CREATE INDEX [IF NOT EXISTS] ON table_name (col)\n"
     "DROP INDEX ON table_name (col)\n"
+    "REINDEX TABLE table_name   (rebuild stale-heavy indexes, e.g. after\n"
+    "                            INSERT OVERWRITE or a purge DELETE)\n"
     "  (secondary index on a NON-KEY column — =/IN scans route through a\n"
     "   derived index table keyed (col, *key_cols), maintained on every\n"
     "   write; superset semantics, full predicate re-verified, over-cap\n"

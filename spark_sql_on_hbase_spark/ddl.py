@@ -223,6 +223,17 @@ class DropIndex:
 
 
 @dataclass
+class ReindexTable:
+    """REINDEX TABLE t — rebuild every secondary index from the current
+    fragments.  Superset maintenance never loses entries, but
+    history-folding writes (INSERT OVERWRITE, purge DELETEs) leave
+    indexes stale-heavy; a rebuild restores minimality."""
+
+    table: str
+    namespace: str = "default"
+
+
+@dataclass
 class CompactTable:
     """Engine extension (no reference analog — HBase compaction is a
     server-side background process): rewrite all LSM fragments into
@@ -673,6 +684,10 @@ def parse(sql: str) -> Command:
     if im:
         ns, t = _parse_table_name(im.group("name"))
         return DropIndex(table=t, col=im.group("col"), namespace=ns)
+    im = re.match(r"^\s*REINDEX\s+TABLE\s+([\w.`]+)\s*;?\s*$", s, re.IGNORECASE)
+    if im:
+        ns, t = _parse_table_name(im.group(1))
+        return ReindexTable(table=t, namespace=ns)
 
     if up.startswith("INSERT"):
         m = _INSERT_VALUES_RE.match(s)

@@ -2100,6 +2100,29 @@ class AstroRelation:
             if len(idx_rel.meta.regions) > 4 * max(1, idx_rel.meta.num_regions):
                 idx_rel.compact()
 
+    def reindex(self) -> int:
+        """Rebuild every secondary index from the CURRENT live + retired
+        fragments (REINDEX TABLE).  Superset maintenance never loses
+        entries, but history-folding writes (INSERT OVERWRITE, purge
+        DELETEs) leave the index mostly stale-extra — correct yet
+        bloated; a rebuild restores minimality.  Returns the number of
+        indexes rebuilt."""
+        meta = self.meta
+        paths = [r.path for r in meta.regions] + [r.path for r in meta.retired_regions]
+        n = 0
+        for col in list(meta.indexes):
+            try:
+                idx_rel = self._index_relation(col)
+            except KeyError:
+                continue
+            if paths:
+                src = self._index_source_frame(paths, col)
+            else:  # empty table → empty index
+                src = self.spark.createDataFrame([], table_schema(idx_rel.meta))
+            idx_rel.write(src)
+            n += 1
+        return n
+
     def _index_candidates(self, where: str):
         """(augment_predicate_sql, col, n_candidates) when a secondary
         index can serve an =/IN conjunct of ``where``; None otherwise.

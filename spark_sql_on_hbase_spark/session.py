@@ -202,6 +202,12 @@ class AstroSession:
         rel.drop_index(c.col)
         return self._ok(f"dropped index on {c.table}({c.col})")
 
+    def _exec_ReindexTable(self, c: ddl.ReindexTable) -> DataFrame:
+        rel = self.relation(c.table, c.namespace)
+        rel._ensure_fresh_regions()
+        n = rel.reindex()
+        return self._ok(f"rebuilt {n} index(es) on {c.namespace}.{c.table}")
+
     def _exec_ShowTables(self, c: ddl.ShowTables) -> DataFrame:
         rows = [(ns, t) for ns, t in self.catalog.list_tables()]
         return local_rows_df(self.spark, rows or [], "namespace string, tableName string")

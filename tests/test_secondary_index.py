@@ -249,3 +249,24 @@ def test_two_session_appends_both_indexed(astro, spark, tmp_path):
     df, res = rel.scan_where("status = 'W'")
     assert sorted(r.k1 for r in df.collect()) == [7000, 7001, 7002]
     assert res.index_used == "status"
+
+
+def test_reindex_shrinks_stale_index(astro):
+    """After INSERT OVERWRITE the superset index is correct but mostly
+    stale-extra; REINDEX TABLE rebuilds it minimal from live fragments
+    and lookups keep working."""
+    astro.sql("CREATE INDEX ON si (status)")
+    rel = astro.relation("si")
+    before = rel._index_relation("status").scan().count()
+    astro.sql(
+        "INSERT OVERWRITE si SELECT k1, 'X' AS status, amt FROM si WHERE k1 < 10"
+    )
+    astro.sql("REINDEX TABLE si")
+    rel = astro.relation("si")
+    after = rel._index_relation("status").scan().count()
+    assert after == 10 < before
+    df, res = rel.scan_where("status = 'X'")
+    assert sorted(r.k1 for r in df.collect()) == list(range(10))
+    assert res.index_used == "status"
+    df, res = rel.scan_where("status = 'E'")
+    assert df.count() == 0 and res.files == []
