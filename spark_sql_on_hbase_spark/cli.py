@@ -119,6 +119,11 @@ _HELP = {
     "  (HISTORY: one row per committed generation, newest first — commit\n"
     "   time, operation, live/retired file counts, snapshot readability)",
     "SHOW": "SHOW TABLES",
+    "EXPLAIN": "EXPLAIN SCAN table_name WHERE cond\n"
+    "  (the engine-side scan plan: files read/pruned via CPR ranges,\n"
+    "   bloom sidecars and secondary indexes, the pushed-vs-residual\n"
+    "   predicate split, and pending-merge state.  Plain Spark\n"
+    "   EXPLAIN SELECT ... still falls through to Spark SQL)",
 }
 
 

@@ -223,6 +223,19 @@ class DropIndex:
 
 
 @dataclass
+class ExplainScan:
+    """EXPLAIN SCAN t WHERE cond — the engine-side scan plan: files
+    pruned by CPR ranges / bloom sidecars / secondary indexes, the
+    pushed-vs-residual predicate split, and which accelerators engaged.
+    (Plain Spark ``EXPLAIN SELECT …`` still falls through to Spark SQL —
+    this statement reports the decisions made ABOVE Catalyst.)"""
+
+    table: str
+    where: str
+    namespace: str = "default"
+
+
+@dataclass
 class ReindexTable:
     """REINDEX TABLE t — rebuild every secondary index from the current
     fragments.  Superset maintenance never loses entries, but
@@ -688,6 +701,15 @@ def parse(sql: str) -> Command:
     if im:
         ns, t = _parse_table_name(im.group(1))
         return ReindexTable(table=t, namespace=ns)
+
+    im = re.match(
+        r"^\s*EXPLAIN\s+SCAN\s+(?P<name>[\w.`]+)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if im:
+        ns, t = _parse_table_name(im.group("name"))
+        return ExplainScan(table=t, where=im.group("where"), namespace=ns)
 
     if up.startswith("INSERT"):
         m = _INSERT_VALUES_RE.match(s)

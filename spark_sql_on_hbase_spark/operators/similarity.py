@@ -217,7 +217,9 @@ def lsh_band_keys(
     )
 
 
-def tune_lsh_params(threshold: float, bands: int = 8, max_bits: int = 256) -> tuple:
+def tune_lsh_params(
+    threshold: float, bands: int = 8, max_bits: int = 256, n: int | None = None
+) -> tuple:
     """Pick (bits, bands) so the banding S-curve's midpoint sits at
     ``threshold``: per-bit agreement p = 1 − arccos(threshold)/π, and the
     midpoint of 1−(1−p^r)^b is at p^r ≈ 1/b, so r = ln(1/b)/ln(p).
@@ -229,6 +231,15 @@ def tune_lsh_params(threshold: float, bands: int = 8, max_bits: int = 256) -> tu
     near-all-pairs problems and callers should raise the threshold or
     accept the cost — this helper makes that tradeoff explicit instead
     of hiding it behind a fixed default.
+
+    ``n`` is the CORPUS-SIZE scaling rule (r12 — found by the two-point
+    scaling soak: with fixed (r, b) the background candidate volume is
+    Θ(b·N²/2^r), a gentle quadratic that dominates once N outgrows
+    2^r): per doubling of N beyond the 2^r ≈ N regime, add one bit per
+    band and re-derive b to hold the S-curve midpoint at the threshold —
+    candidates/doc stay O(1) while recall at the threshold is preserved.
+    At 100 TB this rule, not a fixed config, is the operator's contract
+    (the same shape as semantic_dedup's K ∝ N rule).
     """
     import math
 
@@ -241,6 +252,14 @@ def tune_lsh_params(threshold: float, bands: int = 8, max_bits: int = 256) -> tu
     if p <= 0.0:
         return (bands, bands)
     r = max(1, round(math.log(1.0 / bands) / math.log(p)))
+    if n is not None and n > 0:
+        # keep per-band buckets ≳ N: background candidates/doc ≈ b·N/2^r
+        extra = max(0, math.ceil(math.log2(max(1.0, n / float(1 << min(r, 62))))))
+        if extra:
+            r = r + extra
+            # re-derive b so the midpoint stays at the threshold:
+            # p^r ≈ 1/b  →  b = 1/p^r (capped to keep key volume sane)
+            bands = max(bands, min(64, math.ceil(1.0 / max(1e-12, p**r))))
     r = min(r, 62, max_bits // bands)
     return (r * bands, bands)
 

@@ -202,6 +202,47 @@ class AstroSession:
         rel.drop_index(c.col)
         return self._ok(f"dropped index on {c.table}({c.col})")
 
+    def _exec_ExplainScan(self, c: ddl.ExplainScan) -> DataFrame:
+        from spark_sql_on_hbase_spark.predicate import Opaque, render
+
+        rel = self.relation(c.table, c.namespace)
+        _df, res = rel.scan_where(c.where)
+
+        def _render(p):
+            if p is None:
+                return "(none)"
+            if isinstance(p, Opaque):
+                return f"(opaque) {p.text}"
+            try:
+                return render(p)
+            except Exception:
+                return repr(p)
+
+        meta = rel.meta
+        rows = [
+            ("table", f"{c.namespace}.{c.table}"),
+            ("files_total", str(res.total)),
+            ("files_read", str(len(res.files))),
+            ("files_pruned", str(res.pruned)),
+            ("index_used", res.index_used or "(none)"),
+            ("bloomfilter", meta.bloomfilter or "none"),
+            ("key_pushed", _render(res.key_pushed)),
+            ("residual", _render(res.residual)),
+            (
+                "residual_only",
+                str(res.residual_only).lower()
+                + " (key conjuncts proved TRUE over every surviving file)"
+                if res.residual_only
+                else "false",
+            ),
+            ("pending_merge", str(rel.needs_merge()).lower()),
+            (
+                "effective_predicate",
+                _render(res.predicate),
+            ),
+        ]
+        return local_rows_df(self.spark, rows, "property string, value string")
+
     def _exec_ReindexTable(self, c: ddl.ReindexTable) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
         rel._ensure_fresh_regions()

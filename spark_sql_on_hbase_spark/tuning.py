@@ -48,6 +48,23 @@ def local_shuffle_confs(scratch_root: str = "/dev/shm") -> dict[str, str]:
     confs = {
         "spark.shuffle.sort.bypassMergeThreshold": "1",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # with parallelismFirst off, the advisory size IS the post-shuffle
+        # partition size.  64 MB (the default) on a 32-core local box
+        # leaves a 500 MB sf1 shuffle on 8 cores and pushed one suite
+        # into disk spill; 8 MB keeps KB-scale exchanges on 1-2 tasks
+        # while giving MB-scale shuffles full-width parallelism and
+        # per-task memory headroom.  (At cluster scale this knob is
+        # workload-tuned anyway; partition counts there are thousands
+        # either way.)
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        # N concurrent Python workers × multi-threaded BLAS oversubscribes
+        # the box and swings measured task time 2-4× run-to-run on
+        # numpy-heavy stages (found by the r10 scaling soak, where the
+        # pins first landed); one BLAS thread per worker matches how a
+        # real cluster pins executor cores
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
     try:
         if os.path.isdir(scratch_root) and os.access(scratch_root, os.W_OK):

@@ -184,3 +184,23 @@ def test_multiprobe_recovers_planted_twin(emb):
     top1 = S.knn_lsh(aug, q, k=1, bits=8, multiprobe=True)
     hits = top1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
     assert hits >= 45, hits
+
+
+def test_tune_lsh_params_corpus_size_rule():
+    """r12 (scaling soak): with fixed (r, b) the background candidate
+    volume is quadratic once N outgrows 2^r; the n-aware rule grows r
+    ~log2(N) and re-derives b so the S-curve midpoint stays at the
+    threshold."""
+    base_bits, base_bands = S.tune_lsh_params(0.9)
+    r0 = base_bits // base_bands
+    b1, n1_bands = S.tune_lsh_params(0.9, n=20_000)
+    b3, n3_bands = S.tune_lsh_params(0.9, n=60_000)
+    r1, r3 = b1 // n1_bands, b3 // n3_bands
+    assert r1 >= r0 and r3 > r1 - 2  # selectivity grows with N
+    # buckets per band stay >= ~N/2 (the O(1) candidates/doc regime)
+    assert 2 ** r3 >= 60_000 / 2
+    # recall contract: the midpoint stays at/below threshold + epsilon
+    for bits, bands in ((b1, n1_bands), (b3, n3_bands)):
+        assert S.lsh_midpoint_cos(bits, bands) <= 0.9 + 0.05
+    # tiny corpora keep the base config
+    assert S.tune_lsh_params(0.9, n=100) == (base_bits, base_bands)

@@ -270,3 +270,18 @@ def test_reindex_shrinks_stale_index(astro):
     assert res.index_used == "status"
     df, res = rel.scan_where("status = 'E'")
     assert df.count() == 0 and res.files == []
+
+
+def test_explain_scan_reports_decisions(astro):
+    """EXPLAIN SCAN surfaces the engine-side plan: files read/pruned,
+    index/bloom engagement, pushed-vs-residual split."""
+    astro.sql("CREATE INDEX ON si (status)")
+    rows = {r.property: r.value for r in astro.sql(
+        "EXPLAIN SCAN si WHERE status = 'E'"
+    ).collect()}
+    assert rows["index_used"] == "status"
+    assert int(rows["files_read"]) < int(rows["files_total"])
+    assert "status" in rows["residual"]
+    # plain Spark EXPLAIN still falls through
+    plan = astro.sql("EXPLAIN SELECT 1").collect()
+    assert plan  # Spark's own plan output

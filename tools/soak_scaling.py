@@ -51,7 +51,6 @@ FAMILIES = [
     "text_repetition",
     "decontaminate",
     "dedup_minhash_lsh",
-    "emb_neardup_pairs",
 ]
 
 # semantic_dedup's scaling CONTRACT is a parameter rule, not a fixed
@@ -62,6 +61,29 @@ FAMILIES = [
 # gate detects it), so the FLAGGED measurement for this family follows
 # the rule: K scaled 3× at the 3× point.  Both runs are recorded.
 SEMDEDUP_K = 16
+
+# emb_neardup's scaling CONTRACT is likewise a parameter rule (r12 —
+# this soak found the fixed-(r,b) quadratic): banded-LSH background
+# candidates are Θ(b·N²/2^r), so r grows ~log2(N) with b re-derived to
+# hold the S-curve midpoint at the threshold (tune_lsh_params(n=...),
+# the operator docstring's 100 TB guidance).  The flagged measurement
+# follows the rule at both points; the fixed-param 3× run is recorded
+# as evidence of what the rule prevents.
+NEARDUP_N1 = 20_000  # gen_sf1.N_VECS
+
+
+def _neardup_scaled(n):
+    def q(spark, sf_dir):
+        from spark_sql_on_hbase_spark.operators.similarity import (
+            neardup_pairs_lsh,
+            tune_lsh_params,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        bits, bands = tune_lsh_params(0.9, n=n)
+        return neardup_pairs_lsh(emb, threshold=0.9, bits=bits, bands=bands)
+
+    return q
 
 
 def _semantic_dedup_scaled(k):
@@ -106,7 +128,9 @@ def main() -> None:
 
     ensure_sf3()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    from spark_sql_on_hbase_spark.tuning import local_shuffle_confs
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("scaling-soak")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -116,16 +140,12 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
-        # 32 concurrent Python workers × multi-threaded BLAS
-        # oversubscribes the box and makes TASK time (the metric the
-        # exponent is computed from) swing 2-4× run-to-run on the
-        # GEMM-heavy families — pin worker BLAS to one thread so the
-        # measurement reflects plan shape, not scheduler thrash
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
-        .getOrCreate()
     )
+    # worker-BLAS pins + sort shuffle writer + AQE size-based coalescing
+    # + tmpfs scratch — one definition in tuning.local_shuffle_confs
+    for _k, _v in local_shuffle_confs().items():
+        builder = builder.config(_k, _v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from spark_sql_on_hbase_spark.queries import spark_queries
@@ -141,16 +161,16 @@ def main() -> None:
         m["wall_sec"] = round(time.time() - t0, 2)
         return m
 
-    def run_q(q, sf_dir: str) -> dict:
-        # min of 2 per point (bench's discipline): one host spike on one
-        # point would otherwise fabricate — or mask — an exponent
-        a, b = _one(q, sf_dir), _one(q, sf_dir)
-        best = a if a.get("task_time_sec", a["wall_sec"]) <= b.get(
-            "task_time_sec", b["wall_sec"]
-        ) else b
+    def run_q(q, sf_dir: str, runs: int = 2) -> dict:
+        # min of N per point (bench's discipline, default 2): one host
+        # spike on one point would otherwise fabricate — or mask — an
+        # exponent.  The param-rule families pass runs=3: their absolute
+        # task times sit near the per-job overhead floor where 2 samples
+        # proved insufficient (r12 — a 4x swing between same-code runs)
+        ms = [_one(q, sf_dir) for _ in range(runs)]
+        best = min(ms, key=lambda m: m.get("task_time_sec", m["wall_sec"]))
         best["task_samples"] = [
-            a.get("task_time_sec", a["wall_sec"]),
-            b.get("task_time_sec", b["wall_sec"]),
+            m.get("task_time_sec", m["wall_sec"]) for m in ms
         ]
         return best
 
@@ -199,13 +219,53 @@ def main() -> None:
             "task_samples_1x": m1.get("task_samples"),
             "task_samples_3x": m3.get("task_samples"),
         }
+    # emb_neardup under its documented parameter rule ((r, b) from
+    # tune_lsh_params(n=N)) — flagged measurement + fixed-param evidence
+    try:
+        from spark_sql_on_hbase_spark.operators.similarity import tune_lsh_params
+
+        m1 = run_q(_neardup_scaled(NEARDUP_N1), SF1_DIR, runs=3)
+        m3 = run_q(_neardup_scaled(SCALE * NEARDUP_N1), SF3_DIR, runs=3)
+        m3_fixed = run_q(_neardup_scaled(NEARDUP_N1), SF3_DIR, runs=2)
+        t1 = max(0.001, m1.get("task_time_sec", m1["wall_sec"]))
+        t3 = max(0.001, m3.get("task_time_sec", m3["wall_sec"]))
+        t3f = max(0.001, m3_fixed.get("task_time_sec", m3_fixed["wall_sec"]))
+        ratio = t3 / t1
+        flagged = ratio > FLAG_FACTOR * SCALE
+        flags += int(flagged)
+        b1 = tune_lsh_params(0.9, n=NEARDUP_N1)
+        b3 = tune_lsh_params(0.9, n=SCALE * NEARDUP_N1)
+        out["families"]["emb_neardup_pairs"] = {
+            "task_1x_sec": round(t1, 2),
+            "task_3x_sec": round(t3, 2),
+            "wall_1x_sec": m1["wall_sec"],
+            "wall_3x_sec": m3["wall_sec"],
+            "task_ratio": round(ratio, 2),
+            "exponent": round(math.log(ratio) / math.log(SCALE), 3),
+            "flagged_superlinear": flagged,
+            "spill_disk_mb_3x": m3.get("spill_disk_mb", 0.0),
+            "task_samples_1x": m1.get("task_samples"),
+            "task_samples_3x": m3.get("task_samples"),
+            "param_rule": f"(bits, bands) = {b1} -> {b3} "
+            "(r grows ~log2 N, b re-derived to hold the S-curve midpoint "
+            "at the threshold — tune_lsh_params(n=...), the operator's "
+            "documented scaling contract)",
+            "fixed_param_task_3x_sec": round(t3f, 2),
+            "fixed_param_exponent": round(math.log(t3f / t1) / math.log(SCALE), 3),
+            "fixed_param_note": "fixed (r, b) at 3x data is the documented "
+            "mis-parameterization (background candidates Θ(b·N²/2^r)) — "
+            "kept as evidence the two-point gate detects gentle quadratics",
+            "flag_note": "flag adjudicated, kept: the 3x corpus holds 3x vectors in the SAME 10 clusters (gen_sf1 shape), so cluster-mate background collisions (within-cluster cos ~0.5, per-bit agreement ~0.67) grow ~N^2*p^r — the log2(N) bit rule absorbs uniform-hash growth but cannot absorb cluster size growing with N (holding candidates/doc would need ~2.7 extra bits per 3x at this tightness, past the recall-preserving band budget).  Absolute cost stays small (37.6 task-s, zero spill, bucket_cap intact); the engine's documented path for CLUSTERED corpora is learned partitioning — semantic_dedup/IVF, measured exp~1.4 in this same soak under its K-proportional-to-N rule",
+        }
+    except Exception as ex:
+        out["families"]["emb_neardup_pairs"] = {"error": str(ex)[:300]}
     # semantic_dedup under its documented parameter rule (K ∝ N) — this
     # is the flagged measurement; the fixed-K quadratic is recorded
     # alongside as evidence of what the rule prevents
     try:
-        m1 = run_q(_semantic_dedup_scaled(SEMDEDUP_K), SF1_DIR)
-        m3 = run_q(_semantic_dedup_scaled(SCALE * SEMDEDUP_K), SF3_DIR)
-        m3_fixed = run_q(_semantic_dedup_scaled(SEMDEDUP_K), SF3_DIR)
+        m1 = run_q(_semantic_dedup_scaled(SEMDEDUP_K), SF1_DIR, runs=3)
+        m3 = run_q(_semantic_dedup_scaled(SCALE * SEMDEDUP_K), SF3_DIR, runs=3)
+        m3_fixed = run_q(_semantic_dedup_scaled(SEMDEDUP_K), SF3_DIR, runs=2)
         t1 = max(0.001, m1.get("task_time_sec", m1["wall_sec"]))
         t3 = max(0.001, m3.get("task_time_sec", m3["wall_sec"]))
         t3f = max(0.001, m3_fixed.get("task_time_sec", m3_fixed["wall_sec"]))
@@ -221,6 +281,8 @@ def main() -> None:
             "exponent": round(math.log(ratio) / math.log(SCALE), 3),
             "flagged_superlinear": flagged,
             "spill_disk_mb_3x": m3.get("spill_disk_mb", 0.0),
+            "task_samples_1x": m1.get("task_samples"),
+            "task_samples_3x": m3.get("task_samples"),
             "param_rule": f"n_clusters = {SEMDEDUP_K} -> {SCALE * SEMDEDUP_K} "
             "(K proportional to N, the operator's documented scaling contract)",
             "fixed_param_task_3x_sec": round(t3f, 2),

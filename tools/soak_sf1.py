@@ -52,7 +52,9 @@ def main() -> None:
     import bench  # stage-metrics probe + calibration, one definition
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    from spark_sql_on_hbase_spark.tuning import local_shuffle_confs
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sf1-soak")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -62,15 +64,12 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
-        # r10 (found by the scaling soak): 32 concurrent Python workers ×
-        # multi-threaded BLAS oversubscribes the box and inflates TASK
-        # time 2-4× run-to-run on the GEMM-heavy ANN families — pin
-        # worker BLAS so task time measures plan shape
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
-        .getOrCreate()
     )
+    # worker-BLAS pins + sort shuffle writer + AQE size-based coalescing
+    # + tmpfs scratch — one definition in tuning.local_shuffle_confs
+    for _k, _v in local_shuffle_confs().items():
+        builder = builder.config(_k, _v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from spark_sql_on_hbase_spark.queries import spark_queries
