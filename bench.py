@@ -274,6 +274,9 @@ def main() -> None:
             ("stringformat_float_pushdown_rows_scanned", "sf_float_rows"),
             ("stringformat_float_onesided_rows_scanned", "sf_f1_rows"),
             ("zorder_dim2_files_read", "zorder_files"),
+            ("bloom_point_files_read", "bloom_files"),
+            ("index_nonkey_files_read", "index_files"),
+            ("index_engaged", "index_engaged"),
             ("asof_join_ops", "asof_joins"),
             ("interval_join_nested_loop", "ivjoin_nl"),
             ("plain_shuffle_balance_max_over_avg", "skew_plain"),
@@ -323,10 +326,11 @@ def main() -> None:
     elif scale_flags is None:
         compact["scale_flags"] = "no-artifact"
     line = json.dumps(compact, separators=(",", ":"))
-    # cap within the documented <=1.5 KiB contract (the caller captures a
-    # ~2 KiB tail; r4's overflow was a ~2.5 KiB line) — r9 raised from
-    # 1400 for the six new ANN/pushdown gate keys
-    if len(line) > 1500:  # belt and braces: never overflow the capture
+    # cap with margin under the caller's ~2 KiB capture tail (r4's
+    # overflow was a ~2.5 KiB line) — r9 raised to 1500 for the six
+    # ANN/pushdown gate keys, r12 to 1800 for the bloom/index gates
+    # (1500 silently dropped EVERY plan-shape gate from the line)
+    if len(line) > 1800:  # belt and braces: never overflow the capture
         compact.pop("plan_shapes", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
