@@ -35,6 +35,7 @@ import hashlib
 import json
 import os
 import struct
+import uuid
 
 import numpy as np
 
@@ -103,13 +104,26 @@ def write_sidecar(fragment_path: str, bits: np.ndarray, m: int, k: int, n: int) 
     """Atomic write next to the fragment (tmp + rename, the same
     single-object commit discipline as every other engine artifact)."""
     dest = sidecar_path(fragment_path)
-    tmp = dest + ".tmp"
+    # per-writer tmp name: two sessions statting the same table can race
+    # to build the same missing sidecar; contents are deterministic for
+    # a given fragment, so last-rename-wins is safe — but a SHARED tmp
+    # name let the loser's os.replace raise after the winner renamed
+    # (ADVICE r12), failing an executor task on a read path
+    tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     header = json.dumps({"m": m, "k": k, "n": n}).encode() + b"\n"
-    with open(tmp, "wb") as f:
-        f.write(MAGIC)
-        f.write(header)
-        f.write(bits.tobytes())
-    os.replace(tmp, dest)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(header)
+            f.write(bits.tobytes())
+        os.replace(tmp, dest)
+    except OSError:
+        # best-effort artifact: a failed build must never fail the scan
+        # (missing sidecar = maybe-present); reap the partial tmp
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def load_sidecar(fragment_path: str):

@@ -252,15 +252,28 @@ def tune_lsh_params(
     if p <= 0.0:
         return (bands, bands)
     r = max(1, round(math.log(1.0 / bands) / math.log(p)))
+    r = min(r, 62, max_bits // bands)  # base config always fits the budget
     if n is not None and n > 0:
-        # keep per-band buckets ≳ N: background candidates/doc ≈ b·N/2^r
-        extra = max(0, math.ceil(math.log2(max(1.0, n / float(1 << min(r, 62))))))
-        if extra:
-            r = r + extra
+        # keep per-band buckets ≳ N: background candidates/doc ≈ b·N/2^r.
+        # The budget is enforced JOINTLY with the inflation (ADVICE r12:
+        # a post-inflation clamp let the re-derived b shrink r BELOW the
+        # un-scaled value — at n=200M the "scaled" config was r=4, the
+        # opposite of the rule's intent).  Take the largest extra whose
+        # (r+extra) · b(r+extra) fits max_bits; extra=0 always fits, so
+        # r never drops below the un-scaled base.  When the wanted extra
+        # doesn't fit, the honest remedy is a larger max_bits — the
+        # budget, not this rule, is then the binding constraint.
+        want = max(0, math.ceil(math.log2(max(1.0, n / float(1 << min(r, 62))))))
+        for extra in range(want, 0, -1):
+            r_try = r + extra
+            if r_try > 62:
+                continue
             # re-derive b so the midpoint stays at the threshold:
             # p^r ≈ 1/b  →  b = 1/p^r (capped to keep key volume sane)
-            bands = max(bands, min(64, math.ceil(1.0 / max(1e-12, p**r))))
-    r = min(r, 62, max_bits // bands)
+            b_try = max(bands, min(64, math.ceil(1.0 / max(1e-12, p**r_try))))
+            if r_try * b_try <= max_bits:
+                r, bands = r_try, b_try
+                break
     return (r * bands, bands)
 
 

@@ -2035,6 +2035,16 @@ class AstroRelation:
         if dt not in C.FIXED_WIDTH and dt != C.STRING:
             raise ValueError(f"column type {dt!r} is not index-keyable")
         name = self.index_table_name(col)
+        # tolerate an ORPHAN index table (a pre-r13 DROP TABLE cascade
+        # crash, or a crash between bulk build and registration): col is
+        # not in meta.indexes — checked above — so any existing table
+        # under this name is unowned and safely rebuilt from scratch
+        try:
+            self.catalog.get_table(name, meta.namespace)
+        except KeyError:
+            pass
+        else:
+            self.catalog.drop_table(name, meta.namespace)
         idx_meta = TableMeta(
             name=name,
             namespace=meta.namespace,
@@ -2057,8 +2067,25 @@ class AstroRelation:
         if paths:
             idx_rel.write(self._index_source_frame(paths, col))
         # register AFTER the build commits: a reader that sees the index
-        # in meta.indexes must find it complete (index-first ordering)
+        # in meta.indexes must find it complete (index-first ordering).
+        # Lost-update window (ADVICE r12): a sibling session may commit
+        # an append between our bulk-build snapshot and this
+        # registration — the sibling does not maintain an index it has
+        # never seen registered.  The commit closure re-runs from
+        # REFRESHED meta on every CAS conflict, so diff the now-current
+        # fragments against the snapshot and backfill the gap before
+        # persisting the registration (superset invariant: extra stale
+        # entries are fine, a missing live pair is not).
+        built = set(paths)
+
         def commit():
+            current = [r.path for r in self.meta.regions] + [
+                r.path for r in self.meta.retired_regions
+            ]
+            gap = [p for p in current if p not in built]
+            if gap:
+                idx_rel.append(self._index_source_frame(gap, col), op="INDEX")
+                built.update(gap)
             self.meta.indexes[col] = name
             self.catalog.persist(self.meta)
 
@@ -2171,11 +2198,16 @@ class AstroRelation:
         if any(C.normalize_type(d) not in _SIMPLE for d in self.meta.key_dtypes):
             return None
         col, values = hit
-        values = [
-            v
-            for v in values
-            if v is not None and not (isinstance(v, str) and "\x00" in v)
-        ]
+        # NUL-containing string values are storable in the (non-key)
+        # indexed column but deliberately UNINDEXED by
+        # _index_source_frame — the superset invariant does not cover
+        # them, so a lookup that mentions one must bypass the index
+        # entirely (full scan), never probe a partial value list.
+        # SQL-NULL alone is safe to drop: `col = NULL` / `IN (NULL)`
+        # can never match a row.
+        if any(isinstance(v, str) and "\x00" in v for v in values):
+            return None
+        values = [v for v in values if v is not None]
         if not values:
             return None
         try:

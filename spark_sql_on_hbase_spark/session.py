@@ -177,17 +177,22 @@ class AstroSession:
         return self._ok(f"created {c.namespace}.{c.table}")
 
     def _exec_DropTable(self, c: ddl.DropTable) -> DataFrame:
-        # cascade: a secondary index is meaningless without its table
+        # cascade: a secondary index is meaningless without its table.
+        # Index tables drop FIRST (ADVICE r12): an index without its
+        # table is harmless (nothing routes through an unregistered
+        # index), but a crash after the main drop left orphaned
+        # `t__idx_*` entries with no owning pointer that collided with
+        # a later re-CREATE INDEX.
         try:
             idx_names = list(self.catalog.get_table(c.table, c.namespace).indexes.values())
         except KeyError:
             idx_names = []
-        self.catalog.drop_table(c.table, c.namespace)
         for n in idx_names:
             try:
                 self.catalog.drop_table(n, c.namespace)
             except KeyError:
                 pass
+        self.catalog.drop_table(c.table, c.namespace)
         self.spark.catalog.dropTempView(c.table)
         return self._ok(f"dropped {c.namespace}.{c.table}")
 
