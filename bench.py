@@ -277,6 +277,10 @@ def main() -> None:
             ("bloom_point_files_read", "bloom_files"),
             ("index_nonkey_files_read", "index_files"),
             ("index_engaged", "index_engaged"),
+            ("index_range_files_read", "ixr_files"),
+            ("index_range_engaged", "ixr_engaged"),
+            ("index_semijoin_engaged", "ixsj_engaged"),
+            ("index_semijoin_files_read", "ixsj_files"),
             ("asof_join_ops", "asof_joins"),
             ("interval_join_nested_loop", "ivjoin_nl"),
             ("plain_shuffle_balance_max_over_avg", "skew_plain"),
@@ -590,6 +594,20 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             _, ires = bl_rel.scan_where("v = 12345.0")
             out["index_nonkey_files_read"] = len(ires.files)
             out["index_engaged"] = ires.index_used == "v"
+            # r13 range-index path (VERDICT r12 #2): a range on the
+            # indexed NON-key column is an index-side range scan; v == k
+            # here, so the candidate keys cluster and files prune
+            _, rres = bl_rel.scan_where("v BETWEEN 12340.0 AND 12350.0")
+            out["index_range_files_read"] = len(rres.files)
+            out["index_range_engaged"] = rres.index_mode == "augment"
+            # r13 over-cap semi-join: >4096 candidates (< 25% of keys)
+            # stay DISTRIBUTED — bounds prune files, leftsemi exacts
+            # (range chosen clear of the spanning-append upsert keys so
+            # the candidate bounds stay clustered)
+            _, sres = bl_rel.scan_where("v >= 10000.0 AND v < 15000.0")
+            out["index_semijoin_engaged"] = sres.index_mode == "semijoin"
+            out["index_semijoin_files_read"] = len(sres.files)
+            out["index_semijoin_files_total"] = sres.total
             agg_df, one_phase = agg_by_key_prefix(rel, ["k1"], [AggSpec("s", "sum", "v")])
             out["prefix_agg_one_phase"] = bool(one_phase)
             out["prefix_agg_exchanges"] = executed_plan(agg_df).count("Exchange")

@@ -219,6 +219,20 @@ class TableMeta:
     # never a correctness dependency (same contract as CPR pruning and
     # the bloom sidecars).
     indexes: dict = field(default_factory=dict)
+    # covering-index state (r13 — Phoenix covered-column analog).  Per
+    # indexed column: {"include": [non-key cols ALSO stored in the index
+    # table], "clean": bool}.  ``clean`` is the index-only-read
+    # precondition: True while no write has DROPPED live fragments from
+    # the main table since the index was built/REINDEXed (appends and
+    # upsert appends preserve it; folds/deletes/restores — anything that
+    # removes a live fragment — clear it, because the index still lists
+    # rows that vanished).  With clean=True and a merge-free main table,
+    # the index entries are EXACTLY the live (value, key, includes)
+    # tuples, so a query projecting ⊆ (col ∪ keys ∪ include) is served
+    # from the index table alone — no main-table read.  REINDEX TABLE
+    # restores clean=True.  Indexes created before r13 read as
+    # {"include": [], "clean": False} (conservative: never index-only).
+    index_info: dict = field(default_factory=dict)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:

@@ -386,6 +386,131 @@ def lsh_midpoint_cos(bits: int, bands: int) -> float:
     return math.cos(math.pi * (1.0 - p_mid))
 
 
+# -- clustered-corpus auto-routing (r13, VERDICT r12 #1) ----------------------
+# Banded LSH's background candidate volume is Θ(Σ_bucket C(n,2)); on a
+# CLUSTERED corpus (which real embedding corpora are) cluster-mates
+# collide at p_bg^r per band and bucket sizes grow ∝ N — a gentle
+# quadratic no recall-preserving (r, b) budget can absorb (the r12
+# scaling soak's one flag: exp 2.4 at 3× on a fixed-10-cluster corpus).
+# The scale-safe path for clustered data is SemDeDup-style learned
+# partitioning: coarse k-means cells, then LSH *within* each cell —
+# cell size stays ~constant under K ∝ N, so candidates/doc stay O(1)
+# (measured exp 1.37 in the same soak).  r13 makes that routing
+# AUTOMATIC: a cheap sampled bucket-occupancy pre-pass estimates
+# candidates/doc, and when the estimate exceeds ROUTE_CAND_BOUND the
+# operator joins the cell key into the band join instead of documenting
+# the hazard.
+ROUTE_MIN_N = 8192  # below this the plain band join is always fine
+ROUTE_CAND_BOUND = 8.0  # estimated candidates/doc above this → route
+ROUTE_CELL_TARGET = 1024  # aim cells at ~this many vectors (K = N/target)
+# k-means trains on ~this many samples PER CELL: train cost is then
+# O(K²·per_cell) — bounded by the K cap, never Θ(N·K) = Θ(N²) as a
+# full-corpus fit under K ∝ N would be
+ROUTE_TRAIN_PER_CELL = 128
+
+
+def _hash_mod_sample(df: DataFrame, col: str, every: int) -> DataFrame:
+    """Deterministic ~1/every decimation by id hash — no RNG, so the
+    probe decision is reproducible run-to-run."""
+    if every <= 1:
+        return df
+    return df.filter(F.pmod(F.xxhash64(F.col(col)), F.lit(every)) == 0)
+
+
+def estimate_lsh_candidates_per_doc(
+    vecs: DataFrame,
+    bits: int,
+    bands: int,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_rows: int = 16384,
+) -> float:
+    """Unbiased estimate of banded-LSH candidate PAIRS per document for
+    a (bits, bands) config — the cluster-collapse detector.
+
+    Signatures are computed for a deterministic ~probe_rows id-hash
+    sample (constant work regardless of N), bucket occupancy is one
+    narrow aggregation, and Σ C(occupancy, 2) is scaled by every² (a
+    pair survives 1/every decimation with probability 1/every²).  Cost
+    is O(probe_rows · bits) map-side + one tiny shuffle — negligible
+    next to the pair join it guards."""
+    n = vecs.count() if n is None else n
+    if n <= 1:
+        return 0.0
+    every = max(1, n // probe_rows)
+    sample = _hash_mod_sample(vecs.select(id_col, vec_col), id_col, every)
+    sb = lsh_band_keys(sample, bits=bits, bands=bands, id_col=id_col, vec_col=vec_col)
+    row = (
+        sb.groupBy("band", "bsig")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+        .collect()[0]
+    )
+    pairs = float(row.p or 0.0) * every * every
+    return pairs / n
+
+
+def _assign_cells_top2(
+    vecs: DataFrame, n: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __cell) with each vector in its top-1 AND top-2 nearest
+    k-means cells (multi-assignment) — the learned-partition key for the
+    routed near-dup path.
+
+    K ∝ N (ROUTE_CELL_TARGET vectors per cell, capped at 4096) keeps
+    cell sizes ~constant as the corpus grows.  Scale shape: training
+    runs on a deterministic ~ROUTE_TRAIN_PER_CELL·K sample (never the
+    full corpus — a full-corpus fit under K ∝ N is Θ(N²)); assignment
+    broadcasts the K×d centroid matrix (≤2 MB at the cap) into ONE
+    Arrow kernel that scores each batch with a single BLAS matmul —
+    each vector crosses the Python boundary once, never K times (the
+    crossJoin formulation would ship N×K duplicated vectors).  Top-2
+    assignment is the boundary-recall guard: a true near-dup pair can
+    only split if THREE centroids are near-equidistant to it."""
+    import numpy as np
+    import pandas as pd
+
+    k = int(min(4096, max(8, -(-n // ROUTE_CELL_TARGET))))
+    train = _hash_mod_sample(vecs, id_col, max(1, n // (ROUTE_TRAIN_PER_CELL * k)))
+    cent = ivf_centroids(
+        train, n_centroids=k, id_col=id_col, vec_col=vec_col, trained=True, max_iter=8
+    )
+    rows = cent.orderBy("centroid_id").collect()  # K rows, bounded ≤4096
+    cmat = np.array([r.centroid for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm[:, None]
+    cids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+
+    def _top2_batch(s):  # pd.Series -> pd.Series of list<int64>
+        out = [None] * len(s)
+        pos, mats = [], []
+        for i, v in enumerate(s):
+            if v is None or len(v) == 0:
+                out[i] = [int(cids[0])]
+                continue
+            pos.append(i)
+            mats.append(np.asarray(v, dtype=np.float64))
+        if pos:
+            V = np.stack(mats)
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            scores = (V / vn[:, None]) @ cmat.T  # (batch, K) one matmul
+            # stable argsort on -score → deterministic lowest-index ties
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :2]
+            for row, p in enumerate(pos):
+                a = int(cids[order[row, 0]])
+                b = int(cids[order[row, 1]]) if order.shape[1] > 1 else a
+                out[p] = [a] if a == b else [a, b]
+        return pd.Series(out, dtype="object")
+
+    cells_udf = F.pandas_udf(_top2_batch, "array<bigint>")
+    return vecs.select(
+        F.col(id_col), F.explode(cells_udf(F.col(vec_col))).alias("__cell")
+    )
+
+
 def neardup_pairs_lsh(
     vecs: DataFrame,
     threshold: float = 0.9,
@@ -394,6 +519,7 @@ def neardup_pairs_lsh(
     bucket_cap: int | None = 20000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    route: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH candidates + exact rerank —
     the scale path (VERDICT r1: the all-pairs crossJoin must never be
@@ -424,6 +550,28 @@ def neardup_pairs_lsh(
     deterministic, SQL-mirrorable (row_number), and inert on healthy
     data; pairs lost to the cap are confined to the pathological bucket.
 
+    ``route`` is the CLUSTERED-corpus scale contract (r13, VERDICT r12
+    #1 — previously a docstring hazard, now self-enforcing).  Real
+    embedding corpora are clustered, and cluster-mate background
+    collisions grow ~N²·p_bg^r — quadratic under ANY fixed
+    recall-preserving (r, b).  With ``route="auto"`` (the default), a
+    sampled bucket-occupancy pre-pass
+    (:func:`estimate_lsh_candidates_per_doc`) runs once for corpora
+    above ROUTE_MIN_N vectors; when the estimate exceeds
+    ROUTE_CAND_BOUND candidates/doc the operator routes through learned
+    partitioning — coarse spherical k-means cells (K ∝ N, SemDeDup),
+    top-2 multi-assignment for boundary recall, and the SAME band join
+    restricted to same-cell pairs — and emits a RuntimeWarning naming
+    the decision.  Candidates/doc then stay O(1) as N grows (cell size
+    is constant under K ∝ N).  The routed result is a SUBSET of the
+    plain result (pairs whose members share no cell are missed — at
+    near-dup thresholds such pairs require three near-equidistant
+    centroids, i.e. are vanishingly rare); callers needing the exact
+    banded set on a hot corpus pass ``route="never"`` and accept the
+    quadratic, or ``route="cells"`` to force the learned path.
+    :func:`semantic_dedup` remains the dedicated within-cluster
+    dedup operator when cluster structure is the point, not a hazard.
+
     Returns (id_a, id_b, cos_sim) with cos rounded to 4 decimals.
     """
     if bits is None or bands is None:
@@ -442,22 +590,58 @@ def neardup_pairs_lsh(
             RuntimeWarning,
             stacklevel=2,
         )
+    if route not in ("auto", "never", "cells"):
+        raise ValueError(f"route must be auto|never|cells, got {route!r}")
+    routed = route == "cells"
+    n = None
+    if route == "auto":
+        n = vecs.count()
+        if n >= ROUTE_MIN_N:
+            est = estimate_lsh_candidates_per_doc(
+                vecs, bits, bands, n=n, id_col=id_col, vec_col=vec_col
+            )
+            routed = est > ROUTE_CAND_BOUND
+            if routed:
+                import warnings
+
+                warnings.warn(
+                    f"neardup_pairs_lsh: estimated {est:.1f} LSH candidates/doc "
+                    f"(bound {ROUTE_CAND_BOUND}) on {n} vectors — the corpus is "
+                    f"cluster-collapsed for (bits={bits}, bands={bands}); "
+                    f"auto-routing through learned k-means cells (SemDeDup "
+                    f"partitioning, K∝N) to keep candidates/doc O(1). Pairs "
+                    f"split across all of a vector's top-2 cells are missed; "
+                    f"pass route='never' for the exact banded set (quadratic "
+                    f"here), or use semantic_dedup for explicit "
+                    f"within-cluster dedup.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     banded = lsh_band_keys(vecs, bits=bits, bands=bands, id_col=id_col, vec_col=vec_col)
+    bucket_key = ["band", "bsig"]
+    if routed:
+        if n is None:
+            n = vecs.count()
+        cells = _assign_cells_top2(vecs, n, id_col, vec_col)
+        banded = banded.join(cells, id_col)
+        bucket_key = ["__cell", "band", "bsig"]
     if bucket_cap is not None:
-        w = Window.partitionBy("band", "bsig").orderBy(F.col(id_col))
+        w = Window.partitionBy(*bucket_key).orderBy(F.col(id_col))
         banded = (
             banded.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= bucket_cap)
             .drop("__rn")
         )
+    pair_cond = (
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bsig") == F.col("y.bsig"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+    )
+    if routed:
+        pair_cond = pair_cond & (F.col("x.__cell") == F.col("y.__cell"))
     cand = (
         banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bsig") == F.col("y.bsig"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
+        .join(banded.alias("y"), pair_cond)
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()
     )

@@ -64,6 +64,14 @@ class PruneResult:
     # name of the secondary-index column whose candidate key set
     # augmented the pruning predicate (r12), None when no index engaged
     index_used: str | None = None
+    # HOW the index engaged (r13): "augment" (≤cap candidate keys folded
+    # into the pruning predicate), "semijoin" (over-cap — index-side
+    # scan semi-joined distributed, min/max bounds folded for pruning),
+    # or "empty" (the index proved zero matching keys); None otherwise
+    index_mode: str | None = None
+    # candidate main-key count behind the decision (augment: exact;
+    # semijoin: exact distinct count; None when no index engaged)
+    index_candidates: int | None = None
 
     @property
     def pruned(self) -> int:

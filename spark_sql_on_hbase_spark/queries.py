@@ -119,6 +119,11 @@ TAIL_ORDER = [
     # an index-engaged probe; values grade in-window through
     # astro_write_ops' +10000000 block
     "astro_index_lookup",
+    # r13: distributed index paths — a RANGE on the indexed column as an
+    # index range scan + candidate augment, and an over-cap range as
+    # bounds pruning + a distributed leftsemi join; mode-engaged probes;
+    # values grade in-window through astro_write_ops' +11M/+12M blocks
+    "astro_index_range",
     "text_token_count",
     "ann_lsh_signatures",
     # full-value scalar-function originals; their row counts AND values

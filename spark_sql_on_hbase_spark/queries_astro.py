@@ -626,6 +626,94 @@ ASTRO["astro_index_lookup"] = Q(
 )
 
 
+def _index_range_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
+    """r13 (VERDICT r12 #2) — the two NEW index paths over astro_six:
+
+    - block A (``+offset``): a RANGE predicate on the indexed non-key
+      o_custkey routes as an index-side range scan feeding the ≤cap
+      candidate augment (r12 served only =/IN; a range got a full scan);
+    - block B (``+offset+1000000``): an OVER-CAP range (cap lowered to
+      128 so the path engages at every graded sf — ~310 candidates)
+      becomes the DISTRIBUTED semi-join: min/max bounds fold into the
+      pruning predicate, the distinct key frame leftsemi-joins the main
+      scan, candidate keys never visit the driver.
+
+    Each block carries a probe row grading that the intended mode
+    actually engaged (index_used + index_mode from PruneResult)."""
+    astro = _ensure_index_table(spark, sf_dir)
+    rel = astro.relation("astro_six")
+    df_a, res_a = rel.scan_where("o_custkey BETWEEN 40 AND 44")
+    ok_a = res_a.index_used == "o_custkey" and res_a.index_mode == "augment"
+    old = rel.INDEX_LOOKUP_CAP
+    try:
+        rel.INDEX_LOOKUP_CAP = 128
+        df_b, res_b = rel.scan_where("o_custkey BETWEEN 10 AND 40")
+        ok_b = res_b.index_used == "o_custkey" and res_b.index_mode == "semijoin"
+    finally:
+        rel.INDEX_LOOKUP_CAP = old
+    if offset:
+        # write_ops fold shape (o_orderkey, totalprice, o_orderstatus)
+        a = df_a.select(
+            (F.col("o_orderkey") + offset).alias("o_orderkey"),
+            (F.round("o_totalprice", 2) + F.col("o_custkey") * 10000000)
+            .alias("totalprice"),
+            F.lit("ixrange").alias("o_orderstatus"),
+        )
+        b = df_b.select(
+            (F.col("o_orderkey") + offset + 1000000).alias("o_orderkey"),
+            (F.round("o_totalprice", 2) + F.col("o_custkey") * 10000000)
+            .alias("totalprice"),
+            F.lit("ixsemijoin").alias("o_orderstatus"),
+        )
+        probes = local_rows_df(
+            spark,
+            [
+                (-12 + offset, 1.0 if ok_a else 0.0, "ixrange_probe"),
+                (-13 + offset, 1.0 if ok_b else 0.0, "ixsj_probe"),
+            ],
+            "o_orderkey bigint, totalprice double, o_orderstatus string",
+        )
+        return a.unionAll(b).unionAll(probes)
+    a = df_a.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    b = df_b.select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    probes = local_rows_df(
+        spark,
+        [(-12, -1, 1.0 if ok_a else 0.0), (-13, -1, 1.0 if ok_b else 0.0)],
+        "o_orderkey bigint, o_custkey bigint, totalprice double",
+    )
+    return a.unionAll(b).unionAll(probes)
+
+
+ASTRO["astro_index_range"] = Q(
+    spark=lambda spark, sf_dir: _index_range_frame(spark, sf_dir, 0),
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_custkey BETWEEN 40 AND 44
+    UNION ALL
+    SELECT o_orderkey + 20000000, o_custkey, round(o_totalprice, 2)
+    FROM orders WHERE o_custkey BETWEEN 10 AND 40
+    UNION ALL
+    SELECT -12, -1, 1.0
+    UNION ALL
+    SELECT -13, -1, 1.0
+    """,
+    doc="r13 distributed index paths (Phoenix global-index join analog; "
+    "the reference residual-filters a full scan for every non-key "
+    "predicate, HBaseRelation.scala:552-642): a range on the indexed "
+    "o_custkey becomes an index range scan + candidate augment, and an "
+    "over-cap range becomes bounds pruning + a distributed leftsemi join "
+    "of the index key frame against the main scan — probes grade that "
+    "each mode actually engaged (values also fold in-window through "
+    "astro_write_ops' +11000000/+12000000 blocks)",
+)
+
+
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
     # the retained-history branch keys are offset so the blocks stay
@@ -735,6 +823,11 @@ def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (+10000000 block) — the tail entry astro_index_lookup folded
     # in-window; the index frame's 3 columns match by position
     out = out.unionAll(_index_lookup_frame(spark, sf_dir, 10000000))
+    # r13: the range-augment (+11000000) and over-cap semi-join
+    # (+12000000) index paths, each with a mode-engaged probe row — a
+    # silently-disengaged accelerator now fails CORRECTNESS, not just a
+    # bench gate (VERDICT r12 #7)
+    out = out.unionAll(_index_range_frame(spark, sf_dir, 11000000))
     return out.unionAll(probe)
 
 
@@ -1256,6 +1349,21 @@ ASTRO["astro_write_ops"] = Q(
     FROM orders WHERE o_custkey = 7 AND o_orderkey < 1000
     UNION ALL
     SELECT -11 + 10000000, 1.0, 'index_probe'
+    UNION ALL
+    -- r13 +11000000 block: range-index path (astro_index_range block A
+    -- folded in-window); +12000000: over-cap distributed semi-join
+    -- (block B); probe rows grade the engaged mode
+    SELECT o_orderkey + 11000000,
+           round(o_totalprice, 2) + o_custkey * 10000000, 'ixrange'
+    FROM orders WHERE o_custkey BETWEEN 40 AND 44
+    UNION ALL
+    SELECT o_orderkey + 12000000,
+           round(o_totalprice, 2) + o_custkey * 10000000, 'ixsemijoin'
+    FROM orders WHERE o_custkey BETWEEN 10 AND 40
+    UNION ALL
+    SELECT -12 + 11000000, 1.0, 'ixrange_probe'
+    UNION ALL
+    SELECT -13 + 11000000, 1.0, 'ixsj_probe'
     """,
     doc="the r6 write surface end-to-end through the SQL session: INSERT "
     "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "

@@ -2150,18 +2150,52 @@ class AstroRelation:
             n += 1
         return n
 
+    # a semi-join only pays when the index-side key set is selective:
+    # above this fraction of the table's keys, residual-filtering the
+    # plain scan beats shuffling the whole frame through a join
+    INDEX_SEMIJOIN_MAX_FRAC = 0.25
+
     def _index_candidates(self, where: str):
-        """(augment_predicate_sql, col, n_candidates) when a secondary
-        index can serve an =/IN conjunct of ``where``; None otherwise.
-        The augment is a PER-DIMENSION ``IN`` superset of the candidate
-        main-key tuples — sound because the full predicate is re-applied
-        after the pruned scan — or the literal empty marker ("", col, 0)
-        when the index proves no key matches."""
+        """Back-compat shim over :meth:`_index_route` — the r12 3-tuple
+        (augment_sql, col, n) for the driver-collected candidate path,
+        ("", col, 0) for the empty proof, None otherwise (including when
+        the r13 semi-join path would engage)."""
+        route = self._index_route(where)
+        if route is None or route["kind"] == "semijoin":
+            return None
+        if route["kind"] == "empty":
+            return ("", route["col"], 0)
+        return (route["aug"], route["col"], route["n"])
+
+    def _index_route(self, where: str):
+        """Route a scan predicate through a secondary index (r13 —
+        extends the r12 =/IN driver-collect with index RANGE scans and
+        an over-cap distributed semi-join, the Phoenix global-index
+        join-path analog).  Returns None (no index path) or a dict:
+
+        - ``{"kind": "empty", "col"}`` — the index PROVES no key matches
+        - ``{"kind": "augment", "col", "aug", "n"}`` — ≤cap candidate
+          keys, folded into the pruning predicate as a per-dimension IN
+          superset (the r12 path, now fed by range conjuncts too)
+        - ``{"kind": "semijoin", "col", "keys", "aug", "n"}`` — over-cap:
+          ``keys`` is the DISTINCT main-key frame from the pruned
+          index-side scan (stays distributed — never collected); ``aug``
+          is a per-dimension min/max BETWEEN superset (O(#dims) scalars
+          to the driver) used for file pruning + parquet pushdown; the
+          caller leftsemi-joins ``keys`` for exactness.
+
+        Soundness is unchanged from r12: every path yields a SUPERSET of
+        the matching rows (the index is superset-maintained; the augment
+        and bounds are per-dimension relaxations) and scan_where always
+        re-applies the FULL original predicate.  Servable conjuncts:
+        =/IN on any indexed column; </<=/>/>= additionally on NON-string
+        indexed columns — a string range can contain NUL-carrying values
+        which are storable but deliberately unindexed, so string ranges
+        bypass the index (the same contract as the =/IN NUL bypass)."""
         from spark_sql_on_hbase_spark.predicate import (
             And,
             Comparison,
             InList,
-            Opaque,
             parse_predicate,
             render,
             _lit_sql,
@@ -2181,64 +2215,115 @@ class AstroRelation:
                 conjuncts.append(p)
 
         flatten(pred)
-        hit = None
-        for c in conjuncts:
-            if isinstance(c, Comparison) and c.op == "=" and c.col in self.meta.indexes:
-                hit = (c.col, [c.value])
-                break
-            if isinstance(c, InList) and c.col in self.meta.indexes:
-                hit = (c.col, list(c.values))
-                break
-        if hit is None:
-            return None
-        # the candidate keys must render back into parseable SQL
-        # literals — temporal/decimal key columns don't round-trip
+        # the candidate keys / bounds must render back into parseable
+        # SQL literals — temporal/decimal key columns don't round-trip
         # through _lit_sql, so such tables take the ordinary scan path
         _SIMPLE = {C.BYTE, C.SHORT, C.INT, C.LONG, C.FLOAT, C.DOUBLE, C.STRING, C.BOOLEAN}
         if any(C.normalize_type(d) not in _SIMPLE for d in self.meta.key_dtypes):
             return None
-        col, values = hit
-        # NUL-containing string values are storable in the (non-key)
-        # indexed column but deliberately UNINDEXED by
-        # _index_source_frame — the superset invariant does not cover
-        # them, so a lookup that mentions one must bypass the index
-        # entirely (full scan), never probe a partial value list.
-        # SQL-NULL alone is safe to drop: `col = NULL` / `IN (NULL)`
-        # can never match a row.
-        if any(isinstance(v, str) and "\x00" in v for v in values):
+        _RANGE_OPS = ("<", "<=", ">", ">=")
+        # gather servable conjuncts per indexed column
+        by_col: dict[str, list] = {}
+        for c in conjuncts:
+            if isinstance(c, Comparison) and c.col in self.meta.indexes:
+                is_str = (
+                    C.normalize_type(self.meta.column_type(c.col)) == C.STRING
+                )
+                if c.op == "=":
+                    # NUL-containing string values are storable in the
+                    # (non-key) indexed column but deliberately UNINDEXED
+                    # by _index_source_frame — the superset invariant
+                    # does not cover them, so a lookup that mentions one
+                    # must bypass the index entirely (full scan), never
+                    # probe a partial value list.  SQL-NULL alone is safe
+                    # to drop: `col = NULL` can never match a row.
+                    if isinstance(c.value, str) and "\x00" in c.value:
+                        return None
+                    if c.value is not None:
+                        by_col.setdefault(c.col, []).append(c)
+                elif c.op in _RANGE_OPS and not is_str:
+                    if c.value is not None:
+                        by_col.setdefault(c.col, []).append(c)
+            elif isinstance(c, InList) and c.col in self.meta.indexes:
+                if any(isinstance(v, str) and "\x00" in v for v in c.values):
+                    return None
+                vals = tuple(v for v in c.values if v is not None)
+                if vals:
+                    by_col.setdefault(c.col, []).append(InList(c.col, vals))
+        if not by_col:
             return None
-        values = [v for v in values if v is not None]
-        if not values:
-            return None
+
+        # pick the most promising column: =/IN beats range-only
+        def _score(cs):
+            return max(
+                2 if (isinstance(c, InList) or c.op == "=") else 1 for c in cs
+            )
+
+        col = max(by_col, key=lambda c: (_score(by_col[c]), c))
         try:
             idx_rel = self._index_relation(col)
         except KeyError:
             return None  # stale meta.indexes entry
-        probe = (
-            Comparison("=", col, values[0])
-            if len(values) == 1
-            else InList(col, tuple(values))
-        )
+        probe_sql = " AND ".join(render(c) for c in by_col[col])
+        cap = self.INDEX_LOOKUP_CAP
         try:
-            idx_df, _ = idx_rel.scan_where(render(probe))
-            cap = self.INDEX_LOOKUP_CAP
-            rows = (
-                idx_df.select(*self.meta.key_names).distinct().limit(cap + 1).collect()
-            )
+            idx_df, _ = idx_rel.scan_where(probe_sql)
+            keys = idx_df.select(*self.meta.key_names).distinct()
+            rows = keys.limit(cap + 1).collect()
         except Exception:
             return None  # index unreadable → full scan (never a dependency)
-        if len(rows) > cap:
-            return None  # not selective enough — full scan wins at scale
         if not rows:
-            return ("", col, 0)
-        parts = []
+            return {"kind": "empty", "col": col}
+        if len(rows) <= cap:
+            parts = []
+            try:
+                for i, k in enumerate(self.meta.key_names):
+                    vals = sorted({r[i] for r in rows})
+                    parts.append(
+                        f"{k} IN ({', '.join(_lit_sql(v) for v in vals)})"
+                    )
+            except (TypeError, ValueError):
+                return None  # un-renderable key literal (exotic type)
+            return {
+                "kind": "augment",
+                "col": col,
+                "aug": " AND ".join(parts),
+                "n": len(rows),
+            }
+        # over-cap (r13): index-side scan + distributed semi-join.
+        # Bail when the key set is a large fraction of the table —
+        # shuffling the main frame through a join would cost more than
+        # the residual filter it replaces.
         try:
-            for i, k in enumerate(self.meta.key_names):
-                vals = sorted({r[i] for r in rows})
-                parts.append(f"{k} IN ({', '.join(_lit_sql(v) for v in vals)})")
-        except (TypeError, ValueError):
-            return None  # un-renderable key literal (exotic type)
-        return (" AND ".join(parts), col, len(rows))
+            n_keys = keys.count()
+        except Exception:
+            return None
+        total = sum(
+            (r.num_keys if r.num_keys >= 0 else r.num_rows)
+            for r in self.meta.regions
+        )
+        if total > 0 and n_keys > max(cap, self.INDEX_SEMIJOIN_MAX_FRAC * total):
+            return None  # not selective enough — full scan wins at scale
+        # per-dimension min/max bounds: one tiny agg row to the driver,
+        # rendered as a BETWEEN superset for file pruning + pushdown
+        aug = None
+        try:
+            agg = []
+            for k in self.meta.key_names:
+                agg.append(F.min(F.col(k)).alias(f"__lo_{k}"))
+                agg.append(F.max(F.col(k)).alias(f"__hi_{k}"))
+            b = keys.agg(*agg).collect()[0]
+            parts = []
+            for k in self.meta.key_names:
+                lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+                if lo is not None and hi is not None:
+                    parts.append(
+                        f"{k} >= {_lit_sql(lo)} AND {k} <= {_lit_sql(hi)}"
+                    )
+            aug = " AND ".join(parts) if parts else None
+        except Exception:
+            aug = None  # bounds are an optimization; the join is exact
+        return {"kind": "semijoin", "col": col, "keys": keys, "aug": aug, "n": n_keys}
 
     def _ensure_fresh_regions(self) -> None:
         """Region-info freshness: (1) cross-SESSION — a sibling session's
@@ -2930,28 +3015,44 @@ class AstroRelation:
         self._ensure_fresh_regions()
         meta = self.meta
         index_col = None
+        index_mode = None
+        index_n = None
+        semi_keys = None
         if meta.indexes:
-            # secondary-index routing (r12): an =/IN conjunct on an
-            # indexed non-key column resolves to a capped candidate
-            # main-key set; a per-dimension IN superset of those keys
-            # joins the pruning predicate, turning the non-key scan into
-            # pruned point reads.  The FULL original predicate is still
-            # applied below, so stale index entries (old upsert values,
-            # deleted rows) only cost reads, never wrong rows.
-            cand = self._index_candidates(where)
-            if cand is not None:
-                aug, index_col, n = cand
-                if n == 0:
+            # secondary-index routing (r12, extended r13): =/IN and
+            # non-string RANGE conjuncts on an indexed column resolve
+            # through the index table.  ≤cap candidates fold into the
+            # pruning predicate as a per-dimension IN superset; over-cap
+            # becomes an index-side scan semi-joined distributed, with
+            # min/max bounds folded for file pruning.  The FULL original
+            # predicate is still applied below, so stale index entries
+            # (old upsert values, deleted rows) only cost reads, never
+            # wrong rows.
+            route = self._index_route(where)
+            if route is not None:
+                index_col = route["col"]
+                index_mode = route["kind"]
+                index_n = route.get("n")
+                if route["kind"] == "empty":
                     # the index proves no key carries the value
                     res = prune_files(meta, where)
                     res.files = []
                     res.index_used = index_col
+                    res.index_mode = "empty"
+                    res.index_candidates = 0
                     df = self.spark.createDataFrame([], self.scan().schema)
                     return df, res
-                where = f"({where}) AND {aug}"
+                if route["kind"] == "augment":
+                    where = f"({where}) AND {route['aug']}"
+                else:  # semijoin
+                    semi_keys = route["keys"]
+                    if route["aug"]:
+                        where = f"({where}) AND {route['aug']}"
         try:
             res = prune_files(meta, where)
             res.index_used = index_col
+            res.index_mode = index_mode
+            res.index_candidates = index_n
         except ValueError:
             # non-sargable / unparseable predicate → graceful full scan
             # (reference Tpc Query 27: ss_ticket_number + 0 = 3 scans all,
@@ -2999,6 +3100,12 @@ class AstroRelation:
                 if sf_pred is not None:
                     raw = raw.filter(F.expr(sf_pred))
         df = self._resolve(raw)
+        if semi_keys is not None:
+            # r13 over-cap index path: exact key membership via a
+            # distributed leftsemi join against the index-side key set
+            # (Catalyst/AQE picks broadcast vs shuffle-hash by size) —
+            # the candidate keys never visit the driver
+            df = df.join(semi_keys, on=list(meta.key_names), how="leftsemi")
 
         # per-partition residual simplification (HBasePartition.scala:50-79):
         # when the key-pushed conjunct is definitely TRUE over EVERY

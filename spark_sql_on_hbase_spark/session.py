@@ -230,6 +230,15 @@ class AstroSession:
             ("files_read", str(len(res.files))),
             ("files_pruned", str(res.pruned)),
             ("index_used", res.index_used or "(none)"),
+            (
+                "index_mode",
+                (res.index_mode or "(none)")
+                + (
+                    f" ({res.index_candidates} candidate keys)"
+                    if res.index_candidates is not None
+                    else ""
+                ),
+            ),
             ("bloomfilter", meta.bloomfilter or "none"),
             ("key_pushed", _render(res.key_pushed)),
             ("residual", _render(res.residual)),

@@ -106,15 +106,25 @@ def test_absent_value_reads_zero_files(astro):
     assert res.files == []
 
 
-def test_cap_falls_back_to_full_scan(astro):
+def test_cap_escalates_to_semijoin_or_full_scan(astro):
+    """Over the driver-collect cap the router escalates to the r13
+    distributed semi-join when the key set is selective enough, and to
+    a plain full scan when it isn't — never a wrong result either way
+    (tests/test_index_range_semijoin.py covers both paths at size)."""
     astro.sql("CREATE INDEX ON si (status)")
     rel = astro.relation("si")
     old = rel.INDEX_LOOKUP_CAP
     try:
-        rel.INDEX_LOOKUP_CAP = 2  # 'A' has ~100 candidates > 2
+        rel.INDEX_LOOKUP_CAP = 2  # 'A' has 100 candidates > 2
         df, res = rel.scan_where("status = 'A'")
-        assert res.index_used is None  # not selective enough — full scan
+        # 100 of 400 keys = exactly the 25% selectivity edge → semijoin
+        assert res.index_mode == "semijoin" and res.index_used == "status"
         assert df.count() == rel.scan().filter("status = 'A'").count()
+        rel.INDEX_LOOKUP_CAP = 2
+        # push selectivity past the fraction: A∪B∪C = 300/400 keys
+        df, res = rel.scan_where("status IN ('A', 'B', 'C')")
+        assert res.index_used is None  # not selective enough — full scan
+        assert df.count() == rel.scan().filter("status IN ('A','B','C')").count()
     finally:
         rel.INDEX_LOOKUP_CAP = old
 

@@ -72,6 +72,19 @@ SEMDEDUP_K = 16
 NEARDUP_N1 = 20_000  # gen_sf1.N_VECS
 
 
+def _route_estimate(spark, sf_dir: str, n: int) -> float:
+    """The operator's own cluster-collapse estimate for this corpus —
+    recorded so the soak shows WHY the routed plan engaged."""
+    from spark_sql_on_hbase_spark.operators.similarity import (
+        estimate_lsh_candidates_per_doc,
+        tune_lsh_params,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bits, bands = tune_lsh_params(0.9, n=n)
+    return estimate_lsh_candidates_per_doc(emb, bits, bands, n=n)
+
+
 def _neardup_scaled(n):
     def q(spark, sf_dir):
         from spark_sql_on_hbase_spark.operators.similarity import (
@@ -255,7 +268,26 @@ def main() -> None:
             "fixed_param_note": "fixed (r, b) at 3x data is the documented "
             "mis-parameterization (background candidates Θ(b·N²/2^r)) — "
             "kept as evidence the two-point gate detects gentle quadratics",
-            "flag_note": "flag adjudicated, kept: the 3x corpus holds 3x vectors in the SAME 10 clusters (gen_sf1 shape), so cluster-mate background collisions (within-cluster cos ~0.5, per-bit agreement ~0.67) grow ~N^2*p^r — the log2(N) bit rule absorbs uniform-hash growth but cannot absorb cluster size growing with N (holding candidates/doc would need ~2.7 extra bits per 3x at this tightness, past the recall-preserving band budget).  Absolute cost stays small (37.6 task-s, zero spill, bucket_cap intact); the engine's documented path for CLUSTERED corpora is learned partitioning — semantic_dedup/IVF, measured exp~1.4 in this same soak under its K-proportional-to-N rule",
+            # r13 (VERDICT r12 #1): the operator now detects cluster
+            # collapse itself (sampled bucket-occupancy estimate vs
+            # ROUTE_CAND_BOUND) and auto-routes through learned k-means
+            # cells (K ∝ N, top-2 assignment, band join within cell) —
+            # the r12 flag_note's "documented path for clustered
+            # corpora" became the AUTOMATIC path; both soak points
+            # exceed the bound, so this measurement exercises the routed
+            # plan at both scales with zero manual parameters
+            "route_estimates_cand_per_doc": {
+                "1x": round(
+                    _route_estimate(spark, SF1_DIR, NEARDUP_N1), 2
+                ),
+                "3x": round(
+                    _route_estimate(spark, SF3_DIR, SCALE * NEARDUP_N1), 2
+                ),
+            },
+            "route_bound": __import__(
+                "spark_sql_on_hbase_spark.operators.similarity",
+                fromlist=["ROUTE_CAND_BOUND"],
+            ).ROUTE_CAND_BOUND,
         }
     except Exception as ex:
         out["families"]["emb_neardup_pairs"] = {"error": str(ex)[:300]}
