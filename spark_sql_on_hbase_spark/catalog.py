@@ -219,6 +219,16 @@ class TableMeta:
     # never a correctness dependency (same contract as CPR pruning and
     # the bloom sidecars).
     indexes: dict = field(default_factory=dict)
+    # main-table auto-compaction threshold (r13, VERDICT r12 #4): after
+    # an append commit, fold back to num_regions clean files whenever
+    # live fragments exceed autocompact × num_regions.  0 = off (the
+    # default): auto-compaction FOLDS history, so TIMESTAMP AS OF users
+    # must opt in knowingly — and the combination with retain_history is
+    # REFUSED at CREATE (compaction is the retention tier's reclaim
+    # point; an automatic trigger would silently purge the history the
+    # option promised to keep).  Index tables keep their fixed 4×
+    # policy regardless (they carry no user-facing history).
+    autocompact: int = 0
     # covering-index state (r13 — Phoenix covered-column analog).  Per
     # indexed column: {"include": [non-key cols ALSO stored in the index
     # table], "clean": bool}.  ``clean`` is the index-only-read
@@ -432,6 +442,16 @@ class AstroCatalog:
             gc_pending=list(raw.get("gc_pending", [])),
             bloomfilter=raw.get("bloomfilter", "none"),
             indexes=dict(raw.get("indexes", {})),
+            autocompact=int(raw.get("autocompact", 0)),
+            # pre-r13 indexes read as no-includes/not-clean — never
+            # served index-only until a REINDEX attests them
+            index_info={
+                k: {
+                    "include": list(v.get("include", [])),
+                    "clean": bool(v.get("clean", False)),
+                }
+                for k, v in raw.get("index_info", {}).items()
+            },
         )
         return meta
 
@@ -544,8 +564,22 @@ class AstroCatalog:
         self._write(meta)
 
     def update_regions(
-        self, meta: TableMeta, regions: list[RegionFile], restamp: str = "keep"
+        self,
+        meta: TableMeta,
+        regions: list[RegionFile],
+        restamp: str = "keep",
+        drops_live: bool = False,
     ) -> None:
+        # covering-index liveness (r13): a commit that removes or
+        # replaces LIVE fragments (any fold — restamp="now" — or a
+        # partial/retained rewrite, flagged by the caller) invalidates
+        # the index-only-read precondition: the index still lists rows
+        # the live table no longer has.  Flipped INSIDE the commit
+        # closure so the CAS protects it; REINDEX restores clean=True.
+        # Pure appends (including upsert appends) preserve it.
+        if (drops_live or restamp == "now") and meta.index_info:
+            for v in meta.index_info.values():
+                v["clean"] = False
         meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
         # per-generation commit times (TIMESTAMP AS OF), O(#generations +
         # #files) metadata.  ``restamp``:

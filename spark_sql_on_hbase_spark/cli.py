@@ -42,19 +42,25 @@ _HELP = {
     "CREATE": "CREATE TABLE table_name (col_name data_type, ..., PRIMARY KEY(col_name, ...))\n"
     "  MAPPED BY (htable_name, COLS=[col_name=family_name.qualifier]) [IN stringformat]\n"
     "  [OPTIONS (regions=N, align=K, layout=zorder|range,\n"
-    "            retain_history=true|false, bloomfilter=row|none)]\n"
+    "            retain_history=true|false, bloomfilter=row|none,\n"
+    "            autocompact=K)]   (K>0: fold back to num_regions files\n"
+    "             when live fragments exceed K*regions after an append;\n"
+    "             exclusive with retain_history — compaction folds history)\n"
     "  (bloomfilter=row: per-fragment ROW bloom sidecars — full-key =/IN\n"
     "   lookups skip LSM fragments that provably lack the key)",
     "DROP": "DROP TABLE table_name   (drops the table's secondary indexes too)",
-    "INDEX": "CREATE INDEX [IF NOT EXISTS] ON table_name (col)\n"
+    "INDEX": "CREATE INDEX [IF NOT EXISTS] ON table_name (col) [INCLUDE (c1, ...)]\n"
     "DROP INDEX ON table_name (col)\n"
     "REINDEX TABLE table_name   (rebuild stale-heavy indexes, e.g. after\n"
-    "                            INSERT OVERWRITE or a purge DELETE)\n"
-    "  (secondary index on a NON-KEY column — =/IN scans route through a\n"
-    "   derived index table keyed (col, *key_cols), maintained on every\n"
-    "   write; superset semantics, full predicate re-verified, over-cap\n"
-    "   lookups fall back to a full scan.  binaryformat tables only;\n"
-    "   DESCRIBE EXTENDED lists a table's indexes)",
+    "                            INSERT OVERWRITE or a purge DELETE; also\n"
+    "                            re-attests covering/index-only reads)\n"
+    "  (secondary index on a NON-KEY column — =/IN and non-string range\n"
+    "   scans route through a derived index table keyed (col, *key_cols),\n"
+    "   maintained on every write; superset semantics, full predicate\n"
+    "   re-verified; over-cap lookups become a distributed semi-join, and\n"
+    "   unselective ones fall back to a full scan.  INCLUDE stores covered\n"
+    "   columns for index-only scans (scan_covering).  binaryformat tables\n"
+    "   only; DESCRIBE EXTENDED lists a table's indexes)",
     "ALTER": "ALTER TABLE table_name ADD col_name data_type MAPPED BY (family_name.qualifier)\n"
     "ALTER TABLE table_name DROP col_name\n"
     "  (non-key columns only; the schema is NOT versioned — every read,\n"

@@ -63,6 +63,14 @@ class CreateTable:
     # definitely lack the key (HBase's BLOOMFILTER=ROW attribute —
     # the LSM Get path; see bloom.py)
     bloomfilter: str = "none"
+    # OPTIONS(autocompact=K): after an append commit, fold the LSM state
+    # back to num_regions clean files whenever live fragments exceed
+    # K x num_regions (r13 — bounded write amplification under trickle
+    # ingest without manual COMPACT; index tables already did this at
+    # 4x).  0 = off (the default: auto-compaction FOLDS history, so a
+    # table relying on TIMESTAMP AS OF between appends must opt in
+    # knowingly or use retain_history).
+    autocompact: int = 0
 
 
 @dataclass
@@ -202,17 +210,21 @@ class MergeInto:
 
 @dataclass
 class CreateIndex:
-    """CREATE INDEX [IF NOT EXISTS] ON t (col) — a Phoenix-global-index
-    analog (ours; the reference full-scans non-key predicates): a
-    derived astro table keyed (col, *main_key_cols), bulk-built from
-    the current table and maintained superset-style on every write, so
-    non-key =/IN scans become an index range scan + verified point
-    gets.  binaryformat tables, non-key codec-typed columns only."""
+    """CREATE INDEX [IF NOT EXISTS] ON t (col) [INCLUDE (c1, ...)] — a
+    Phoenix-global-index analog (ours; the reference full-scans non-key
+    predicates): a derived astro table keyed (col, *main_key_cols),
+    bulk-built from the current table and maintained superset-style on
+    every write, so non-key =/IN scans become an index range scan +
+    verified point gets.  INCLUDE (r13, Phoenix covered columns) stores
+    the listed non-key columns in the index table too, enabling
+    index-only scans for queries projecting ⊆ (col ∪ keys ∪ include).
+    binaryformat tables, non-key codec-typed columns only."""
 
     table: str
     col: str
     namespace: str = "default"
     if_not_exists: bool = False
+    include: tuple = ()
 
 
 @dataclass
@@ -536,6 +548,7 @@ def parse(sql: str) -> Command:
         zorder = False
         retain_history = False
         bloomfilter = "none"
+        autocompact = 0
         if m.group("opts"):
             for opt in _split_top_level(m.group("opts")):
                 k, v = opt.split("=", 1)
@@ -563,6 +576,10 @@ def parse(sql: str) -> Command:
                             f"bloomfilter must be row|none, got {val!r}"
                         )
                     bloomfilter = val
+                elif key == "autocompact":
+                    autocompact = int(v.strip().strip("'\""))
+                    if autocompact < 0:
+                        raise ValueError("autocompact must be >= 0 (0 = off)")
         return CreateTable(
             table=table,
             namespace=ns,
@@ -577,6 +594,7 @@ def parse(sql: str) -> Command:
             zorder=zorder,
             retain_history=retain_history,
             bloomfilter=bloomfilter,
+            autocompact=autocompact,
         )
 
     if up.startswith("DROP TABLE"):
@@ -679,15 +697,19 @@ def parse(sql: str) -> Command:
 
     im = re.match(
         r"^\s*CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?ON\s+(?P<name>[\w.`]+)"
-        r"\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+        r"\s*\(\s*(?P<col>\w+)\s*\)"
+        r"(?:\s+INCLUDE\s*\(\s*(?P<inc>\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*$",
         s,
         re.IGNORECASE,
     )
     if im:
         ns, t = _parse_table_name(im.group("name"))
+        inc = tuple(
+            c.strip() for c in (im.group("inc") or "").split(",") if c.strip()
+        )
         return CreateIndex(
             table=t, col=im.group("col"), namespace=ns,
-            if_not_exists=bool(im.group("ine")),
+            if_not_exists=bool(im.group("ine")), include=inc,
         )
     im = re.match(
         r"^\s*DROP\s+INDEX\s+ON\s+(?P<name>[\w.`]+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",

@@ -718,23 +718,85 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by (rounded) cosine.
 
-    Centroids broadcast (K rows); scoring is map-side.  The argmax folds
+    Scale shape (r13 — the K ∝ N scaling soak found the old crossJoin
+    formulation shipping each EMBEDDING K times through Arrow, Θ(N·K·d)
+    transfer): the K×d centroid matrix is collected once (bounded — K
+    is the coarse-quantizer size) into ONE Arrow kernel that scores a
+    whole batch against every centroid, so each vector crosses the
+    Python boundary exactly once and returns K doubles.  The kernel
+    accumulates dot/norms SEQUENTIALLY over dimensions in float64 —
+    the exact op order of ``cosine_similarity_batch`` and the DuckDB
+    ``list_sum`` oracles, elementwise bit-identical — and rounding
+    stays Spark-side (``F.round``) so tie semantics are unchanged.
+    The K-wide explode is JVM-side and map-side; the argmax folds
     map-side too: ``max_by(centroid_id, struct(cos, -centroid_id))``
-    reduces each vector's K candidate rows inside its own partition
-    (partial aggregation), so the only shuffle is one tiny
-    (id, cluster_id) row per vector — K× less than the former window
-    formulation, with identical tie semantics (cos DESC, centroid_id
-    ASC).  Returns (id, cluster_id); ``with_cos`` adds the winning
-    cosine (``cos_best``) in the SAME pass — max("cos_c") is by
+    partial-aggregates inside the partition, so the only shuffle is one
+    tiny (id, cluster_id) row per vector.  Tie semantics: cos DESC,
+    centroid_id ASC.  Returns (id, cluster_id); ``with_cos`` adds the
+    winning cosine (``cos_best``) in the SAME pass — max("cos_c") is by
     construction the argmax winner's value — for the drift guard.
     """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.orderBy("centroid_id").collect()  # K rows, bounded
+    if not rows:  # empty quantizer → empty assignment (crossJoin parity)
+        out_cols = [F.col(id_col), F.lit(None).cast("long").alias("cluster_id")]
+        if with_cos:
+            out_cols.append(F.lit(None).cast("double").alias("cos_best"))
+        return vecs.select(*out_cols).limit(0)
+    cids = [int(r.centroid_id) for r in rows]
+    cmat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+    k_n, d_c = cmat.shape
+    # centroid-side norms, accumulated in the same sequential order the
+    # pairwise kernel used (nb += B_i² over i)
+    nb = np.zeros(k_n)
+    for i in range(d_c):
+        nb += cmat[:, i] * cmat[:, i]
+    sqrt_nb = np.sqrt(nb)
+
+    def _score_all(s):  # pd.Series of array<float> -> array<double> (K)
+        out = [None] * len(s)
+        vals = s.reset_index(drop=True)
+        null = vals.isna().to_numpy()
+        pos, mats = [], []
+        for i, v in enumerate(vals):
+            if null[i]:
+                out[i] = [None] * k_n  # NULL input → NULL per pair
+                continue
+            if len(v) != d_c:
+                out[i] = [None] * k_n  # length mismatch → NULL per pair
+                continue
+            pos.append(i)
+            mats.append(np.asarray(v, dtype=np.float64))
+        if pos:
+            V = np.stack(mats)
+            b = len(pos)
+            dt = np.zeros((b, k_n))
+            na = np.zeros(b)
+            for i in range(d_c):  # sequential == fold order → bit-identical
+                dt += V[:, i : i + 1] * cmat[None, :, i]
+                na += V[:, i] * V[:, i]
+            denom = np.sqrt(na)[:, None] * sqrt_nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dt / denom
+            zero = denom == 0.0  # mirror try_divide: 0 denominator → NULL
+            for row, p in enumerate(pos):
+                out[p] = [
+                    None if zero[row, j] else float(cos[row, j])
+                    for j in range(k_n)
+                ]
+        return pd.Series(out, dtype="object")
+
+    score_udf = F.pandas_udf(_score_all, "array<double>")
+    cid_arr = F.array(*[F.lit(c) for c in cids])
     scored = (
-        vecs.select(F.col(id_col), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(centroids))
+        vecs.select(F.col(id_col), score_udf(F.col(vec_col)).alias("__sc"))
+        .select(id_col, F.posexplode("__sc").alias("__pos", "__raw"))
         .select(
             id_col,
-            "centroid_id",
-            F.round(cosine_similarity_batch(F.col("v"), F.col("centroid")), 4).alias("cos_c"),
+            F.element_at(cid_arr, F.col("__pos") + 1).alias("centroid_id"),
+            F.round(F.col("__raw"), 4).alias("cos_c"),
         )
     )
     aggs = [

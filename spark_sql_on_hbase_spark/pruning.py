@@ -72,6 +72,20 @@ class PruneResult:
     # candidate main-key count behind the decision (augment: exact;
     # semijoin: exact distinct count; None when no index engaged)
     index_candidates: int | None = None
+    # why an APPLICABLE index was declined (r13 EXPLAIN SCAN): e.g.
+    # "unselective (12000 of 20000 keys)" — None when engaged or when
+    # no index matched a servable conjunct at all
+    index_declined: str | None = None
+    # ROW-bloom sidecar outcome (r13 EXPLAIN SCAN): files the blooms
+    # removed from the range-surviving set / the surviving count they
+    # were probed against; None when blooms were not consulted (no
+    # sidecars, non-point predicate, or bloomfilter=none)
+    bloom_skipped: int | None = None
+    bloom_probed: int | None = None
+    # the string-space pushdown superset applied to the raw stored
+    # columns before the schema-on-read cast (stringformat tables);
+    # None when not applicable (r13 EXPLAIN SCAN)
+    sf_pushdown: str | None = None
 
     @property
     def pruned(self) -> int:

@@ -124,6 +124,10 @@ TAIL_ORDER = [
     # bounds pruning + a distributed leftsemi join; mode-engaged probes;
     # values grade in-window through astro_write_ops' +11M/+12M blocks
     "astro_index_range",
+    # r13: covering index (INCLUDE) — index-only scans with a physical
+    # input-files probe; values grade in-window through astro_write_ops'
+    # +13000000 block
+    "astro_covering_index",
     "text_token_count",
     "ann_lsh_signatures",
     # full-value scalar-function originals; their row counts AND values

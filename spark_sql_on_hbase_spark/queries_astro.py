@@ -714,6 +714,104 @@ ASTRO["astro_index_range"] = Q(
 )
 
 
+def _ensure_covering_table(spark: SparkSession, sf_dir: str):
+    """Covering-index lifecycle (r13): orders loaded, CREATE INDEX ...
+    INCLUDE (o_totalprice), then an APPEND — pure appends preserve the
+    index-only-read precondition (``clean``), so the graded scan runs
+    against a post-write state, not just the bulk build."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_cov_v1"
+    astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
+    done = os.path.join(_WAREHOUSE, tag, ".cov_done")
+    if not os.path.exists(done):
+        load_tables(spark, sf_dir)
+        astro.sql(
+            "CREATE TABLE IF NOT EXISTS astro_cov (o_orderkey LONG, "
+            "o_custkey LONG, o_totalprice DOUBLE, PRIMARY KEY (o_orderkey)) "
+            "MAPPED BY (h_cov, COLS=[o_custkey=f.ck, o_totalprice=f.tp]) "
+            "OPTIONS (regions=8)"
+        )
+        astro.sql(
+            "INSERT INTO astro_cov SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        )
+        astro.sql("CREATE INDEX ON astro_cov (o_custkey) INCLUDE (o_totalprice)")
+        # append keys ABOVE every sf's o_orderkey range: an overlapping
+        # append would flip needs_merge and (correctly) disable the
+        # index-only path this entry exists to grade
+        astro.sql(
+            "INSERT INTO astro_cov SELECT o_orderkey + 10000000, o_custkey, "
+            "o_totalprice FROM orders WHERE o_custkey = 42 AND o_orderkey < 1000"
+        )
+        with open(done, "w") as f:
+            f.write("1")
+    return astro
+
+
+def _covering_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
+    """Covering scan over astro_cov: the probed customers' rows served
+    from the INDEX TABLE ALONE — the probe row grades both the engaged
+    mode and the physical claim (every input file is an index fragment,
+    none from the main table)."""
+    astro = _ensure_covering_table(spark, sf_dir)
+    rel = astro.relation("astro_cov")
+    df, res = rel.scan_covering(
+        "o_custkey IN (42, 7)", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    files = df.inputFiles()
+    ok = (
+        res.index_mode == "covering"
+        and res.index_used == "o_custkey"
+        and len(files) > 0
+        and all("idx_" in f for f in files)
+    )
+    if offset:
+        out = df.select(
+            (F.col("o_orderkey") + offset).alias("o_orderkey"),
+            (F.round("o_totalprice", 2) + F.col("o_custkey") * 10000000)
+            .alias("totalprice"),
+            F.lit("covering").alias("o_orderstatus"),
+        )
+        probe = local_rows_df(
+            spark,
+            [(-14 + offset, 1.0 if ok else 0.0, "covering_probe")],
+            "o_orderkey bigint, totalprice double, o_orderstatus string",
+        )
+        return out.unionAll(probe)
+    out = df.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    probe = local_rows_df(
+        spark,
+        [(-14, -1, 1.0 if ok else 0.0)],
+        "o_orderkey bigint, o_custkey bigint, totalprice double",
+    )
+    return out.unionAll(probe)
+
+
+ASTRO["astro_covering_index"] = Q(
+    spark=lambda spark, sf_dir: _covering_frame(spark, sf_dir, 0),
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_custkey IN (42, 7)
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2)
+    FROM orders WHERE o_custkey = 42 AND o_orderkey < 1000
+    UNION ALL
+    SELECT -14, -1, 1.0
+    """,
+    doc="covering index (r13 — Phoenix covered-column analog): CREATE "
+    "INDEX ON astro_cov (o_custkey) INCLUDE (o_totalprice); a query "
+    "projecting ⊆ (o_custkey ∪ keys ∪ include) answers from the index "
+    "table alone — the probe row grades index_mode=covering AND that "
+    "every input file is an index fragment (values also fold in-window "
+    "through astro_write_ops' +13000000 block).  Sound because appends "
+    "preserve exactly-live (TableMeta.index_info clean flag); folds "
+    "clear it and fall back",
+)
+
+
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
     # the retained-history branch keys are offset so the blocks stay
@@ -828,6 +926,8 @@ def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently-disengaged accelerator now fails CORRECTNESS, not just a
     # bench gate (VERDICT r12 #7)
     out = out.unionAll(_index_range_frame(spark, sf_dir, 11000000))
+    # r13: covering-index scan values + index-only probe (+13000000)
+    out = out.unionAll(_covering_frame(spark, sf_dir, 13000000))
     return out.unionAll(probe)
 
 
@@ -1364,6 +1464,19 @@ ASTRO["astro_write_ops"] = Q(
     SELECT -12 + 11000000, 1.0, 'ixrange_probe'
     UNION ALL
     SELECT -13 + 11000000, 1.0, 'ixsj_probe'
+    UNION ALL
+    -- r13 +13000000 block: covering-index scan (astro_covering_index
+    -- folded in-window); the probe row grades index-only (every input
+    -- file an index fragment)
+    SELECT o_orderkey + 13000000,
+           round(o_totalprice, 2) + o_custkey * 10000000, 'covering'
+    FROM orders WHERE o_custkey IN (42, 7)
+    UNION ALL
+    SELECT o_orderkey + 10000000 + 13000000,
+           round(o_totalprice, 2) + o_custkey * 10000000, 'covering'
+    FROM orders WHERE o_custkey = 42 AND o_orderkey < 1000
+    UNION ALL
+    SELECT -14 + 13000000, 1.0, 'covering_probe'
     """,
     doc="the r6 write surface end-to-end through the SQL session: INSERT "
     "OVERWRITE (atomic swap) -> UPDATE (upsert append) -> DELETE (survivor "

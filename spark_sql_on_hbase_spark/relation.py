@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from spark_sql_on_hbase_spark import bloom
 from spark_sql_on_hbase_spark import codec as C
 from spark_sql_on_hbase_spark import fsops
+from spark_sql_on_hbase_spark import leases
 from spark_sql_on_hbase_spark.catalog import (
     STRING_FORMAT,
     AstroCatalog,
@@ -238,10 +239,20 @@ def _rowkey_udf(key_dtypes: list[str]):
 
 
 class AstroRelation:
+    # reader-lease TTL (r13, VERDICT r12 #5 — see leases.py): how long a
+    # planned-but-unfinished scan's fragments are protected from a
+    # concurrent fold's gc_pending reclaim / VACUUM on plain-tier
+    # tables.  Size to the longest expected query; retain_history tables
+    # don't need it (retirement protects their readers).
+    LEASE_TTL_SEC = 900.0
+
     def __init__(self, catalog: AstroCatalog, meta: TableMeta, spark: SparkSession):
         self.catalog = catalog
         self.meta = meta
         self.spark = spark
+        import uuid as _uuid
+
+        self._lease_id = _uuid.uuid4().hex[:16]
 
     # -- write --------------------------------------------------------------
     def _with_rowkey(self, df: DataFrame) -> DataFrame:
@@ -452,6 +463,25 @@ class AstroRelation:
             # a phantom generation (r10 fuzz: a no-op UPDATE's empty
             # append left a stamped fileless generation behind)
             self._unreserve_generation(seq)
+        self._maybe_autocompact()
+
+    def _maybe_autocompact(self) -> None:
+        """Bounded write amplification for MAIN tables (r13, VERDICT r12
+        #4 — the streaming sink's index-table 4× policy, generalized):
+        when OPTIONS(autocompact=K) is set and live fragments exceed
+        K × num_regions after an append commit, fold back to
+        num_regions clean files.  Best-effort: a concurrent rewrite's
+        CAS conflict just skips this round — the sibling's commit bounds
+        growth, or the next append re-triggers."""
+        k = self.meta.autocompact
+        if not k or len(self.meta.regions) <= k * max(1, self.meta.num_regions):
+            return
+        from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
+
+        try:
+            self.compact()
+        except ConcurrentWriteError:
+            pass
 
     def _commit_retry(self, apply_fn, require_live: list[str] | None = None, attempts: int = 8):
         """Optimistic-concurrency commit loop (r12, VERDICT r11 #1):
@@ -543,24 +573,39 @@ class AstroRelation:
         and the very next touch of the table.
 
         In-flight readers: a query planned BEFORE a fold commits holds
-        the old file list and can fail mid-flight when this reclaim
-        lands (the hazard every non-MVCC format has — Delta's VACUUM
-        grace exists for it).  The engine's answer is the retention
-        tier, not a fold-side delay: ``retain_history`` tables never
-        reclaim on rewrite (replaced fragments RETIRE, still readable),
-        and ``VACUUM … RETAIN n GENERATIONS|HOURS`` bounds the eventual
-        reclaim to a grace window sized to the longest reader."""
+        the old file list and could previously fail mid-flight when this
+        reclaim landed (the hazard every non-MVCC format has — Delta's
+        VACUUM grace exists for it).  Three protections now layer:
+        ``retain_history`` tables never reclaim on rewrite (replaced
+        fragments RETIRE, still readable); ``VACUUM … RETAIN n
+        GENERATIONS|HOURS`` bounds the eventual reclaim to a grace
+        window; and r13 READER LEASES (VERDICT r12 #5, leases.py)
+        enforce the plain-tier case — every planned read registers a
+        TTL lease on its fragments, and this reclaim defers leased
+        files instead of deleting them."""
         meta = self.meta
         if not meta.gc_pending:
             return
+        # r13 (VERDICT r12 #5): files under an UNEXPIRED reader lease are
+        # DEFERRED — they stay in gc_pending, so the next touch after the
+        # lease expires completes the reclaim (the same crash-safe retry
+        # the manifest pointer already guarantees).  This WRITER's own
+        # lease is released first: the rewrite's source read completed
+        # when the job materialized, before the commit that got us here.
+        leases.release(self.catalog.data_dir(meta), self._lease_id)
+        leased = leases.live_basenames(self.catalog.data_dir(meta))
         done = set()
         for p in list(meta.gc_pending):
+            if os.path.basename(p) in leased:
+                continue  # an in-flight reader still holds it
             try:
                 fsops.unlink(self._local_path(p))
             except OSError:
                 pass  # already reclaimed (crash-recovery re-run)
             bloom.drop_sidecar(self._local_path(p))
             done.add(p)
+        if not done:
+            return
 
         def clear():
             # drop only what THIS pass reclaimed: a conflict reload may
@@ -610,8 +655,30 @@ class AstroRelation:
         post-compact table (plus a persisted ``gc_pending`` reclaim the
         next touch completes).  Reference compaction is HBase-side with
         the same write-new-then-switch structure."""
+        # covering-read precondition (r13): a compact of a MERGE-FREE
+        # table preserves the row set exactly, so indexes that were
+        # exactly-live stay exactly-live (the new fragments re-index as
+        # duplicate entries that upsert-collapse).  A compact that folds
+        # upserts rewrites winners the index's shadowed entries no longer
+        # match — those stay unclean (update_regions marks them).
+        pre_clean = [
+            c for c, v in self.meta.index_info.items() if v.get("clean")
+        ]
+        preserve = bool(pre_clean) and not self.needs_merge()
         df = self.scan().select(*[c for c, _ in self.meta.all_columns])
         self._rewrite_with(df, op="COMPACT")
+        if preserve:
+            post = {r.path for r in self.meta.regions}
+
+            def _reclean():
+                if {r.path for r in self.meta.regions} != post:
+                    return  # a sibling moved the live set — stay unclean
+                for c in pre_clean:
+                    if c in self.meta.index_info:
+                        self.meta.index_info[c]["clean"] = True
+                self.catalog.persist(self.meta)
+
+            self._commit_retry(_reclean)
 
     def overwrite(self, df: DataFrame) -> None:
         """INSERT OVERWRITE …: atomically replace the table's contents
@@ -1014,9 +1081,13 @@ class AstroRelation:
             # discipline as _ensure_fresh_regions)
             m.regions = [r for r in m.regions if r.path not in hp]
             if new_files:
-                self._refresh_region_bounds(only=new_files, restamp="keep")
+                self._refresh_region_bounds(
+                    only=new_files, restamp="keep", drops_live=True
+                )
             else:
-                self.catalog.update_regions(m, m.regions, restamp="keep")
+                self.catalog.update_regions(
+                    m, m.regions, restamp="keep", drops_live=True
+                )
 
         self._abortable_retained_commit(commit, hit_paths_l, new_files, new_seq)
         self._ensure_generation_stamp(new_seq)
@@ -1099,9 +1170,13 @@ class AstroRelation:
             )
             m.regions = [r for r in m.regions if r.path not in hp]
             if new_files:
-                self._refresh_region_bounds(only=new_files, restamp=restamp)
+                self._refresh_region_bounds(
+                    only=new_files, restamp=restamp, drops_live=True
+                )
             else:
-                self.catalog.update_regions(m, m.regions, restamp=restamp)
+                self.catalog.update_regions(
+                    m, m.regions, restamp=restamp, drops_live=True
+                )
             if floor_rule == "max_surviving":
                 # floor = max SURVIVING generation (r8 review #2 / r9):
                 # computed after the refresh so delete-everything states
@@ -1601,7 +1676,20 @@ class AstroRelation:
                     return False
             return True
 
-        removed = [r for r in meta.retired_regions if _reclaimable(r)]
+        # r13 (VERDICT r12 #5): retired fragments under an UNEXPIRED
+        # reader lease are DEFERRED — kept on disk and in retired_regions
+        # so the IN-FLIGHT reader that planned against them cannot lose
+        # files mid-query; a later VACUUM after lease expiry completes
+        # the reclaim.  The floor computation uses only the files
+        # actually removed; a deferred fragment left at/below the floor
+        # serves no NEW snapshot (the floor refuses them) — it exists
+        # purely for the already-planned reader, then ages out.
+        leased = leases.live_basenames(self.catalog.data_dir(meta))
+        reclaimable = [r for r in meta.retired_regions if _reclaimable(r)]
+        deferred = [
+            r for r in reclaimable if os.path.basename(r.path) in leased
+        ]
+        removed = [r for r in reclaimable if r not in deferred]
         # r12 housekeeping (skipped under DRY RUN): reap crashed-writer
         # leftovers — (a) stale RESERVATIONS: pinned fileless generations
         # whose writer died before its data job landed (>1 h old by their
@@ -1633,6 +1721,7 @@ class AstroRelation:
                 self._commit_retry(_reap)
             self._clear_orphan_rw(self.catalog.data_dir(meta).rstrip("/"))
         kept = [r for r in meta.retired_regions if r not in removed]
+        deferred_paths = [r.path for r in deferred]
         if not removed:
             return {
                 "retired_files_removed": 0,
@@ -1640,6 +1729,7 @@ class AstroRelation:
                 "history_floor": meta.history_floor,
                 "dry_run": dry_run,
                 "reclaimable_paths": [],
+                "deferred_leased_paths": deferred_paths,
             }
         floor = max(r.retired_at for r in removed)
         paths = [r.path for r in removed]
@@ -1650,6 +1740,7 @@ class AstroRelation:
                 "history_floor": max(meta.history_floor, floor),
                 "dry_run": True,
                 "reclaimable_paths": paths,
+                "deferred_leased_paths": deferred_paths,
             }
         # stamps that live ONLY through reclaimed retirements (a retained
         # rewrite that emitted zero survivor files): the floor
@@ -1678,6 +1769,7 @@ class AstroRelation:
             "history_floor": meta.history_floor,
             "dry_run": False,
             "reclaimable_paths": paths,
+            "deferred_leased_paths": deferred_paths,
         }
 
     def _record_gen_op(self, seq: int, op: str) -> None:
@@ -1780,9 +1872,13 @@ class AstroRelation:
             ]
             m.regions = [r for r in m.regions if r.path not in hp]
             if new_files:
-                self._refresh_region_bounds(only=new_files, restamp="keep")
+                self._refresh_region_bounds(
+                    only=new_files, restamp="keep", drops_live=True
+                )
             else:
-                self.catalog.update_regions(m, m.regions, restamp="keep")
+                self.catalog.update_regions(
+                    m, m.regions, restamp="keep", drops_live=True
+                )
 
         self._abortable_retained_commit(commit, hit_paths_l, new_files, new_seq)
         self._ensure_generation_stamp(new_seq)
@@ -1931,7 +2027,20 @@ class AstroRelation:
 
     def _read_fragments(self, *paths: str) -> DataFrame:
         """Read region fragments under the declared physical schema; a
-        fragment written without ``_seq`` (legacy) reads as generation 0."""
+        fragment written without ``_seq`` (legacy) reads as generation 0.
+
+        r13: planning a read REGISTERS a lease on the resolved fragments
+        (leases.py) so a concurrent fold's gc_pending reclaim — and, on
+        retained tables, a VACUUM whose retention cutoff passes mid-read
+        — defers them until the lease expires: enforcement of what was
+        previously a documented contract."""
+        if paths:
+            leases.register(
+                self.catalog.data_dir(self.meta),
+                self._lease_id,
+                paths,
+                self.LEASE_TTL_SEC,
+            )
         df = self.spark.read.schema(self._file_schema()).parquet(*paths)
         return df.withColumn(SEQ_COL, F.coalesce(F.col(SEQ_COL), F.lit(0)))
 
@@ -2007,21 +2116,30 @@ class AstroRelation:
             self.catalog, self.catalog.get_table(name, self.meta.namespace), self.spark
         )
 
-    def _index_source_frame(self, paths: list[str], col: str) -> DataFrame:
-        """(col, *main_keys, _g) rows of the given fragments — every
-        version, unresolved (extra stale entries are allowed; a missing
-        live pair is not).  NULL values are unindexed (IS NULL never
-        routes through the index) and a string value containing NUL is
-        skipped (it cannot be a non-final rowkey component — lookups
-        for such values bypass the index)."""
+    def _index_source_frame(
+        self, paths: list[str], col: str, include: list | None = None
+    ) -> DataFrame:
+        """(col, *main_keys, _g[, *include]) rows of the given fragments
+        — every version, unresolved (extra stale entries are allowed; a
+        missing live pair is not).  NULL values are unindexed (IS NULL
+        never routes through the index) and a string value containing
+        NUL is skipped (it cannot be a non-final rowkey component —
+        lookups for such values bypass the index).  Covered columns
+        (r13 INCLUDE) ride along as plain non-key columns."""
+        if include is None:
+            include = self.meta.index_info.get(col, {}).get("include", [])
         raw = self._read_fragments(*paths)
-        df = raw.select(col, *self.meta.key_names, F.col(SEQ_COL).alias("_g"))
+        df = raw.select(
+            col, *self.meta.key_names, F.col(SEQ_COL).alias("_g"), *include
+        )
         df = df.filter(F.col(col).isNotNull())
         if C.normalize_type(self.meta.column_type(col)) == C.STRING:
             df = df.filter(~F.col(col).contains("\x00"))
         return df
 
-    def create_index(self, col: str, if_not_exists: bool = False) -> str:
+    def create_index(
+        self, col: str, if_not_exists: bool = False, include: tuple = ()
+    ) -> str:
         meta = self.meta
         if meta.encoding == STRING_FORMAT:
             raise ValueError("secondary indexes require a binaryformat table")
@@ -2034,6 +2152,16 @@ class AstroRelation:
         dt = C.normalize_type(meta.column_type(col))  # raises on unknown col
         if dt not in C.FIXED_WIDTH and dt != C.STRING:
             raise ValueError(f"column type {dt!r} is not index-keyable")
+        include = [c for c in include]
+        for c in include:
+            if c in meta.key_names or c == col:
+                raise ValueError(
+                    f"INCLUDE column {c!r} is already part of the index key"
+                )
+            try:
+                C.normalize_type(meta.column_type(c))
+            except KeyError:
+                raise ValueError(f"unknown INCLUDE column {c!r}") from None
         name = self.index_table_name(col)
         # tolerate an ORPHAN index table (a pre-r13 DROP TABLE cascade
         # crash, or a crash between bulk build and registration): col is
@@ -2054,9 +2182,13 @@ class AstroRelation:
                 KeyColumn(k.name, k.dtype, k.order + 1)
                 for k in sorted(meta.key_columns, key=lambda k: k.order)
             ],
-            nonkey_columns=[NonKeyColumn("_g", "int", "f", "g")],
+            nonkey_columns=[NonKeyColumn("_g", "int", "f", "g")]
+            + [
+                NonKeyColumn(c, meta.column_type(c), "f", f"i{j}")
+                for j, c in enumerate(include)
+            ],
             num_regions=meta.num_regions,
-            declared_columns=[col] + meta.key_names + ["_g"],
+            declared_columns=[col] + meta.key_names + ["_g"] + include,
         )
         self.catalog.create_table(idx_meta, if_not_exists=if_not_exists)
         idx_rel = AstroRelation(self.catalog, idx_meta, self.spark)
@@ -2065,7 +2197,7 @@ class AstroRelation:
         # superset invariant has no "since index creation" carve-out
         paths = [r.path for r in meta.regions] + [r.path for r in meta.retired_regions]
         if paths:
-            idx_rel.write(self._index_source_frame(paths, col))
+            idx_rel.write(self._index_source_frame(paths, col, include=include))
         # register AFTER the build commits: a reader that sees the index
         # in meta.indexes must find it complete (index-first ordering).
         # Lost-update window (ADVICE r12): a sibling session may commit
@@ -2084,9 +2216,23 @@ class AstroRelation:
             ]
             gap = [p for p in current if p not in built]
             if gap:
-                idx_rel.append(self._index_source_frame(gap, col), op="INDEX")
+                idx_rel.append(
+                    self._index_source_frame(gap, col, include=include), op="INDEX"
+                )
                 built.update(gap)
             self.meta.indexes[col] = name
+            # covering-read precondition (r13): the build is exactly-live
+            # only when nothing the index lists has left the live set —
+            # no retired history (bulk-built in for RESTORE coverage, but
+            # stale-extra for liveness) and no fragment folded away
+            # between the build snapshot and this registration
+            live = {r.path for r in self.meta.regions}
+            self.meta.index_info[col] = {
+                "include": list(include),
+                "clean": not self.meta.retired_regions
+                and all(p in built for p in live)
+                and all(p in current for p in built),
+            }
             self.catalog.persist(self.meta)
 
         self._commit_retry(commit)
@@ -2099,6 +2245,7 @@ class AstroRelation:
 
         def commit():
             self.meta.indexes.pop(col, None)
+            self.meta.index_info.pop(col, None)
             self.catalog.persist(self.meta)
 
         # unregister FIRST (readers stop consulting it), then drop files
@@ -2132,11 +2279,18 @@ class AstroRelation:
         fragments (REINDEX TABLE).  Superset maintenance never loses
         entries, but history-folding writes (INSERT OVERWRITE, purge
         DELETEs) leave the index mostly stale-extra — correct yet
-        bloated; a rebuild restores minimality.  Returns the number of
-        indexes rebuilt."""
+        bloated; a rebuild restores minimality.  r13: the rebuild also
+        re-attests the covering-read precondition — ``clean`` returns to
+        True when the rebuilt entries are exactly the live rows (no
+        retired history, no fragment churn during the rebuild); a
+        sibling append that lands mid-rebuild is backfilled inside the
+        CAS-retried finish commit (the same lost-update closure as
+        create_index).  Returns the number of indexes rebuilt."""
         meta = self.meta
         paths = [r.path for r in meta.regions] + [r.path for r in meta.retired_regions]
+        built = set(paths)
         n = 0
+        rebuilt: list[str] = []
         for col in list(meta.indexes):
             try:
                 idx_rel = self._index_relation(col)
@@ -2147,7 +2301,32 @@ class AstroRelation:
             else:  # empty table → empty index
                 src = self.spark.createDataFrame([], table_schema(idx_rel.meta))
             idx_rel.write(src)
+            rebuilt.append(col)
             n += 1
+
+        def finish():
+            current = [r.path for r in self.meta.regions] + [
+                r.path for r in self.meta.retired_regions
+            ]
+            gap = [p for p in current if p not in built]
+            for col in rebuilt:
+                if col not in self.meta.indexes:
+                    continue  # concurrent DROP INDEX
+                if gap:
+                    self._index_relation(col).append(
+                        self._index_source_frame(gap, col), op="INDEX"
+                    )
+                if col in self.meta.index_info:
+                    live = {r.path for r in self.meta.regions}
+                    indexed = built | set(gap)
+                    self.meta.index_info[col]["clean"] = (
+                        not self.meta.retired_regions and indexed == live
+                    )
+            built.update(gap)
+            self.catalog.persist(self.meta)
+
+        if rebuilt:
+            self._commit_retry(finish)
         return n
 
     # a semi-join only pays when the index-side key set is selective:
@@ -2166,6 +2345,64 @@ class AstroRelation:
         if route["kind"] == "empty":
             return ("", route["col"], 0)
         return (route["aug"], route["col"], route["n"])
+
+    def _servable_index_conjuncts(self, where: str):
+        """Per indexed column, the AND-conjuncts of ``where`` an index
+        can serve — the single servability definition behind both
+        :meth:`_index_route` and :meth:`scan_covering`.  Returns
+        {col: [conjuncts]} ({} when none), or None when the lookup must
+        BYPASS every index (a NUL-carrying string value — storable but
+        deliberately unindexed, so no index path is sound for it).
+
+        Servable: =/IN on any indexed column (SQL-NULL values dropped —
+        they can never match a row); </<=/>/>= additionally on
+        NON-string indexed columns.  A string range is NOT servable: it
+        can match NUL-carrying values the index does not hold.  Every
+        servable conjunct is null-rejecting on its column, which is what
+        lets index paths ignore the (unindexed) NULL-valued rows."""
+        from spark_sql_on_hbase_spark.predicate import (
+            And,
+            Comparison,
+            InList,
+            parse_predicate,
+        )
+
+        try:
+            pred = parse_predicate(where)
+        except ValueError:
+            return {}
+        conjuncts: list = []
+
+        def flatten(p):
+            if isinstance(p, And):
+                for c in p.children:
+                    flatten(c)
+            else:
+                conjuncts.append(p)
+
+        flatten(pred)
+        _RANGE_OPS = ("<", "<=", ">", ">=")
+        by_col: dict[str, list] = {}
+        for c in conjuncts:
+            if isinstance(c, Comparison) and c.col in self.meta.indexes:
+                is_str = (
+                    C.normalize_type(self.meta.column_type(c.col)) == C.STRING
+                )
+                if c.op == "=":
+                    if isinstance(c.value, str) and "\x00" in c.value:
+                        return None
+                    if c.value is not None:
+                        by_col.setdefault(c.col, []).append(c)
+                elif c.op in _RANGE_OPS and not is_str:
+                    if c.value is not None:
+                        by_col.setdefault(c.col, []).append(c)
+            elif isinstance(c, InList) and c.col in self.meta.indexes:
+                if any(isinstance(v, str) and "\x00" in v for v in c.values):
+                    return None
+                vals = tuple(v for v in c.values if v is not None)
+                if vals:
+                    by_col.setdefault(c.col, []).append(InList(c.col, vals))
+        return by_col
 
     def _index_route(self, where: str):
         """Route a scan predicate through a secondary index (r13 —
@@ -2193,63 +2430,18 @@ class AstroRelation:
         which are storable but deliberately unindexed, so string ranges
         bypass the index (the same contract as the =/IN NUL bypass)."""
         from spark_sql_on_hbase_spark.predicate import (
-            And,
-            Comparison,
             InList,
-            parse_predicate,
             render,
             _lit_sql,
         )
 
-        try:
-            pred = parse_predicate(where)
-        except ValueError:
-            return None
-        conjuncts: list = []
-
-        def flatten(p):
-            if isinstance(p, And):
-                for c in p.children:
-                    flatten(c)
-            else:
-                conjuncts.append(p)
-
-        flatten(pred)
         # the candidate keys / bounds must render back into parseable
         # SQL literals — temporal/decimal key columns don't round-trip
         # through _lit_sql, so such tables take the ordinary scan path
         _SIMPLE = {C.BYTE, C.SHORT, C.INT, C.LONG, C.FLOAT, C.DOUBLE, C.STRING, C.BOOLEAN}
         if any(C.normalize_type(d) not in _SIMPLE for d in self.meta.key_dtypes):
             return None
-        _RANGE_OPS = ("<", "<=", ">", ">=")
-        # gather servable conjuncts per indexed column
-        by_col: dict[str, list] = {}
-        for c in conjuncts:
-            if isinstance(c, Comparison) and c.col in self.meta.indexes:
-                is_str = (
-                    C.normalize_type(self.meta.column_type(c.col)) == C.STRING
-                )
-                if c.op == "=":
-                    # NUL-containing string values are storable in the
-                    # (non-key) indexed column but deliberately UNINDEXED
-                    # by _index_source_frame — the superset invariant
-                    # does not cover them, so a lookup that mentions one
-                    # must bypass the index entirely (full scan), never
-                    # probe a partial value list.  SQL-NULL alone is safe
-                    # to drop: `col = NULL` can never match a row.
-                    if isinstance(c.value, str) and "\x00" in c.value:
-                        return None
-                    if c.value is not None:
-                        by_col.setdefault(c.col, []).append(c)
-                elif c.op in _RANGE_OPS and not is_str:
-                    if c.value is not None:
-                        by_col.setdefault(c.col, []).append(c)
-            elif isinstance(c, InList) and c.col in self.meta.indexes:
-                if any(isinstance(v, str) and "\x00" in v for v in c.values):
-                    return None
-                vals = tuple(v for v in c.values if v is not None)
-                if vals:
-                    by_col.setdefault(c.col, []).append(InList(c.col, vals))
+        by_col = self._servable_index_conjuncts(where)
         if not by_col:
             return None
 
@@ -2303,7 +2495,12 @@ class AstroRelation:
             for r in self.meta.regions
         )
         if total > 0 and n_keys > max(cap, self.INDEX_SEMIJOIN_MAX_FRAC * total):
-            return None  # not selective enough — full scan wins at scale
+            # not selective enough — full scan wins at scale
+            return {
+                "kind": "none",
+                "col": col,
+                "reason": f"unselective ({n_keys} of ~{total} keys)",
+            }
         # per-dimension min/max bounds: one tiny agg row to the driver,
         # rendered as a BETWEEN superset for file pruning + pushdown
         aug = None
@@ -2394,6 +2591,7 @@ class AstroRelation:
         only: list[str] | None = None,
         restamp: str = "keep",
         adopt_rw: bool = False,
+        drops_live: bool = False,
     ) -> None:
         """One aggregate job → per-file (min,max) key bounds + generation
         + distinct-key count into catalog.  All stats ride the same
@@ -2428,7 +2626,9 @@ class AstroRelation:
                 and (adopt_rw or not f.startswith("rw-") or f in known)
             )
         if not stat_paths:
-            self.catalog.update_regions(meta, [], restamp=restamp)
+            self.catalog.update_regions(
+                meta, [], restamp=restamp, drops_live=drops_live
+            )
             return
         raw = self._read_fragments(*stat_paths)
         key_dtypes = meta.key_dtypes
@@ -2521,7 +2721,9 @@ class AstroRelation:
                 r.path for r in regions if os.path.basename(r.path) not in prev
             ]
             self._maintain_indexes(fresh)
-        self.catalog.update_regions(meta, regions, restamp=restamp)
+        self.catalog.update_regions(
+            meta, regions, restamp=restamp, drops_live=drops_live
+        )
 
     # -- upsert resolution ---------------------------------------------------
     def needs_merge(self) -> bool:
@@ -3017,6 +3219,7 @@ class AstroRelation:
         index_col = None
         index_mode = None
         index_n = None
+        index_declined = None
         semi_keys = None
         if meta.indexes:
             # secondary-index routing (r12, extended r13): =/IN and
@@ -3029,6 +3232,9 @@ class AstroRelation:
             # (old upsert values, deleted rows) only cost reads, never
             # wrong rows.
             route = self._index_route(where)
+            if route is not None and route["kind"] == "none":
+                index_declined = route.get("reason")
+                route = None
             if route is not None:
                 index_col = route["col"]
                 index_mode = route["kind"]
@@ -3053,6 +3259,7 @@ class AstroRelation:
             res.index_used = index_col
             res.index_mode = index_mode
             res.index_candidates = index_n
+            res.index_declined = index_declined
         except ValueError:
             # non-sargable / unparseable predicate → graceful full scan
             # (reference Tpc Query 27: ss_ticket_number + 0 = 3 scans all,
@@ -3071,7 +3278,9 @@ class AstroRelation:
 
             pts = point_rowkeys(res.predicate, meta)
             if pts is not None:
+                res.bloom_probed = len(res.files)
                 res.files = [rf for rf in res.files if self._bloom_admits(rf, pts)]
+                res.bloom_skipped = res.bloom_probed - len(res.files)
         if not res.files:
             df = self.spark.createDataFrame([], self.scan().schema)
             return df, res
@@ -3098,6 +3307,7 @@ class AstroRelation:
                 coltypes = {c: C.normalize_type(dt) for c, dt in meta.all_columns}
                 sf_pred = string_pushdown(res.predicate, coltypes)
                 if sf_pred is not None:
+                    res.sf_pushdown = sf_pred
                     raw = raw.filter(F.expr(sf_pred))
         df = self._resolve(raw)
         if semi_keys is not None:
@@ -3124,3 +3334,64 @@ class AstroRelation:
                     return df, res
                 return df.filter(F.expr(render(res.residual))), res
         return df.filter(F.expr(where)), res
+
+    def scan_covering(self, where: str, columns: list[str]):
+        """Pruned scan serving only ``columns`` — from a COVERING index
+        alone when sound (r13, Phoenix covered-column analog; VERDICT
+        r12 #3), else the ordinary :meth:`scan_where` projected.
+
+        An index created with ``INCLUDE (cols)`` stores the covered
+        columns next to the (col, *main_keys) entries.  A query whose
+        predicate AND projection reference only ``{col} ∪ keys ∪
+        include`` can then answer from the index table with NO
+        main-table read — the index is keyed by ``col``, so a value
+        predicate prunes index fragments the way a key predicate prunes
+        the main table.
+
+        Soundness needs the index to be EXACTLY the live rows, not the
+        usual superset: served only when (a) the index is ``clean`` — no
+        write has dropped a live fragment since it was built/REINDEXed
+        (appends preserve this; folds/deletes/restores clear it — see
+        TableMeta.index_info) — and (b) the main table is merge-free
+        (``needs_merge()`` False): with unique live keys and no folds,
+        every indexed (value, key, includes) tuple IS a live row.
+        Shadowing upserts or any fold fall back to the main scan;
+        REINDEX re-attests.  Returns (DataFrame, PruneResult) — the
+        PruneResult is the INDEX table's, with ``index_mode="covering"``
+        and files counted against the index's fragments."""
+        from spark_sql_on_hbase_spark.predicate import (
+            parse_predicate,
+            referenced_columns,
+        )
+
+        self._ensure_fresh_regions()
+        meta = self.meta
+        if not columns:
+            raise ValueError("scan_covering needs at least one column")
+        try:
+            need = set(columns) | referenced_columns(parse_predicate(where))
+        except ValueError:
+            need = None  # unparseable → main path
+        if need is not None and meta.index_info and not self.needs_merge():
+            keys = set(meta.key_names)
+            # NULL values (and NUL-carrying strings) in the indexed
+            # column are unindexed, so index-only reads additionally
+            # need a SERVABLE (null-rejecting) conjunct on the indexed
+            # column — rows the index omits then provably can't match
+            servable = self._servable_index_conjuncts(where) or {}
+            for col, info in meta.index_info.items():
+                covered = {col} | keys | set(info.get("include", []))
+                if not info.get("clean") or col not in servable:
+                    continue
+                if not need <= covered:
+                    continue
+                try:
+                    idx_rel = self._index_relation(col)
+                except KeyError:
+                    continue  # stale registration
+                df, res = idx_rel.scan_where(where)
+                res.index_used = col
+                res.index_mode = "covering"
+                return df.select(*columns), res
+        df, res = self.scan_where(where)
+        return df.select(*columns), res

@@ -143,9 +143,18 @@ class AstroSession:
             zorder=c.zorder,
             retain_history=c.retain_history,
             bloomfilter=c.bloomfilter,
+            autocompact=c.autocompact,
         )
         if c.align_prefix and c.align_prefix > len(c.key_columns):
             raise ValueError("align= exceeds the number of key columns")
+        if c.autocompact and c.retain_history:
+            raise ValueError(
+                "autocompact and retain_history are exclusive: compaction "
+                "is the retention tier's reclaim point — an automatic "
+                "trigger would silently purge the history retain_history "
+                "promised to keep (use VACUUM ... RETAIN for bounded "
+                "reclaim instead)"
+            )
         if c.zorder:
             if c.align_prefix:
                 raise ValueError("layout=zorder and align= are exclusive")
@@ -199,8 +208,11 @@ class AstroSession:
     def _exec_CreateIndex(self, c: ddl.CreateIndex) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
         rel._ensure_fresh_regions()
-        name = rel.create_index(c.col, if_not_exists=c.if_not_exists)
-        return self._ok(f"created index {name} on {c.table}({c.col})")
+        name = rel.create_index(
+            c.col, if_not_exists=c.if_not_exists, include=c.include
+        )
+        inc = f" INCLUDE ({', '.join(c.include)})" if c.include else ""
+        return self._ok(f"created index {name} on {c.table}({c.col}){inc}")
 
     def _exec_DropIndex(self, c: ddl.DropIndex) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
@@ -237,9 +249,32 @@ class AstroSession:
                     f" ({res.index_candidates} candidate keys)"
                     if res.index_candidates is not None
                     else ""
+                )
+                + (
+                    f" — declined: {res.index_declined}"
+                    if res.index_declined
+                    else ""
                 ),
             ),
             ("bloomfilter", meta.bloomfilter or "none"),
+            (
+                "bloom_outcome",
+                (
+                    f"probed {res.bloom_probed} range-surviving files, "
+                    f"skipped {res.bloom_skipped}"
+                )
+                if res.bloom_probed is not None
+                else "(not consulted — no sidecars or non-point predicate)",
+            ),
+            (
+                "stringformat_pushdown",
+                res.sf_pushdown
+                or (
+                    "(none)"
+                    if meta.encoding == "stringformat"
+                    else "(n/a — binaryformat table)"
+                ),
+            ),
             ("key_pushed", _render(res.key_pushed)),
             ("residual", _render(res.residual)),
             (
@@ -296,9 +331,31 @@ class AstroSession:
                 ("num_regions", str(meta.num_regions), "declared region count"),
                 ("bloomfilter", meta.bloomfilter or "none", "row = per-fragment ROW bloom sidecars prune point lookups"),
                 (
+                    "autocompact",
+                    str(meta.autocompact or 0),
+                    "K>0: fold to num_regions files past K×regions after appends (0 = manual COMPACT)",
+                ),
+                (
                     "indexes",
-                    ", ".join(f"{c}->{n}" for c, n in sorted(meta.indexes.items())) or "none",
-                    "secondary indexes: non-key =/IN scans route via index table",
+                    ", ".join(
+                        f"{c}->{n}"
+                        + (
+                            " INCLUDE("
+                            + ",".join(meta.index_info[c]["include"])
+                            + ")"
+                            if meta.index_info.get(c, {}).get("include")
+                            else ""
+                        )
+                        + (
+                            " [covering-ready]"
+                            if meta.index_info.get(c, {}).get("clean")
+                            else ""
+                        )
+                        for c, n in sorted(meta.indexes.items())
+                    )
+                    or "none",
+                    "secondary indexes: non-key =/IN/range scans route via "
+                    "index table; covering-ready = index-only reads servable",
                 ),
                 ("region_files", str(len(meta.regions)), "current fragment/region files"),
                 (
@@ -400,6 +457,17 @@ class AstroSession:
             raise ValueError(
                 f"column {c.col!r} is indexed — DROP INDEX ON "
                 f"{c.table} ({c.col}) first"
+            )
+        # r13: covered columns are physically stored in the index table
+        owners = [
+            icol
+            for icol, info in rel.meta.index_info.items()
+            if c.col in info.get("include", [])
+        ]
+        if owners:
+            raise ValueError(
+                f"column {c.col!r} is INCLUDEd in the index on "
+                f"{owners[0]!r} — DROP INDEX ON {c.table} ({owners[0]}) first"
             )
         rel._ensure_fresh_regions()
         rel._commit_retry(
@@ -1157,18 +1225,28 @@ class AstroSession:
         if c.dry_run:
             # DRY RUN (r12, VERDICT r11 #3): one row per reclaimable
             # fragment + the floor the real run would set; nothing
-            # deleted, no metadata changed
+            # deleted, no metadata changed.  r13: fragments DEFERRED by
+            # a live reader lease are reported as such (status column).
             rows = [
-                (p, stats["history_floor"]) for p in stats["reclaimable_paths"]
+                (p, "reclaimable", stats["history_floor"])
+                for p in stats["reclaimable_paths"]
+            ] + [
+                (p, "deferred (reader lease)", stats["history_floor"])
+                for p in stats.get("deferred_leased_paths", [])
             ]
             return local_rows_df(
-                self.spark, rows, "reclaimable_path string, would_set_floor int"
+                self.spark,
+                rows,
+                "reclaimable_path string, status string, would_set_floor int",
             )
         rel.register_view()
+        deferred = len(stats.get("deferred_leased_paths", []))
         return self._ok(
             f"vacuumed {c.table}: {stats['retired_files_removed']} retired "
             f"fragments reclaimed ({stats['retired_files_kept']} kept by "
-            f"RETAIN), history floor {stats['history_floor']}"
+            f"RETAIN"
+            + (f", {deferred} deferred by reader leases" if deferred else "")
+            + f"), history floor {stats['history_floor']}"
         )
 
     def _exec_CompactTable(self, c: ddl.CompactTable) -> DataFrame:

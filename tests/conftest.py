@@ -6,6 +6,18 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+@pytest.fixture()
+def no_reader_leases(monkeypatch):
+    """Disable r13 reader-lease deferral (TTL=0 → every lease is born
+    expired).  For tests that assert PROMPT physical reclaim — fold
+    gc_pending, VACUUM floors, file-count lifecycles — where the
+    deferral window is noise; the lease semantics themselves are
+    exercised by tests/test_autocompact_leases.py."""
+    from spark_sql_on_hbase_spark.relation import AstroRelation
+
+    monkeypatch.setattr(AstroRelation, "LEASE_TTL_SEC", 0.0)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession

@@ -21,6 +21,10 @@ import random
 
 import pytest
 
+# these tests assert PROMPT physical reclaim; r13 reader-lease
+# deferral is exercised in test_autocompact_leases.py
+pytestmark = pytest.mark.usefixtures("no_reader_leases")
+
 from spark_sql_on_hbase_spark import fsops
 from spark_sql_on_hbase_spark.catalog import ConcurrentWriteError
 from spark_sql_on_hbase_spark.relation import AstroRelation

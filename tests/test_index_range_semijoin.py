@@ -108,9 +108,12 @@ def test_overcap_range_semijoins(astro):
 
 def test_unselective_value_falls_back_to_full_scan(astro):
     rel = astro.relation("irs")
-    assert rel._index_route("status = 'Y'") is None
+    route = rel._index_route("status = 'Y'")
+    assert route is not None and route["kind"] == "none"
+    assert "unselective" in route["reason"]
     df, res = rel.scan_where("status = 'Y'")
     assert res.index_used is None
+    assert "unselective" in (res.index_declined or "")
     assert df.count() == 18_000 - N_HOT
 
 

@@ -13,6 +13,10 @@ import os
 
 import pytest
 
+# these tests assert PROMPT physical reclaim; r13 reader-lease
+# deferral is exercised in test_autocompact_leases.py
+pytestmark = pytest.mark.usefixtures("no_reader_leases")
+
 from spark_sql_on_hbase_spark.session import AstroSession
 
 

@@ -188,7 +188,12 @@ def main() -> None:
         return best
 
     def run(name: str, sf_dir: str) -> dict:
-        return run_q(qs[name], sf_dir)
+        # r13: 3 samples for the generic families too — this round's
+        # first pass measured a 2.5× WITHIN-point spread on an unchanged
+        # operator (text_repetition [38.9, 15.3] / [86.5, 206.0]) under
+        # double-digit host load with no local process; min-of-2 is not
+        # robust to that steal profile
+        return run_q(qs[name], sf_dir, runs=3)
 
     out = {
         "scale_ratio": SCALE,
