@@ -125,10 +125,13 @@ _HELP = {
     "  (HISTORY: one row per committed generation, newest first — commit\n"
     "   time, operation, live/retired file counts, snapshot readability)",
     "SHOW": "SHOW TABLES",
-    "EXPLAIN": "EXPLAIN SCAN table_name WHERE cond\n"
+    "EXPLAIN": "EXPLAIN SCAN table_name [COLUMNS (c1, ...)] WHERE cond\n"
     "  (the engine-side scan plan: files read/pruned via CPR ranges,\n"
-    "   bloom sidecars and secondary indexes, the pushed-vs-residual\n"
-    "   predicate split, and pending-merge state.  Plain Spark\n"
+    "   bloom sidecars (probe/skip counts) and secondary indexes (mode,\n"
+    "   candidate counts, decline reasons), the pushed-vs-residual\n"
+    "   predicate split, the stringformat pushdown superset, and\n"
+    "   pending-merge state.  COLUMNS additionally reports the\n"
+    "   covering-index decision for that projection.  Plain Spark\n"
     "   EXPLAIN SELECT ... still falls through to Spark SQL)",
 }
 

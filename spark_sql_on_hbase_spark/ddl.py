@@ -236,15 +236,19 @@ class DropIndex:
 
 @dataclass
 class ExplainScan:
-    """EXPLAIN SCAN t WHERE cond — the engine-side scan plan: files
-    pruned by CPR ranges / bloom sidecars / secondary indexes, the
-    pushed-vs-residual predicate split, and which accelerators engaged.
+    """EXPLAIN SCAN t [COLUMNS (c1, ...)] WHERE cond — the engine-side
+    scan plan: files pruned by CPR ranges / bloom sidecars / secondary
+    indexes, the pushed-vs-residual predicate split, and which
+    accelerators engaged (with counts and decline reasons, r13).  With a
+    COLUMNS projection the report additionally covers the
+    covering-index decision (index-only scan vs why not).
     (Plain Spark ``EXPLAIN SELECT …`` still falls through to Spark SQL —
     this statement reports the decisions made ABOVE Catalyst.)"""
 
     table: str
     where: str
     namespace: str = "default"
+    columns: tuple = ()
 
 
 @dataclass
@@ -725,13 +729,20 @@ def parse(sql: str) -> Command:
         return ReindexTable(table=t, namespace=ns)
 
     im = re.match(
-        r"^\s*EXPLAIN\s+SCAN\s+(?P<name>[\w.`]+)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+        r"^\s*EXPLAIN\s+SCAN\s+(?P<name>[\w.`]+)"
+        r"(?:\s+COLUMNS\s*\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\))?"
+        r"\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if im:
         ns, t = _parse_table_name(im.group("name"))
-        return ExplainScan(table=t, where=im.group("where"), namespace=ns)
+        cols = tuple(
+            c.strip() for c in (im.group("cols") or "").split(",") if c.strip()
+        )
+        return ExplainScan(
+            table=t, where=im.group("where"), namespace=ns, columns=cols
+        )
 
     if up.startswith("INSERT"):
         m = _INSERT_VALUES_RE.match(s)

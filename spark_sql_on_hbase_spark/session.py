@@ -223,7 +223,32 @@ class AstroSession:
         from spark_sql_on_hbase_spark.predicate import Opaque, render
 
         rel = self.relation(c.table, c.namespace)
-        _df, res = rel.scan_where(c.where)
+        covering_row = None
+        if c.columns:
+            # COLUMNS projection (r13): report the covering-index
+            # decision the projected scan would take
+            _df, res = rel.scan_covering(c.where, list(c.columns))
+            if res.index_mode == "covering":
+                covering_row = (
+                    f"index-only via {res.index_used} "
+                    f"(projection ⊆ col ∪ keys ∪ include; exactly-live)"
+                )
+            else:
+                reasons = []
+                if rel.needs_merge():
+                    reasons.append("pending upserts (needs_merge)")
+                if not rel.meta.index_info:
+                    reasons.append("no index with INCLUDE state")
+                elif not any(
+                    v.get("clean") for v in rel.meta.index_info.values()
+                ):
+                    reasons.append("no exactly-live index (REINDEX re-attests)")
+                covering_row = "main-table scan" + (
+                    f" — {'; '.join(reasons)}" if reasons else
+                    " — projection/predicate not covered by any clean index"
+                )
+        else:
+            _df, res = rel.scan_where(c.where)
 
         def _render(p):
             if p is None:
@@ -274,6 +299,11 @@ class AstroSession:
                     if meta.encoding == "stringformat"
                     else "(n/a — binaryformat table)"
                 ),
+            ),
+            *(
+                [("covering", covering_row)]
+                if covering_row is not None
+                else []
             ),
             ("key_pushed", _render(res.key_pushed)),
             ("residual", _render(res.residual)),

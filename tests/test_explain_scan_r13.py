@@ -65,6 +65,39 @@ def test_index_declined_named_with_reason(astro):
     assert "declined: unselective" in out["index_mode"]
 
 
+def test_explain_columns_reports_covering(spark, tmp_path):
+    a = AstroSession(spark, str(tmp_path / "exc_wh"))
+    a.sql(
+        "CREATE TABLE exc (k INT, st STRING, amt INT, PRIMARY KEY (k)) "
+        "MAPPED BY (exc_ht, COLS=[st=f.s, amt=f.a]) OPTIONS (regions=2)"
+    )
+    csv = tmp_path / "exc.csv"
+    csv.write_text("".join(f"{i},{'AB'[i % 2]},{i}\n" for i in range(100)))
+    a.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE exc")
+    a.sql("CREATE INDEX ON exc (st) INCLUDE (amt)")
+    out = {
+        r.property: r.value
+        for r in a.sql(
+            "EXPLAIN SCAN exc COLUMNS (k, amt) WHERE st = 'A'"
+        ).collect()
+    }
+    assert out["covering"].startswith("index-only via st")
+    # uncovered projection: main-table scan with the reason
+    out = {
+        r.property: r.value
+        for r in a.sql(
+            "EXPLAIN SCAN exc COLUMNS (k, st, amt) WHERE amt > 5"
+        ).collect()
+    }
+    assert out["covering"].startswith("main-table scan")
+    # no COLUMNS clause → no covering row (unchanged r12 shape)
+    out = {
+        r.property: r.value
+        for r in a.sql("EXPLAIN SCAN exc WHERE st = 'A'").collect()
+    }
+    assert "covering" not in out
+
+
 def test_stringformat_pushdown_reported(spark, tmp_path):
     a = AstroSession(spark, str(tmp_path / "sf_wh"))
     a.sql(
