@@ -597,9 +597,12 @@ def neardup_pairs_lsh(
     if route == "auto":
         n = vecs.count()
         if n >= ROUTE_MIN_N:
-            est = estimate_lsh_candidates_per_doc(
-                vecs, bits, bands, n=n, id_col=id_col, vec_col=vec_col
-            )
+            try:
+                est = estimate_lsh_candidates_per_doc(
+                    vecs, bits, bands, n=n, id_col=id_col, vec_col=vec_col
+                )
+            except Exception:
+                est = 0.0  # probe failure → plain path (never an error)
             routed = est > ROUTE_CAND_BOUND
             if routed:
                 import warnings

@@ -2340,7 +2340,7 @@ class AstroRelation:
         ("", col, 0) for the empty proof, None otherwise (including when
         the r13 semi-join path would engage)."""
         route = self._index_route(where)
-        if route is None or route["kind"] == "semijoin":
+        if route is None or route["kind"] in ("semijoin", "none"):
             return None
         if route["kind"] == "empty":
             return ("", route["col"], 0)
@@ -3360,6 +3360,7 @@ class AstroRelation:
         PruneResult is the INDEX table's, with ``index_mode="covering"``
         and files counted against the index's fragments."""
         from spark_sql_on_hbase_spark.predicate import (
+            Opaque,
             parse_predicate,
             referenced_columns,
         )
@@ -3369,7 +3370,22 @@ class AstroRelation:
         if not columns:
             raise ValueError("scan_covering needs at least one column")
         try:
-            need = set(columns) | referenced_columns(parse_predicate(where))
+            pred = parse_predicate(where)
+            # Opaque leaves reference columns referenced_columns can't
+            # see — the coverage test would pass while the index-side
+            # filter references a column the index table lacks
+            def _has_opaque(p):
+                if isinstance(p, Opaque):
+                    return True
+                for c in getattr(p, "children", ()) or ():
+                    if _has_opaque(c):
+                        return True
+                child = getattr(p, "child", None)
+                return _has_opaque(child) if child is not None else False
+
+            need = None if _has_opaque(pred) else (
+                set(columns) | referenced_columns(pred)
+            )
         except ValueError:
             need = None  # unparseable → main path
         if need is not None and meta.index_info and not self.needs_merge():

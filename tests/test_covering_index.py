@@ -156,6 +156,18 @@ def test_overwrite_clears_clean(astro):
     assert sorted(r.k1 for r in df.collect()) == [0, 1, 2, 3, 4]
 
 
+def test_opaque_predicate_falls_back(astro):
+    """An unparseable/non-sargable fragment may reference columns the
+    coverage test can't see — the covering path must fall back, never
+    push a filter the index table can't resolve."""
+    rel = astro.relation("cov")
+    df, res = rel.scan_covering(
+        "status = 'E' AND length(note) > 1", ["k1", "status", "amt"]
+    )
+    assert res.index_mode != "covering"
+    assert sorted(r.k1 for r in df.collect()) == [7, 17, 27, 37]
+
+
 def test_alter_drop_included_column_refused(astro):
     with pytest.raises(ValueError, match="INCLUDEd in the index"):
         astro.sql("ALTER TABLE cov DROP amt")
