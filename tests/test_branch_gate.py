@@ -45,8 +45,8 @@ def test_synthetic_regression_is_caught():
 def test_noise_floor_suppresses_subsecond_swings():
     cur = _detail(
         {
-            # leak 0.05 → 0.4 is an 8× ratio but under the 1 s floor
-            "text_ops_suite": {"perplexity": 37.0, "dupspans": 3.0, "leak": 0.4},
+            # leak 0.05 → 1.4 is a 28× ratio but under the 2 s floor
+            "text_ops_suite": {"perplexity": 37.0, "dupspans": 3.0, "leak": 1.4},
             "corpus_ops_suite": {"clf": 15.0, "pack": 0.95},
             "multimodal_suite": {"video": 1.6, "jpeg": 2.6},
         }
