@@ -573,7 +573,9 @@ def _index_lookup_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFr
     astro = _ensure_index_table(spark, sf_dir)
     rel = astro.relation("astro_six")
     df, res = rel.scan_where("o_custkey IN (42, 7)")
-    ok = res.index_used == "o_custkey"
+    # r13: pin the MODE too — a silent downgrade to semijoin/full here
+    # would mean the candidate path stopped serving a ~150-key lookup
+    ok = res.index_used == "o_custkey" and res.index_mode == "augment"
     if offset:
         # write_ops fold shape (o_orderkey, totalprice, o_orderstatus):
         # the customer id rides the price (exact integer multiple)
