@@ -564,7 +564,7 @@ class AstroRelation:
 
         self._commit_retry(rollback)
 
-    def _run_gc(self) -> None:
+    def _run_gc(self, release_own_lease: bool = False) -> None:
         """Complete the manifest-pointer reclaim (r12, VERDICT r11 #2):
         the rewrite's metadata commit recorded the replaced files in
         ``gc_pending``; delete them now and clear the list.  Runs right
@@ -582,17 +582,23 @@ class AstroRelation:
         window; and r13 READER LEASES (VERDICT r12 #5, leases.py)
         enforce the plain-tier case — every planned read registers a
         TTL lease on its fragments, and this reclaim defers leased
-        files instead of deleting them."""
+        files instead of deleting them.
+
+        ``release_own_lease``: True only on the REWRITE commit paths —
+        the writer's source read completed when the job materialized,
+        before the commit that got us here.  The freshness-pass
+        (crash-recovery) caller must NOT release: this relation instance
+        may have handed out an earlier, still-unconsumed scan whose
+        lease is the only thing protecting its files."""
         meta = self.meta
         if not meta.gc_pending:
             return
         # r13 (VERDICT r12 #5): files under an UNEXPIRED reader lease are
         # DEFERRED — they stay in gc_pending, so the next touch after the
         # lease expires completes the reclaim (the same crash-safe retry
-        # the manifest pointer already guarantees).  This WRITER's own
-        # lease is released first: the rewrite's source read completed
-        # when the job materialized, before the commit that got us here.
-        leases.release(self.catalog.data_dir(meta), self._lease_id)
+        # the manifest pointer already guarantees)
+        if release_own_lease:
+            leases.release(self.catalog.data_dir(meta), self._lease_id)
         leased = leases.live_basenames(self.catalog.data_dir(meta))
         done = set()
         for p in list(meta.gc_pending):
@@ -796,7 +802,7 @@ class AstroRelation:
                     "statement"
                 ),
             ) from e
-        self._run_gc()
+        self._run_gc(release_own_lease=True)
         self._record_gen_op(0, op)
 
     def _clear_orphan_rw(self, out_dir: str) -> None:
@@ -1196,7 +1202,7 @@ class AstroRelation:
                     pass
                 bloom.drop_sidecar(p)
             raise
-        self._run_gc()
+        self._run_gc(release_own_lease=True)
 
     def delete_rows_keyonly(self, where: str) -> dict | None:
         """Per-fragment retroactive purge for KEY-ONLY delete predicates

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from spark_sql_on_hbase_spark import codec as C
 from spark_sql_on_hbase_spark import ddl
+from spark_sql_on_hbase_spark import leases
 from spark_sql_on_hbase_spark.functions.localdf import local_rows_df
 from spark_sql_on_hbase_spark.catalog import (
     AstroCatalog,
@@ -450,6 +451,12 @@ class AstroSession:
                     str(len(meta.gc_pending)),
                     "files replaced by the last rewrite commit, awaiting "
                     "post-commit reclaim (completed by the next touch)",
+                ),
+                (
+                    "reader_leases",
+                    str(len(leases.live_basenames(self.catalog.data_dir(meta)))),
+                    "fragments under unexpired scan leases (r13): reclaim/"
+                    "VACUUM defer them until expiry",
                 ),
                 (
                     "pinned_generations",

@@ -159,6 +159,38 @@ def test_vacuum_defers_leased_retired_fragments(spark, tmp_path, mode):
     assert snap.count() == n_before  # still readable mid-"vacuum"
 
 
+def test_freshness_pass_keeps_own_lease_writer_releases(spark, tmp_path):
+    """_run_gc releases the instance's own lease ONLY on the rewrite
+    commit path: a crash-recovery freshness pass must not drop the lease
+    protecting an earlier, still-unconsumed scan from the same
+    instance."""
+    from spark_sql_on_hbase_spark import leases
+
+    wh = str(tmp_path / "own_wh")
+    a = AstroSession(spark, wh)
+    a.sql(
+        "CREATE TABLE ot (k INT, v INT, PRIMARY KEY (k)) "
+        "MAPPED BY (ot_ht, COLS=[v=f.v]) OPTIONS (regions=2)"
+    )
+    a.sql("INSERT INTO ot SELECT id, id FROM range(0, 200)")
+    rel = a.relation("ot")
+    df = rel.scan()  # plans a read → lease registered
+    data_dir = rel.catalog.data_dir(rel.meta)
+    assert leases.live_basenames(data_dir)
+    # freshness pass (the crash-recovery caller) keeps the lease
+    rel._ensure_fresh_regions()
+    assert leases.live_basenames(data_dir), "freshness pass dropped own lease"
+    assert df.count() == 200
+    # a rewrite on the SAME instance releases it (the source read is
+    # complete once the rewrite commits)
+    rel.compact()
+    import os
+
+    assert not os.path.exists(
+        os.path.join(leases.lease_dir(data_dir), f"{rel._lease_id}.json")
+    )
+
+
 def test_lease_module_roundtrip(tmp_path):
     d = str(tmp_path / "dd")
     leases.register(d, "abc", ["/x/part-1.parquet", "/y/part-2.parquet"], ttl=60)

@@ -94,7 +94,7 @@ def test_crash_between_commit_and_gc_recovers(spark, tmp_path, fsmode, monkeypat
 
     # "crash" = the reclaim never runs in this process
     orig_gc = AstroRelation._run_gc
-    monkeypatch.setattr(AstroRelation, "_run_gc", lambda self: None)
+    monkeypatch.setattr(AstroRelation, "_run_gc", lambda self, **kw: None)
     astro.relation("cg").compact()
     meta = astro.catalog.get_table("cg")
     assert meta.gc_pending, "compact must have recorded the replaced files"
