@@ -6,12 +6,15 @@ from the public format specs in pure stdlib + numpy: REAL BMP (r7),
 PNG (r9 — zlib DEFLATE, all five scanline filters), WAV (r9 — RIFF
 16-bit PCM, pinned against stdlib ``wave``), and baseline JPEG (r10 —
 T.81 huffman entropy coding, zigzag, dequant, orthonormal IDCT, YCbCr,
-4:2:0 MCU layouts, restart markers).  Only VIDEO decode remains a
-deliberate deterministic stub (clearly marked) behind real Spark
+4:2:0 MCU layouts, restart markers), plus REAL MJPEG/AVI video decode
+(r12 — RIFF/AVI container walk + the baseline-JPEG decoder per frame,
+see ``decode_avi`` below).  Only non-MJPEG video codecs (H.264 etc.)
+remain a deliberate deterministic stub (clearly marked — foreign
+fourccs name themselves and yield no frames) behind real Spark
 plumbing: schemas, Arrow-batched ``mapInPandas`` operators with bounded
-batch sizes, and partition-size guidance — swapping that one stub body
-for ffmpeg is a one-function change; everything around it (the part
-that has to be right at 100 TB) is real and tested.
+batch sizes, and partition-size guidance — swapping that stub body for
+ffmpeg is a one-function change; everything around it (the part that
+has to be right at 100 TB) is real and tested.
 
 Scale design: media blobs are the *widest* columns in a pipeline — the
 operators below never shuffle blob bytes.  Feature extraction projects

@@ -451,39 +451,17 @@ def estimate_lsh_candidates_per_doc(
     return pairs / n
 
 
-def _assign_cells_top2(
-    vecs: DataFrame, n: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """(id, __cell) with each vector in its top-1 AND top-2 nearest
-    k-means cells (multi-assignment) — the learned-partition key for the
-    routed near-dup path.
-
-    K ∝ N (ROUTE_CELL_TARGET vectors per cell, capped at 4096) keeps
-    cell sizes ~constant as the corpus grows.  Scale shape: training
-    runs on a deterministic ~ROUTE_TRAIN_PER_CELL·K sample (never the
-    full corpus — a full-corpus fit under K ∝ N is Θ(N²)); assignment
-    broadcasts the K×d centroid matrix (≤2 MB at the cap) into ONE
-    Arrow kernel that scores each batch with a single BLAS matmul —
-    each vector crosses the Python boundary once, never K times (the
-    crossJoin formulation would ship N×K duplicated vectors).  Top-2
-    assignment is the boundary-recall guard: a true near-dup pair can
-    only split if THREE centroids are near-equidistant to it."""
+def _build_top2_kernel(bc):
+    """Batch kernel for `_assign_cells_top2` closing over ONLY the
+    TorrentBroadcast handle (``bc.value`` = (cmat, cids)) — never the
+    K×d matrix itself, which at d=768/K=4096 is ~25 MB and would
+    otherwise be pickled into every UDF command.
+    test_centroid_broadcast inspects this closure."""
     import numpy as np
     import pandas as pd
 
-    k = int(min(4096, max(8, -(-n // ROUTE_CELL_TARGET))))
-    train = _hash_mod_sample(vecs, id_col, max(1, n // (ROUTE_TRAIN_PER_CELL * k)))
-    cent = ivf_centroids(
-        train, n_centroids=k, id_col=id_col, vec_col=vec_col, trained=True, max_iter=8
-    )
-    rows = cent.orderBy("centroid_id").collect()  # K rows, bounded ≤4096
-    cmat = np.array([r.centroid for r in rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    cmat = cmat / cnorm[:, None]
-    cids = np.array([r.centroid_id for r in rows], dtype=np.int64)
-
     def _top2_batch(s):  # pd.Series -> pd.Series of list<int64>
+        cmat, cids = bc.value
         out = [None] * len(s)
         pos, mats = [], []
         for i, v in enumerate(s):
@@ -505,7 +483,44 @@ def _assign_cells_top2(
                 out[p] = [a] if a == b else [a, b]
         return pd.Series(out, dtype="object")
 
-    cells_udf = F.pandas_udf(_top2_batch, "array<bigint>")
+    return _top2_batch
+
+
+def _assign_cells_top2(
+    vecs: DataFrame, n: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __cell) with each vector in its top-1 AND top-2 nearest
+    k-means cells (multi-assignment) — the learned-partition key for the
+    routed near-dup path.
+
+    K ∝ N (ROUTE_CELL_TARGET vectors per cell, capped at 4096) keeps
+    cell sizes ~constant as the corpus grows.  Scale shape: training
+    runs on a deterministic ~ROUTE_TRAIN_PER_CELL·K sample (never the
+    full corpus — a full-corpus fit under K ∝ N is Θ(N²)); assignment
+    ships the K×d centroid matrix via an explicit
+    `SparkContext.broadcast` (TorrentBroadcast — once per executor, not
+    per task, ~25 MB at K=4096 d=768) into ONE Arrow kernel that scores
+    each batch with a single BLAS matmul — each vector crosses the
+    Python boundary once, never K times (the crossJoin formulation
+    would ship N×K duplicated vectors).  Top-2 assignment is the
+    boundary-recall guard: a true near-dup pair can only split if THREE
+    centroids are near-equidistant to it."""
+    import numpy as np
+
+    k = int(min(4096, max(8, -(-n // ROUTE_CELL_TARGET))))
+    train = _hash_mod_sample(vecs, id_col, max(1, n // (ROUTE_TRAIN_PER_CELL * k)))
+    cent = ivf_centroids(
+        train, n_centroids=k, id_col=id_col, vec_col=vec_col, trained=True, max_iter=8
+    )
+    rows = cent.orderBy("centroid_id").collect()  # K rows, bounded ≤4096
+    cmat = np.array([r.centroid for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm[:, None]
+    cids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    bc = vecs.sparkSession.sparkContext.broadcast((cmat, cids))
+
+    cells_udf = F.pandas_udf(_build_top2_kernel(bc), "array<bigint>")
     return vecs.select(
         F.col(id_col), F.explode(cells_udf(F.col(vec_col))).alias("__cell")
     )
@@ -712,53 +727,18 @@ def ivf_centroids(
     )
 
 
-def ivf_assign(
-    vecs: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    with_cos: bool = False,
-) -> DataFrame:
-    """Assign each vector to its nearest centroid by (rounded) cosine.
-
-    Scale shape (r13 — the K ∝ N scaling soak found the old crossJoin
-    formulation shipping each EMBEDDING K times through Arrow, Θ(N·K·d)
-    transfer): the K×d centroid matrix is collected once (bounded — K
-    is the coarse-quantizer size) into ONE Arrow kernel that scores a
-    whole batch against every centroid, so each vector crosses the
-    Python boundary exactly once and returns K doubles.  The kernel
-    accumulates dot/norms SEQUENTIALLY over dimensions in float64 —
-    the exact op order of ``cosine_similarity_batch`` and the DuckDB
-    ``list_sum`` oracles, elementwise bit-identical — and rounding
-    stays Spark-side (``F.round``) so tie semantics are unchanged.
-    The K-wide explode is JVM-side and map-side; the argmax folds
-    map-side too: ``max_by(centroid_id, struct(cos, -centroid_id))``
-    partial-aggregates inside the partition, so the only shuffle is one
-    tiny (id, cluster_id) row per vector.  Tie semantics: cos DESC,
-    centroid_id ASC.  Returns (id, cluster_id); ``with_cos`` adds the
-    winning cosine (``cos_best``) in the SAME pass — max("cos_c") is by
-    construction the argmax winner's value — for the drift guard.
-    """
+def _build_ivf_score_kernel(bc, k_n: int, d_c: int):
+    """Batch scorer for `ivf_assign` closing over ONLY the
+    TorrentBroadcast handle (``bc.value`` = (cmat, sqrt_nb)) plus two
+    int scalars — the K×d matrix never rides the UDF command
+    (test_centroid_broadcast inspects this closure).  Accumulation is
+    SEQUENTIAL over dims in float64 — the exact fold order of the
+    DuckDB ``list_sum`` oracles, elementwise bit-identical."""
     import numpy as np
     import pandas as pd
 
-    rows = centroids.orderBy("centroid_id").collect()  # K rows, bounded
-    if not rows:  # empty quantizer → empty assignment (crossJoin parity)
-        out_cols = [F.col(id_col), F.lit(None).cast("long").alias("cluster_id")]
-        if with_cos:
-            out_cols.append(F.lit(None).cast("double").alias("cos_best"))
-        return vecs.select(*out_cols).limit(0)
-    cids = [int(r.centroid_id) for r in rows]
-    cmat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
-    k_n, d_c = cmat.shape
-    # centroid-side norms, accumulated in the same sequential order the
-    # pairwise kernel used (nb += B_i² over i)
-    nb = np.zeros(k_n)
-    for i in range(d_c):
-        nb += cmat[:, i] * cmat[:, i]
-    sqrt_nb = np.sqrt(nb)
-
     def _score_all(s):  # pd.Series of array<float> -> array<double> (K)
+        cmat, sqrt_nb = bc.value
         out = [None] * len(s)
         vals = s.reset_index(drop=True)
         null = vals.isna().to_numpy()
@@ -791,7 +771,58 @@ def ivf_assign(
                 ]
         return pd.Series(out, dtype="object")
 
-    score_udf = F.pandas_udf(_score_all, "array<double>")
+    return _score_all
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_cos: bool = False,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by (rounded) cosine.
+
+    Scale shape (r13 — the K ∝ N scaling soak found the old crossJoin
+    formulation shipping each EMBEDDING K times through Arrow, Θ(N·K·d)
+    transfer): the K×d centroid matrix is collected once (bounded — K
+    is the coarse-quantizer size), shipped via an explicit
+    `SparkContext.broadcast` (TorrentBroadcast — once per executor,
+    never in the per-UDF command payload) into ONE Arrow kernel that
+    scores a whole batch against every centroid, so each vector crosses the
+    Python boundary exactly once and returns K doubles.  The kernel
+    accumulates dot/norms SEQUENTIALLY over dimensions in float64 —
+    the exact op order of ``cosine_similarity_batch`` and the DuckDB
+    ``list_sum`` oracles, elementwise bit-identical — and rounding
+    stays Spark-side (``F.round``) so tie semantics are unchanged.
+    The K-wide explode is JVM-side and map-side; the argmax folds
+    map-side too: ``max_by(centroid_id, struct(cos, -centroid_id))``
+    partial-aggregates inside the partition, so the only shuffle is one
+    tiny (id, cluster_id) row per vector.  Tie semantics: cos DESC,
+    centroid_id ASC.  Returns (id, cluster_id); ``with_cos`` adds the
+    winning cosine (``cos_best``) in the SAME pass — max("cos_c") is by
+    construction the argmax winner's value — for the drift guard.
+    """
+    import numpy as np
+
+    rows = centroids.orderBy("centroid_id").collect()  # K rows, bounded
+    if not rows:  # empty quantizer → empty assignment (crossJoin parity)
+        out_cols = [F.col(id_col), F.lit(None).cast("long").alias("cluster_id")]
+        if with_cos:
+            out_cols.append(F.lit(None).cast("double").alias("cos_best"))
+        return vecs.select(*out_cols).limit(0)
+    cids = [int(r.centroid_id) for r in rows]
+    cmat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+    k_n, d_c = cmat.shape
+    # centroid-side norms, accumulated in the same sequential order the
+    # pairwise kernel used (nb += B_i² over i)
+    nb = np.zeros(k_n)
+    for i in range(d_c):
+        nb += cmat[:, i] * cmat[:, i]
+    sqrt_nb = np.sqrt(nb)
+    bc = vecs.sparkSession.sparkContext.broadcast((cmat, sqrt_nb))
+
+    score_udf = F.pandas_udf(_build_ivf_score_kernel(bc, k_n, d_c), "array<double>")
     cid_arr = F.array(*[F.lit(c) for c in cids])
     scored = (
         vecs.select(F.col(id_col), score_udf(F.col(vec_col)).alias("__sc"))
