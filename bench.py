@@ -302,6 +302,7 @@ def main() -> None:
             ("index_fullkey_plan_ms", "ixfk_ms"),
             ("covering_index_only", "cov_engaged"),
             ("covering_files_read", "cov_files"),
+            ("covering_mor_index_only", "cov_mor"),
             ("asof_join_ops", "asof_joins"),
             ("interval_join_nested_loop", "ivjoin_nl"),
             ("plain_shuffle_balance_max_over_avg", "skew_plain"),
@@ -776,6 +777,20 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
                 and (fres.index_declined or "").startswith("full-key")
             )
             out["index_fullkey_files_read"] = len(fres.files)
+            # r14 covering merge-on-read (VERDICT r13 #2): bench_bl has
+            # pending upserts (the spanning appends overlap gen0 keys)
+            # and a numeric no-INCLUDE index (merge_exact by
+            # construction) — the covering scan must stay INDEX-ONLY by
+            # resolving newest-wins per main key on the index side
+            mdf, mres = bl_rel.scan_covering("v = 12345.0", ["k", "v"])
+            mfiles = mdf.inputFiles()
+            out["covering_mor_index_only"] = (
+                bl_rel.needs_merge()
+                and mres.index_mode == "covering"
+                and mres.index_merge is True
+                and len(mfiles) > 0
+                and all("idx_" in f for f in mfiles)
+            )
             # r13 covering index: bench_t's only non-key column is v, so
             # an index on v covers every projection — the scan must be
             # INDEX-ONLY (every input file an index fragment)

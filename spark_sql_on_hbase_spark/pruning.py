@@ -86,6 +86,11 @@ class PruneResult:
     # columns before the schema-on-read cast (stringformat tables);
     # None when not applicable (r13 EXPLAIN SCAN)
     sf_pushdown: str | None = None
+    # r14: covering read served via index-side merge-on-read (newest-
+    # wins per main key over the index entries — the main table had
+    # pending upserts but the index stayed merge_exact); None/False on
+    # the plain covering fast path
+    index_merge: bool = False
 
     @property
     def pruned(self) -> int:

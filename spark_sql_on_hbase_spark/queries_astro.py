@@ -724,7 +724,7 @@ def _ensure_covering_table(spark: SparkSession, sf_dir: str):
     from spark_sql_on_hbase_spark.session import AstroSession
     from spark_sql_on_hbase_spark.tables import load_tables
 
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_cov_v1"
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_cov_v2"
     astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
     done = os.path.join(_WAREHOUSE, tag, ".cov_done")
     if not os.path.exists(done):
@@ -739,12 +739,20 @@ def _ensure_covering_table(spark: SparkSession, sf_dir: str):
             "INSERT INTO astro_cov SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
         )
         astro.sql("CREATE INDEX ON astro_cov (o_custkey) INCLUDE (o_totalprice)")
-        # append keys ABOVE every sf's o_orderkey range: an overlapping
-        # append would flip needs_merge and (correctly) disable the
-        # index-only path this entry exists to grade
+        # append keys ABOVE every sf's o_orderkey range — pure appends
+        # preserve ``clean``
         astro.sql(
             "INSERT INTO astro_cov SELECT o_orderkey + 10000000, o_custkey, "
             "o_totalprice FROM orders WHERE o_custkey = 42 AND o_orderkey < 1000"
+        )
+        # r14 (VERDICT r13 #2): a SHADOWING upsert — every o_custkey=7
+        # row gets a new version (needs_merge flips True); the covering
+        # scan must stay INDEX-ONLY via merge-on-read and return these
+        # post-upsert values.  o_orderkey + 0.25 is exact in doubles on
+        # both engines, so the oracle reproduces it bit-identically.
+        astro.sql(
+            "UPDATE astro_cov SET o_totalprice = o_orderkey + 0.25 "
+            "WHERE o_custkey = 7"
         )
         with open(done, "w") as f:
             f.write("1")
@@ -767,6 +775,11 @@ def _covering_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
         and res.index_used == "o_custkey"
         and len(files) > 0
         and all("idx_" in f for f in files)
+        # r14: the lifecycle ends on a shadowing upsert, so the probe
+        # additionally grades that the scan ran UNDER pending upserts
+        # and took the index-side merge-on-read path
+        and rel.needs_merge()
+        and res.index_merge is True
     )
     if offset:
         out = df.select(
@@ -795,7 +808,9 @@ def _covering_frame(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
 ASTRO["astro_covering_index"] = Q(
     spark=lambda spark, sf_dir: _covering_frame(spark, sf_dir, 0),
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    SELECT o_orderkey, o_custkey,
+           round(CASE WHEN o_custkey = 7 THEN o_orderkey + 0.25
+                      ELSE o_totalprice END, 2) AS totalprice
     FROM orders WHERE o_custkey IN (42, 7)
     UNION ALL
     SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2)
@@ -808,9 +823,12 @@ ASTRO["astro_covering_index"] = Q(
     "projecting ⊆ (o_custkey ∪ keys ∪ include) answers from the index "
     "table alone — the probe row grades index_mode=covering AND that "
     "every input file is an index fragment (values also fold in-window "
-    "through astro_write_ops' +13000000 block).  Sound because appends "
-    "preserve exactly-live (TableMeta.index_info clean flag); folds "
-    "clear it and fall back",
+    "through astro_write_ops' +13000000 block).  r14 (VERDICT r13 #2): "
+    "the lifecycle ends on a SHADOWING UPSERT of every o_custkey=7 row; "
+    "the scan must stay index-only by resolving newest-wins per main "
+    "key on the index side (merge-on-read, index_info merge_exact) and "
+    "return the post-upsert values — the probe additionally grades "
+    "needs_merge AND index_merge",
 )
 
 
@@ -1469,9 +1487,12 @@ ASTRO["astro_write_ops"] = Q(
     UNION ALL
     -- r13 +13000000 block: covering-index scan (astro_covering_index
     -- folded in-window); the probe row grades index-only (every input
-    -- file an index fragment)
+    -- file an index fragment); r14: o_custkey=7 rows carry the
+    -- shadowing-upsert values resolved index-side (merge-on-read)
     SELECT o_orderkey + 13000000,
-           round(o_totalprice, 2) + o_custkey * 10000000, 'covering'
+           round(CASE WHEN o_custkey = 7 THEN o_orderkey + 0.25
+                      ELSE o_totalprice END, 2)
+           + o_custkey * 10000000, 'covering'
     FROM orders WHERE o_custkey IN (42, 7)
     UNION ALL
     SELECT o_orderkey + 10000000 + 13000000,

@@ -232,12 +232,19 @@ class AstroSession:
             if res.index_mode == "covering":
                 covering_row = (
                     f"index-only via {res.index_used} "
-                    f"(projection ⊆ col ∪ keys ∪ include; exactly-live)"
+                    + (
+                        "(merge-on-read: newest-wins per key resolved "
+                        "index-side under pending upserts)"
+                        if res.index_merge
+                        else "(projection ⊆ col ∪ keys ∪ include; exactly-live)"
+                    )
                 )
             else:
                 reasons = []
                 if rel.needs_merge():
-                    reasons.append("pending upserts (needs_merge)")
+                    reasons.append(
+                        "pending upserts (needs_merge) and no merge-exact index"
+                    )
                 if not rel.meta.index_info:
                     reasons.append("no index with INCLUDE state")
                 elif not any(
@@ -454,9 +461,12 @@ class AstroSession:
                 ),
                 (
                     "reader_leases",
-                    str(len(leases.live_basenames(self.catalog.data_dir(meta)))),
+                    "{} (max remaining {:.0f}s)".format(
+                        *leases.live_summary(self.catalog.data_dir(meta))
+                    ),
                     "fragments under unexpired scan leases (r13): reclaim/"
-                    "VACUUM defer them until expiry",
+                    "VACUUM defer them until expiry; r14 — the driver "
+                    "refreshes leases while their query is still running",
                 ),
                 (
                     "pinned_generations",

@@ -48,7 +48,11 @@ def _is_index_only(df):
 
 def test_covering_scan_is_index_only(astro):
     rel = astro.relation("cov")
-    assert rel.meta.index_info["status"] == {"include": ["amt"], "clean": True}
+    assert rel.meta.index_info["status"] == {
+        "include": ["amt"],
+        "clean": True,
+        "merge_exact": True,
+    }
     df, res = rel.scan_covering("status = 'E'", ["k1", "status", "amt"])
     assert res.index_mode == "covering" and res.index_used == "status"
     assert _is_index_only(df), df.inputFiles()
@@ -117,20 +121,27 @@ def test_reindex_reattests_clean(astro):
     assert _is_index_only(df)
 
 
-def test_upsert_shadow_falls_back_until_compact_plus_reindex(astro):
-    """An upsert makes the main table merge-on-read: the shadowed old
-    value is still in the index, so index-only reads must stop; after
-    COMPACT (fold → unclean) + REINDEX they resume with the new value."""
+def test_upsert_shadow_serves_merge_on_read_then_compact_fast_path(astro):
+    """r14 (VERDICT r13 #2): a shadowing upsert no longer kills the
+    index-only path — the covering scan resolves newest-wins per main
+    key ON THE INDEX SIDE (index_merge=True), stays index-only, and
+    returns the post-upsert values; COMPACT + REINDEX later restore the
+    merge-free fast path (index_merge falls back to False)."""
     astro.sql("UPDATE cov SET status = 'Z' WHERE k1 = 7")
     rel = astro.relation("cov")
+    assert rel.needs_merge()
     df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
-    assert res.index_mode != "covering"  # needs_merge → fallback
+    assert res.index_mode == "covering" and res.index_merge
+    assert _is_index_only(df), df.inputFiles()
     assert sorted(r.k1 for r in df.collect()) == [17, 27, 37]
+    df, res = rel.scan_covering("status = 'Z'", ["k1"])
+    assert res.index_mode == "covering" and res.index_merge
+    assert [r.k1 for r in df.collect()] == [7]
     astro.sql("COMPACT TABLE cov")
     astro.sql("REINDEX TABLE cov")
     rel = astro.relation("cov")
     df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
-    assert res.index_mode == "covering"
+    assert res.index_mode == "covering" and not res.index_merge
     assert sorted(r.k1 for r in df.collect()) == [17, 27, 37]
     df, res = rel.scan_covering("status = 'Z'", ["k1"])
     assert res.index_mode == "covering"

@@ -1,0 +1,168 @@
+"""r14 — mid-query reader-lease refresh (VERDICT r13 #4).
+
+r13 registered a lease once at plan time (TTL 900 s): a query running
+longer than the TTL on a plain-tier table re-entered the pre-r13 hazard
+window (a concurrent fold's reclaim could delete its fragments
+mid-flight).  r14 adds one driver-side daemon refresher (leases.track)
+that re-registers a relation's lease while its query can still be
+executing — within one TTL of the plan, or while the SparkContext has
+active jobs — bounded by LEASE_REFRESH_HORIZON_SEC, holding relations
+by weakref, and stopped explicitly when a rewrite commit releases its
+own lease.
+"""
+
+import threading
+import time
+
+import pytest
+
+from spark_sql_on_hbase_spark import leases
+from spark_sql_on_hbase_spark.relation import AstroRelation
+from spark_sql_on_hbase_spark.session import AstroSession
+
+
+def test_query_outliving_ttl_still_defers_reclaim(spark, tmp_path, monkeypatch):
+    """THE acceptance scenario: TTL ≪ query duration; a concurrent
+    fold's reclaim mid-query must defer until the query finishes, and
+    the reclaim completes after expiry."""
+    monkeypatch.setattr(AstroRelation, "LEASE_TTL_SEC", 0.8)
+    wh = str(tmp_path / "lrq_wh")
+    a = AstroSession(spark, wh)
+    a.sql(
+        "CREATE TABLE lq (k INT, v INT, PRIMARY KEY (k)) "
+        "MAPPED BY (lq_ht, COLS=[v=f.v]) OPTIONS (regions=4)"
+    )
+    csv = tmp_path / "lq.csv"
+    csv.write_text("".join(f"{i},{i}\n" for i in range(1000)))
+    a.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE lq")
+
+    reader = AstroSession(spark, wh).relation("lq")
+    df, _res = reader.scan_where("v >= 0")
+    # ~6 s of execution: each task sleeps well past several TTLs
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("int")
+    def slow(v: pd.Series) -> pd.Series:
+        time.sleep(6.0)
+        return v
+
+    # filter THROUGH the slow kernel so Catalyst can't prune it away
+    slow_df = df.filter(slow(F.col("v")) >= 0)
+    result = {}
+
+    def run():
+        result["n"] = slow_df.count()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(1.5)  # well past the original 0.8 s expiry
+    assert t.is_alive(), "slow query should still be running"
+    # concurrent fold: purge DELETE rewrites every region; its
+    # post-commit reclaim must DEFER the leased source fragments
+    writer = AstroSession(spark, wh)
+    writer.sql("DELETE FROM lq WHERE k % 2 = 0")
+    m = AstroSession(spark, wh).catalog.get_table("lq")
+    assert m.gc_pending, "reclaim must defer: lease refreshed mid-query"
+    t.join(timeout=30)
+    assert result.get("n") == 1000, result
+    # query done, context idle → refresher lets the lease lapse; the
+    # next touch completes the reclaim
+    deadline = time.time() + 15
+    fresh = AstroSession(spark, wh).relation("lq")
+    while time.time() < deadline:
+        fresh._ensure_fresh_regions()
+        if not fresh.catalog.get_table("lq").gc_pending:
+            break
+        time.sleep(0.4)
+    assert not fresh.catalog.get_table("lq").gc_pending
+    assert fresh.scan().count() == 500
+
+
+def test_refresher_is_weakref_and_stops_when_idle(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(AstroRelation, "LEASE_TTL_SEC", 0.5)
+    wh = str(tmp_path / "lrw_wh")
+    a = AstroSession(spark, wh)
+    a.sql(
+        "CREATE TABLE lw (k INT, v INT, PRIMARY KEY (k)) "
+        "MAPPED BY (lw_ht, COLS=[v=f.v]) OPTIONS (regions=2)"
+    )
+    a.sql("INSERT INTO lw SELECT id, id FROM range(0, 50)")
+    rel = a.relation("lw")
+    rel.scan()  # plans → registers + tracks
+    data_dir = rel.catalog.data_dir(rel.meta)
+    assert leases.live_basenames(data_dir)
+    # drop the only strong ref: the weakref entry dies, refreshing
+    # stops, and the lease ages out within ~a TTL
+    del rel
+    import gc
+
+    gc.collect()
+    deadline = time.time() + 10
+    while time.time() < deadline and leases.live_basenames(data_dir):
+        time.sleep(0.2)
+    assert not leases.live_basenames(data_dir)
+
+
+def test_refresh_one_horizon_and_conditions():
+    """Pure-logic checks on the refresh predicate."""
+
+    class FakeRel:
+        LEASE_TTL_SEC = 10.0
+        LEASE_REFRESH_HORIZON_SEC = 100.0
+        _lease_paths = ["/d/f.parquet"]
+        _lease_id = "x"
+        _lease_last_plan = 0.0
+
+        class catalog:  # noqa: N801 — minimal stub
+            @staticmethod
+            def data_dir(meta):
+                raise OSError("never written in this test")
+
+        meta = None
+
+        class spark:  # noqa: N801
+            class sparkContext:  # noqa: N801
+                @staticmethod
+                def statusTracker():
+                    class T:
+                        @staticmethod
+                        def getActiveJobsIds():
+                            return []
+
+                    return T()
+
+    r = FakeRel()
+    # within one TTL of the plan → refresh even with no active jobs
+    assert leases._refresh_one(r, now=5.0) is True
+    # past the TTL, idle context → lapse
+    assert leases._refresh_one(r, now=20.0) is False
+    # past the refresh horizon → never refresh, even if jobs were active
+    assert leases._refresh_one(r, now=200.0) is False
+    # no registered paths → nothing to refresh
+    r2 = FakeRel()
+    r2._lease_paths = None
+    assert leases._refresh_one(r2, now=1.0) is False
+    # TTL <= 0 (test fixtures) → never tracked
+    r3 = FakeRel()
+    r3.LEASE_TTL_SEC = 0.0
+    assert leases._refresh_one(r3, now=1.0) is False
+
+
+def test_describe_extended_shows_remaining_ttl(spark, tmp_path):
+    wh = str(tmp_path / "lrd_wh")
+    a = AstroSession(spark, wh)
+    a.sql(
+        "CREATE TABLE ld (k INT, v INT, PRIMARY KEY (k)) "
+        "MAPPED BY (ld_ht, COLS=[v=f.v]) OPTIONS (regions=2)"
+    )
+    a.sql("INSERT INTO ld SELECT id, id FROM range(0, 50)")
+    rel = a.relation("ld")
+    rel.scan()  # registers a 900 s lease
+    rows = {r.col_name: r.data_type for r in a.sql("DESCRIBE EXTENDED ld").collect()}
+    import re
+
+    m = re.match(r"(\d+) \(max remaining (\d+)s\)", rows["reader_leases"])
+    assert m, rows["reader_leases"]
+    assert int(m.group(1)) > 0
+    assert 0 < int(m.group(2)) <= 900
