@@ -201,6 +201,12 @@ def main() -> None:
     # noise floor drop 2.0 → 1.0 s
     spin_ratio = _spin_norm_ratio(prev_detail, _median_spin([calib_pre, calib_post]))
     branch_reg = _branch_regressions(prev_detail, query_metrics, spin_ratio)
+    if branch_reg and os.environ.get("SPARK_GRAFT_BENCH_BRANCHES", "1") != "0":
+        # r14: flags get ONE targeted retry (min-of-2 on just the
+        # flagged branches) — single-run host-steal spikes die, real
+        # plan regressions reproduce and stay flagged
+        _branch_retry_flagged(spark, sf_dir, query_metrics, branch_reg)
+        branch_reg = _branch_regressions(prev_detail, query_metrics, spin_ratio)
     branch_dmax = _branch_delta_max(prev_detail, query_metrics, spin_ratio)
 
     plan_shapes = _plan_shapes(spark, sf_dir)
@@ -416,10 +422,7 @@ def _sweep(spark, qs, sf_dir, runs, budget_s):
     return timings, query_metrics
 
 
-def _branch_attribution(spark, sf_dir, query_metrics) -> None:
-    """Executor task seconds per SUITE BRANCH (one action per branch,
-    single run — attribution evidence, not a regression gate; the
-    suite-level min-of-2 task number stays the gate)."""
+def _branch_builders():
     try:
         from spark_sql_on_hbase_spark.queries_pipeline import (
             _corpus_ops_branches,
@@ -427,12 +430,65 @@ def _branch_attribution(spark, sf_dir, query_metrics) -> None:
             _text_ops_branches,
         )
     except ImportError:
-        return
-    builders = {
+        return {}
+    return {
         "text_ops_suite": _text_ops_branches,
         "corpus_ops_suite": _corpus_ops_branches,
         "multimodal_suite": _multimodal_branches,
     }
+
+
+def _split_flags(flagged) -> dict:
+    """{'suite.tag': ...} → {suite: [tags]} (pure, tested)."""
+    out: dict = {}
+    for key in flagged:
+        suite, _, tag = key.partition(".")
+        if tag:
+            out.setdefault(suite, []).append(tag)
+    return out
+
+
+def _branch_retry_flagged(spark, sf_dir, query_metrics, flagged) -> None:
+    """Re-run ONLY the flagged branches once, keeping the per-branch MIN
+    (r14): branch numbers are single-run cold, and a one-off host-steal
+    burst can inflate an isolated branch 4-20× between same-code runs
+    (measured: quantize 0.53→20.5 task-s) — far beyond what the spin
+    normalization can absorb.  A genuine plan regression reproduces in
+    the retry and stays flagged; a spike dies."""
+    builders = _branch_builders()
+    for suite, tags in _split_flags(flagged).items():
+        build = builders.get(suite)
+        cur = (query_metrics.get(suite) or {}).get("branches")
+        if build is None or not cur:
+            continue
+        try:
+            spark.catalog.clearCache()
+            branches = build(spark, sf_dir)
+        except Exception as ex:
+            print(f"branch retry build failed for {suite}: {ex}", file=sys.stderr)
+            continue
+        for tag in tags:
+            df = branches.get(tag)
+            if df is None or tag not in cur:
+                continue
+            before = _stage_marker(spark)
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as ex:
+                print(f"branch retry {suite}.{tag} failed: {ex}", file=sys.stderr)
+                continue
+            after = _stage_totals(spark, since=before)
+            if after is not None:
+                cur[tag] = min(cur[tag], after.get("task_time_sec", 0.0))
+
+
+def _branch_attribution(spark, sf_dir, query_metrics) -> None:
+    """Executor task seconds per SUITE BRANCH (one action per branch,
+    single run — attribution evidence, not a regression gate; the
+    suite-level min-of-2 task number stays the gate)."""
+    builders = _branch_builders()
+    if not builders:
+        return
     for suite, build in builders.items():
         if suite not in query_metrics:
             continue

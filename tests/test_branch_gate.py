@@ -126,3 +126,14 @@ def test_spin_norm_ratio_derivation_and_clamp():
     # clamp: a wild sample can't invert a flag
     assert bench._spin_norm_ratio(prev, 2.5) == 2.0
     assert bench._spin_norm_ratio(prev, 0.01) == 0.5
+
+
+def test_split_flags_parses_suite_tag_keys():
+    got = bench._split_flags(
+        {"corpus_ops_suite.quantize": [0.5, 20.5], "text_ops_suite.fingerprint": [1, 26],
+         "corpus_ops_suite.pack": [0.2, 1.1], "malformed": [1, 2]}
+    )
+    assert got == {
+        "corpus_ops_suite": ["quantize", "pack"],
+        "text_ops_suite": ["fingerprint"],
+    }
