@@ -52,6 +52,7 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "topk_terms",
     "agg_group",
     "join_broadcast_star",
@@ -323,6 +324,7 @@ def main() -> None:
             ("ann_lsh_recall_planted", "lsh_rec"),
             ("ann_multiprobe_recall_planted", "mp_rec"),
             ("ann_ivf_recall_planted_trained", "ivf_rec"),
+            ("ann_pq_recall_planted_trained", "pq_rec"),
             ("minhash_cand_per_doc", "mh_cand"),
             ("error", "error"),
         )
@@ -1175,6 +1177,17 @@ def _plan_shapes(spark, sf_dir: str) -> dict:
             ivf1 = ivf_topk(aug, q20, k=1, n_centroids=16, nprobe=4, trained=True)
             out["ann_ivf_recall_planted_trained"] = round(
                 ivf1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
+                / 20.0,
+                2,
+            )
+            # r14 PQ/ADC recall on the same planted truth: trained m=4
+            # codebooks, ADC shortlist 50, exact-cosine rerank to k=1 —
+            # the production recipe (compressed scan, exact final order)
+            from spark_sql_on_hbase_spark.operators.similarity import ann_pq_topk
+
+            pq1 = ann_pq_topk(aug, q20, k=1, m=4, k_sub=16, trained=True, rerank=50)
+            out["ann_pq_recall_planted_trained"] = round(
+                pq1.filter(F.col("neighbor_id") == F.col("query_id") + 1000000).count()
                 / 20.0,
                 2,
             )

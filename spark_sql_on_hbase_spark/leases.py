@@ -21,7 +21,10 @@ r13 enforces it with the same small-object primitive as the CAS lock:
 - leases expire by TTL (no reader-exit hook exists for a lazy
   DataFrame); expired lease files are reaped opportunistically by the
   next ``live_basenames`` pass, so a crashed reader costs one small
-  file for one TTL, never a wedged reclaim.
+  file for one TTL, never a wedged reclaim;
+- r14 (VERDICT r13 #4): a driver-side refresher extends a lease while
+  its query is still running — see the refresh section below — so the
+  TTL bounds the post-query grace, not the query duration.
 
 At 100 TB the cost is one ~KB put per planned scan and one list of a
 small directory per reclaim — both O(readers), never O(data).

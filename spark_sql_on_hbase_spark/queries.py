@@ -130,6 +130,11 @@ TAIL_ORDER = [
     "astro_covering_index",
     "text_token_count",
     "ann_lsh_signatures",
+    # r14: PQ/ADC approximate top-k (Jégou et al. 2011) — deterministic
+    # per-subspace codebooks (SQL-expressible, the ivf_centroids
+    # untrained contract), pure-relational encode + integer fixed-point
+    # ADC; full oracle, value-verified locally via check_correctness
+    "ann_pq_topk",
     # full-value scalar-function originals; their row counts AND values
     # grade in-window through fn_suite's checksummed branches
     "fn_string_suite",

@@ -966,6 +966,78 @@ PIPELINE["ann_ivf_topk"] = Q(
 )
 
 
+def _ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import ann_pq_topk
+
+    t = load_tables(spark, sf)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_pq_topk(emb, queries, k=5, m=4, k_sub=16)
+
+
+# d=64, m=4 subspaces of width 16, k_sub=16 codes: the deterministic
+# (untrained) codebook is the first 16 vectors' sub-slices, so DuckDB
+# rebuilds it exactly; per-dim squared-diff folds are sequential
+# (list_sum ≡ F.aggregate) and the ADC sum is INTEGER fixed-point
+# (floor(d2·10⁴) per table entry), order-independent on both engines.
+PIPELINE["ann_pq_topk"] = Q(
+    spark=_ann_pq_topk,
+    oracle="""
+    WITH cb AS (
+      SELECT s.s AS sub_id, e.vec_id AS cid,
+             (e.embedding[s.s*16+1 : s.s*16+16])::DOUBLE[] AS cent
+      FROM (SELECT unnest(range(4)) AS s) s,
+           (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) e
+    ),
+    d AS (
+      SELECT e.vec_id, cb.sub_id, cb.cid,
+             list_sum(list_transform(range(1, 17), i ->
+               (e.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]) *
+               (e.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]))) AS d2
+      FROM embeddings e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, sub_id, cid AS code FROM (
+        SELECT vec_id, sub_id, cid,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub_id, cb.cid AS code,
+             CAST(floor(list_sum(list_transform(range(1, 17), i ->
+               (q.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]) *
+               (q.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]))) * 10000)
+               AS BIGINT) AS d2_fp
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d2_fp) AS adc_fp
+      FROM codes c JOIN lut l ON c.sub_id = l.sub_id AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_fp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_fp, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, CAST(adc_fp AS BIGINT) AS adc_fp,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="PQ/ADC approximate top-5 (Jégou et al. 2011): m=4 × k=16 "
+    "deterministic codebooks, pure-relational encode (array_min over "
+    "literal-centroid structs, whole-stage codegen) and ADC as a "
+    "broadcast LUT join + integer fixed-point sum — the corpus crosses "
+    "the scorer as m codes, never d floats",
+)
+
+
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from spark_sql_on_hbase_spark.operators.similarity import neardup_pairs_lsh
 
