@@ -1384,3 +1384,97 @@ def ann_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_sub: int = 16,
+    rerank: int = 0,
+    trained: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Full IVF-PQ (Jégou et al. 2011 §IV): coarse quantizer prunes the
+    corpus to ``nprobe`` inverted lists, PQ/ADC scores ONLY those
+    candidates — the composition that makes trillion-vector ANN
+    tractable: IVF bounds the scan (nprobe/n_centroids of the corpus),
+    PQ bounds the bytes (m codes per scanned vector).
+
+    Plan: probe = top-nprobe centroids per query (broadcast×broadcast,
+    the ivf_topk shape); candidates = probe ⋈ assignment (equi-join on
+    cluster_id, AQE-sized); scores = candidates ⋈ codes ⋈ broadcast ADC
+    LUT → integer fixed-point sum, partial-aggregated map-side.  The
+    only row-scale shuffles carry (query, id, long) triples.
+    ``rerank=c`` reranks the ADC shortlist with exact cosine.  Returns
+    (query_id, neighbor_id, adc_fp, rank) — with ``rerank``,
+    (query_id, neighbor_id, cos_sim, rank)."""
+    cent = ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, trained=trained
+    )
+    assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(
+        corpus, m=m, k_sub=k_sub, trained=trained, id_col=id_col, vec_col=vec_col
+    )
+    w = len(cb.select("centroid").first()[0])
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    qscored = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            qid_col,
+            "centroid_id",
+            F.round(
+                cosine_similarity_batch(F.col("qv"), F.col("centroid")), 4
+            ).alias("cos_c"),
+        )
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, F.col("centroid_id").alias("cluster_id"))
+    )
+    cand = probe.join(assign, "cluster_id").select(qid_col, F.col(id_col))
+    lut = _pq_lut(queries, cb, w, qid_col, vec_col)
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), [qid_col, "sub_id", "code"])
+        .filter(F.col(id_col) != F.col(qid_col))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d2_fp").alias("adc_fp"))
+        .select(qid_col, F.col(id_col).alias("neighbor_id"), "adc_fp")
+    )
+    win = Window.partitionBy(qid_col).orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
+    short = adc.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= max(k, rerank)
+    )
+    if not rerank:
+        return short.filter(F.col("rank") <= k)
+    scored = (
+        short.select(qid_col, "neighbor_id")
+        .join(F.broadcast(q), qid_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(
+                cosine_similarity_batch(F.col("qv"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

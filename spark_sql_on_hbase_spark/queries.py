@@ -135,6 +135,10 @@ TAIL_ORDER = [
     # untrained contract), pure-relational encode + integer fixed-point
     # ADC; full oracle, value-verified locally via check_correctness
     "ann_pq_topk",
+    # r14: full IVF-PQ — the coarse quantizer's probed lists restrict
+    # the ADC scan; full oracle (composition of the ann_ivf_topk and
+    # ann_pq_topk oracles), value-verified locally
+    "ann_ivfpq_topk",
     # full-value scalar-function originals; their row counts AND values
     # grade in-window through fn_suite's checksummed branches
     "fn_string_suite",

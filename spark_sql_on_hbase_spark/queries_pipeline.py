@@ -1038,6 +1038,103 @@ PIPELINE["ann_pq_topk"] = Q(
 )
 
 
+def _ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_sql_on_hbase_spark.operators.similarity import ivfpq_topk
+
+    t = load_tables(spark, sf)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, k=5, n_centroids=16, nprobe=4, m=4, k_sub=16)
+
+
+# full IVF-PQ: the ann_ivf_topk oracle's probe/assign CTEs restrict the
+# ann_pq_topk oracle's ADC to the probed lists' candidates — both
+# deterministic (untrained) quantizers, so DuckDB rebuilds the whole
+# pipeline exactly.
+PIPELINE["ann_ivfpq_topk"] = Q(
+    spark=_ann_ivfpq_topk,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_D_COS.format(a='e.embedding', b='c.centroid')}, 4) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_D_COS.format(a='q.qv', b='c.centroid')}, 4) DESC,
+                          c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probe p JOIN assign a ON a.cluster_id = p.cluster_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    cb AS (
+      SELECT s.s AS sub_id, e.vec_id AS cid,
+             (e.embedding[s.s*16+1 : s.s*16+16])::DOUBLE[] AS cent
+      FROM (SELECT unnest(range(4)) AS s) s,
+           (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) e
+    ),
+    d AS (
+      SELECT e.vec_id, cb.sub_id, cb.cid,
+             list_sum(list_transform(range(1, 17), i ->
+               (e.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]) *
+               (e.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]))) AS d2
+      FROM embeddings e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, sub_id, cid AS code FROM (
+        SELECT vec_id, sub_id, cid,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT qq.vec_id AS query_id, cb.sub_id, cb.cid AS code,
+             CAST(floor(list_sum(list_transform(range(1, 17), i ->
+               (qq.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]) *
+               (qq.embedding[cb.sub_id*16 + i]::DOUBLE - cb.cent[i]))) * 10000)
+               AS BIGINT) AS d2_fp
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) qq
+           CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id, SUM(l.d2_fp) AS adc_fp
+      FROM cand ca
+           JOIN codes c ON c.vec_id = ca.vec_id
+           JOIN lut l ON l.query_id = ca.query_id
+                     AND l.sub_id = c.sub_id AND l.code = c.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_fp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_fp, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, CAST(adc_fp AS BIGINT) AS adc_fp,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="full IVF-PQ (Jégou et al. 2011 §IV): coarse quantizer probes 4 "
+    "of 16 inverted lists, PQ/ADC scores only those candidates — IVF "
+    "bounds the scan, PQ bounds the bytes; both stages pure-relational",
+)
+
+
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from spark_sql_on_hbase_spark.operators.similarity import neardup_pairs_lsh
 

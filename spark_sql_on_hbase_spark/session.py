@@ -460,6 +460,13 @@ class AstroSession:
                     "post-commit reclaim (completed by the next touch)",
                 ),
                 (
+                    "region_manifests",
+                    str(len(meta.region_manifests)),
+                    "content-addressed manifest shards behind the pointer "
+                    "(r14): commits write O(delta) bytes, not the region "
+                    "list",
+                ),
+                (
                     "reader_leases",
                     "{} (max remaining {:.0f}s)".format(
                         *leases.live_summary(self.catalog.data_dir(meta))

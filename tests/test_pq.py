@@ -132,3 +132,52 @@ def test_dim_not_divisible_raises(spark, vecs):
     df, _ = vecs
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(df, m=5, k_sub=4)
+
+
+def test_ivfpq_restricts_to_probed_lists_and_matches_pq_on_them(spark, vecs):
+    """IVF-PQ's result ⊆ the probed lists' candidates, and its ADC
+    values agree with plain PQ for the neighbors both return."""
+    from spark_sql_on_hbase_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_topk,
+    )
+
+    df, _ = vecs
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(df, q, k=5, n_centroids=8, nprobe=3, m=M, k_sub=KSUB).collect()
+    assert len(out) == 15
+    # every returned neighbor must live in one of its query's probed lists
+    cent = ivf_centroids(df, 8)
+    assign = {r.vec_id: r.cluster_id for r in ivf_assign(df, cent).collect()}
+    pq_full = {
+        (r.query_id, r.neighbor_id): r.adc_fp
+        for r in ann_pq_topk(df, q, k=len(assign), m=M, k_sub=KSUB).collect()
+    }
+    for r in out:
+        assert (r.query_id, r.neighbor_id) in pq_full
+        assert r.adc_fp == pq_full[(r.query_id, r.neighbor_id)]
+
+
+def test_ivfpq_trained_rerank_finds_planted_twin(spark):
+    from spark_sql_on_hbase_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(60, D)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    rows += [
+        (1000 + i, [float(x) for x in base[i] + rng.randn(D) * 0.01])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        df, q, k=1, n_centroids=8, nprobe=3, m=M, k_sub=8,
+        trained=True, rerank=20,
+    ).collect()
+    hits = sum(1 for r in out if r.neighbor_id == r.query_id + 1000)
+    assert hits >= 8, [(r.query_id, r.neighbor_id) for r in out]
