@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "topk_terms",
     "agg_group",
     "join_broadcast_star",

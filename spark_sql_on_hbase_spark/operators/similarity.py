@@ -1170,6 +1170,10 @@ def pq_codebooks(
     oracle-exactness doesn't)."""
     if dim is None:
         row = vecs.select(vec_col).first()
+        if row is None:  # empty corpus → empty codebook frame
+            return vecs.sparkSession.createDataFrame(
+                [], "sub_id int, centroid_id long, centroid array<double>"
+            )
         dim = len(row[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -1306,6 +1310,21 @@ def _pq_lut(queries, codebooks, w: int, qid_col: str, vec_col: str) -> DataFrame
     )
 
 
+def _empty_ann_frame(queries, qid_col: str, rerank: int) -> DataFrame:
+    """Zero-row result with the ANN output schema (empty-corpus path)."""
+    val = (
+        F.lit(None).cast("double").alias("cos_sim")
+        if rerank
+        else F.lit(None).cast("long").alias("adc_fp")
+    )
+    return queries.select(
+        F.col(qid_col),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        val,
+        F.lit(None).cast("int").alias("rank"),
+    ).limit(0)
+
+
 def ann_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1346,6 +1365,8 @@ def ann_pq_topk(
         )
     )
     first = cb.select("centroid").first()
+    if first is None:  # empty corpus → empty result (ivf_assign parity)
+        return _empty_ann_frame(queries, qid_col, rerank)
     w = len(first[0])
     codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
     lut = _pq_lut(queries, cb, w, qid_col, vec_col)
@@ -1421,7 +1442,10 @@ def ivfpq_topk(
     cb = pq_codebooks(
         corpus, m=m, k_sub=k_sub, trained=trained, id_col=id_col, vec_col=vec_col
     )
-    w = len(cb.select("centroid").first()[0])
+    first = cb.select("centroid").first()
+    if first is None:  # empty corpus → empty result (ivf_assign parity)
+        return _empty_ann_frame(queries, qid_col, rerank)
+    w = len(first[0])
     codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
     qscored = (

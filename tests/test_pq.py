@@ -181,3 +181,18 @@ def test_ivfpq_trained_rerank_finds_planted_twin(spark):
     ).collect()
     hits = sum(1 for r in out if r.neighbor_id == r.query_id + 1000)
     assert hits >= 8, [(r.query_id, r.neighbor_id) for r in out]
+
+
+def test_empty_corpus_returns_empty_with_schema(spark):
+    from spark_sql_on_hbase_spark.operators.similarity import ivfpq_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [0.0] * D)], "query_id long, embedding array<double>"
+    )
+    out = ann_pq_topk(empty, q, k=3, m=M, k_sub=KSUB)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc_fp", "rank"]
+    out2 = ivfpq_topk(empty, q, k=3, m=M, k_sub=KSUB, rerank=5)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
