@@ -3574,11 +3574,30 @@ class AstroRelation:
         probe_sql = " AND ".join(render(c) for c in servable[col])
         cand_df, cres = idx_rel.scan_where(probe_sql)
         cand = cand_df.select(*keys).distinct()
-        entries = idx_rel.scan().join(cand, on=keys, how="leftsemi")
+        # RAW index fragments, not idx_rel.scan(): the index table's own
+        # per-(col, keys) collapse keys on its SEQ alone, and a REINDEX
+        # (or a multi-generation sibling-discovery batch) folds entries
+        # from DIFFERENT main generations into ONE index generation —
+        # the collapse tie could then drop the newer `_g`'s covered
+        # cells nondeterministically.  Resolving from every version with
+        # (main generation, index generation) ordering is deterministic
+        # in all of those states.
+        idx_paths = [r.path for r in idx_rel.meta.regions]
+        if not idx_paths:  # empty index (⇒ empty/unindexed-value table)
+            df = idx_rel.scan().select(*keys, col, *include).limit(0)
+            res = PruneResult(
+                files=[], total=0, predicate=cres.predicate,
+                key_pushed=cres.key_pushed, residual=cres.residual,
+                index_merge=True,
+            )
+            return df, res
+        raw = idx_rel._read_fragments(*idx_paths)
+        entries = raw.join(cand, on=keys, how="leftsemi")
+        order = F.struct(F.col("_g"), F.col(SEQ_COL))
 
         def newest(c: str):
             return F.max_by(
-                F.col(c), F.when(F.col(c).isNotNull(), F.col("_g"))
+                F.col(c), F.when(F.col(c).isNotNull(), order)
             ).alias(c)
 
         resolved = entries.groupBy(*keys).agg(

@@ -154,6 +154,27 @@ def test_reindex_reattests_merge_exact(astro):
     assert rel.meta.index_info["status"]["clean"] is True
 
 
+def test_reindex_folded_entries_resolve_by_main_generation(astro):
+    """REINDEX folds entries from DIFFERENT main generations into ONE
+    index generation; the merge path must resolve by `_g` (main
+    generation) — not the index table's own seq collapse, whose tie
+    between same-(col, key) rows is nondeterministic.  r14 regression:
+    phase 2 reads RAW index fragments ordered by struct(_g, _seq)."""
+    astro.sql("UPDATE cmr SET amt = 9999 WHERE k1 = 17")  # include-only
+    astro.sql("REINDEX TABLE cmr")
+    rel = astro.relation("cmr")
+    assert rel.needs_merge()
+    info = rel.meta.index_info["status"]
+    assert info["clean"] and info["merge_exact"]
+    # several plans: the pre-fix collapse tie was partial-agg-order
+    # dependent, so one lucky pass proves nothing
+    for _ in range(3):
+        df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
+        assert res.index_mode == "covering" and res.index_merge
+        got = sorted((r.k1, r.amt) for r in df.collect())
+        assert got == [(7, 70), (17, 9999), (27, 270)], got
+
+
 def test_explain_scan_reports_merge_on_read(astro):
     astro.sql("UPDATE cmr SET amt = 999 WHERE k1 = 17")
     out = astro.sql("EXPLAIN SCAN cmr COLUMNS (k1, amt) WHERE status = 'E'")
