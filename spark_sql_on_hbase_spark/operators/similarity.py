@@ -1502,3 +1502,110 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    k_sub: int = 16,
+    trained: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ index — codebooks plus the encoded corpus — to
+    parquet (the ``ivf_build_index`` twin for the compression half).
+    At 100 TB the encode pass (one codegen scan of the corpus) is the
+    expensive step; building the index pays it ONCE per corpus version,
+    after which every query batch scans m-int codes instead of d-float
+    vectors.  Codes are stored WIDE — (id, codes array) — one row per
+    vector, so the scan stays narrow and the ADC explode happens
+    query-side, map-only."""
+    cb = pq_codebooks(
+        corpus, m=m, k_sub=k_sub, trained=trained, id_col=id_col, vec_col=vec_col
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    wide = codes.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.array_agg(F.struct(F.col("sub_id"), F.col("code")))
+        ).alias("__cm")
+    ).select(
+        F.col(id_col),
+        F.array(
+            *[F.col("__cm").getItem(s) for s in range(m)]
+        ).alias("codes"),
+    )
+    wide.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, codes) back from ``pq_build_index`` output; ``codes``
+    re-exploded to the (id, sub_id, code) shape ``ann_pq_topk`` joins."""
+    cb = spark.read.parquet(f"{path}/codebooks")
+    wide = spark.read.parquet(f"{path}/codes")
+    codes = wide.select(
+        *[c for c in wide.columns if c != "codes"],
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    return cb, codes
+
+
+def ann_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """`ann_pq_topk` over a PERSISTED index: no training, no encode —
+    the query pays one broadcast LUT build plus a scan of the narrow
+    codes table.  ``rerank`` needs ``corpus`` (the raw vectors) for the
+    exact-cosine pass; without it the ADC order is final."""
+    if rerank and corpus is None:
+        raise ValueError("rerank needs the raw-vector corpus")
+    cb, codes = pq_load_index(spark, path)
+    first = cb.select("centroid").first()
+    if first is None:
+        return _empty_ann_frame(queries, qid_col, rerank)
+    w = len(first[0])
+    lut = _pq_lut(queries, cb, w, qid_col, vec_col)
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col(id_col) != F.col(qid_col))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d2_fp").alias("adc_fp"))
+        .select(qid_col, F.col(id_col).alias("neighbor_id"), "adc_fp")
+    )
+    win = Window.partitionBy(qid_col).orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
+    short = adc.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= max(k, rerank)
+    )
+    if not rerank:
+        return short.filter(F.col("rank") <= k)
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    scored = (
+        short.select(qid_col, "neighbor_id")
+        .join(F.broadcast(q), qid_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(
+                cosine_similarity_batch(F.col("qv"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

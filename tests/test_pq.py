@@ -196,3 +196,43 @@ def test_empty_corpus_returns_empty_with_schema(spark):
     out2 = ivfpq_topk(empty, q, k=3, m=M, k_sub=KSUB, rerank=5)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
+def test_persisted_pq_index_roundtrip_and_identical_results(spark, vecs, tmp_path):
+    """pq_build_index pays the encode once; ann_pq_topk_indexed over the
+    persisted codes must return EXACTLY what the inline path returns
+    (untrained codebooks → both deterministic)."""
+    from spark_sql_on_hbase_spark.operators.similarity import (
+        ann_pq_topk_indexed,
+        pq_build_index,
+        pq_load_index,
+    )
+
+    df, _ = vecs
+    path = str(tmp_path / "pq_idx")
+    pq_build_index(df, path, m=M, k_sub=KSUB, trained=False)
+    cb, codes = pq_load_index(spark, path)
+    assert cb.count() == M * KSUB
+    assert codes.count() == N * M
+    # persisted codes ≡ inline encode
+    inline = {
+        (r.vec_id, r.sub_id): r.code
+        for r in pq_encode(df, pq_codebooks(df, m=M, k_sub=KSUB)).collect()
+    }
+    for r in codes.collect():
+        assert inline[(r.vec_id, r.sub_id)] == r.code
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, ann_pq_topk_indexed(spark, path, q, k=4).collect())
+    )
+    want = sorted(map(tuple, ann_pq_topk(df, q, k=4, m=M, k_sub=KSUB).collect()))
+    assert got == want
+    # rerank path needs the corpus and returns exact-cosine order
+    out = ann_pq_topk_indexed(spark, path, q, k=2, rerank=10, corpus=df).collect()
+    assert len(out) == 6 and "cos_sim" in out[0].asDict()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank needs"):
+        ann_pq_topk_indexed(spark, path, q, k=2, rerank=10)
