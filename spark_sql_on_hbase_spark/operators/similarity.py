@@ -1231,10 +1231,13 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_err: bool = False,
 ) -> DataFrame:
     """(id, sub_id, code): per subspace, the centroid with the smallest
     squared L2 distance to the vector's slice (ties → lowest centroid
-    id).
+    id).  ``with_err`` adds that minimal ``d2`` as ``qerr`` — the
+    per-subspace quantization error, free (it is the array_min winner's
+    first field) — for the drift guard.
 
     Plan shape: the codebook is BOUNDED (m·k_sub rows) and collected
     once; each (sub, centroid) becomes a literal array inside ONE
@@ -1275,14 +1278,16 @@ def pq_encode(
             for cid, cv in sorted(by_sub[s])
         ]
         best = F.array_min(F.array(*cands))
-        structs.append(
-            F.struct(
-                F.lit(s).alias("sub_id"), best.getField("cid").alias("code")
-            )
-        )
+        fields = [F.lit(s).alias("sub_id"), best.getField("cid").alias("code")]
+        if with_err:
+            fields.append(best.getField("d2").alias("qerr"))
+        structs.append(F.struct(*fields))
+    out_cols = [id_col, F.col("sc.sub_id").alias("sub_id"), F.col("sc.code").alias("code")]
+    if with_err:
+        out_cols.append(F.col("sc.qerr").alias("qerr"))
     return vecs.select(
         F.col(id_col), F.explode(F.array(*structs)).alias("sc")
-    ).select(id_col, F.col("sc.sub_id").alias("sub_id"), F.col("sc.code").alias("code"))
+    ).select(*out_cols)
 
 
 def _pq_lut(queries, codebooks, w: int, qid_col: str, vec_col: str) -> DataFrame:
@@ -1525,18 +1530,106 @@ def pq_build_index(
         corpus, m=m, k_sub=k_sub, trained=trained, id_col=id_col, vec_col=vec_col
     )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
-    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
-    wide = codes.groupBy(id_col).agg(
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, with_err=True)
+    wide = _pq_pack_wide(codes, m, id_col)
+    wide.persist()
+    try:
+        wide.drop("qerr").write.mode("overwrite").parquet(f"{path}/codes")
+        # baseline per-vector quantization error (Σ subspaces), computed
+        # in the SAME encode pass — the drift-guard reference (the
+        # ivf_build_index baseline_cos twin)
+        row = wide.agg(F.avg("qerr").alias("e")).collect()[0]
+        local_rows_df(
+            corpus.sparkSession,
+            [(float(row.e if row.e is not None else 0.0), int(m), int(k_sub))],
+            "baseline_qerr double, m int, k_sub int",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    finally:
+        wide.unpersist()
+
+
+def _pq_pack_wide(codes: DataFrame, m: int, id_col: str) -> DataFrame:
+    """(id, sub_id, code[, qerr]) → one (id, codes array[, qerr sum])
+    row per vector — the narrow storage layout."""
+    aggs = [
         F.map_from_entries(
             F.array_agg(F.struct(F.col("sub_id"), F.col("code")))
         ).alias("__cm")
-    ).select(
+    ]
+    if "qerr" in codes.columns:
+        aggs.append(F.sum("qerr").alias("qerr"))
+    packed = codes.groupBy(id_col).agg(*aggs)
+    cols = [
         F.col(id_col),
-        F.array(
-            *[F.col("__cm").getItem(s) for s in range(m)]
-        ).alias("codes"),
+        F.array(*[F.col("__cm").getItem(s) for s in range(m)]).alias("codes"),
+    ]
+    if "qerr" in codes.columns:
+        cols.append(F.col("qerr"))
+    return packed.select(*cols)
+
+
+def pq_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_margin: float = 0.25,
+) -> dict:
+    """Incrementally maintain a persisted PQ index (the compression-half
+    mirror of ``ivf_index_append``): encode ONLY the arriving vectors
+    against the persisted codebooks and append to the codes table — the
+    corpus is never re-encoded as it grows, and append-then-query equals
+    full-rebuild-then-query under the same codebooks (pytest-pinned).
+
+    Drift guard: codebook quality degrades silently when the data moves
+    away from the training distribution — quantization error rises and
+    ADC ranking decays with no error anywhere.  The build persists the
+    corpus mean per-vector quantization error as baseline; each append
+    measures the batch's mean in the same encode pass and recommends
+    retraining when it exceeds baseline by more than ``drift_margin``
+    (relative).  The append still lands (results stay correct when the
+    caller reranks exactly; only recall/efficiency degrade).
+
+    Returns ``{"appended", "batch_qerr", "baseline_qerr",
+    "retrain_recommended"}`` (the latter two None without a meta
+    sidecar)."""
+    spark = batch.sparkSession
+    cb = spark.read.parquet(f"{path}/codebooks")
+    m = cb.agg(F.max("sub_id")).collect()[0][0] + 1
+    codes = pq_encode(batch, cb, id_col=id_col, vec_col=vec_col, with_err=True)
+    wide = _pq_pack_wide(codes, m, id_col)
+    wide.persist()
+    try:
+        wide.drop("qerr").write.mode("append").parquet(f"{path}/codes")
+        row = wide.agg(
+            F.count("*").alias("n"), F.avg("qerr").alias("e")
+        ).collect()[0]
+    finally:
+        wide.unpersist()
+    baseline = None
+    try:
+        meta = spark.read.json(f"{path}/meta").collect()[0]
+        baseline = float(meta.baseline_qerr)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "pq index has no meta sidecar — appended without a drift check",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    batch_e = float(row.e) if row.e is not None else None
+    rec = (
+        baseline is not None
+        and batch_e is not None
+        and batch_e > baseline * (1.0 + drift_margin)
     )
-    wide.write.mode("overwrite").parquet(f"{path}/codes")
+    return {
+        "appended": int(row.n),
+        "batch_qerr": batch_e,
+        "baseline_qerr": baseline,
+        "retrain_recommended": bool(rec),
+    }
 
 
 def pq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -236,3 +236,47 @@ def test_persisted_pq_index_roundtrip_and_identical_results(spark, vecs, tmp_pat
 
     with _pytest.raises(ValueError, match="rerank needs"):
         ann_pq_topk_indexed(spark, path, q, k=2, rerank=10)
+
+
+def test_pq_index_append_equals_rebuild_and_drift_guard(spark, tmp_path):
+    """Append-then-query ≡ rebuild-then-query under the same codebooks;
+    an out-of-distribution batch trips the retrain recommendation."""
+    from spark_sql_on_hbase_spark.operators.similarity import (
+        ann_pq_topk_indexed,
+        pq_build_index,
+        pq_index_append,
+    )
+
+    rng = np.random.RandomState(5)
+    base_rows = [(i, [float(x) for x in rng.randn(D)]) for i in range(80)]
+    new_rows = [(500 + i, [float(x) for x in rng.randn(D)]) for i in range(20)]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    newb = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    full = base.unionAll(newb)
+
+    inc = str(tmp_path / "pq_inc")
+    pq_build_index(base, inc, m=M, k_sub=KSUB, trained=False)
+    r = pq_index_append(newb, inc)
+    assert r["appended"] == 20
+    assert r["baseline_qerr"] is not None and r["batch_qerr"] is not None
+    assert r["retrain_recommended"] is False  # same distribution
+
+    # rebuild reference: full corpus, SAME (untrained, deterministic)
+    # codebooks — base holds the lowest ids, so first-k slices agree
+    ref = str(tmp_path / "pq_ref")
+    pq_build_index(full, ref, m=M, k_sub=KSUB, trained=False)
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(map(tuple, ann_pq_topk_indexed(spark, inc, q, k=5).collect()))
+    want = sorted(map(tuple, ann_pq_topk_indexed(spark, ref, q, k=5).collect()))
+    assert got == want
+
+    # drift: a far-shifted batch must recommend retraining
+    shifted = spark.createDataFrame(
+        [(900 + i, [float(x + 40.0) for x in rng.randn(D)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = pq_index_append(shifted, inc)
+    assert r2["retrain_recommended"] is True
+    assert r2["batch_qerr"] > r2["baseline_qerr"]
