@@ -638,6 +638,18 @@ class AstroCatalog:
         if (drops_live or restamp == "now") and meta.index_info:
             for v in meta.index_info.values():
                 v["clean"] = False
+                # r15: a history-folding rewrite REBASES generations
+                # ("everything rebuilt at generation 0"), so the ``_g``
+                # values stored in index entries are no longer
+                # comparable with post-rewrite generations — a stale
+                # pre-rebase entry with a high ``_g`` would shadow a
+                # newer upsert in `_scan_covering_merge`'s
+                # max_by(struct(_g, seq)) ordering.  Sticky until
+                # REINDEX rebuilds entries with post-rebase generations.
+                # Retained rewrites (drops_live without restamp) keep
+                # generations monotonic and so keep merge_exact.
+                if restamp == "now":
+                    v["merge_exact"] = False
         meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
         # per-generation commit times (TIMESTAMP AS OF), O(#generations +
         # #files) metadata.  ``restamp``:

@@ -673,16 +673,27 @@ class AstroRelation:
         the same write-new-then-switch structure."""
         # covering-read precondition (r13): a compact of a MERGE-FREE
         # table preserves the row set exactly, so indexes that were
-        # exactly-live stay exactly-live (the new fragments re-index as
-        # duplicate entries that upsert-collapse).  A compact that folds
-        # upserts rewrites winners the index's shadowed entries no longer
-        # match — those stay unclean (update_regions marks them).
+        # exactly-live stay exactly-live (maintenance is skipped — the
+        # entries already cover the content — so no duplicates arise).
+        # A compact that folds upserts rewrites winners the index's
+        # shadowed entries no longer match — those stay unclean
+        # (update_regions marks them).  merge_exact is cleared either
+        # way (r15): the rebase makes stored ``_g`` incomparable with
+        # post-compact generations, so merge-on-read covering waits for
+        # REINDEX while the merge-free index-only path stays served.
         pre_clean = [
             c for c, v in self.meta.index_info.items() if v.get("clean")
         ]
         preserve = bool(pre_clean) and not self.needs_merge()
         df = self.scan().select(*[c for c, _ in self.meta.all_columns])
-        self._rewrite_with(df, op="COMPACT")
+        # maintain_indexes=False: a compact's output is a fold of
+        # content the indexes already cover (every output cell existed
+        # in an input fragment) — re-indexing it at the rebased
+        # generation would only add per-key duplicate entries at
+        # ``_g``=0 (r15: ``_g`` is part of the index rowkey, so they no
+        # longer upsert-collapse with the originals).  The rebase
+        # itself clears merge_exact inside the commit (update_regions).
+        self._rewrite_with(df, op="COMPACT", maintain_indexes=False)
         if preserve:
             post = {r.path for r in self.meta.regions}
 
@@ -709,7 +720,9 @@ class AstroRelation:
             return
         self._rewrite_with(df, op="OVERWRITE")
 
-    def _rewrite_with(self, df: DataFrame, op: str = "REWRITE") -> None:
+    def _rewrite_with(
+        self, df: DataFrame, op: str = "REWRITE", maintain_indexes: bool = True
+    ) -> None:
         """Write ``df`` as the table's new full contents via a
         MANIFEST-POINTER commit (r12, VERDICT r11 #2 — the 100 TB /
         object-store design the r11 fsops notes named): the rewrite job
@@ -788,7 +801,11 @@ class AstroRelation:
             # uncommitted write).  only=new_files: the old files still
             # exist until the post-commit GC, a directory restat would
             # resurrect them.
-            self._refresh_region_bounds(only=new_files, restamp="now")
+            self._refresh_region_bounds(
+                only=new_files,
+                restamp="now",
+                maintain_indexes=maintain_indexes,
+            )
         except ConcurrentWriteError as e:
             # a sibling committed during the rewrite job.  A fold based
             # on the pre-commit snapshot would LOSE that commit's rows —
@@ -2230,6 +2247,18 @@ class AstroRelation:
             pass
         else:
             self.catalog.drop_table(name, meta.namespace)
+        # ``_g`` (the MAIN table's generation) is part of the index
+        # ROWKEY, not a cell: the index table's own upsert fold
+        # (`_merge_latest` groups by rowkey, resolving each cell
+        # newest-non-null by index SEQ) would otherwise collapse
+        # same-(col value, main keys) entries from DIFFERENT main
+        # generations into one row that pairs an old INCLUDE cell with
+        # a newer ``_g`` — `_scan_covering_merge`'s max_by(struct(_g,
+        # seq)) then resolves a stale covered value after an index
+        # auto-compaction (r15, ADVICE r14 high).  Keyed by generation,
+        # the fold only ever collapses true duplicates (re-appends of
+        # the same fragment, identical cells) and per-generation rows
+        # survive every compaction by construction.
         idx_meta = TableMeta(
             name=name,
             namespace=meta.namespace,
@@ -2238,9 +2267,9 @@ class AstroRelation:
             + [
                 KeyColumn(k.name, k.dtype, k.order + 1)
                 for k in sorted(meta.key_columns, key=lambda k: k.order)
-            ],
-            nonkey_columns=[NonKeyColumn("_g", "int", "f", "g")]
-            + [
+            ]
+            + [KeyColumn("_g", "int", len(meta.key_columns) + 1)],
+            nonkey_columns=[
                 NonKeyColumn(c, meta.column_type(c), "f", f"i{j}")
                 for j, c in enumerate(include)
             ],
@@ -2689,7 +2718,13 @@ class AstroRelation:
             # listing-based path that may; an in-progress third writer's
             # rw- files are a documented race corner here, narrowed by
             # the one-hour orphan grace in _clear_orphan_rw)
-            self._refresh_region_bounds(adopt_rw=True)
+            # drops_live=True (r15): a rewrite we did not perform
+            # replaced live fragments — the index-only-read
+            # precondition cannot be trusted across it (the sibling's
+            # logical table has its own indexes; ours may now list
+            # rows the rewrite removed, and a rebasing rewrite makes
+            # stored ``_g`` incomparable).  REINDEX re-attests.
+            self._refresh_region_bounds(adopt_rw=True, drops_live=True)
         else:
             # pure appends: stat ONLY the unseen fragments and merge with
             # the known region metadata — at 10⁵-10⁶ files one sibling
@@ -2705,6 +2740,7 @@ class AstroRelation:
         restamp: str = "keep",
         adopt_rw: bool = False,
         drops_live: bool = False,
+        maintain_indexes: bool = True,
     ) -> None:
         """One aggregate job → per-file (min,max) key bounds + generation
         + distinct-key count into catalog.  All stats ride the same
@@ -2823,11 +2859,13 @@ class AstroRelation:
             # one executor task per fragment; existing sidecars are kept
             # (fragments are immutable)
             self._build_bloom_sidecars([r.path for r in regions])
-        if meta.indexes:
+        if meta.indexes and maintain_indexes:
             # secondary-index maintenance (r12): append (value, key)
             # entries for fragments this catalog has never seen, BEFORE
             # the main commit below — crash in between = extra entries
-            # (superset-sound), never missing ones
+            # (superset-sound), never missing ones.  Skipped
+            # (maintain_indexes=False) for content-preserving rewrites
+            # whose output the indexes already cover (COMPACT).
             prev = {os.path.basename(r.path) for r in meta.regions}
             prev |= {os.path.basename(r.path) for r in meta.retired_regions}
             fresh = [
@@ -3569,21 +3607,21 @@ class AstroRelation:
         from spark_sql_on_hbase_spark.predicate import render
         from spark_sql_on_hbase_spark.pruning import PruneResult
 
+        from spark_sql_on_hbase_spark.pruning import file_envelope
+
         keys = list(self.meta.key_names)
         include = list(info.get("include", []))
         probe_sql = " AND ".join(render(c) for c in servable[col])
         cand_df, cres = idx_rel.scan_where(probe_sql)
         cand = cand_df.select(*keys).distinct()
         # RAW index fragments, not idx_rel.scan(): the index table's own
-        # per-(col, keys) collapse keys on its SEQ alone, and a REINDEX
-        # (or a multi-generation sibling-discovery batch) folds entries
-        # from DIFFERENT main generations into ONE index generation —
-        # the collapse tie could then drop the newer `_g`'s covered
-        # cells nondeterministically.  Resolving from every version with
-        # (main generation, index generation) ordering is deterministic
-        # in all of those states.
-        idx_paths = [r.path for r in idx_rel.meta.regions]
-        if not idx_paths:  # empty index (⇒ empty/unindexed-value table)
+        # per-(col, keys, _g) collapse keys on its SEQ alone — resolving
+        # from every version with (main generation, index generation)
+        # ordering is deterministic in every historical state (REINDEX
+        # folds many main generations into one index generation).
+        idx_regions = list(idx_rel.meta.regions)
+        total_idx = len(idx_regions)
+        if not idx_regions:  # empty index (⇒ empty/unindexed-value table)
             df = idx_rel.scan().select(*keys, col, *include).limit(0)
             res = PruneResult(
                 files=[], total=0, predicate=cres.predicate,
@@ -3591,7 +3629,52 @@ class AstroRelation:
                 index_merge=True,
             )
             return df, res
-        raw = idx_rel._read_fragments(*idx_paths)
+        # Phase-2 fragment pruning (r15, VERDICT r14 #1): the candidate
+        # keys' per-dimension min/max — ONE tiny agg, O(#dims) scalars
+        # to the driver — intersected against each index fragment's
+        # per-dimension file box (recorded at write time since r8; the
+        # index table is itself an astro table, so this is row 4's
+        # pruning applied to phase 2).  Sound: every entry of candidate
+        # key k, under ANY col value, has main-key dims equal to k's,
+        # so a fragment whose box excludes the candidate bounds on any
+        # dim cannot hold an entry phase 2 needs.  Without this, a
+        # selective probe under trickle ingest read EVERY live index
+        # fragment (the one r14 `weak` mark).
+        aggs = []
+        for k in keys:
+            aggs.append(F.min(F.col(k)).alias(f"__lo_{k}"))
+            aggs.append(F.max(F.col(k)).alias(f"__hi_{k}"))
+        b = cand.agg(*aggs).collect()[0]
+        if b[f"__lo_{keys[0]}"] is None:  # no candidates → empty result
+            df = idx_rel.scan().select(*keys, col, *include).limit(0)
+            res = PruneResult(
+                files=[], total=total_idx, predicate=cres.predicate,
+                key_pushed=cres.key_pushed, residual=cres.residual,
+                index_merge=True,
+            )
+            return df, res
+        survivors = []
+        for r in idx_regions:
+            env = file_envelope(r, idx_rel.meta)
+            keep = True
+            for k in keys:
+                iv = env.get(k)
+                if iv is None:
+                    continue
+                lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+                try:
+                    if iv.lo is not None and hi is not None and hi < iv.lo:
+                        keep = False
+                        break
+                    if iv.hi is not None and lo is not None and lo > iv.hi:
+                        keep = False
+                        break
+                except TypeError:
+                    continue  # incomparable types → unprunable dim
+            if keep:
+                survivors.append(r)
+        idx_regions = survivors
+        raw = idx_rel._read_fragments(*[r.path for r in idx_regions])
         entries = raw.join(cand, on=keys, how="leftsemi")
         order = F.struct(F.col("_g"), F.col(SEQ_COL))
 
@@ -3605,8 +3688,8 @@ class AstroRelation:
         )
         df = resolved.filter(F.expr(where))
         res = PruneResult(
-            files=list(idx_rel.meta.regions),
-            total=len(idx_rel.meta.regions),
+            files=idx_regions,
+            total=total_idx,
             predicate=cres.predicate,
             key_pushed=cres.key_pushed,
             residual=cres.residual,

@@ -175,6 +175,151 @@ def test_reindex_folded_entries_resolve_by_main_generation(astro):
         assert got == [(7, 70), (17, 9999), (27, 270)], got
 
 
+def test_index_compaction_preserves_generation_pairing(astro):
+    """r15 regression (ADVICE r14 high): the index table's own
+    compaction fold used to collapse same-(col value, main keys)
+    entries across main generations, pairing an old INCLUDE cell with
+    the newest ``_g`` — a covering merge read then resolved a STALE
+    covered value while clean/merge_exact stayed True (no fallback).
+    ``_g`` is now part of the index rowkey, so per-generation entries
+    survive any compaction.  History: (E, amt=5) → (B, amt=777) →
+    (E, amt=NULL); main resolves amt=777 and so must the index."""
+    astro.sql("INSERT INTO cmr VALUES (955, 'E', 5, 'a')")
+    astro.sql("INSERT INTO cmr VALUES (955, 'B', 777, 'b')")
+    astro.sql("INSERT INTO cmr VALUES (955, 'E', NULL, 'c')")
+    rel = astro.relation("cmr")
+    assert rel.needs_merge()
+    info = rel.meta.index_info["status"]
+    assert info["clean"] and info["merge_exact"]
+    main = rel.scan().filter("k1 = 955").select("status", "amt").collect()
+    assert [(r.status, r.amt) for r in main] == [("E", 777)]
+
+    def check():
+        df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
+        assert res.index_mode == "covering" and res.index_merge
+        assert _is_index_only(df)
+        got = dict((r.k1, r.amt) for r in df.collect())
+        assert got[955] == 777, got
+
+    check()  # pre-compaction: raw fragments already resolved correctly
+    idx = rel._index_relation("status")
+    assert idx.needs_merge()
+    idx.compact()  # the fold that used to create the stale pairing
+    rel = astro.relation("cmr")
+    info = rel.meta.index_info["status"]
+    assert info["clean"] and info["merge_exact"]  # no downgrade needed
+    check()  # post-compaction: per-generation rows survived the fold
+
+
+def test_index_auto_compaction_under_trickle_ingest(astro):
+    """The in-situ trigger (relation.py _maintain_indexes 4× policy):
+    enough single-row appends to trip the index auto-compact, with a
+    shadowing history inside the batch — resolution must match the
+    main table afterwards."""
+    astro.sql("INSERT INTO cmr VALUES (970, 'E', 1, 'a')")
+    astro.sql("INSERT INTO cmr VALUES (970, 'B', 31337, 'b')")
+    astro.sql("INSERT INTO cmr VALUES (970, 'E', NULL, 'c')")
+    rel = astro.relation("cmr")
+    idx = rel._index_relation("status")
+    limit = 4 * max(1, idx.meta.num_regions)
+    i = 0
+    while len(rel._index_relation("status").meta.regions) > 1 and i < 2 * limit:
+        astro.sql(f"INSERT INTO cmr VALUES ({1000 + i}, 'Z', {i}, 'f')")
+        i += 1
+    assert len(rel._index_relation("status").meta.regions) <= limit
+    rel = astro.relation("cmr")
+    df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
+    assert res.index_mode == "covering" and res.index_merge
+    got = dict((r.k1, r.amt) for r in df.collect())
+    main = dict(
+        (r.k1, r.amt)
+        for r in rel.scan().filter("status = 'E'").select("k1", "amt").collect()
+    )
+    assert got == main and got[970] == 31337
+
+
+def test_compact_rebases_generations_then_upsert_not_stale(astro):
+    """r15 latent-bug regression: COMPACT rebases every generation to 0,
+    so index entries written BEFORE the compact carry ``_g`` values that
+    are incomparable with post-compact generations — a pre-compact entry
+    at _g=2 would shadow a fresh upsert at (new) _g=1 in the covering
+    merge resolution.  The rebase must clear merge_exact (covering
+    merge-on-read waits for REINDEX) while the merge-free index-only
+    path keeps serving; REINDEX restores the merge path with consistent
+    generations."""
+    # build up multiple generations of DISTINCT keys (stays merge-free)
+    astro.sql("INSERT INTO cmr VALUES (980, 'E', 11, 'a')")
+    astro.sql("INSERT INTO cmr VALUES (981, 'E', 22, 'b')")
+    rel = astro.relation("cmr")
+    assert not rel.needs_merge()
+    astro.sql("COMPACT TABLE cmr")
+    rel = astro.relation("cmr")
+    info = rel.meta.index_info["status"]
+    assert info["clean"] is True  # merge-free compact preserves liveness
+    assert info["merge_exact"] is False  # rebase kills _g comparability
+    # merge-free index-only reads still serve, without duplicates
+    df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
+    assert res.index_mode == "covering" and not res.index_merge
+    assert _is_index_only(df)
+    got = sorted((r.k1, r.amt) for r in df.collect())
+    assert got == [(7, 70), (17, 170), (27, 270), (980, 11), (981, 22)]
+    # the poison sequence: post-rebase upsert must never lose to a
+    # stale pre-rebase entry — merge_exact=False forces the main path
+    astro.sql("UPDATE cmr SET status = 'B', amt = 5555 WHERE k1 = 981")
+    rel = astro.relation("cmr")
+    assert rel.needs_merge()
+    df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
+    assert res.index_mode != "covering"
+    got = sorted((r.k1, r.amt) for r in df.collect())
+    assert got == [(7, 70), (17, 170), (27, 270), (980, 11)]
+    # REINDEX rebuilds entries at post-rebase generations → merge path
+    astro.sql("REINDEX TABLE cmr")
+    rel = astro.relation("cmr")
+    info = rel.meta.index_info["status"]
+    assert info["clean"] and info["merge_exact"]
+    df, res = rel.scan_covering("status = 'E'", ["k1", "amt"])
+    assert res.index_mode == "covering" and res.index_merge
+    got = sorted((r.k1, r.amt) for r in df.collect())
+    assert got == [(7, 70), (17, 170), (27, 270), (980, 11)]
+    df, res = rel.scan_covering("status = 'B' AND amt > 5000", ["k1", "amt"])
+    assert res.index_mode == "covering" and res.index_merge
+    assert [(r.k1, r.amt) for r in df.collect()] == [(981, 5555)]
+
+
+def test_phase2_prunes_index_fragments_by_candidate_boxes(astro):
+    """r15 (VERDICT r14 #1 — the one `weak` mark): phase 2 of the
+    covering merge used to read EVERY live index fragment; it must now
+    prune by intersecting the candidate keys' per-dim min/max with the
+    index fragments' per-dim file boxes.  A selective probe under
+    pending upserts reads a strict subset of index fragments."""
+    # widen the index with disjoint-key append batches
+    for i in range(1, 6):
+        vals = ", ".join(
+            f"({1000 * i + j}, 'Z{i}', {j}, 'b{i}')" for j in range(25)
+        )
+        astro.sql(f"INSERT INTO cmr VALUES {vals}")
+    vals = ", ".join(f"({7000 + j}, 'W', {j}, 'w')" for j in range(25))
+    astro.sql(f"INSERT INTO cmr VALUES {vals}")
+    # a shadowing upsert → needs_merge, merge_exact stays True
+    astro.sql("UPDATE cmr SET amt = 123456 WHERE k1 = 7003")
+    rel = astro.relation("cmr")
+    assert rel.needs_merge()
+    n_idx_frags = len(rel._index_relation("status").meta.regions)
+    assert n_idx_frags >= 5
+    df, res = rel.scan_covering("status = 'W'", ["k1", "amt"])
+    assert res.index_mode == "covering" and res.index_merge
+    assert res.total == n_idx_frags
+    assert 0 < len(res.files) < n_idx_frags, (len(res.files), n_idx_frags)
+    got = dict((r.k1, r.amt) for r in df.collect())
+    assert len(got) == 25 and got[7003] == 123456
+    # cross-check the full resolution against the main table
+    main = dict(
+        (r.k1, r.amt)
+        for r in rel.scan().filter("status = 'W'").select("k1", "amt").collect()
+    )
+    assert got == main
+
+
 def test_explain_scan_reports_merge_on_read(astro):
     astro.sql("UPDATE cmr SET amt = 999 WHERE k1 = 17")
     out = astro.sql("EXPLAIN SCAN cmr COLUMNS (k1, amt) WHERE status = 'E'")
