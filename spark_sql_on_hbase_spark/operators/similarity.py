@@ -1247,6 +1247,19 @@ def pq_encode(
     float64, i.e. DuckDB ``list_sum(list_transform(...))`` op order —
     oracle bit-parity, same contract as `ivf_assign`."""
     rows = codebooks.collect()  # m×k_sub rows, bounded
+    if not rows:
+        # empty codebook (built from an empty corpus) → empty typed
+        # codes frame, mirroring the _empty_ann_frame parity guards
+        # (r15, ADVICE r14 low) — an explode over a zero-struct array
+        # would otherwise produce a void-typed column
+        out = vecs.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("sub_id"),
+            F.lit(0).cast("long").alias("code"),
+        )
+        if with_err:
+            out = out.withColumn("qerr", F.lit(0.0))
+        return out.limit(0)
     by_sub: dict[int, list] = {}
     w = None
     for r in rows:
@@ -1595,7 +1608,17 @@ def pq_index_append(
     sidecar)."""
     spark = batch.sparkSession
     cb = spark.read.parquet(f"{path}/codebooks")
-    m = cb.agg(F.max("sub_id")).collect()[0][0] + 1
+    max_sub = cb.agg(F.max("sub_id")).collect()[0][0]
+    if max_sub is None:
+        # index built from an empty corpus: no codebook to encode
+        # against — appending would silently drop the batch (r15,
+        # ADVICE r14 low)
+        raise ValueError(
+            f"pq index at {path!r} has an empty codebook (built from an "
+            "empty corpus) — rebuild with pq_build_index on a non-empty "
+            "corpus before appending"
+        )
+    m = int(max_sub) + 1
     codes = pq_encode(batch, cb, id_col=id_col, vec_col=vec_col, with_err=True)
     wide = _pq_pack_wide(codes, m, id_col)
     wide.persist()

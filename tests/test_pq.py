@@ -280,3 +280,44 @@ def test_pq_index_append_equals_rebuild_and_drift_guard(spark, tmp_path):
     r2 = pq_index_append(shifted, inc)
     assert r2["retrain_recommended"] is True
     assert r2["batch_qerr"] > r2["baseline_qerr"]
+
+
+def test_empty_corpus_build_and_append_guards(spark, tmp_path):
+    """r15 (ADVICE r14 low): pq_build_index on an EMPTY corpus must
+    write a well-formed empty index (not crash in pq_encode's explode),
+    and pq_index_append against such an index must raise a clear error
+    instead of TypeError on ``None + 1``."""
+    from spark_sql_on_hbase_spark.operators.similarity import (
+        ann_pq_topk_indexed,
+        pq_build_index,
+        pq_index_append,
+        pq_load_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pq_empty")
+    pq_build_index(empty, path, m=M, k_sub=KSUB, trained=False)
+    cb, codes = pq_load_index(spark, path)
+    assert cb.count() == 0 and codes.count() == 0
+    q = spark.createDataFrame(
+        [(0, [0.0] * D)], "query_id long, embedding array<double>"
+    )
+    out = ann_pq_topk_indexed(spark, path, q, k=3)
+    assert out.count() == 0  # empty-corpus parity guard shape
+    batch = spark.createDataFrame(
+        [(1, [1.0] * D)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty codebook"):
+        pq_index_append(batch, path)
+
+
+def test_pq_encode_empty_codebook_returns_typed_empty(spark, vecs):
+    df, _rows = vecs
+    cb = spark.createDataFrame(
+        [], "sub_id int, centroid_id long, centroid array<double>"
+    )
+    out = pq_encode(df, cb, with_err=True)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "sub_id", "code", "qerr",
+    ]
