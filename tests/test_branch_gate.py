@@ -123,9 +123,33 @@ def test_spin_norm_ratio_derivation_and_clamp():
     assert bench._spin_norm_ratio({}, 0.3) == 1.0
     assert bench._spin_norm_ratio(prev, None) == 1.0
     assert bench._spin_norm_ratio(None, 0.3) == 1.0
-    # clamp: a wild sample can't invert a flag
-    assert bench._spin_norm_ratio(prev, 2.5) == 2.0
-    assert bench._spin_norm_ratio(prev, 0.01) == 0.5
+    # clamp: a wild sample can't invert a flag — and the clamp band is
+    # the OBSERVED round-over-round drift (~1.35×), not 2×, so the
+    # combined normalization × regression-factor leniency stays ~2.7×
+    # (r15, ADVICE r14 low)
+    assert bench._spin_norm_ratio(prev, 2.5) == bench._SPIN_RATIO_CLAMP[1]
+    assert bench._spin_norm_ratio(prev, 0.01) == bench._SPIN_RATIO_CLAMP[0]
+    assert bench._SPIN_RATIO_CLAMP[1] <= 1.4
+
+
+def test_headline_norm_flat_under_host_slowdown():
+    """r15 (VERDICT r14 #4): a host running 2× slower per cycle doubles
+    both spin and CPU-bound task seconds — the normalized headline must
+    stay flat (no false regression), and a missing calibration must
+    fall back to raw task seconds."""
+    fast = [{"spin_1e7_sec": 0.25}] * 3
+    slow = [{"spin_1e7_sec": 0.50}] * 3
+    n_fast = bench._headline_norm(100.0, fast)
+    n_slow = bench._headline_norm(200.0, slow)  # same work, 2× slower host
+    assert n_fast["task_norm_sec"] == 100.0
+    assert n_slow["task_norm_sec"] == 100.0
+    assert not n_fast["norm_clamped"] and not n_slow["norm_clamped"]
+    # a wild calibration sample cannot fabricate a 10× improvement
+    wild = bench._headline_norm(100.0, [{"spin_1e7_sec": 5.0}] * 3)
+    assert wild["norm_clamped"] and wild["norm_factor"] == bench._NORM_FACTOR_CLAMP[0]
+    # no calibration → raw task seconds, factor 1
+    none = bench._headline_norm(77.0, [])
+    assert none["task_norm_sec"] == 77.0 and none["norm_factor"] == 1.0
 
 
 def test_split_flags_parses_suite_tag_keys():
