@@ -283,6 +283,7 @@ def main() -> None:
     # variant; any family whose task ratio exceeds 1.5× the data ratio
     # is a super-linear regression and surfaces in the compact line
     scale_flags = None
+    scale_unstable = 0
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SOAK_SCALING.json"
     )
@@ -290,6 +291,7 @@ def main() -> None:
         with open(scaling_path) as f:
             detail["scaling_soak"] = json.load(f)
             scale_flags = int(detail["scaling_soak"].get("flag_count", 0))
+            scale_unstable = int(detail["scaling_soak"].get("unstable_count", 0))
     except (OSError, ValueError):
         pass
     detail_path = os.path.join(
@@ -390,6 +392,11 @@ def main() -> None:
         compact["scale_flags"] = scale_flags
     elif scale_flags is None:
         compact["scale_flags"] = "no-artifact"
+    # r15 (VERDICT r14 #5): families whose soak samples spread too wide
+    # to settle — surfaced so a vacuously-clean flag_count can't hide a
+    # noisy measurement round
+    if scale_unstable:
+        compact["scale_unstable"] = scale_unstable
     # r13: branch-level regression gate — worst per-suite branch ratio
     # always on the line; flagged branches (>2× round-over-round, above
     # the noise floor) named with their [prev, cur] task seconds

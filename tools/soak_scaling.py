@@ -53,6 +53,61 @@ SF1_DIR = os.path.join(ROOT, ".data", "sf1")
 SF3_DIR = os.path.join(ROOT, ".data", "sf3docs")
 SCALE = 3
 FLAG_FACTOR = 1.5  # task ratio > FLAG_FACTOR × data ratio → flag
+# r15 (VERDICT r14 #5): min-of-3 silently reports the lucky tail when
+# the three samples of one point spread wildly (r14 text_ops_suite:
+# [1303, 493, 1242] — 2.6×).  A family whose within-point max/min
+# sample ratio exceeds this is marked measurement_unstable: its
+# exponent is recorded as ADVISORY and excluded from flag_count, and
+# the file carries unstable_count so the round reads as "needs
+# re-measurement", never "settled".
+SPREAD_UNSTABLE = 1.8
+# r15 (ADVICE r14 medium): semantic_dedup's pair-volume gate assumes
+# per-pair kernel cost is constant — true only while the kernel is
+# unchanged.  A plan regression that inflates per-pair cost (e.g.
+# re-shipping vectors per pair) moves task time WITHOUT moving pair
+# volume; this looser task-time backstop (2.5× the data ratio, i.e.
+# ratio > 7.5 at 3× — above the 2-4× same-code host spread measured
+# r12-r14, below a genuine quadratic's 9×) keeps that class flaggable
+# instead of advisory-only.
+TASK_LOOSE_FACTOR = 2.5
+
+
+def _sample_spread(samples) -> float | None:
+    """max/min ratio of one point's task-time samples (None when
+    unavailable or degenerate)."""
+    if not samples:
+        return None
+    lo, hi = min(samples), max(samples)
+    return round(hi / lo, 2) if lo > 0 else None
+
+
+def _apply_stability(entry: dict, flag_from_samples: bool = True) -> dict:
+    """Annotate a family entry with per-point sample spreads and the
+    measurement_unstable verdict (pure — tests feed synthetic samples).
+    An unstable family's SAMPLE-derived flag moves to flag_advisory and
+    its flagged_superlinear is cleared so flag_count only counts
+    SETTLED flags; unstable_count carries the not-settled families.
+    ``flag_from_samples=False`` (a structural flag, e.g. pair volume
+    computed from assignment metadata) keeps the flag — host noise in
+    the timing samples cannot launder a structural regression."""
+    s1 = _sample_spread(entry.get("task_samples_1x"))
+    s3 = _sample_spread(entry.get("task_samples_3x"))
+    entry["sample_spread_1x"] = s1
+    entry["sample_spread_3x"] = s3
+    spreads = [s for s in (s1, s3) if s is not None]
+    unstable = bool(spreads) and max(spreads) > SPREAD_UNSTABLE
+    entry["measurement_unstable"] = unstable
+    if unstable:
+        entry["gating"] = (
+            "within-point sample spread "
+            f"{max(spreads)}x > {SPREAD_UNSTABLE}x — min-of-N would "
+            "report the lucky tail; re-measure on a quiet host"
+        )
+        if flag_from_samples:
+            entry["flag_advisory"] = entry.get("flagged_superlinear", False)
+            entry["flagged_superlinear"] = False
+            entry["gating"] = "excluded (" + entry["gating"] + ")"
+    return entry
 
 # the top task-time families of the r9 bench audit, all document/
 # embedding-driven so the 3× documents+embeddings step scales their
@@ -276,7 +331,7 @@ def main() -> None:
         ratio = t3 / t1
         exponent = math.log(ratio) / math.log(SCALE) if ratio > 0 else None
         flagged = ratio > FLAG_FACTOR * SCALE
-        out["families"][name] = {
+        out["families"][name] = _apply_stability({
             "task_1x_sec": round(t1, 2),
             "task_3x_sec": round(t3, 2),
             "wall_1x_sec": m1["wall_sec"],
@@ -290,7 +345,7 @@ def main() -> None:
             # plan regression (r11 — adjudication evidence)
             "task_samples_1x": m1.get("task_samples"),
             "task_samples_3x": m3.get("task_samples"),
-        }
+        })
     # emb_neardup under its documented parameter rule ((r, b) from
     # tune_lsh_params(n=N)) — flagged measurement + fixed-param evidence
     try:
@@ -308,7 +363,7 @@ def main() -> None:
         flagged = ratio > FLAG_FACTOR * SCALE
         b1 = tune_lsh_params(0.9, n=NEARDUP_N1)
         b3 = tune_lsh_params(0.9, n=SCALE * NEARDUP_N1)
-        out["families"]["emb_neardup_pairs"] = {
+        out["families"]["emb_neardup_pairs"] = _apply_stability({
             "task_1x_sec": round(t1, 2),
             "task_3x_sec": round(t3, 2),
             "wall_1x_sec": m1["wall_sec"],
@@ -348,7 +403,7 @@ def main() -> None:
                 "spark_sql_on_hbase_spark.operators.similarity",
                 fromlist=["ROUTE_CAND_BOUND"],
             ).ROUTE_CAND_BOUND,
-        }
+        })
     except _Skip:
         pass
     except Exception as ex:
@@ -379,13 +434,24 @@ def main() -> None:
         # when the volume measurement itself errors out.
         pv = _semantic_pair_volume(spark)
         task_flag = ratio > FLAG_FACTOR * SCALE
+        # r15 (ADVICE r14 medium): the pair-volume gate only covers
+        # regressions that change the CANDIDATE SHAPE; a kernel/plan
+        # regression that inflates per-pair cost moves task time with
+        # pair volume flat — the loose task backstop keeps that class
+        # flaggable instead of advisory-only
+        loose_task_flag = ratio > TASK_LOOSE_FACTOR * SCALE
+        pv_flagged = bool(pv and "ratio" in pv and pv["ratio"] > FLAG_FACTOR * SCALE)
         if pv and "ratio" in pv:
-            flagged = pv["ratio"] > FLAG_FACTOR * SCALE
-            gate_basis = "pair_volume"
+            flagged = pv_flagged or loose_task_flag
+            gate_basis = (
+                "pair_volume (structural) + loose task-time backstop "
+                f"(ratio > {TASK_LOOSE_FACTOR * SCALE} — per-pair-cost "
+                "regressions move task time without moving pair volume)"
+            )
         else:
             flagged = task_flag
             gate_basis = "task_time (pair-volume measurement unavailable)"
-        out["families"]["semantic_dedup"] = {
+        out["families"]["semantic_dedup"] = _apply_stability(flag_from_samples=not pv_flagged, entry={
             "task_1x_sec": round(t1, 2),
             "task_3x_sec": round(t3, 2),
             "wall_1x_sec": m1["wall_sec"],
@@ -406,7 +472,8 @@ def main() -> None:
             "mis-parameterization (within-cluster pairs Θ((N/K)²·K)) — "
             "kept as evidence the two-point gate detects gentle quadratics",
             "pair_volume": pv,
-        }
+            "loose_task_flag": loose_task_flag,
+        })
         if task_flag and not flagged and pv:
             out["families"]["semantic_dedup"]["flag_note"] = (
                 "task-time advisory exceeded the gate but the PRIMARY "
@@ -445,12 +512,29 @@ def main() -> None:
         for k in ("calibration_pre", "calibration_post"):
             if k in prev:
                 out[k] = prev[k]
+        # r15 (ADVICE r14 medium): a flag_count computed after an argv-
+        # subset re-measurement is PARTIAL evidence — record exactly
+        # which families were re-measured this run so an adjudication
+        # that cleared a flag via a quiet-host re-run stays visible
+        out["partial_remeasure"] = {
+            "families": sorted(only),
+            "note": "flag_count recomputed over the merged set after "
+            "re-measuring ONLY these families; the rest carry their "
+            "previous run's numbers",
+        }
     # flag_count is always recomputed over the FULL (possibly merged)
-    # family set — the compact-line scale_flags gate reads it
+    # family set — the compact-line scale_flags gate reads it.
+    # unstable_count carries families whose measurement was too noisy
+    # to settle (r15, VERDICT r14 #5) — bench surfaces it separately.
     out["flag_count"] = sum(
         1
         for m in out["families"].values()
         if isinstance(m, dict) and m.get("flagged_superlinear")
+    )
+    out["unstable_count"] = sum(
+        1
+        for m in out["families"].values()
+        if isinstance(m, dict) and m.get("measurement_unstable")
     )
     with open(dst + ".tmp", "w") as f:
         json.dump(out, f, indent=1)
