@@ -128,6 +128,9 @@ TAIL_ORDER = [
     # input-files probe; values grade in-window through astro_write_ops'
     # +13000000 block
     "astro_covering_index",
+    # r15: covering-index PLANNER integration — a plain hql() SELECT
+    # routes index-only through covering_plan (VERDICT r14 #6)
+    "astro_covering_sql",
     "text_token_count",
     "ann_lsh_signatures",
     # r14: PQ/ADC approximate top-k (Jégou et al. 2011) — deterministic

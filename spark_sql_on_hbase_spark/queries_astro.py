@@ -832,6 +832,65 @@ ASTRO["astro_covering_index"] = Q(
 )
 
 
+def _covering_sql_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 (VERDICT r14 #6): the ENGINE'S OWN SQL entry point routes a
+    plain SELECT through the covering index — no scan_covering call in
+    sight.  The probe grades that hql() recorded a covering route AND
+    that every input file of the returned frame is an index fragment
+    (under the same pending-upsert state as astro_covering_index, so
+    the routed plan is the merge-on-read one)."""
+    astro = _ensure_covering_table(spark, sf_dir)
+    rel = astro.relation("astro_cov")
+    df = astro.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM astro_cov "
+        "WHERE o_custkey IN (42, 7)"
+    )
+    res = astro.last_select_route
+    files = df.inputFiles()
+    ok = (
+        res is not None
+        and res.index_mode == "covering"
+        and res.index_used == "o_custkey"
+        and len(files) > 0
+        and all("idx_" in f for f in files)
+        and rel.needs_merge()
+        and res.index_merge is True
+    )
+    out = df.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    probe = local_rows_df(
+        spark,
+        [(-15, -1, 1.0 if ok else 0.0)],
+        "o_orderkey bigint, o_custkey bigint, totalprice double",
+    )
+    return out.unionAll(probe)
+
+
+ASTRO["astro_covering_sql"] = Q(
+    spark=_covering_sql_frame,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(CASE WHEN o_custkey = 7 THEN o_orderkey + 0.25
+                      ELSE o_totalprice END, 2) AS totalprice
+    FROM orders WHERE o_custkey IN (42, 7)
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2)
+    FROM orders WHERE o_custkey = 42 AND o_orderkey < 1000
+    UNION ALL
+    SELECT -15, -1, 1.0
+    """,
+    doc="r15 covering-index planner integration (VERDICT r14 #6): an "
+    "ordinary hql() SELECT whose projection ∪ predicate ⊆ the covered "
+    "set routes through AstroRelation.covering_plan and reads ONLY "
+    "index fragments — the session records the decision in "
+    "last_select_route, graded by the probe row together with the "
+    "physical input-files claim and the pending-upsert (merge-on-read) "
+    "state; ineligible shapes pass through spark.sql untouched "
+    "(tests/test_covering_sql_routing.py pins eight of them)",
+)
+
+
 def _astro_write_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     astro, t_mid, retained_ok = _ensure_write_ops_table(spark, sf_dir)
     # the retained-history branch keys are offset so the blocks stay

@@ -3516,16 +3516,31 @@ class AstroRelation:
         REINDEX re-attests.  Returns (DataFrame, PruneResult) — the
         PruneResult is the INDEX table's, with ``index_mode="covering"``
         and files counted against the index's fragments."""
+        if not columns:
+            raise ValueError("scan_covering needs at least one column")
+        route = self.covering_plan(where, columns)
+        if route is not None:
+            return route
+        df, res = self.scan_where(where)
+        return df.select(*columns), res
+
+    def covering_plan(self, where: str, columns: list[str]):
+        """(DataFrame, PruneResult) when an INDEX-ONLY covering read can
+        serve this projection + predicate, else None — the decision
+        logic behind :meth:`scan_covering`, factored out (r15, VERDICT
+        r14 #6) so the SQL session's SELECT planner can route an
+        ordinary ``hql("SELECT col, inc FROM t WHERE …")`` through the
+        table's best access path instead of always scanning main."""
         from spark_sql_on_hbase_spark.predicate import (
             Opaque,
             parse_predicate,
             referenced_columns,
         )
 
+        if not columns:
+            return None
         self._ensure_fresh_regions()
         meta = self.meta
-        if not columns:
-            raise ValueError("scan_covering needs at least one column")
         try:
             pred = parse_predicate(where)
             # Opaque leaves reference columns referenced_columns can't
@@ -3578,8 +3593,7 @@ class AstroRelation:
                 res.index_used = col
                 res.index_mode = "covering"
                 return df.select(*columns), res
-        df, res = self.scan_where(where)
-        return df.select(*columns), res
+        return None
 
     def _scan_covering_merge(self, idx_rel, col, info, where, servable):
         """Index-only covering read UNDER pending main-table upserts

@@ -64,6 +64,10 @@ class AstroSession:
         # partial rewrite ran, M == N for a full rewrite — bench reads
         # this for the delete_files_rewritten plan-shape gate
         self.last_write_stats: dict | None = None
+        # PruneResult of the most recent hql() SELECT the covering
+        # router served index-only (r15, VERDICT r14 #6); None when the
+        # last SELECT passed through spark.sql
+        self.last_select_route = None
 
     # -- helpers ------------------------------------------------------------
     def relation(self, table: str, namespace: str = "default") -> AstroRelation:
@@ -1453,13 +1457,70 @@ class AstroSession:
         out.append(text[last:])
         return "".join(out)
 
+    # conservative SELECT shape the covering-index router recognizes:
+    # bare-identifier projection over ONE bare table with a WHERE tail.
+    # Anything richer (expressions, *, aliases, joins, qualified names)
+    # falls through to spark.sql.  Structural keywords after WHERE are
+    # handled by the predicate parser: GROUP/ORDER/LIMIT swallowed into
+    # the where-text make parse_predicate fail, so covering_plan
+    # declines and the statement passes through untouched.
+    _COVER_SELECT_RE = re.compile(
+        r"^\s*SELECT\s+(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
+        r"FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_covering_select(self, text: str) -> DataFrame | None:
+        """Route a plain ``SELECT cols FROM t WHERE …`` through the
+        table's covering index when the projection ∪ predicate ⊆ the
+        covered set (r15, VERDICT r14 #6): the engine's own SQL entry
+        point now takes its best access path — an index-only read —
+        instead of always scanning the main table.  Sound by
+        construction: :meth:`AstroRelation.covering_plan` returns None
+        unless the index is clean (+ merge_exact under upserts) and the
+        predicate both parses and carries a servable conjunct; the
+        routed frame applies the FULL predicate, matching spark.sql
+        semantics exactly.  The decision is recorded on
+        ``last_select_route`` (EXPLAIN SCAN shows the same routing)."""
+        m = self._COVER_SELECT_RE.match(text)
+        if m is None:
+            return None
+        tbl = m.group("tbl")
+        try:
+            rel = self.relation(tbl)
+        except KeyError:
+            return None  # not a catalog table (user temp view etc.)
+        if not rel.meta.index_info:
+            return None
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        declared = {n for n, _ in rel.meta.all_columns}
+        if not all(c in declared for c in cols):
+            return None  # unknown/differently-cased identifier → spark.sql
+        try:
+            route = rel.covering_plan(m.group("where"), cols)
+        except Exception:
+            return None  # router must never break a passthrough SELECT
+        if route is None:
+            return None
+        df, res = route
+        self.last_select_route = res
+        return df
+
     def _exec_PassThrough(self, c: ddl.PassThrough) -> DataFrame:
         self._register_all()
+        self.last_select_route = None
         sql_text = c.sql
+        rewritten = False
         if self._VERSION_ASOF_RE.search(sql_text):
             sql_text = self._rewrite_version_asof(sql_text)
+            rewritten = True
         if self._CHANGES_RE.search(sql_text):
             sql_text = self._rewrite_changes(sql_text)
+            rewritten = True
+        if not rewritten:  # time-travel/changes reads never route
+            routed = self._try_covering_select(sql_text)
+            if routed is not None:
+                return routed
         return self.spark.sql(sql_text)
 
     def _ok(self, msg: str) -> DataFrame:
