@@ -339,6 +339,55 @@ def _json_key_value(v, dtype: str):
     return v
 
 
+def _manifest_ref_stats(live: list[dict], meta: "TableMeta") -> dict:
+    """Aggregated plan-time stats of one manifest's LIVE fragments
+    (r15, VERDICT r14 #3): the per-dimension interval UNION of every
+    fragment's envelope (None = unbounded on that dim) plus the
+    fragment seq range.  Sound for group pruning because each
+    fragment's envelope is a subset of the union, and 3-valued
+    evaluation is monotone: a predicate definitely-FALSE over the union
+    is definitely-FALSE over every member.  Values are the catalog's
+    JSON-native key encodings, so the ref round-trips the pointer
+    unchanged."""
+    if not live:
+        return {}
+    from spark_sql_on_hbase_spark.pruning import file_envelope
+
+    n = len(meta.key_names)
+    lo: list = [None] * n
+    hi: list = [None] * n
+    seen: list = [False] * n
+    unbounded: list = [False] * n
+    seqs: list = []
+    for d in live:
+        rf = RegionFile(**d)
+        seqs.append(int(rf.seq))
+        env = file_envelope(rf, meta)
+        for i, name in enumerate(meta.key_names):
+            if unbounded[i]:
+                continue
+            iv = env.get(name)
+            if iv is None or iv.lo is None or iv.hi is None:
+                unbounded[i] = True
+                continue
+            try:
+                if not seen[i]:
+                    lo[i], hi[i], seen[i] = iv.lo, iv.hi, True
+                else:
+                    if iv.lo < lo[i]:
+                        lo[i] = iv.lo
+                    if iv.hi > hi[i]:
+                        hi[i] = iv.hi
+            except TypeError:  # incomparable mixed types → unprunable dim
+                unbounded[i] = True
+    return {
+        "seq_lo": min(seqs),
+        "seq_hi": max(seqs),
+        "env_lo": [None if unbounded[i] or not seen[i] else lo[i] for i in range(n)],
+        "env_hi": [None if unbounded[i] or not seen[i] else hi[i] for i in range(n)],
+    }
+
+
 class AstroCatalog:
     """JSON-file metastore rooted at ``warehouse_dir``.
 
@@ -915,7 +964,19 @@ class AstroCatalog:
                     f.write(body)
                 written += len(body)
                 fsops.replace(tmp, fp)
-            refs.append({"file": fn, "hi": e["hi"], "n": _n(e)})
+            ref = {"file": fn, "hi": e["hi"], "n": _n(e)}
+            # r15 (VERDICT r14 #3): aggregated per-dimension envelope of
+            # the manifest's LIVE fragments, carried on the POINTER ref
+            # so plan-time pruning evaluates the predicate once per
+            # MANIFEST before walking fragments — at 10⁵-10⁶ fragments
+            # the per-query driver cost drops from O(#fragments) to
+            # O(#manifests + fragments-of-surviving-manifests).  The
+            # seq range makes fragment→manifest membership
+            # self-validating at plan time (manifest groups partition
+            # seq space contiguously; an ambiguous fragment just walks
+            # individually — soundness never depends on the mapping).
+            ref.update(_manifest_ref_stats(e["live"], meta))
+            refs.append(ref)
         return refs, written
 
     def _load_manifests(self, meta_raw: dict, namespace: str, table: str):

@@ -196,14 +196,114 @@ def point_rowkeys(pred: Pred | None, meta: TableMeta, cap: int = 256) -> list[by
     return out
 
 
+# two-level pruning engages above this fragment count: below it the
+# per-manifest pre-pass costs more bookkeeping than it saves
+MANIFEST_PRUNE_MIN_FILES = 256
+
+
+def _manifest_env(ref: dict, meta: TableMeta) -> dict[str, Interval]:
+    """Per-key-column interval envelope of one manifest ref (the
+    aggregated union `catalog._manifest_ref_stats` stored on the CAS
+    pointer); None bounds → unconstrained."""
+    names = meta.key_names
+    dtypes = meta.key_dtypes
+    lo, hi = ref["env_lo"], ref["env_hi"]
+    env: dict[str, Interval] = {}
+    for i, name in enumerate(names):
+        if i < len(lo) and lo[i] is not None and hi[i] is not None:
+            env[name] = Interval(
+                _coerce_bound(lo[i], dtypes[i]), _coerce_bound(hi[i], dtypes[i])
+            )
+        else:
+            env[name] = Interval()
+    return env
+
+
+def manifest_groups(meta: TableMeta):
+    """[(manifest_env | None, [RegionFile, ...]), ...] — live fragments
+    grouped by the manifest whose pointer ref carries their aggregated
+    envelope (r15, VERDICT r14 #3).  Membership resolves by fragment
+    seq against the refs' recorded [seq_lo, seq_hi] ranges (manifest
+    groups partition seq space contiguously); a fragment matching zero
+    or several refs lands in the None-envelope group and is walked
+    individually — soundness never depends on the mapping being exact.
+    Returns None when the pointer carries no envelope-bearing refs
+    (pre-r15 pointer or unsharded table)."""
+    cache = getattr(meta, "_mgroups_cache", None)
+    key = (meta.meta_version, id(meta.regions), len(meta.regions))
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    refs = [
+        r
+        for r in (meta.region_manifests or [])
+        if isinstance(r, dict) and "env_lo" in r and "seq_lo" in r
+    ]
+    if not refs:
+        return None
+    import bisect
+
+    refs.sort(key=lambda r: r["seq_lo"])
+    # overlapping seq ranges would make membership ambiguous — the
+    # partition invariant says they never overlap; if a pointer ever
+    # violates it, fall back to the flat walk rather than guess
+    for a, b in zip(refs, refs[1:]):
+        if a["seq_hi"] >= b["seq_lo"]:
+            return None
+    seq_los = [r["seq_lo"] for r in refs]
+    by_ref: list[list[RegionFile]] = [[] for _ in refs]
+    loose: list[RegionFile] = []
+    for rf in meta.regions:
+        s = int(rf.seq)
+        i = bisect.bisect_right(seq_los, s) - 1
+        if 0 <= i < len(refs) and refs[i]["seq_lo"] <= s <= refs[i]["seq_hi"]:
+            by_ref[i].append(rf)
+        else:
+            loose.append(rf)
+    groups = [
+        (_manifest_env(refs[i], meta), frags)
+        for i, frags in enumerate(by_ref)
+        if frags
+    ]
+    if loose:
+        groups.append((None, loose))
+    # memoized per metadata version (the grouping pass is O(#fragments)
+    # — amortize it over every query against this snapshot; the id/len
+    # guards catch in-window region-list rebinding before the version
+    # bump)
+    meta._mgroups_cache = (key, groups)
+    return groups
+
+
 def prune_files(meta: TableMeta, where: str | Pred) -> PruneResult:
     pred = parse_predicate(where) if isinstance(where, str) else where
     key_pushed, residual = classify(pred, set(meta.key_names))
     survivors = []
-    for rf in meta.regions:
-        env = file_envelope(rf, meta)
-        if evaluate(pred, env) != FALSE:
-            survivors.append(rf)
+    groups = (
+        manifest_groups(meta)
+        if len(meta.regions) >= MANIFEST_PRUNE_MIN_FILES
+        else None
+    )
+    if groups is None:
+        for rf in meta.regions:
+            env = file_envelope(rf, meta)
+            if evaluate(pred, env) != FALSE:
+                survivors.append(rf)
+    else:
+        # r15 two-level walk (VERDICT r14 #3): evaluate once per
+        # MANIFEST envelope, descend into fragments only when the
+        # manifest might match — the per-query driver cost at 10⁵-10⁶
+        # fragments drops from O(#fragments) to O(#manifests +
+        # fragments of surviving manifests).  Sound because each
+        # fragment's envelope ⊆ its manifest's union and 3-valued
+        # evaluation is monotone.
+        for genv, frags in groups:
+            if genv is not None and evaluate(pred, genv) == FALSE:
+                continue
+            for rf in frags:
+                env = file_envelope(rf, meta)
+                if evaluate(pred, env) != FALSE:
+                    survivors.append(rf)
+        survivors.sort(key=lambda r: r.min_rowkey_hex)
     return PruneResult(
         files=survivors,
         total=len(meta.regions),
