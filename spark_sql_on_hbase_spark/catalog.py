@@ -271,6 +271,16 @@ class TableMeta:
     # unchanged manifests byte-for-byte; it is derived state, never
     # inlined back into the pointer.
     region_manifests: list = field(default_factory=list)
+    # r15 catalog-managed VECTOR indexes (VERDICT r14 #2): {col: info}
+    # where info = {"kind": "ivf"|"pq"|"ivfpq", "path": <index dir>,
+    # "options": {...builder params...}, "stale": bool (a fold/rewrite
+    # dropped live fragments the index still lists — REINDEX rebuilds),
+    # "drift": latest append's guard verdict ({"batch", "baseline",
+    # "retrain_recommended"} or None), "built_gen": generation the last
+    # full build/REINDEX covered}.  Maintenance is append-triggered
+    # (relation._maintain_vector_indexes) with the same
+    # superset-before-commit discipline as scalar indexes.
+    vector_indexes: dict = field(default_factory=dict)
 
     @property
     def all_columns(self) -> list[tuple[str, str]]:
@@ -551,6 +561,9 @@ class AstroCatalog:
                 for k, v in raw.get("index_info", {}).items()
             },
             region_manifests=list(raw.get("region_manifests", [])),
+            vector_indexes={
+                k: dict(v) for k, v in raw.get("vector_indexes", {}).items()
+            },
         )
         return meta
 
@@ -699,6 +712,12 @@ class AstroCatalog:
                 # generations monotonic and so keep merge_exact.
                 if restamp == "now":
                     v["merge_exact"] = False
+        # r15 vector indexes: same invalidation class — a commit that
+        # drops/replaces live fragments leaves the index listing
+        # vectors the table no longer holds; REINDEX rebuilds
+        if (drops_live or restamp == "now") and meta.vector_indexes:
+            for v in meta.vector_indexes.values():
+                v["stale"] = True
         meta.regions = sorted(regions, key=lambda r: r.min_rowkey_hex)
         # per-generation commit times (TIMESTAMP AS OF), O(#generations +
         # #files) metadata.  ``restamp``:

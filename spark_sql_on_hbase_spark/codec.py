@@ -57,6 +57,15 @@ DECIMAL = "decimal"
 
 ATOMIC_TYPES = {BYTE, SHORT, INT, LONG, FLOAT, DOUBLE, BOOLEAN, STRING, DATE, TIMESTAMP, DECIMAL}
 
+# r15 vector columns (beyond the reference's 8 atomic types): embedding
+# arrays as NON-KEY columns of binaryformat tables — stored as native
+# parquet list columns (no rowkey codec involvement), queried by the
+# catalog-managed vector indexes.  Never key-encodable, never
+# scalar-indexable, never stringformat-storable.
+VEC_FLOAT = "array<float>"
+VEC_DOUBLE = "array<double>"
+VECTOR_TYPES = {VEC_FLOAT, VEC_DOUBLE}
+
 _ALIAS = {
     "tinyint": BYTE,
     "smallint": SHORT,
@@ -76,6 +85,9 @@ _DEFAULT_DECIMAL_SCALE = 2
 
 def normalize_type(name: str) -> str:
     t = name.strip().lower()
+    compact = t.replace(" ", "")
+    if compact in VECTOR_TYPES:
+        return compact
     if "(" in t:  # decimal(p,s), varchar(n)
         t = t[: t.index("(")]
     t = _ALIAS.get(t, t)

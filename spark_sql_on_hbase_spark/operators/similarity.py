@@ -1522,6 +1522,98 @@ def ivfpq_topk(
     )
 
 
+def ann_ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """`ivfpq_topk` over a PERSISTED composite index (``<path>/ivf`` +
+    ``<path>/pq``, the layout `AstroRelation.create_vector_index`
+    writes for USING IVFPQ): the coarse probe prunes the assignment
+    scan to the probed lists' partition DIRECTORIES (the ivf_topk
+    static-pruning recipe), and ADC scores only those candidates from
+    the stored codes — no training, no encode at query time.
+    ``rerank`` needs ``corpus`` (raw vectors) for the exact-cosine
+    pass."""
+    if rerank and corpus is None:
+        raise ValueError("rerank needs the raw-vector corpus")
+    cent, assign = ivf_load_index(spark, f"{path}/ivf")
+    cb, codes = pq_load_index(spark, f"{path}/pq")
+    first = cb.select("centroid").first()
+    if first is None:
+        return _empty_ann_frame(queries, qid_col, rerank)
+    w = len(first[0])
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    qscored = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            qid_col,
+            "centroid_id",
+            F.round(
+                cosine_similarity_batch(F.col("qv"), F.col("centroid")), 4
+            ).alias("cos_c"),
+        )
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, F.col("centroid_id").alias("cluster_id"))
+    )
+    # static partition pruning on the persisted inverted lists (the
+    # ivf_topk indexed recipe): the probe set is ≤ |Q|·nprobe ints
+    probe_schema = probe.schema
+    probe_rows = [(r[0], r[1]) for r in probe.collect()]
+    probe = local_rows_df(spark, probe_rows, probe_schema)
+    probed = sorted({c for _, c in probe_rows})
+    assign = assign.filter(F.col("cluster_id").isin(probed))
+    cand = probe.join(assign, "cluster_id").select(qid_col, F.col(id_col))
+    lut = _pq_lut(queries, cb, w, qid_col, vec_col)
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), [qid_col, "sub_id", "code"])
+        .filter(F.col(id_col) != F.col(qid_col))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d2_fp").alias("adc_fp"))
+        .select(qid_col, F.col(id_col).alias("neighbor_id"), "adc_fp")
+    )
+    win = Window.partitionBy(qid_col).orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
+    short = adc.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= max(k, rerank)
+    )
+    if not rerank:
+        return short.filter(F.col("rank") <= k)
+    scored = (
+        short.select(qid_col, "neighbor_id")
+        .join(F.broadcast(q), qid_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            qid_col,
+            "neighbor_id",
+            F.round(
+                cosine_similarity_batch(F.col("qv"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_build_index(
     corpus: DataFrame,
     path: str,

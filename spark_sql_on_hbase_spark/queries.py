@@ -131,6 +131,10 @@ TAIL_ORDER = [
     # r15: covering-index PLANNER integration — a plain hql() SELECT
     # routes index-only through covering_plan (VERDICT r14 #6)
     "astro_covering_sql",
+    # r15: catalog-managed vector index (VERDICT r14 #2) — CREATE
+    # VECTOR INDEX USING IVF, append-triggered maintenance with drift
+    # guards, exact values through the registered index (full probe)
+    "astro_vector_index",
     "text_token_count",
     "ann_lsh_signatures",
     # r14: PQ/ADC approximate top-k (Jégou et al. 2011) — deterministic

@@ -164,6 +164,8 @@ _SPARK_TYPES = {
     C.DATE: T.DateType(),
     C.TIMESTAMP: T.TimestampType(),
     C.DECIMAL: T.DecimalType(20, 2),
+    C.VEC_FLOAT: T.ArrayType(T.FloatType()),
+    C.VEC_DOUBLE: T.ArrayType(T.DoubleType()),
 }
 
 
@@ -684,7 +686,10 @@ class AstroRelation:
         pre_clean = [
             c for c, v in self.meta.index_info.items() if v.get("clean")
         ]
-        preserve = bool(pre_clean) and not self.needs_merge()
+        pre_vec_fresh = [
+            c for c, v in self.meta.vector_indexes.items() if not v.get("stale")
+        ]
+        preserve = bool(pre_clean or pre_vec_fresh) and not self.needs_merge()
         df = self.scan().select(*[c for c, _ in self.meta.all_columns])
         # maintain_indexes=False: a compact's output is a fold of
         # content the indexes already cover (every output cell existed
@@ -703,6 +708,13 @@ class AstroRelation:
                 for c in pre_clean:
                     if c in self.meta.index_info:
                         self.meta.index_info[c]["clean"] = True
+                # vector indexes are CONTENT-addressed (no generation in
+                # their entries), so a row-preserving compact leaves
+                # them exact — restore the freshness the rewrite commit
+                # conservatively cleared
+                for c in pre_vec_fresh:
+                    if c in self.meta.vector_indexes:
+                        self.meta.vector_indexes[c]["stale"] = False
                 self.catalog.persist(self.meta)
 
             self._commit_retry(_reclean)
@@ -2343,6 +2355,303 @@ class AstroRelation:
         self._commit_retry(commit)
         self.catalog.drop_table(name, self.meta.namespace)
 
+    # -- catalog-managed vector indexes (r15, VERDICT r14 #2) ---------------
+    # Promotes the path-addressed ANN builders (operators/similarity.py
+    # ivf_build_index / pq_build_index, with their incremental
+    # *_index_append + drift guards) to DDL-registered TABLE indexes:
+    # TableMeta registration, append-triggered maintenance, staleness +
+    # drift in DESCRIBE EXTENDED, DROP/REINDEX cascade — the scalar
+    # index surface's lifecycle (reference analog:
+    # HBaseSQLParser.scala:180-232) extended to the north-star ANN ops.
+
+    VECTOR_KINDS = ("ivf", "pq", "ivfpq")
+
+    def vector_index_path(self, col: str) -> str:
+        return os.path.join(
+            self.catalog.root,
+            self.meta.namespace,
+            "data",
+            f"vidx_{self.meta.physical_table}_{col}",
+        )
+
+    def _vector_id_col(self) -> str:
+        """Vector indexes need one integer row id (the builders' id_col
+        contract); the table's single integer primary key serves."""
+        meta = self.meta
+        if len(meta.key_columns) != 1 or C.normalize_type(
+            meta.key_columns[0].dtype
+        ) not in (C.BYTE, C.SHORT, C.INT, C.LONG):
+            raise ValueError(
+                "vector indexes require a single integer-typed primary key "
+                f"(table {meta.name!r} has "
+                f"{[(k.name, k.dtype) for k in meta.key_columns]})"
+            )
+        return meta.key_columns[0].name
+
+    def _vector_corpus(self, col: str) -> DataFrame:
+        """(id, vector) frame of the RESOLVED table — non-null vectors
+        only (a row without an embedding has nothing to index; ANN
+        queries cannot match it)."""
+        id_col = self._vector_id_col()
+        return (
+            self.scan()
+            .select(F.col(id_col).cast("long").alias(id_col), F.col(col))
+            .filter(F.col(col).isNotNull())
+        )
+
+    def _build_vector_index(self, col: str, kind: str, options: dict) -> None:
+        from spark_sql_on_hbase_spark.operators import similarity as S
+
+        id_col = self._vector_id_col()
+        corpus = self._vector_corpus(col)
+        path = self.vector_index_path(col)
+        trained = bool(options.get("trained", True))
+        if kind in ("ivf", "ivfpq"):
+            S.ivf_build_index(
+                corpus,
+                path if kind == "ivf" else os.path.join(path, "ivf"),
+                n_centroids=int(options.get("ncentroids", 16)),
+                id_col=id_col,
+                vec_col=col,
+                trained=trained,
+            )
+        if kind in ("pq", "ivfpq"):
+            S.pq_build_index(
+                corpus,
+                path if kind == "pq" else os.path.join(path, "pq"),
+                m=int(options.get("m", 4)),
+                k_sub=int(options.get("ksub", 16)),
+                trained=trained,
+                id_col=id_col,
+                vec_col=col,
+            )
+
+    def create_vector_index(
+        self,
+        col: str,
+        kind: str,
+        options: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> str:
+        meta = self.meta
+        options = dict(options or {})
+        kind = kind.lower()
+        if kind not in self.VECTOR_KINDS:
+            raise ValueError(f"unknown vector index kind {kind!r}")
+        if col in meta.vector_indexes:
+            if if_not_exists:
+                return self.vector_index_path(col)
+            raise ValueError(f"vector index on {col!r} already exists")
+        if C.normalize_type(meta.column_type(col)) not in C.VECTOR_TYPES:
+            raise ValueError(
+                f"{col!r} is not a vector column "
+                f"({meta.column_type(col)!r}; need array<float|double>)"
+            )
+        self._vector_id_col()  # raises early on a non-integer key
+        self._ensure_fresh_regions()
+        self._build_vector_index(col, kind, options)
+        built = {os.path.basename(r.path) for r in self.meta.regions}
+
+        def commit():
+            # the same lost-update closure as create_index: a sibling
+            # append between the build snapshot and this registration
+            # is backfilled through the maintenance path
+            gap = [
+                r.path
+                for r in self.meta.regions
+                if os.path.basename(r.path) not in built
+            ]
+            info = {
+                "kind": kind,
+                "path": self.vector_index_path(col),
+                "options": options,
+                "stale": False,
+                "drift": None,
+                "built_gen": max((r.seq for r in self.meta.regions), default=0),
+            }
+            self.meta.vector_indexes[col] = info
+            if gap:
+                self._append_vector_index(col, info, gap)
+            self.catalog.persist(self.meta)
+
+        self._commit_retry(commit)
+        return self.vector_index_path(col)
+
+    def drop_vector_index(self, col: str) -> None:
+        import shutil
+
+        if col not in self.meta.vector_indexes:
+            raise ValueError(f"no vector index on {col!r}")
+
+        def commit():
+            self.meta.vector_indexes.pop(col, None)
+            self.catalog.persist(self.meta)
+
+        # unregister FIRST (readers stop consulting it), then drop files
+        self._commit_retry(commit)
+        shutil.rmtree(self.vector_index_path(col), ignore_errors=True)
+
+    def _append_vector_index(self, col: str, info: dict, new_paths: list) -> None:
+        """Encode ONLY the arriving fragments against the persisted
+        quantizers and append to the index (ivf_index_append /
+        pq_index_append — the corpus is never re-encoded as it grows);
+        the drift-guard verdicts land in the registration so DESCRIBE
+        EXTENDED surfaces quantizer decay."""
+        from spark_sql_on_hbase_spark.operators import similarity as S
+
+        id_col = self._vector_id_col()
+        batch = (
+            self._read_fragments(*new_paths)
+            .select(F.col(id_col).cast("long").alias(id_col), F.col(col))
+            .filter(F.col(col).isNotNull())
+        )
+        path = info["path"]
+        kind = info["kind"]
+        drift: dict = {}
+        if kind in ("ivf", "ivfpq"):
+            r = S.ivf_index_append(
+                batch,
+                path if kind == "ivf" else os.path.join(path, "ivf"),
+                id_col=id_col,
+                vec_col=col,
+            )
+            drift["ivf"] = {
+                "batch": r.get("batch_cos"),
+                "baseline": r.get("baseline_cos"),
+                "retrain_recommended": r.get("retrain_recommended"),
+                "appended": r.get("appended"),
+            }
+        if kind in ("pq", "ivfpq"):
+            r = S.pq_index_append(
+                batch,
+                path if kind == "pq" else os.path.join(path, "pq"),
+                id_col=id_col,
+                vec_col=col,
+            )
+            drift["pq"] = {
+                "batch": r.get("batch_qerr"),
+                "baseline": r.get("baseline_qerr"),
+                "retrain_recommended": r.get("retrain_recommended"),
+                "appended": r.get("appended"),
+            }
+        info["drift"] = drift
+
+    def _maintain_vector_indexes(self, new_paths: list[str]) -> None:
+        """Append-triggered maintenance, BEFORE the main commit (the
+        scalar `_maintain_indexes` discipline: a crash in between
+        leaves extra index entries — a candidate superset — never
+        missing ones).  An id re-appearing in an upsert append keeps
+        both its entries; candidates stay a superset and the exact
+        rerank orders live vectors correctly, while DESCRIBE shows the
+        table as merge-pending.  Folds/rewrites mark the registration
+        STALE instead (update_regions), REINDEX rebuilds."""
+        if not self.meta.vector_indexes or not new_paths:
+            return
+        for col, info in list(self.meta.vector_indexes.items()):
+            try:
+                self._append_vector_index(col, info, new_paths)
+            except Exception as ex:
+                # never block the write path: a failed maintenance
+                # append marks the index stale (REINDEX repairs)
+                info["stale"] = True
+                info["drift"] = {"error": str(ex)[:200]}
+
+    def reindex_vector(self) -> int:
+        """Rebuild every registered vector index from the RESOLVED
+        current table (REINDEX TABLE cascades here): quantizers retrain
+        per the stored options, staleness and drift reset."""
+        n = 0
+        for col, info in list(self.meta.vector_indexes.items()):
+            self._build_vector_index(col, info["kind"], info.get("options") or {})
+            n += 1
+        if not n:
+            return 0
+
+        def commit():
+            for col, info in self.meta.vector_indexes.items():
+                info["stale"] = False
+                info["drift"] = None
+                info["built_gen"] = max(
+                    (r.seq for r in self.meta.regions), default=0
+                )
+            self.catalog.persist(self.meta)
+
+        self._commit_retry(commit)
+        return n
+
+    def vector_topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        col: str | None = None,
+        nprobe: int = 4,
+        rerank: int = 0,
+        qid_col: str = "query_id",
+    ) -> DataFrame:
+        """ANN top-k THROUGH the registered vector index — the query
+        surface the DDL registration exists for.  Dispatches on the
+        registered kind: IVF probes nprobe inverted lists (partition
+        directories statically pruned), PQ scans the stored codes via a
+        broadcast ADC LUT, IVFPQ composes both.  A STALE registration
+        (post-fold, un-REINDEXed) raises rather than silently serving
+        vectors the table no longer holds."""
+        from spark_sql_on_hbase_spark.operators import similarity as S
+
+        meta = self.meta
+        if col is None:
+            if len(meta.vector_indexes) != 1:
+                raise ValueError(
+                    f"table has {len(meta.vector_indexes)} vector indexes — "
+                    "name the column"
+                )
+            col = next(iter(meta.vector_indexes))
+        info = meta.vector_indexes.get(col)
+        if info is None:
+            raise ValueError(f"no vector index on {col!r}")
+        if info.get("stale"):
+            raise ValueError(
+                f"vector index on {col!r} is STALE (a fold/rewrite dropped "
+                "fragments it lists) — run REINDEX TABLE first"
+            )
+        id_col = self._vector_id_col()
+        corpus = self._vector_corpus(col)
+        kind, path = info["kind"], info["path"]
+        if kind == "ivf":
+            return S.ivf_topk(
+                corpus,
+                queries,
+                k=k,
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=col,
+                qid_col=qid_col,
+                index=S.ivf_load_index(self.spark, path),
+            )
+        if kind == "pq":
+            return S.ann_pq_topk_indexed(
+                self.spark,
+                path,
+                queries,
+                k=k,
+                rerank=rerank,
+                corpus=corpus if rerank else None,
+                id_col=id_col,
+                vec_col=col,
+                qid_col=qid_col,
+            )
+        return S.ann_ivfpq_topk_indexed(
+            self.spark,
+            path,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            rerank=rerank,
+            corpus=corpus if rerank else None,
+            id_col=id_col,
+            vec_col=col,
+            qid_col=qid_col,
+        )
+
     def _maintain_indexes(self, new_paths: list[str]) -> None:
         """Append (value, key) entries for freshly-discovered fragments
         to every index — runs BEFORE the main-table commit, so a crash
@@ -2872,6 +3181,13 @@ class AstroRelation:
                 r.path for r in regions if os.path.basename(r.path) not in prev
             ]
             self._maintain_indexes(fresh)
+        if meta.vector_indexes and maintain_indexes:
+            prev_v = {os.path.basename(r.path) for r in meta.regions}
+            prev_v |= {os.path.basename(r.path) for r in meta.retired_regions}
+            fresh_v = [
+                r.path for r in regions if os.path.basename(r.path) not in prev_v
+            ]
+            self._maintain_vector_indexes(fresh_v)
         self.catalog.update_regions(
             meta, regions, restamp=restamp, drops_live=drops_live
         )
@@ -2922,6 +3238,15 @@ class AstroRelation:
         """LOAD DATA INPATH: CSV fields map to declared columns by ordinal;
         empty field ⇒ NULL (HadoopReader.scala:40-56 semantics); PARALL vs
         serial disappears — the range shuffle is always parallel."""
+        vec_cols = [
+            n for n, dt in self.meta.all_columns
+            if C.normalize_type(dt) in C.VECTOR_TYPES
+        ]
+        if vec_cols:
+            raise ValueError(
+                f"LOAD DATA cannot populate vector columns {vec_cols} from "
+                "CSV — use INSERT ... SELECT or the write() API"
+            )
         schema = T.StructType([T.StructField(n, T.StringType(), True) for n, _ in self.meta.all_columns])
         raw = self.spark.read.csv(path, sep=delimiter, schema=schema, nullValue="")
 
