@@ -17,6 +17,8 @@ from spark_sql_on_hbase_spark.streaming.events import (
     tumbling_window_agg,
 )
 from spark_sql_on_hbase_spark.streaming.changes_source import (
+    changes_exactly_once_sink,
+    ensure_changes_sink,
     init_offset,
     load_offset,
     stream_changes,
@@ -25,7 +27,9 @@ from spark_sql_on_hbase_spark.streaming.sessions import sessionize_stateful
 from spark_sql_on_hbase_spark.streaming.sink import write_stream_to_table
 
 __all__ = [
+    "changes_exactly_once_sink",
     "dedup_within_watermark",
+    "ensure_changes_sink",
     "init_offset",
     "load_offset",
     "stream_changes",
