@@ -552,11 +552,14 @@ class AstroCatalog:
             # served index-only until a REINDEX attests them
             index_info={
                 k: {
+                    # r15: composite column list (pre-r15 → [lead])
+                    "cols": list(v.get("cols", [])) or [k],
                     "include": list(v.get("include", [])),
                     "clean": bool(v.get("clean", False)),
                     # pre-r14 indexes read as not merge-exact — never
                     # served index-only under merge until REINDEX
                     "merge_exact": bool(v.get("merge_exact", False)),
+                    "deep_unindexed": bool(v.get("deep_unindexed", False)),
                 }
                 for k, v in raw.get("index_info", {}).items()
             },

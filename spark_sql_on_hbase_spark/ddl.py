@@ -225,6 +225,10 @@ class CreateIndex:
     namespace: str = "default"
     if_not_exists: bool = False
     include: tuple = ()
+    # r15 composite (VERDICT r14 #8): the FULL indexed column list —
+    # (col,) for single-column indexes; ``col`` stays the leading
+    # column (the registration key)
+    cols: tuple = ()
 
 
 @dataclass
@@ -771,7 +775,7 @@ def parse(sql: str) -> Command:
         return DropVectorIndex(table=t, col=im.group("col"), namespace=ns)
     im = re.match(
         r"^\s*CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?ON\s+(?P<name>[\w.`]+)"
-        r"\s*\(\s*(?P<col>\w+)\s*\)"
+        r"\s*\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)"
         r"(?:\s+INCLUDE\s*\(\s*(?P<inc>\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*$",
         s,
         re.IGNORECASE,
@@ -781,8 +785,9 @@ def parse(sql: str) -> Command:
         inc = tuple(
             c.strip() for c in (im.group("inc") or "").split(",") if c.strip()
         )
+        cols = tuple(c.strip() for c in im.group("cols").split(",") if c.strip())
         return CreateIndex(
-            table=t, col=im.group("col"), namespace=ns,
+            table=t, col=cols[0], cols=cols, namespace=ns,
             if_not_exists=bool(im.group("ine")), include=inc,
         )
     im = re.match(

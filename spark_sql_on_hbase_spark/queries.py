@@ -131,6 +131,9 @@ TAIL_ORDER = [
     # r15: covering-index PLANNER integration — a plain hql() SELECT
     # routes index-only through covering_plan (VERDICT r14 #6)
     "astro_covering_sql",
+    # r15: composite (a, b) secondary index — route engages with deeper
+    # pruning, b-only declines with a reason (VERDICT r14 #8)
+    "astro_index_composite",
     # r15: catalog-managed vector index (VERDICT r14 #2) — CREATE
     # VECTOR INDEX USING IVF, append-triggered maintenance with drift
     # guards, exact values through the registered index (full probe)

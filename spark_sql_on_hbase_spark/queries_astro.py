@@ -716,6 +716,105 @@ ASTRO["astro_index_range"] = Q(
 )
 
 
+def _ensure_composite_index_table(spark: SparkSession, sf_dir: str):
+    """r15 composite-index lifecycle (VERDICT r14 #8): orders loaded,
+    CREATE INDEX ON t (o_custkey, o_orderstatus) — the index table is
+    keyed (o_custkey, o_orderstatus, o_orderkey, _g)."""
+    from spark_sql_on_hbase_spark.session import AstroSession
+    from spark_sql_on_hbase_spark.tables import load_tables
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_cidx_v1"
+    astro = AstroSession(spark, os.path.join(_WAREHOUSE, tag))
+    done = os.path.join(_WAREHOUSE, tag, ".cidx_done")
+    if not os.path.exists(done):
+        load_tables(spark, sf_dir)
+        astro.sql(
+            "CREATE TABLE IF NOT EXISTS astro_cidx (o_orderkey LONG, "
+            "o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, "
+            "PRIMARY KEY (o_orderkey)) "
+            "MAPPED BY (h_cidx, COLS=[o_custkey=f.ck, o_orderstatus=f.st, "
+            "o_totalprice=f.tp]) OPTIONS (regions=8)"
+        )
+        astro.sql(
+            "INSERT INTO astro_cidx SELECT o_orderkey, o_custkey, "
+            "o_orderstatus, o_totalprice FROM orders"
+        )
+        astro.sql("CREATE INDEX ON astro_cidx (o_custkey, o_orderstatus)")
+        # an append through the maintenance path (composite source frame)
+        astro.sql(
+            "INSERT INTO astro_cidx SELECT o_orderkey + 10000000, o_custkey, "
+            "o_orderstatus, o_totalprice FROM orders "
+            "WHERE o_custkey = 42 AND o_orderkey < 1000"
+        )
+        with open(done, "w") as f:
+            f.write("1")
+    return astro
+
+
+def _composite_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (a, b) conjuncts route through the two-column index;
+    a b-only lookup is DECLINED with a recorded reason.  The probe row
+    grades the engaged route (index_used + mode + fewer candidates than
+    the leading column alone) and the decline (index_declined naming
+    the non-leading column)."""
+    astro = _ensure_composite_index_table(spark, sf_dir)
+    rel = astro.relation("astro_cidx")
+    df, res = rel.scan_where("o_custkey = 42 AND o_orderstatus = 'O'")
+    _df_lead, res_lead = rel.scan_where("o_custkey = 42")
+    _df_b, res_b = rel.scan_where("o_orderstatus = 'F'")
+    ok = (
+        res.index_used == "o_custkey"
+        and res.index_mode in ("augment", "semijoin")
+        and rel.meta.index_info["o_custkey"]["cols"]
+        == ["o_custkey", "o_orderstatus"]
+        and res.index_candidates is not None
+        and res_lead.index_candidates is not None
+        and res.index_candidates < res_lead.index_candidates
+        and res_b.index_used is None
+        and "non-leading" in (res_b.index_declined or "")
+    )
+    out = df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    probe = local_rows_df(
+        spark,
+        [(-16, -1, "probe", 1.0 if ok else 0.0)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "totalprice double",
+    )
+    return out.unionAll(probe)
+
+
+ASTRO["astro_index_composite"] = Q(
+    spark=_composite_index_frame,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_custkey = 42 AND o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+           round(o_totalprice, 2)
+    FROM orders
+    WHERE o_custkey = 42 AND o_orderkey < 1000 AND o_orderstatus = 'O'
+    UNION ALL
+    SELECT -16, -1, 'probe', 1.0
+    """,
+    doc="r15 composite secondary index (VERDICT r14 #8 — Phoenix "
+    "multi-column parity): CREATE INDEX ON astro_cidx (o_custkey, "
+    "o_orderstatus) keys the index table (o_custkey, o_orderstatus, "
+    "o_orderkey, _g); (a, b) conjuncts route with the deeper conjunct "
+    "pruning the index scan's second rowkey dimension (probe grades "
+    "strictly fewer candidates than the leading column alone), and an "
+    "o_orderstatus-only lookup is declined with a recorded reason "
+    "(EXPLAIN SCAN shows it); rows unindexable through a deeper column "
+    "gate leading-only routes via the sticky deep_unindexed flag "
+    "(tests/test_composite_index.py)",
+)
+
+
 def _ensure_covering_table(spark: SparkSession, sf_dir: str):
     """Covering-index lifecycle (r13): orders loaded, CREATE INDEX ...
     INCLUDE (o_totalprice), then an APPEND — pure appends preserve the

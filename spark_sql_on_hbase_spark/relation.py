@@ -2170,26 +2170,69 @@ class AstroRelation:
             self.catalog, self.catalog.get_table(name, self.meta.namespace), self.spark
         )
 
+    def _index_cols(self, col: str) -> list[str]:
+        """The FULL indexed column list of the index registered under
+        leading column ``col`` (r15 composite indexes: index_info[lead]
+        carries "cols"; single-column registrations read [col])."""
+        return list(
+            self.meta.index_info.get(col, {}).get("cols", None) or [col]
+        )
+
     def _index_source_frame(
-        self, paths: list[str], col: str, include: list | None = None
+        self,
+        paths: list[str],
+        col: str,
+        include: list | None = None,
+        cols: list | None = None,
     ) -> DataFrame:
-        """(col, *main_keys, _g[, *include]) rows of the given fragments
-        — every version, unresolved (extra stale entries are allowed; a
-        missing live pair is not).  NULL values are unindexed (IS NULL
-        never routes through the index) and a string value containing
-        NUL is skipped (it cannot be a non-final rowkey component —
-        lookups for such values bypass the index).  Covered columns
-        (r13 INCLUDE) ride along as plain non-key columns."""
+        """(*cols, *main_keys, _g[, *include]) rows of the given
+        fragments — every version, unresolved (extra stale entries are
+        allowed; a missing live pair is not).  NULL values in ANY
+        indexed column are unindexed (IS NULL never routes through the
+        index; deeper-column NULLs additionally set the
+        ``deep_unindexed`` engagement gate — r15 composite), and a
+        string value containing NUL is skipped (it cannot be a
+        non-final rowkey component — lookups for such values bypass the
+        index).  Covered columns (r13 INCLUDE) ride along as plain
+        non-key columns."""
         if include is None:
             include = self.meta.index_info.get(col, {}).get("include", [])
+        if cols is None:
+            cols = self._index_cols(col)
         raw = self._read_fragments(*paths)
         df = raw.select(
-            col, *self.meta.key_names, F.col(SEQ_COL).alias("_g"), *include
+            *cols, *self.meta.key_names, F.col(SEQ_COL).alias("_g"), *include
         )
-        df = df.filter(F.col(col).isNotNull())
-        if C.normalize_type(self.meta.column_type(col)) == C.STRING:
-            df = df.filter(~F.col(col).contains("\x00"))
+        for c in cols:
+            df = df.filter(F.col(c).isNotNull())
+            if C.normalize_type(self.meta.column_type(c)) == C.STRING:
+                df = df.filter(~F.col(c).contains("\x00"))
         return df
+
+    def _index_deep_unindexed(self, paths: list[str], cols: list) -> bool:
+        """True when some row is UNINDEXABLE through a DEEPER column
+        (NULL, or a NUL-carrying string) while its LEADING column is
+        indexable (r15 composite): such rows are absent from the index
+        although a leading-column-only lookup could match them, so
+        engagement then requires a null-rejecting servable conjunct on
+        every deeper column.  One pushdown-friendly existence probe per
+        build/append batch; False trivially for single-column
+        indexes."""
+        deeper = cols[1:]
+        if not deeper or not paths:
+            return False
+        lead = cols[0]
+        raw = self._read_fragments(*paths)
+        bad = F.lit(False)
+        for c in deeper:
+            miss = F.col(c).isNull()
+            if C.normalize_type(self.meta.column_type(c)) == C.STRING:
+                miss = miss | F.col(c).contains("\x00")
+            bad = bad | miss
+        lead_ok = F.col(lead).isNotNull()
+        if C.normalize_type(self.meta.column_type(lead)) == C.STRING:
+            lead_ok = lead_ok & ~F.col(lead).contains("\x00")
+        return raw.filter(lead_ok & bad).limit(1).count() > 0
 
     def _index_merge_exact(self, paths: list[str], col: str, include) -> bool:
         """True when per-column newest-non-null resolution over the
@@ -2209,38 +2252,81 @@ class AstroRelation:
         skipped entirely (True) for non-string columns with no INCLUDE
         list, where the condition is unviolable."""
         include = list(include or ())
-        is_str = C.normalize_type(self.meta.column_type(col)) == C.STRING
-        if (not is_str and not include) or not paths:
+        cols = self._index_cols(col)
+        str_cols = [
+            c
+            for c in cols
+            if C.normalize_type(self.meta.column_type(c)) == C.STRING
+        ]
+        multi = len(cols) > 1
+        if (not str_cols and not include and not multi) or not paths:
             return True
         raw = self._read_fragments(*paths)
-        bad = F.lit(False)
-        if is_str:
-            bad = F.col(col).contains("\x00")
-        if include:
-            inc_nn = F.lit(False)
-            for c in include:
-                inc_nn = inc_nn | F.col(c).isNotNull()
-            bad = bad | (F.col(col).isNull() & inc_nn)
+        # a row the entry stream DROPS (any indexed col NULL / NUL
+        # string) is exactness-breaking iff it carries shadowing or
+        # covered information: some indexed col non-null (shadows that
+        # cell) or some INCLUDE col non-null (covered cell only in the
+        # main table).  For the single-col no-include numeric case this
+        # is unviolable (the guard above).
+        dropped = F.lit(False)
+        for c in cols:
+            miss = F.col(c).isNull()
+            if c in str_cols:
+                miss = miss | F.col(c).contains("\x00")
+            dropped = dropped | miss
+        carries = F.lit(False)
+        for c in cols:
+            nn = F.col(c).isNotNull()
+            if c in str_cols:
+                nn = nn & ~F.col(c).contains("\x00")
+            carries = carries | nn
+        for c in include:
+            carries = carries | F.col(c).isNotNull()
+        # NUL-carrying strings are NON-null: they always shadow
+        nul_shadow = F.lit(False)
+        for c in str_cols:
+            nul_shadow = nul_shadow | F.col(c).contains("\x00")
+        bad = nul_shadow | (dropped & carries)
         return raw.filter(bad).limit(1).count() == 0
 
     def create_index(
-        self, col: str, if_not_exists: bool = False, include: tuple = ()
+        self,
+        col: str | tuple | list,
+        if_not_exists: bool = False,
+        include: tuple = (),
     ) -> str:
+        """``col`` may be a single column or a COMPOSITE column list
+        (r15, VERDICT r14 #8 — Phoenix multi-column-index parity): the
+        index table is keyed (*cols, *main_keys, _g), registered under
+        its LEADING column; deeper conjuncts prune the index scan
+        through the ordinary multi-dim CPR machinery, and engagement on
+        leading-only predicates is gated by ``deep_unindexed`` (rows
+        with NULL/NUL in a deeper column are absent from the index)."""
         meta = self.meta
+        cols = [col] if isinstance(col, str) else [c for c in col]
+        if not cols:
+            raise ValueError("index needs at least one column")
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"duplicate index columns: {cols}")
+        col = cols[0]  # registration key = the leading column
         if meta.encoding == STRING_FORMAT:
             raise ValueError("secondary indexes require a binaryformat table")
-        if col in meta.key_names:
-            raise ValueError(f"{col!r} is a key column — already prunable")
+        for c in cols:
+            if c in meta.key_names:
+                raise ValueError(f"{c!r} is a key column — already prunable")
+            dt_c = C.normalize_type(meta.column_type(c))  # raises on unknown
+            if dt_c not in C.FIXED_WIDTH and dt_c != C.STRING:
+                raise ValueError(f"column type {dt_c!r} is not index-keyable")
         if col in meta.indexes:
             if if_not_exists:
                 return meta.indexes[col]
-            raise ValueError(f"index on {col!r} already exists")
-        dt = C.normalize_type(meta.column_type(col))  # raises on unknown col
-        if dt not in C.FIXED_WIDTH and dt != C.STRING:
-            raise ValueError(f"column type {dt!r} is not index-keyable")
+            raise ValueError(
+                f"index leading on {col!r} already exists "
+                f"(one index per leading column)"
+            )
         include = [c for c in include]
         for c in include:
-            if c in meta.key_names or c == col:
+            if c in meta.key_names or c in cols:
                 raise ValueError(
                     f"INCLUDE column {c!r} is already part of the index key"
                 )
@@ -2275,18 +2361,21 @@ class AstroRelation:
             name=name,
             namespace=meta.namespace,
             physical_table=f"idx_{meta.physical_table}_{col}",
-            key_columns=[KeyColumn(col, dt, 0)]
+            key_columns=[
+                KeyColumn(c, C.normalize_type(meta.column_type(c)), i)
+                for i, c in enumerate(cols)
+            ]
             + [
-                KeyColumn(k.name, k.dtype, k.order + 1)
+                KeyColumn(k.name, k.dtype, k.order + len(cols))
                 for k in sorted(meta.key_columns, key=lambda k: k.order)
             ]
-            + [KeyColumn("_g", "int", len(meta.key_columns) + 1)],
+            + [KeyColumn("_g", "int", len(meta.key_columns) + len(cols))],
             nonkey_columns=[
                 NonKeyColumn(c, meta.column_type(c), "f", f"i{j}")
                 for j, c in enumerate(include)
             ],
             num_regions=meta.num_regions,
-            declared_columns=[col] + meta.key_names + ["_g"] + include,
+            declared_columns=cols + meta.key_names + ["_g"] + include,
         )
         self.catalog.create_table(idx_meta, if_not_exists=if_not_exists)
         idx_rel = AstroRelation(self.catalog, idx_meta, self.spark)
@@ -2295,7 +2384,9 @@ class AstroRelation:
         # superset invariant has no "since index creation" carve-out
         paths = [r.path for r in meta.regions] + [r.path for r in meta.retired_regions]
         if paths:
-            idx_rel.write(self._index_source_frame(paths, col, include=include))
+            idx_rel.write(
+                self._index_source_frame(paths, col, include=include, cols=cols)
+            )
         # register AFTER the build commits: a reader that sees the index
         # in meta.indexes must find it complete (index-first ordering).
         # Lost-update window (ADVICE r12): a sibling session may commit
@@ -2315,7 +2406,8 @@ class AstroRelation:
             gap = [p for p in current if p not in built]
             if gap:
                 idx_rel.append(
-                    self._index_source_frame(gap, col, include=include), op="INDEX"
+                    self._index_source_frame(gap, col, include=include, cols=cols),
+                    op="INDEX",
                 )
                 built.update(gap)
             self.meta.indexes[col] = name
@@ -2326,16 +2418,21 @@ class AstroRelation:
             # between the build snapshot and this registration
             live = {r.path for r in self.meta.regions}
             self.meta.index_info[col] = {
+                "cols": list(cols),
                 "include": list(include),
                 "clean": not self.meta.retired_regions
                 and all(p in built for p in live)
                 and all(p in current for p in built),
-                # r14: merge-on-read exactness over everything indexed
-                # (free for non-string cols without INCLUDE)
-                "merge_exact": self._index_merge_exact(
-                    sorted(built), col, include
-                ),
             }
+            # r14: merge-on-read exactness over everything indexed
+            # (free for single non-string cols without INCLUDE); r15:
+            # deeper-column unindexable rows gate leading-only routes
+            self.meta.index_info[col]["merge_exact"] = self._index_merge_exact(
+                sorted(built), col, include
+            )
+            self.meta.index_info[col]["deep_unindexed"] = (
+                self._index_deep_unindexed(sorted(built), cols)
+            )
             self.catalog.persist(self.meta)
 
         self._commit_retry(commit)
@@ -2679,6 +2776,12 @@ class AstroRelation:
                     new_paths, col, info.get("include", [])
                 ):
                     info["merge_exact"] = False
+            # r15 composite: a batch row unindexable through a DEEPER
+            # column gates leading-only engagement — sticky until
+            # REINDEX re-attests (same discipline as merge_exact)
+            if info is not None and not info.get("deep_unindexed"):
+                if self._index_deep_unindexed(new_paths, self._index_cols(col)):
+                    info["deep_unindexed"] = True
             # bound index fragment growth (one fragment per main append
             # otherwise — unbounded under trickle/streaming ingest):
             # same 4×regions amortized-compaction policy as the
@@ -2737,6 +2840,9 @@ class AstroRelation:
                     )
                     info["merge_exact"] = self._index_merge_exact(
                         sorted(indexed), col, info.get("include", [])
+                    )
+                    info["deep_unindexed"] = self._index_deep_unindexed(
+                        sorted(indexed), self._index_cols(col)
                     )
             built.update(gap)
             self.catalog.persist(self.meta)
@@ -2798,9 +2904,15 @@ class AstroRelation:
 
         flatten(pred)
         _RANGE_OPS = ("<", "<=", ">", ">=")
+        # r15 composite: DEEPER columns of a composite index are
+        # servable too (their conjuncts prune the index scan's deeper
+        # rowkey dims and satisfy the deep_unindexed engagement gate)
+        indexed_cols = set(self.meta.indexes)
+        for lead in self.meta.indexes:
+            indexed_cols.update(self._index_cols(lead))
         by_col: dict[str, list] = {}
         for c in conjuncts:
-            if isinstance(c, Comparison) and c.col in self.meta.indexes:
+            if isinstance(c, Comparison) and c.col in indexed_cols:
                 is_str = (
                     C.normalize_type(self.meta.column_type(c.col)) == C.STRING
                 )
@@ -2812,7 +2924,7 @@ class AstroRelation:
                 elif c.op in _RANGE_OPS and not is_str:
                     if c.value is not None:
                         by_col.setdefault(c.col, []).append(c)
-            elif isinstance(c, InList) and c.col in self.meta.indexes:
+            elif isinstance(c, InList) and c.col in indexed_cols:
                 if any(isinstance(v, str) and "\x00" in v for v in c.values):
                     return None
                 vals = tuple(v for v in c.values if v is not None)
@@ -2902,12 +3014,53 @@ class AstroRelation:
                 2 if (isinstance(c, InList) or c.op == "=") else 1 for c in cs
             )
 
-        col = max(by_col, key=lambda c: (_score(by_col[c]), c))
+        leads = [c for c in by_col if c in self.meta.indexes]
+        if not leads:
+            # r15: servable conjuncts exist only on NON-leading columns
+            # of composite indexes — an index keyed (a, b, ...) cannot
+            # serve a b-only lookup (the b values scatter across the
+            # whole index key space); recorded so EXPLAIN SCAN shows
+            # the deliberate decline
+            named = sorted(by_col)
+            owners = {
+                c: lead
+                for lead in self.meta.indexes
+                for c in self._index_cols(lead)[1:]
+            }
+            which = ", ".join(
+                f"{c} (non-leading in composite index "
+                f"({', '.join(self._index_cols(owners[c]))}))"
+                for c in named
+                if c in owners
+            )
+            return {"kind": "none", "reason": which or None} if which else None
+        col = max(leads, key=lambda c: (_score(by_col[c]), c))
+        info = self.meta.index_info.get(col, {})
+        idx_cols = self._index_cols(col)
+        deeper = idx_cols[1:]
+        if deeper and info.get("deep_unindexed"):
+            missing = [d for d in deeper if d not in by_col]
+            if missing:
+                # rows with NULL/NUL in a deeper column are absent from
+                # the index, so a route without null-rejecting conjuncts
+                # on EVERY deeper column could miss matching keys
+                return {
+                    "kind": "none",
+                    "reason": (
+                        f"composite index ({', '.join(idx_cols)}) has rows "
+                        f"unindexable through {missing} (NULL/NUL) — needs "
+                        "null-rejecting conjuncts on every deeper column, "
+                        "or REINDEX after cleaning"
+                    ),
+                }
         try:
             idx_rel = self._index_relation(col)
         except KeyError:
             return None  # stale meta.indexes entry
-        probe_sql = " AND ".join(render(c) for c in by_col[col])
+        probe_conjuncts = list(by_col[col])
+        for d in deeper:
+            probe_conjuncts.extend(by_col.get(d, ()))
+        probe_sql = " AND ".join(render(c) for c in probe_conjuncts)
         cap = self.INDEX_LOOKUP_CAP
         try:
             idx_df, _ = idx_rel.scan_where(probe_sql)
@@ -3894,8 +4047,18 @@ class AstroRelation:
             # column — rows the index omits then provably can't match
             servable = self._servable_index_conjuncts(where) or {}
             for col, info in meta.index_info.items():
-                covered = {col} | keys | set(info.get("include", []))
+                idx_cols = self._index_cols(col)
+                covered = set(idx_cols) | keys | set(info.get("include", []))
                 if not info.get("clean") or col not in servable:
+                    continue
+                # r15 composite: rows unindexable through a deeper
+                # column are ABSENT from the index — an index-only read
+                # then needs a null-rejecting servable conjunct on
+                # every deeper column (the same class of guarantee the
+                # leading-column conjunct provides)
+                if info.get("deep_unindexed") and any(
+                    d not in servable for d in idx_cols[1:]
+                ):
                     continue
                 # r14 (VERDICT r13 #2): pending upserts no longer kill
                 # the index-only path — when the index is merge-exact,
@@ -3950,7 +4113,11 @@ class AstroRelation:
 
         keys = list(self.meta.key_names)
         include = list(info.get("include", []))
-        probe_sql = " AND ".join(render(c) for c in servable[col])
+        idx_cols = self._index_cols(col)
+        probe_conjuncts = list(servable[col])
+        for d in idx_cols[1:]:
+            probe_conjuncts.extend(servable.get(d, ()))
+        probe_sql = " AND ".join(render(c) for c in probe_conjuncts)
         cand_df, cres = idx_rel.scan_where(probe_sql)
         cand = cand_df.select(*keys).distinct()
         # RAW index fragments, not idx_rel.scan(): the index table's own
@@ -3961,7 +4128,7 @@ class AstroRelation:
         idx_regions = list(idx_rel.meta.regions)
         total_idx = len(idx_regions)
         if not idx_regions:  # empty index (⇒ empty/unindexed-value table)
-            df = idx_rel.scan().select(*keys, col, *include).limit(0)
+            df = idx_rel.scan().select(*keys, *idx_cols, *include).limit(0)
             res = PruneResult(
                 files=[], total=0, predicate=cres.predicate,
                 key_pushed=cres.key_pushed, residual=cres.residual,
@@ -3985,7 +4152,7 @@ class AstroRelation:
             aggs.append(F.max(F.col(k)).alias(f"__hi_{k}"))
         b = cand.agg(*aggs).collect()[0]
         if b[f"__lo_{keys[0]}"] is None:  # no candidates → empty result
-            df = idx_rel.scan().select(*keys, col, *include).limit(0)
+            df = idx_rel.scan().select(*keys, *idx_cols, *include).limit(0)
             res = PruneResult(
                 files=[], total=total_idx, predicate=cres.predicate,
                 key_pushed=cres.key_pushed, residual=cres.residual,
@@ -4023,7 +4190,7 @@ class AstroRelation:
             ).alias(c)
 
         resolved = entries.groupBy(*keys).agg(
-            newest(col), *[newest(c) for c in include]
+            *[newest(c) for c in idx_cols], *[newest(c) for c in include]
         )
         df = resolved.filter(F.expr(where))
         res = PruneResult(

@@ -238,11 +238,14 @@ class AstroSession:
     def _exec_CreateIndex(self, c: ddl.CreateIndex) -> DataFrame:
         rel = self.relation(c.table, c.namespace)
         rel._ensure_fresh_regions()
+        cols = c.cols or (c.col,)
         name = rel.create_index(
-            c.col, if_not_exists=c.if_not_exists, include=c.include
+            cols, if_not_exists=c.if_not_exists, include=c.include
         )
         inc = f" INCLUDE ({', '.join(c.include)})" if c.include else ""
-        return self._ok(f"created index {name} on {c.table}({c.col}){inc}")
+        return self._ok(
+            f"created index {name} on {c.table}({', '.join(cols)}){inc}"
+        )
 
     def _exec_DropIndex(self, c: ddl.DropIndex) -> DataFrame:
         rel = self.relation(c.table, c.namespace)

@@ -48,11 +48,10 @@ def _is_index_only(df):
 
 def test_covering_scan_is_index_only(astro):
     rel = astro.relation("cov")
-    assert rel.meta.index_info["status"] == {
-        "include": ["amt"],
-        "clean": True,
-        "merge_exact": True,
-    }
+    info = rel.meta.index_info["status"]
+    assert info["include"] == ["amt"]
+    assert info["clean"] is True and info["merge_exact"] is True
+    assert info["cols"] == ["status"] and info["deep_unindexed"] is False
     df, res = rel.scan_covering("status = 'E'", ["k1", "status", "amt"])
     assert res.index_mode == "covering" and res.index_used == "status"
     assert _is_index_only(df), df.inputFiles()
