@@ -1,6 +1,6 @@
 """Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-The FINAL stdout line is the compact parseable contract (≤ ~1.5 KiB —
+The FINAL stdout line is the compact parseable contract (≤ 1.9 KiB —
 the caller captures only a ~2 KiB tail):
   {"metric": "...", "value": <SPIN-NORMALIZED task sec>, "unit":
    "task_sec_norm", "wall_sec": <total wall sec>, "task_time_sec":
@@ -224,7 +224,7 @@ def main() -> None:
     # full evidence → side file (+ its own stdout line, which may be
     # truncated by the caller's capture window — the side file is the
     # durable copy).  The FINAL stdout line is the compact parseable
-    # contract and must stay ≤ ~1.5 KiB: r4's enlarged single line
+    # contract and must stay ≤ 1.9 KiB: r4's enlarged single line
     # overflowed the driver's ~2 KiB tail capture and the round's
     # official bench artifact recorded nothing (VERDICT r4 #1).
     # PRIMARY regression signal: summed executor task time of each

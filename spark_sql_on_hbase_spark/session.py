@@ -590,16 +590,24 @@ class AstroSession:
                 f"column {c.col!r} is indexed — DROP INDEX ON "
                 f"{c.table} ({c.col}) first"
             )
-        # r13: covered columns are physically stored in the index table
+        # r13: covered columns are physically stored in the index table;
+        # r15: so are the deeper columns of a composite key
         owners = [
             icol
             for icol, info in rel.meta.index_info.items()
             if c.col in info.get("include", [])
+            or c.col in (info.get("cols") or [])
         ]
         if owners:
             raise ValueError(
-                f"column {c.col!r} is INCLUDEd in the index on "
+                f"column {c.col!r} is part of the index on "
                 f"{owners[0]!r} — DROP INDEX ON {c.table} ({owners[0]}) first"
+            )
+        # r15: vector-indexed columns cascade the same way
+        if c.col in rel.meta.vector_indexes:
+            raise ValueError(
+                f"column {c.col!r} has a vector index — DROP VECTOR INDEX "
+                f"ON {c.table} ({c.col}) first"
             )
         rel._ensure_fresh_regions()
         rel._commit_retry(

@@ -162,3 +162,21 @@ def test_one_index_per_leading_column(astro):
     df, res = rel.scan_where("b = 6")
     assert res.index_used == "b"
     assert sorted(r.k for r in df.collect()) == _expect(astro, "b = 6")
+
+
+def test_alter_drop_guards_deeper_and_vector_columns(astro, spark, tmp_path):
+    with pytest.raises(ValueError, match="part of the index"):
+        astro.sql("ALTER TABLE ci DROP b")  # deeper column of (a, b)
+    s = AstroSession(spark, str(tmp_path / "vg_wh"))
+    s.sql(
+        "CREATE TABLE vg (id LONG, emb ARRAY<DOUBLE>, PRIMARY KEY (id)) "
+        "MAPPED BY (vg_ht, COLS=[emb=f.e])"
+    )
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "id long, emb array<double>",
+    )
+    s.relation("vg").write(df)
+    s.sql("CREATE VECTOR INDEX ON vg (emb) USING IVF OPTIONS(ncentroids=4, trained=false)")
+    with pytest.raises(ValueError, match="vector index"):
+        s.sql("ALTER TABLE vg DROP emb")

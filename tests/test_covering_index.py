@@ -179,7 +179,7 @@ def test_opaque_predicate_falls_back(astro):
 
 
 def test_alter_drop_included_column_refused(astro):
-    with pytest.raises(ValueError, match="INCLUDEd in the index"):
+    with pytest.raises(ValueError, match="part of the index"):
         astro.sql("ALTER TABLE cov DROP amt")
 
 
