@@ -427,7 +427,11 @@ class AstroSession:
                 (
                     "indexes",
                     ", ".join(
-                        f"{c}->{n}"
+                        "("
+                        + ", ".join(
+                            meta.index_info.get(c, {}).get("cols") or [c]
+                        )
+                        + f")->{n}"
                         + (
                             " INCLUDE("
                             + ",".join(meta.index_info[c]["include"])

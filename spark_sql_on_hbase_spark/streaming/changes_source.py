@@ -43,13 +43,30 @@ def load_offset(checkpoint_path: str) -> int | None:
         return None
 
 
-def _commit_offset(checkpoint_path: str, seq: int) -> None:
+def _load_offset_stamp(checkpoint_path: str) -> float | None:
+    """The checkpointed generation's COMMIT STAMP (r15): generation
+    numbers alone are ambiguous across a rebasing rewrite (COMPACT /
+    OVERWRITE reset everything to generation 0 with floor 0 — a
+    checkpoint at gen 5 would silently stop draining, then later diff a
+    MEANINGLESS window once re-appends push past 5).  The stamp pins
+    which history the offset belongs to."""
+    try:
+        with open(checkpoint_path) as f:
+            v = json.load(f).get("stamp")
+            return float(v) if v is not None else None
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _commit_offset(
+    checkpoint_path: str, seq: int, stamp: float | None = None
+) -> None:
     d = os.path.dirname(checkpoint_path)
     if d:
         os.makedirs(d, exist_ok=True)
     tmp = checkpoint_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"last_seq": int(seq)}, f)
+        json.dump({"last_seq": int(seq), "stamp": stamp}, f)
     fsops.replace(tmp, checkpoint_path)  # single-object atomic commit
 
 
@@ -80,14 +97,36 @@ def stream_changes(
       :func:`init_offset`.
 
     Returns the number of batches processed."""
+    def _gen_stamp(seq: int) -> float | None:
+        return relation.meta.generation_times.get(str(seq))
+
     n_batches = 0
     while True:
         last = load_offset(checkpoint_path)
         if last is None:
             last = max(relation.meta.history_floor, 0)
-            _commit_offset(checkpoint_path, last)
+            _commit_offset(checkpoint_path, last, _gen_stamp(last))
         cur = relation.committed_seq()
         floor = relation.meta.history_floor
+        # r15 rebase guard: COMPACT/OVERWRITE rebuild everything at
+        # generation 0 (floor 0), so the floor check below cannot see
+        # that the checkpointed generation belongs to a DISCARDED
+        # numbering — the stamp does.  Without this, a consumer either
+        # silently stopped draining (last > cur) or, worse, diffed a
+        # meaningless window once re-appends pushed cur past last.
+        ckpt_stamp = _load_offset_stamp(checkpoint_path)
+        if last > 0 and ckpt_stamp is not None:
+            cur_stamp = _gen_stamp(last)
+            if cur_stamp is None or abs(cur_stamp - ckpt_stamp) > 1e-6:
+                raise ValueError(
+                    f"change-feed checkpoint {checkpoint_path!r} is at "
+                    f"generation {last} of a REBASED history: a "
+                    f"COMPACT/OVERWRITE of {relation.meta.name} re-stamped "
+                    "every generation, so the offset no longer identifies "
+                    "a snapshot.  Re-sync the sink from a full table "
+                    "snapshot and restart the consumer (init_offset, or "
+                    "delete the checkpoint)."
+                )
         if last < floor:
             # the checkpointed offset predates the floor (r12, VERDICT
             # r11 #8): an unbounded VACUUM / partial rewrite reclaimed
@@ -108,7 +147,7 @@ def stream_changes(
             hi = min(cur, last + batch_generations) if batch_generations else cur
             df = relation.changes(last, hi, drop_noop=drop_noop)
             process_batch(df, last, hi)
-            _commit_offset(checkpoint_path, hi)
+            _commit_offset(checkpoint_path, hi, _gen_stamp(hi))
             last = hi
             n_batches += 1
         if poll_interval is None:
@@ -204,5 +243,7 @@ def init_offset(relation: AstroRelation, checkpoint_path: str) -> int:
     """Start a consumer 'from now': commit the current generation so the
     first drain sees only future writes."""
     seq = relation.committed_seq()
-    _commit_offset(checkpoint_path, seq)
+    _commit_offset(
+        checkpoint_path, seq, relation.meta.generation_times.get(str(seq))
+    )
     return seq

@@ -186,7 +186,7 @@ def test_describe_extended_lists_indexes(astro):
     rows = astro.sql("DESCRIBE EXTENDED si").collect()
     kv = {r[0]: r[1] for r in rows}
     # r13: the listing also flags covering-readiness (index-only reads)
-    assert kv.get("indexes", "").startswith("status->si__idx_status")
+    assert kv.get("indexes", "").startswith("(status)->si__idx_status")
 
 
 def test_null_values_unindexed_but_correct(astro):

@@ -177,11 +177,11 @@ def test_exactly_once_sink_crash_replay_zero_duplicate_effects(
     real_commit = cs._commit_offset
     crashes = {"armed": True}
 
-    def crashing_commit(path, seq):
+    def crashing_commit(path, seq, stamp=None):
         if crashes["armed"] and seq > 0:
             crashes["armed"] = False  # crash once, after the sink write
             raise RuntimeError("crash before offset commit")
-        real_commit(path, seq)
+        real_commit(path, seq, stamp)
 
     monkeypatch.setattr(cs, "_commit_offset", crashing_commit)
     with pytest.raises(RuntimeError):
@@ -204,3 +204,43 @@ def test_exactly_once_sink_crash_replay_zero_duplicate_effects(
     # the crashed run DID write before dying (real at-least-once replay,
     # not a no-op): the journal table holds more than one generation
     assert astro.relation("eo2_journal").committed_seq() >= 1
+
+
+def test_rebase_after_compact_detected_not_silent(astro, tmp_path):
+    """r15: COMPACT rebases every generation to 0 with floor 0 — a
+    checkpoint from the old numbering must RAISE (stamp mismatch), not
+    silently stop draining or diff a meaningless window once re-appends
+    push past it."""
+    rel = _mk(astro, tmp_path, "rb1")
+    for i in range(3):
+        astro.sql(f"INSERT INTO rb1 VALUES ({500 + i}, 'g{i}')")
+    ckpt = str(tmp_path / "rb.json")
+    seen = []
+    stream_changes(rel, lambda df, lo, hi: seen.append((lo, hi)), ckpt)
+    assert load_offset(ckpt) == 3
+    astro.sql("COMPACT TABLE rb1")  # rebase: everything at generation 0
+    # push the new numbering PAST the checkpoint — the silent-wrong case
+    for i in range(4):
+        astro.sql(f"INSERT INTO rb1 VALUES ({600 + i}, 'h{i}')")
+    rel = astro.relation("rb1")
+    with pytest.raises(ValueError, match="REBASED"):
+        stream_changes(rel, lambda df, lo, hi: None, ckpt)
+    # remediation: re-init from now, consumer drains future writes again
+    init_offset(rel, ckpt)
+    astro.sql("INSERT INTO rb1 VALUES (700, 'after')")
+    got = []
+    stream_changes(rel, lambda df, lo, hi: got.append(df.count()), ckpt)
+    assert got == [1]
+
+
+def test_pre_r15_checkpoint_without_stamp_still_drains(astro, tmp_path):
+    import json as _json
+
+    rel = _mk(astro, tmp_path, "rb2")
+    astro.sql("INSERT INTO rb2 VALUES (500, 'x')")
+    ckpt = str(tmp_path / "old.json")
+    with open(ckpt, "w") as f:
+        _json.dump({"last_seq": 0}, f)  # legacy format, no stamp
+    got = []
+    stream_changes(rel, lambda df, lo, hi: got.append((lo, hi)), ckpt)
+    assert got == [(0, 1)]
