@@ -919,6 +919,15 @@ def ivf_index_append(
     sidecar, e.g. a pre-r7 index — appended with a warning)."""
     spark = batch.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
+    if cent.limit(1).count() == 0:
+        # index built from an empty corpus: assignment against zero
+        # centroids silently drops every batch row (r15 — the
+        # pq_index_append guard's IVF twin)
+        raise ValueError(
+            f"ivf index at {path!r} has no centroids (built from an "
+            "empty corpus) — rebuild with ivf_build_index on a "
+            "non-empty corpus before appending"
+        )
     assign = ivf_assign(batch, cent, id_col, vec_col, with_cos=True)
     assign.persist()
     try:
@@ -1020,9 +1029,13 @@ def ivf_topk(
         probe = local_rows_df(corpus.sparkSession, probe_rows, probe_schema)
         probed = sorted({c for _, c in probe_rows})
         assign = assign.filter(F.col("cluster_id").isin(probed))
+    # distinct: a PERSISTED assignment can hold several rows per id
+    # (incremental appends re-listing an upserted id, retried
+    # maintenance) — duplicate (query, id) pairs would rank the same
+    # neighbor twice and push a true top-k neighbor out (r15)
     cand = probe.join(assign, "cluster_id").select(
         qid_col, F.col(id_col).alias("neighbor_id")
-    )
+    ).distinct()
     scored = (
         cand.join(F.broadcast(q), qid_col)
         .join(
@@ -1575,7 +1588,10 @@ def ann_ivfpq_topk_indexed(
     probe = local_rows_df(spark, probe_rows, probe_schema)
     probed = sorted({c for _, c in probe_rows})
     assign = assign.filter(F.col("cluster_id").isin(probed))
-    cand = probe.join(assign, "cluster_id").select(qid_col, F.col(id_col))
+    # distinct: persisted assignments may re-list an upserted id (r15)
+    cand = (
+        probe.join(assign, "cluster_id").select(qid_col, F.col(id_col)).distinct()
+    )
     lut = _pq_lut(queries, cb, w, qid_col, vec_col)
     adc = (
         cand.join(codes, id_col)
@@ -1752,8 +1768,16 @@ def pq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     re-exploded to the (id, sub_id, code) shape ``ann_pq_topk`` joins."""
     cb = spark.read.parquet(f"{path}/codebooks")
     wide = spark.read.parquet(f"{path}/codes")
+    # one code row per vector id: incremental appends (or a retried
+    # maintenance batch) can re-list an id — duplicate (id, sub_id)
+    # rows would DOUBLE that id's summed ADC distance and silently
+    # rank the true nearest neighbor last (r15).  Arbitrary pick among
+    # versions: the ADC order is approximate for an upserted id until
+    # REINDEX (rerank with the live corpus stays exact).
+    id_cols = [c for c in wide.columns if c != "codes"]
+    wide = wide.dropDuplicates(id_cols)
     codes = wide.select(
-        *[c for c in wide.columns if c != "codes"],
+        *id_cols,
         F.posexplode("codes").alias("sub_id", "code"),
     )
     return cb, codes

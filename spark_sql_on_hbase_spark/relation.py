@@ -2497,11 +2497,16 @@ class AstroRelation:
         )
 
     def _build_vector_index(self, col: str, kind: str, options: dict) -> None:
+        import shutil
+
         from spark_sql_on_hbase_spark.operators import similarity as S
 
         id_col = self._vector_id_col()
         corpus = self._vector_corpus(col)
         path = self.vector_index_path(col)
+        # a full (re)build resets the incremental-batch history — stale
+        # markers must not suppress future appends
+        shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
         trained = bool(options.get("trained", True))
         if kind in ("ivf", "ivfpq"):
             S.ivf_build_index(
@@ -2593,7 +2598,25 @@ class AstroRelation:
         quantizers and append to the index (ivf_index_append /
         pq_index_append — the corpus is never re-encoded as it grows);
         the drift-guard verdicts land in the registration so DESCRIBE
-        EXTENDED surfaces quantizer decay."""
+        EXTENDED surfaces quantizer decay.
+
+        RETRY-IDEMPOTENT via a per-batch marker (r15 review): the
+        scalar index's "duplicates upsert-collapse" property does not
+        hold for parquet-append vector rows, and this runs inside a
+        CAS-retried commit closure — a conflict retry would append the
+        same batch twice.  The marker (content-addressed by the batch's
+        fragment basenames) makes re-runs no-ops; a crash between the
+        append and the marker leaves at most one duplicate batch, which
+        the serve paths' id-dedup tolerates and REINDEX clears."""
+        import hashlib
+
+        marker_key = hashlib.sha1(
+            "\n".join(sorted(os.path.basename(p) for p in new_paths)).encode()
+        ).hexdigest()[:16]
+        marker_dir = os.path.join(info["path"], "_batches")
+        marker = os.path.join(marker_dir, f"{marker_key}.done")
+        if os.path.exists(marker):
+            return
         from spark_sql_on_hbase_spark.operators import similarity as S
 
         id_col = self._vector_id_col()
@@ -2632,6 +2655,9 @@ class AstroRelation:
                 "appended": r.get("appended"),
             }
         info["drift"] = drift
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("1")
 
     def _maintain_vector_indexes(self, new_paths: list[str]) -> None:
         """Append-triggered maintenance, BEFORE the main commit (the
@@ -3034,29 +3060,46 @@ class AstroRelation:
                 if c in owners
             )
             return {"kind": "none", "reason": which or None} if which else None
-        col = max(leads, key=lambda c: (_score(by_col[c]), c))
-        info = self.meta.index_info.get(col, {})
+        # try leads best-first: one gated/stale index must not decline
+        # the whole route while another servable index remains (r15
+        # review — a composite lead's deep_unindexed gate previously
+        # returned "none" without consulting the other leads)
+        col = None
+        idx_rel = None
+        gate_reason = None
+        for cand_col in sorted(
+            leads, key=lambda c: (_score(by_col[c]), c), reverse=True
+        ):
+            cand_info = self.meta.index_info.get(cand_col, {})
+            cand_cols = self._index_cols(cand_col)
+            deeper_c = cand_cols[1:]
+            if deeper_c and cand_info.get("deep_unindexed"):
+                missing = [d for d in deeper_c if d not in by_col]
+                if missing:
+                    # rows with NULL/NUL in a deeper column are absent
+                    # from the index, so a route without null-rejecting
+                    # conjuncts on EVERY deeper column could miss keys
+                    gate_reason = (
+                        f"composite index ({', '.join(cand_cols)}) has "
+                        f"rows unindexable through {missing} (NULL/NUL) "
+                        "— needs null-rejecting conjuncts on every "
+                        "deeper column, or REINDEX after cleaning"
+                    )
+                    continue
+            try:
+                idx_rel = self._index_relation(cand_col)
+            except KeyError:
+                continue  # stale meta.indexes entry
+            col = cand_col
+            break
+        if col is None:
+            return (
+                {"kind": "none", "reason": gate_reason}
+                if gate_reason
+                else None
+            )
         idx_cols = self._index_cols(col)
         deeper = idx_cols[1:]
-        if deeper and info.get("deep_unindexed"):
-            missing = [d for d in deeper if d not in by_col]
-            if missing:
-                # rows with NULL/NUL in a deeper column are absent from
-                # the index, so a route without null-rejecting conjuncts
-                # on EVERY deeper column could miss matching keys
-                return {
-                    "kind": "none",
-                    "reason": (
-                        f"composite index ({', '.join(idx_cols)}) has rows "
-                        f"unindexable through {missing} (NULL/NUL) — needs "
-                        "null-rejecting conjuncts on every deeper column, "
-                        "or REINDEX after cleaning"
-                    ),
-                }
-        try:
-            idx_rel = self._index_relation(col)
-        except KeyError:
-            return None  # stale meta.indexes entry
         probe_conjuncts = list(by_col[col])
         for d in deeper:
             probe_conjuncts.extend(by_col.get(d, ()))
@@ -3334,7 +3377,16 @@ class AstroRelation:
                 r.path for r in regions if os.path.basename(r.path) not in prev
             ]
             self._maintain_indexes(fresh)
-        if meta.vector_indexes and maintain_indexes:
+        if (
+            meta.vector_indexes
+            and maintain_indexes
+            # a commit that drops/replaces live fragments marks every
+            # vector registration STALE (update_regions) — encoding the
+            # rewritten corpus into an index nothing will read until
+            # REINDEX is pure wasted work (r15 review)
+            and not drops_live
+            and restamp != "now"
+        ):
             prev_v = {os.path.basename(r.path) for r in meta.regions}
             prev_v |= {os.path.basename(r.path) for r in meta.retired_regions}
             fresh_v = [
@@ -4136,22 +4188,20 @@ class AstroRelation:
             )
             return df, res
         # Phase-2 fragment pruning (r15, VERDICT r14 #1): the candidate
-        # keys' per-dimension min/max — ONE tiny agg, O(#dims) scalars
-        # to the driver — intersected against each index fragment's
-        # per-dimension file box (recorded at write time since r8; the
-        # index table is itself an astro table, so this is row 4's
-        # pruning applied to phase 2).  Sound: every entry of candidate
-        # key k, under ANY col value, has main-key dims equal to k's,
-        # so a fragment whose box excludes the candidate bounds on any
-        # dim cannot hold an entry phase 2 needs.  Without this, a
-        # selective probe under trickle ingest read EVERY live index
-        # fragment (the one r14 `weak` mark).
-        aggs = []
-        for k in keys:
-            aggs.append(F.min(F.col(k)).alias(f"__lo_{k}"))
-            aggs.append(F.max(F.col(k)).alias(f"__hi_{k}"))
-        b = cand.agg(*aggs).collect()[0]
-        if b[f"__lo_{keys[0]}"] is None:  # no candidates → empty result
+        # keys' per-dimension bounds come from PURE METADATA — the
+        # union of the PHASE-1-SURVIVING index fragments' per-main-dim
+        # boxes (recorded at write time since r8; the index table is
+        # itself an astro table, so this is row 4's pruning applied to
+        # phase 2) — intersected against every live index fragment's
+        # box.  Sound: each candidate entry lives in a phase-1
+        # surviving fragment, whose box bounds its main-key dims; an
+        # entry of candidate key k under ANY col value has main-key
+        # dims equal to k's.  Metadata-only on purpose: an exact
+        # cand.agg() would RE-EXECUTE the phase-1 probe scan (r15
+        # review), paying the probe twice per query.  Without this
+        # pruning, a selective probe under trickle ingest read EVERY
+        # live index fragment (the one r14 `weak` mark).
+        if not cres.files:  # value pruning proved no candidate entries
             df = idx_rel.scan().select(*keys, *idx_cols, *include).limit(0)
             res = PruneResult(
                 files=[], total=total_idx, predicate=cres.predicate,
@@ -4159,15 +4209,36 @@ class AstroRelation:
                 index_merge=True,
             )
             return df, res
+        lo_b: dict = {k: None for k in keys}
+        hi_b: dict = {k: None for k in keys}
+        unbounded: dict = {k: False for k in keys}
+        for r in cres.files:
+            env = file_envelope(r, idx_rel.meta)
+            for k in keys:
+                if unbounded[k]:
+                    continue
+                iv = env.get(k)
+                if iv is None or iv.lo is None or iv.hi is None:
+                    unbounded[k] = True
+                    continue
+                try:
+                    if lo_b[k] is None or iv.lo < lo_b[k]:
+                        lo_b[k] = iv.lo
+                    if hi_b[k] is None or iv.hi > hi_b[k]:
+                        hi_b[k] = iv.hi
+                except TypeError:
+                    unbounded[k] = True
         survivors = []
         for r in idx_regions:
             env = file_envelope(r, idx_rel.meta)
             keep = True
             for k in keys:
+                if unbounded[k]:
+                    continue
                 iv = env.get(k)
                 if iv is None:
                     continue
-                lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+                lo, hi = lo_b[k], hi_b[k]
                 try:
                     if iv.lo is not None and hi is not None and hi < iv.lo:
                         keep = False

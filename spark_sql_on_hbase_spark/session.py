@@ -1585,6 +1585,20 @@ class AstroSession:
             return None  # not a catalog table (user temp view etc.)
         if not rel.meta.index_info:
             return None
+        # ownership guard (r15 review): a user may have REPLACED the
+        # registered temp view (createOrReplaceTempView with the same
+        # name) — spark.sql would then read the user's view, so routing
+        # to the catalog table's index would silently diverge.  Route
+        # only when the currently-registered view provably reads this
+        # table's physical store (its input files live under the
+        # table's directory); anything else passes through untouched.
+        try:
+            vfiles = self.spark.table(tbl).inputFiles()
+        except Exception:
+            return None
+        marker = f"/{rel.meta.physical_table}/"
+        if not vfiles or not all(marker in f for f in vfiles):
+            return None
         cols = [c.strip() for c in m.group("cols").split(",")]
         declared = {n for n, _ in rel.meta.all_columns}
         if not all(c in declared for c in cols):

@@ -180,3 +180,37 @@ def test_alter_drop_guards_deeper_and_vector_columns(astro, spark, tmp_path):
     s.sql("CREATE VECTOR INDEX ON vg (emb) USING IVF OPTIONS(ncentroids=4, trained=false)")
     with pytest.raises(ValueError, match="vector index"):
         s.sql("ALTER TABLE vg DROP emb")
+
+
+def test_gated_lead_falls_back_to_another_servable_index(spark, tmp_path):
+    """r15 review: one gated composite lead must not decline the whole
+    route while another servable index remains."""
+    s = AstroSession(spark, str(tmp_path / "fb_wh"))
+    s.sql(
+        "CREATE TABLE fb (k INT, d INT, e INT, c INT, PRIMARY KEY (k)) "
+        "MAPPED BY (fb_ht, COLS=[d=f.d, e=f.e, c=f.c]) OPTIONS (regions=4)"
+    )
+    csv = tmp_path / "fb.csv"
+    csv.write_text(
+        "".join(f"{k},{k % 5},{k % 3},{k % 11}\n" for k in range(200))
+    )
+    s.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE fb")
+    s.sql("CREATE INDEX ON fb (d, e)")  # 'd' sorts after 'c' → tried first
+    s.sql("CREATE INDEX ON fb (c)")
+    s.sql("INSERT INTO fb VALUES (900, 2, NULL, 3)")  # gates (d, e)
+    rel = s.relation("fb")
+    assert rel.meta.index_info["d"]["deep_unindexed"] is True
+    df, res = rel.scan_where("d = 2 AND c = 3")
+    assert res.index_used == "c"  # fell through the gated (d, e) lead
+    want = sorted(
+        r.k for r in s.spark.sql("SELECT k FROM fb WHERE d = 2 AND c = 3").collect()
+    )
+    got = sorted(r.k for r in df.collect())
+    assert got == want and 900 in got
+    # with NO other index, the gate still declines with its reason
+    s.sql("DROP INDEX ON fb (c)")
+    rel = s.relation("fb")
+    df, res = rel.scan_where("d = 2 AND c = 3")
+    assert res.index_used is None
+    assert res.index_declined and "unindexable" in res.index_declined
+    assert sorted(r.k for r in df.collect()) == want

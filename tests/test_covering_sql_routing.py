@@ -123,3 +123,25 @@ def test_string_literal_with_keywords_still_routes(astro):
     df = astro.sql("SELECT k1, amt FROM csr WHERE status = 'order by limit'")
     assert astro.last_select_route is not None
     assert [(r.k1, r.amt) for r in df.collect()] == [(900, 1)]
+
+
+def test_user_replaced_view_passes_through(astro):
+    """r15 review: a user shadowing the catalog table's temp view must
+    get spark.sql semantics — the router declines when the registered
+    view no longer reads this table's physical store."""
+    q = "SELECT k1, amt FROM csr WHERE status = 'E'"
+    routed = astro.sql(q)
+    assert astro.last_select_route is not None  # sanity: normally routes
+    astro.spark.createDataFrame(
+        [(1, 10, "E"), (2, 20, "F")], "k1 int, amt int, status string"
+    ).createOrReplaceTempView("csr")
+    df = astro.sql(q)
+    assert astro.last_select_route is None  # declined → passthrough
+    assert sorted((r.k1, r.amt) for r in df.collect()) == [(1, 10)]
+    # restoring the catalog view resumes routing
+    astro.relation("csr").register_view("csr")
+    df = astro.sql(q)
+    assert astro.last_select_route is not None
+    assert sorted((r.k1, r.amt) for r in df.collect()) == sorted(
+        (r.k1, r.amt) for r in routed.collect()
+    )
