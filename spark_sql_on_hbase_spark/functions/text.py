@@ -35,10 +35,14 @@ def null_safe_tokens(col) -> Column:
 def word_ngrams(tokens, n: int) -> Column:
     """Word n-gram shingles from a token array (space-joined).
 
-    Public helper for ad-hoc column expressions; the operators package
-    shingles via ``operators.dedup._shingles`` (compiled ML NGram) —
-    this HOF formulation evaluates interpreted per element and is ~10×
-    slower on corpus-sized inputs.
+    Formulated as ``transform(sequence, i -> concat(element_at…))`` —
+    O(1) element accesses per position instead of the old per-position
+    ``slice``+``array_join`` (which allocated an n-element array per
+    shingle and measured 5.2 task-s vs 0.7 on the sf0.1 bigram stream,
+    r15).  This is also faster than the ML ``NGram`` transformer (0.98
+    task-s) and, unlike the NGram UDF, stays inside whole-stage codegen
+    so the optimizer's filter pushdown can't triple-evaluate it
+    (guide §4.4); ``operators.dedup._shingles`` shingles through here.
     """
     tokens = F.col(tokens) if isinstance(tokens, str) else tokens
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
@@ -46,7 +50,9 @@ def word_ngrams(tokens, n: int) -> Column:
         F.size(tokens) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

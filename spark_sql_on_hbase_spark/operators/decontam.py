@@ -42,8 +42,7 @@ def ngram_hash_set(
     This is the benchmark-side index: one column ``gram_hash``, distinct,
     small enough to broadcast.
     """
-    # compiled-Scala NGram shingling (see dedup._shingles: the HOF
-    # formulation is interpreted per element and ~10x slower)
+    # native word_ngrams shingling (see dedup._shingles, r15)
     return (
         _shingles(_spread(docs), text_col, id_col, n, distinct=False)
         .select(hash60(F.col("s")).alias("gram_hash"))
@@ -71,22 +70,28 @@ def contamination_flags(
     """
     bench_idx = ngram_hash_set(benchmark, text_col=text_col, id_col=id_col, n=n)
 
-    # compiled NGram shingling + _spread (small inputs arrive as 1-2
-    # splits; see dedup._shingles/_spread); outer keeps gram-less docs
+    # native shingling + scale-adaptive _spread (see dedup._shingles/
+    # _spread); outer keeps gram-less docs
     grams = _shingles(
         _spread(corpus), text_col, id_col, n, distinct=False, outer=True
     ).select(id_col, hash60(F.col("s")).alias("gram_hash"))
     hits = grams.join(
         F.broadcast(bench_idx.withColumn("_hit", F.lit(1))), "gram_hash", "left"
     )
-    # countDistinct dedups repeated grams inside the aggregation itself
-    # (partial-distinct before the exchange) — a separate .distinct()
-    # would add a full extra shuffle of the exploded gram rows.
-    # explode_outer emits one NULL-gram row for gram-less docs; its hash
-    # is NULL, never matches, and countDistinct ignores it.
-    per_doc = hits.groupBy(id_col).agg(
-        F.countDistinct("gram_hash").alias("n_grams"),
-        F.countDistinct(F.when(F.col("_hit").isNotNull(), F.col("gram_hash"))).alias("n_hits"),
+    # two-level aggregation instead of two countDistincts (r15, guide
+    # §2.3): two distinct aggregates over variants of the same key made
+    # Catalyst Expand the gram stream ×2 before the exchange; grouping
+    # to distinct (doc, gram) pairs first ships each pair once (with
+    # map-side partial combine) and the per-doc counts reduce the tiny
+    # pair frame.  max(_hit) per pair equals the hit flag — _hit is a
+    # property of the hash, constant across its occurrences.
+    # explode_outer emits one NULL-gram row for gram-less docs; its
+    # hash is NULL, never matches, and count(col) ignores it exactly
+    # like countDistinct did.
+    per_pair = hits.groupBy(id_col, "gram_hash").agg(F.max("_hit").alias("_hit"))
+    per_doc = per_pair.groupBy(id_col).agg(
+        F.count("gram_hash").alias("n_grams"),
+        F.count(F.when(F.col("_hit").isNotNull(), F.lit(1))).alias("n_hits"),
     )
     ratio = F.when(
         F.col("n_grams") > 0,

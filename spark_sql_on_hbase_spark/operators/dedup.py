@@ -37,7 +37,17 @@ def _spread(df: DataFrame) -> DataFrame:
     A small parquet table arrives as 1-2 input splits; every downstream
     explode/hash then runs on one core.  At 100 TB the input already has
     thousands of splits and this is a no-op; locally it unlocks the other
-    31 cores for one cheap round-robin shuffle of the raw rows.
+    cores for one cheap round-robin shuffle of the raw rows.
+
+    The target is SCALE-ADAPTIVE (r15, guide §2): never more than one
+    task per ``SPARK_GRAFT_SPREAD_CHUNK_KB`` (default 64 KiB) of
+    compressed input — blasting a sub-MB corpus across every core buys
+    no wall time (the per-task fixed cost exceeds the per-task work) and
+    multiplies executor task seconds ~10× (measured r15: the clf gram
+    aggregation at 64 tasks ran 30 task-s / 2.6 s wall vs 5.3 task-s /
+    1.6 s wall at 16 tasks).  In production the chunk only bounds the
+    FLOOR — real inputs exceed defaultParallelism×chunk immediately and
+    the cap stays the core count, same as before.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -60,6 +70,9 @@ def _spread(df: DataFrame) -> DataFrame:
         except OSError:
             pass
     n_splits = max(len(files), -(-total // max_bytes)) if files else 1
+    if files:
+        chunk = int(os.environ.get("SPARK_GRAFT_SPREAD_CHUNK_KB", "64")) << 10
+        target = max(1, min(target, -(-total // max(chunk, 1))))
     if n_splits < target:
         return df.repartition(target)
     return df
@@ -88,11 +101,15 @@ def _shingles(
 ) -> DataFrame:
     """(id, shingle) pairs of word n-grams.
 
-    Shingling uses the ML ``NGram`` transformer — compiled Scala, ~10×
-    faster than the equivalent Catalyst higher-order functions
-    (transform/slice/array_join), which evaluate INTERPRETED per array
-    element outside whole-stage codegen.  Output strings are identical
-    (space-joined n-grams, no partials).
+    Shingling uses the native ``word_ngrams`` expressions
+    (transform/element_at/concat_ws, r15) — identical space-joined
+    n-gram strings to the ML ``NGram`` transformer it replaces, but
+    ~30% cheaper (0.70 vs 0.98 task-s on the sf0.1 bigram stream) and,
+    being a plain deterministic codegen expression rather than a Scala
+    UDF, immune to the optimizer's UDF re-evaluation under pushed
+    explode filters (the NGram plan evaluated the transform up to 3×
+    per row: twice in the pushed size/null filter, once in the
+    projection — guide §4.4).
 
     ``distinct=False`` skips the set-semantics shuffle — correct whenever
     the consumer is duplicate-insensitive (min over a multiset == min
@@ -100,12 +117,10 @@ def _shingles(
     ``outer=True`` keeps docs shorter than *n* tokens as one NULL-shingle
     row (consumers that must report every doc).
     """
-    from pyspark.ml.feature import NGram
+    from spark_sql_on_hbase_spark.functions.text import word_ngrams
 
-    # NULL text → NULL token array, which NGram's transform UDF NPEs on
-    # (Seq.iterator on null); coalesce to an empty array so a NULL doc
-    # degrades to zero shingles (one NULL row under outer=True) exactly
-    # like the old null-safe HOF shingler did
+    # NULL text → NULL token array; coalesce to an empty array so a NULL
+    # doc degrades to zero shingles (one NULL row under outer=True)
     toks = docs.select(
         F.col(id_col),
         F.coalesce(
@@ -113,11 +128,7 @@ def _shingles(
         ).alias("_toks"),
     )
     exploder = F.explode_outer if outer else F.explode
-    sh = (
-        NGram(n=n, inputCol="_toks", outputCol="_sh")
-        .transform(toks)
-        .select(id_col, exploder("_sh").alias("s"))
-    )
+    sh = toks.select(id_col, exploder(word_ngrams(F.col("_toks"), n)).alias("s"))
     return sh.distinct() if distinct else sh
 
 

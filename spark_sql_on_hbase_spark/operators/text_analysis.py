@@ -540,19 +540,22 @@ def strip_spans(
     (id, clean_text, n_removed) for EVERY input doc (0 removed when no
     span touches it).
 
-    Scale shape: spans explode to one (doc_id, pos) row per flagged
-    token (bounded by the flagged fraction of the corpus, not doc
-    count²); removal is a LEFT ANTI equi-join on (doc_id, pos) — never
-    a per-doc nested loop; reassembly sorts each doc's surviving tokens
-    inside one hash-aggregated ``array_sort(collect_list(...))``, so
-    the only shuffles are the anti-join's and the per-doc regroup's.
-    The regroup is per-document bounded: one document is one aggregation
-    group, so a pathological 100M-token document becomes one task/one
-    row.  ``max_tokens`` makes that bound explicit (r7 verdict #7): when
-    set, a document longer than the bound fails the scan with a clear
-    error (codegen ``assert_true`` — no extra pass) instead of silently
-    becoming a straggler.  Pick it at the row size you can afford to
-    materialize (tokens × avg token width ≤ a few hundred MB/task).
+    Scale shape (r15, guide §8: move decisions, not payloads): the
+    corpus's token stream never explodes and never shuffles — spans are
+    reduced to ONE metadata row per touched document (its interval
+    list), joined to the docs at document granularity (AQE broadcasts
+    the span side when it fits; worst case the corpus shuffles ONCE at
+    doc grain instead of twice at token grain as before r15), and each
+    document is cleaned in place by a codegen ``filter`` over its token
+    array testing interval membership (per-token cost = #spans touching
+    the doc, which ``duplicated_spans``'s maximal runs keep small).
+    One document stays one row throughout — a pathological 100M-token
+    document is one task's row, exactly as before.  ``max_tokens``
+    makes that bound explicit (r7 verdict #7): when set, a document
+    longer than the bound fails the scan with a clear error (codegen
+    ``assert_true`` — no extra pass) instead of silently becoming a
+    straggler.  Pick it at the row size you can afford to materialize
+    (tokens × avg token width ≤ a few hundred MB/task).
     """
     from spark_sql_on_hbase_spark.operators.dedup import _spread
 
@@ -576,30 +579,33 @@ def strip_spans(
         toks = toks.select(
             "doc_id", F.when(guard.isNull(), F.col("_toks")).alias("_toks")
         )
-    pos_tok = toks.select(
-        "doc_id", F.posexplode_outer("_toks").alias("idx", "tok")
-    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "tok")
-    flagged = spans.select(
+    # one metadata row per touched doc: its list of [start, end] spans
+    # (overlapping/duplicate spans are fine — membership is an exists(),
+    # and the removed count is n_tokens − n_kept, both overlap-blind
+    # exactly like the old distinct-position formulation)
+    span_sets = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_end").cast("long").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    joined = toks.join(span_sets, "doc_id", "left")
+    sp = F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    kept = F.filter(
+        F.col("_toks"),
+        # coalesce(..., false): a NULL span bound flags nothing, matching
+        # the old sequence()-explode behavior (explode(NULL) → no rows)
+        lambda tok, i: ~F.exists(
+            sp,
+            lambda r: F.coalesce((r.s <= i + 1) & (i + 1 <= r.e), F.lit(False)),
+        ),
+    )
+    return joined.select(
         "doc_id",
-        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
-    ).distinct()
-    marked = pos_tok.join(flagged.withColumn("_rm", F.lit(1)), ["doc_id", "pos"], "left")
-    # collect_list skips the NULLs the un-otherwise'd when() leaves for
-    # removed tokens, so one pass yields both the surviving text and the
-    # removed count (a LEFT ANTI join would lose the rows needed to
-    # count removals, and max(kept pos) undercounts when a doc's TAIL
-    # was stripped)
-    return marked.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("_rm").isNull(), F.struct("pos", "tok")))
-                ),
-                lambda x: x.tok,
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("_rm").cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
 
 

@@ -57,6 +57,16 @@ def local_shuffle_confs(scratch_root: str = "/dev/shm") -> dict[str, str]:
         # workload-tuned anyway; partition counts there are thousands
         # either way.)
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        # persisted intra-query intermediates (text_ops' shared span
+        # frame, perplexity's bigram-count frame) otherwise pin their
+        # pre-AQE shuffle partitioning: InMemoryRelation compiles with
+        # AQE disabled by default, so a KB-scale cached frame is stored
+        # AND re-read as shuffle.partitions tasks, paying full-width
+        # fixed task cost per consumer (r15: 3 consumer stages × 32
+        # tasks on a 3 MB cached frame).  Letting AQE re-partition the
+        # cached plan output applies the same size-based coalescing to
+        # cached frames as to every other exchange.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         # N concurrent Python workers × multi-threaded BLAS oversubscribes
         # the box and swings measured task time 2-4× run-to-run on
         # numpy-heavy stages (found by the r10 scaling soak, where the
