@@ -103,25 +103,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (min hash, distinct shingle count, full-text hash).  The min-hash is
     the 1-permutation bottom sketch — winnowing's streaming cousin with
     the same containment property."""
-    from pyspark.ml.feature import NGram
+    from spark_sql_on_hbase_spark.functions.text import word_ngrams
 
-    # NGram (compiled Scala) over interpreted HOF shingling — see
-    # operators/dedup._shingles for the benchmark rationale
+    # r15: hash the full text ONCE per document BEFORE shingling — the
+    # old plan carried the text column through the explode and evaluated
+    # hash60(text) on every shingle row inside first() (n_tokens × md5
+    # of the whole document); the 8-byte hash rides the explode instead.
+    # Native word_ngrams shingling (see dedup._shingles), and the
+    # distinct count pre-aggregates to (doc, hash) pairs so the single
+    # countDistinct doesn't Expand the shingle stream (guide §2.3).
     toks = docs.select(
-        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks"), F.col(text_col)
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("_toks"),
+        hash60(F.col(text_col)).alias("_th"),
     )
-    sh = (
-        NGram(n=shingle_n, inputCol="_toks", outputCol="_sh")
-        .transform(toks)
-        .select(F.col(id_col), F.explode("_sh").alias("s"), F.col(text_col))
-        .select(F.col(id_col), hash60(F.col("s")).alias("h"), F.col(text_col))
-    )
+    sh = toks.select(
+        F.col(id_col), F.explode(word_ngrams(F.col("_toks"), shingle_n)).alias("s"), F.col("_th")
+    ).select(F.col(id_col), hash60(F.col("s")).alias("h"), F.col("_th"))
+    dist = sh.groupBy(id_col, "_th", "h").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        sh.groupBy(id_col)
+        dist.groupBy(id_col, "_th")
         .agg(
             F.min("h").alias("min_shingle_hash"),
-            F.countDistinct("h").alias("n_shingles"),
-            F.first(hash60(F.col(text_col))).alias("text_hash"),
+            F.count("h").alias("n_shingles"),
+        )
+        .select(
+            id_col,
+            "min_shingle_hash",
+            "n_shingles",
+            F.col("_th").alias("text_hash"),
         )
     )
 
@@ -159,19 +169,33 @@ def repetition_signals(
 
     All ratios are 1e-6 fixed-point floors (cross-engine exact).
     """
-    from spark_sql_on_hbase_spark.operators.dedup import _shingles, _spread
+    from spark_sql_on_hbase_spark.functions.text import word_ngrams
+    from spark_sql_on_hbase_spark.operators.dedup import _spread
 
-    # _spread: parallelize the tokenize/explode map stage when the scan
-    # arrives as 1-2 splits (no-op at real scale); bigrams via the
-    # compiled NGram shingler (HOF shingling is interpreted per element)
-    wide = _spread(docs)
-    toks = whitespace_tokens(F.col(text_col))
-    grams = wide.select(
-        F.col(id_col), F.lit("u").alias("tag"), F.explode_outer(toks).alias("gram")
-    ).unionAll(
-        _shingles(wide, text_col, id_col, 2, distinct=False, outer=True).select(
-            F.col(id_col), F.lit("b").alias("tag"), F.col("s").alias("gram")
-        )
+    # ONE corpus pass (r15): the tagged unigram and bigram streams come
+    # from one explode of a concatenated (tag, gram) struct array
+    # instead of a two-subtree union that re-scanned and re-tokenized
+    # the corpus.  A gram-less doc degrades to a single all-NULL row via
+    # explode_outer — the per-tag conditional aggregates below produce
+    # the same coalesced zeros as the old per-branch NULL rows (checked
+    # case-by-case: NULL text, empty text, single-token docs).
+    toked = _spread(docs).select(
+        F.col(id_col),
+        F.coalesce(
+            whitespace_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
+    tagged = F.concat(
+        F.transform(
+            F.col("_toks"), lambda t: F.struct(F.lit("u").alias("tag"), t.alias("gram"))
+        ),
+        F.transform(
+            word_ngrams(F.col("_toks"), 2),
+            lambda b: F.struct(F.lit("b").alias("tag"), b.alias("gram")),
+        ),
+    )
+    grams = toked.select(id_col, F.explode_outer(tagged).alias("_tg")).select(
+        id_col, F.col("_tg.tag").alias("tag"), F.col("_tg.gram").alias("gram")
     )
     counts = (
         grams.select(id_col, "tag", hash60(F.col("gram")).alias("gh"))
@@ -456,8 +480,8 @@ def duplicated_spans(
     Returns one row per span: ``(doc_id, span_start, span_end,
     span_tokens)`` with 1-based inclusive token positions.
 
-    Scale shape: k-grams come from the compiled ML ``NGram`` shingler
-    (HOF slice/transform evaluates interpreted — see ``_shingles``),
+    Scale shape: k-grams come from the native ``word_ngrams`` shingler
+    (transform/element_at codegen — see ``_shingles``, r15),
     posexploded map-side with their position and immediately reduced to
     the 60-bit ``hash60`` key, so the shuffle/broadcast carries 8-byte
     hashes, never gram text (~6× fewer exchange bytes at k=8).  The
@@ -472,23 +496,32 @@ def duplicated_spans(
     The islands window partitions by ``doc_id``, so its sort is bounded
     by a single document's duplicated-window count.
     """
-    from pyspark.ml.feature import NGram
     from pyspark.sql import Window
 
+    from spark_sql_on_hbase_spark.functions.text import word_ngrams
     from spark_sql_on_hbase_spark.operators.dedup import _spread
 
     toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         null_safe_tokens(F.col(text_col)).alias("_toks"),
     )
-    grams = (
-        NGram(n=k, inputCol="_toks", outputCol="_g")
-        .transform(toks)
-        .select("doc_id", F.posexplode("_g").alias("idx", "gram"))
-        .select("doc_id", (F.col("idx") + 1).alias("pos"), hash60(F.col("gram")).alias("gh"))
+    # native word_ngrams + posexplode (r15): identical k-gram strings
+    # and positions to the old ML NGram path, minus the Scala UDF that
+    # the optimizer re-evaluated under the pushed explode filter
+    grams = toks.select(
+        "doc_id", F.posexplode(word_ngrams(F.col("_toks"), k)).alias("idx", "gram")
+    ).select(
+        "doc_id", (F.col("idx") + 1).alias("pos"), hash60(F.col("gram")).alias("gh")
     )
-    agg = grams.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("occ")
+    # two-level aggregation (r15, guide §2.3): countDistinct(doc_id)
+    # alongside count(*) made Catalyst Expand the gram stream ×2 before
+    # the exchange; pre-aggregating to (gh, doc) pairs ships each pair
+    # once and both corpus counts reduce the pair frame exactly
+    per_docgram = grams.groupBy("gh", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ_d")
+    )
+    agg = per_docgram.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("occ_d").alias("occ")
     )
     cond = F.col("nd") >= min_docs
     if self_repeats:
