@@ -40,14 +40,16 @@ def _spread(df: DataFrame) -> DataFrame:
     cores for one cheap round-robin shuffle of the raw rows.
 
     The target is SCALE-ADAPTIVE (r15, guide §2): never more than one
-    task per ``SPARK_GRAFT_SPREAD_CHUNK_KB`` (default 64 KiB) of
+    task per ``SPARK_GRAFT_SPREAD_CHUNK_KB`` (default 256 KiB) of
     compressed input — blasting a sub-MB corpus across every core buys
     no wall time (the per-task fixed cost exceeds the per-task work) and
     multiplies executor task seconds ~10× (measured r15: the clf gram
     aggregation at 64 tasks ran 30 task-s / 2.6 s wall vs 5.3 task-s /
-    1.6 s wall at 16 tasks).  In production the chunk only bounds the
-    FLOOR — real inputs exceed defaultParallelism×chunk immediately and
-    the cap stays the core count, same as before.
+    1.6 s wall at 16 tasks; the 64→256 KiB sweep cut text_ops_suite
+    15.4 vs 27.6 task-s and dedup_minhash 0.63 vs 1.18 at flat wall).
+    In production the chunk only bounds the FLOOR — real inputs exceed
+    defaultParallelism×chunk immediately and the cap stays the core
+    count, same as before.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -71,7 +73,7 @@ def _spread(df: DataFrame) -> DataFrame:
             pass
     n_splits = max(len(files), -(-total // max_bytes)) if files else 1
     if files:
-        chunk = int(os.environ.get("SPARK_GRAFT_SPREAD_CHUNK_KB", "64")) << 10
+        chunk = int(os.environ.get("SPARK_GRAFT_SPREAD_CHUNK_KB", "256")) << 10
         target = max(1, min(target, -(-total // max(chunk, 1))))
     if n_splits < target:
         return df.repartition(target)
