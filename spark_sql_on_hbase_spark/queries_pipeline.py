@@ -3071,19 +3071,23 @@ def _text_ops_branches(spark: SparkSession, sf: str) -> dict:
     # here; instead each call releases the PREVIOUS call's frame, capping
     # the session-lifetime cache at one small frame per SparkSession
     # (ADVICE r8: callers without a clearCache() discipline leaked one
-    # frame per call; ADVICE r9: the cache is keyed per session and the
-    # new frame materializes BEFORE the old one is released, so only a
-    # union held lazy ACROSS two suite calls on the same session ever
-    # recomputes unpersisted — the returned frame is only guaranteed
-    # cached until the next suite call on that session)
-    spans_df = duplicated_spans(docs, k=8, min_docs=2).persist()
-    spans_df.count()
+    # frame per call).  The release must happen BEFORE the new persist
+    # (r15): CacheManager uncaches by PLAN EQUALITY, not object identity,
+    # and the previous call's frame has the identical plan — releasing it
+    # after the new persist evicted the new entry too, so every suite
+    # call past the first recomputed the span extraction once per
+    # consuming branch (measured: dupspans 0.0→3.4, spanstrip +3.3
+    # task-s in bench attribution, which runs after the timed calls).
+    # A union held lazy across two suite calls recomputes unpersisted —
+    # same contract as before, now stated honestly.
     prev = _TOS_SPANS_CACHE.pop(spark, None)
     if prev is not None:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass
+    spans_df = duplicated_spans(docs, k=8, min_docs=2).persist()
+    spans_df.count()
     _TOS_SPANS_CACHE[spark] = spans_df
     spans = _probe_agg(
         "dupspans",

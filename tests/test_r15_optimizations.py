@@ -227,3 +227,37 @@ def test_progressive_codec_fast_path_roundtrip():
         prog = decode_jpeg(encode_jpeg_progressive(img))
         assert base is not None and prog is not None
         assert (base["pixels"] == prog["pixels"]).all()
+
+
+def test_text_ops_span_cache_survives_repeat_calls(spark):
+    """The shared span frame must still be SERVED FROM CACHE on the
+    second and later suite calls in one session: CacheManager uncaches
+    by plan equality, so releasing the previous call's (plan-identical)
+    frame after persisting the new one evicted the new entry too, and
+    every bench call past the first recomputed the extraction once per
+    consuming branch (r15 fix: release prev BEFORE persist)."""
+    from spark_sql_on_hbase_spark.queries_pipeline import (
+        _TOS_SPANS_CACHE,
+        _text_ops_branches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    try:
+        for _call in (1, 2):
+            branches = _text_ops_branches(spark, sf)
+            spans = branches["dupspans"]
+            plan = spans._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, (
+                f"call {_call}: span frame not cached\n{plan[:500]}"
+            )
+            # and the OTHER consumer reads the same cache
+            strip_plan = (
+                branches["spanstrip"]._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "InMemoryTableScan" in strip_plan, f"call {_call}"
+    finally:
+        prev = _TOS_SPANS_CACHE.pop(spark, None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        spark.catalog.clearCache()
