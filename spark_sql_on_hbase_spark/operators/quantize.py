@@ -54,11 +54,22 @@ def scalar_quantize(
     v = F.col(vec_col)
     mn = F.array_min(v).cast("double")
     span = (F.array_max(v).cast("double") - mn) / F.lit(255.0)
+    # (min, span) ride in as a zip_with ARGUMENT, not lambda captures
+    # (r15): a lambda body referencing array_min/array_max re-evaluates
+    # them per ELEMENT — O(d²)/row once projection collapse inlines the
+    # aliases — which measured 0.2-0.8 task-s on a 2k-row × 64-d frame.
+    # An argument expression is evaluated once per row; the repeated
+    # struct is O(d) pointers.  The per-element arithmetic is the same
+    # expression tree, so codes are bit-identical.
+    consts = F.array_repeat(F.struct(mn.alias("mn"), span.alias("sp")), F.size(v))
     code = F.when(
         span > 0,
-        F.transform(
+        F.zip_with(
             v,
-            lambda x: F.floor((x.cast("double") - mn) / span + F.lit(0.5)).cast("smallint"),
+            consts,
+            lambda x, k: F.floor(
+                (x.cast("double") - k["mn"]) / k["sp"] + F.lit(0.5)
+            ).cast("smallint"),
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("smallint")))
     return (
@@ -73,12 +84,24 @@ def dequantize(
     code_col: str = "qcode",
     out_col: str = "embedding_hat",
 ) -> DataFrame:
-    """Reconstruct ``x̂_i = min + c_i * span`` as ``array<double>``."""
+    """Reconstruct ``x̂_i = min + c_i * span`` as ``array<double>``.
+
+    Same zip_with-argument shape as ``scalar_quantize`` (r15): when the
+    min/span columns collapse back into their array_min/array_max
+    definitions (every composed quantize→dequantize pipeline), a lambda
+    capture would re-evaluate them per element.  ``F.size`` does
+    re-evaluate the (collapsed) code expression once more per row — an
+    extra O(d), accepted to keep the lambda O(1) per element."""
     mn = F.col(f"{code_col}_min")
     span = F.col(f"{code_col}_span")
+    consts = F.array_repeat(
+        F.struct(mn.alias("mn"), span.alias("sp")), F.size(F.col(code_col))
+    )
     return qvecs.withColumn(
         out_col,
-        F.transform(F.col(code_col), lambda c: mn + c.cast("double") * span),
+        F.zip_with(
+            F.col(code_col), consts, lambda c, k: k["mn"] + c.cast("double") * k["sp"]
+        ),
     )
 
 

@@ -261,3 +261,40 @@ def test_text_ops_span_cache_survives_repeat_calls(spark):
         if prev is not None:
             prev.unpersist(blocking=False)
         spark.catalog.clearCache()
+
+
+def test_quantize_zipwith_shape_edge_parity(spark):
+    """The zip_with/array_repeat rewrite (per-row min/span evaluated in
+    ARGUMENT position instead of per-element lambda captures) must keep
+    the exact pre-rewrite semantics on the edges the property tests skip:
+    NULL vectors, empty vectors, and constant vectors."""
+    import math
+
+    from spark_sql_on_hbase_spark.operators.quantize import (
+        dequantize,
+        scalar_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [5.0, 5.0]),  # constant -> all-zero codes, span 0
+            (3, []),  # empty -> empty codes
+            (4, None),  # NULL -> NULL codes, NULL hat
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in dequantize(scalar_quantize(df), out_col="hat").collect()
+    }
+    # reference arithmetic: floor((x - mn)/span + 0.5); mn + c*span
+    mn, span = 1.0, (3.0 - 1.0) / 255.0
+    assert rows[1].qcode == [
+        int(math.floor((x - mn) / span + 0.5)) for x in [1.0, 2.0, 3.0]
+    ]
+    assert rows[1].hat == [mn + c * span for c in rows[1].qcode]
+    assert rows[2].qcode == [0, 0] and rows[2].qcode_span == 0.0
+    assert rows[2].hat == [5.0, 5.0]
+    assert rows[3].qcode == [] and rows[3].hat == []
+    assert rows[4].qcode is None and rows[4].hat is None
