@@ -708,9 +708,17 @@ def ivf_centroids(
         norm = F.sqrt(
             F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
         )
+        # norm rides in as a zip_with ARGUMENT (r15): a lambda capture
+        # re-evaluates the O(d) norm aggregate per ELEMENT (O(d²)/row —
+        # same hazard class as operators/quantize.py); the argument form
+        # evaluates it once per row and divides by the identical double
         feat = vecs.filter(norm > 0).select(
             array_to_vector(
-                F.transform(v, lambda x: x.cast("double") / norm)
+                F.zip_with(
+                    v,
+                    F.array_repeat(norm, F.size(v)),
+                    lambda x, nrm: x.cast("double") / nrm,
+                )
             ).alias("features")
         )
         model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
