@@ -112,8 +112,23 @@ def _refresh_one(rel, now: float) -> bool:
             )
         except Exception:
             alive = False
+    # r15: tolerate ONE idle observation before letting the lease lapse.
+    # AQE executes a single query as SEVERAL consecutive driver-paced
+    # jobs; a tick landing in the gap between two of them used to drop
+    # the entry permanently (nothing re-tracks until the next plan), so
+    # the lease could expire with the query still running — the exact
+    # hazard the refresher exists to close.  One grace tick keeps the
+    # lease unexpired across such a gap (ticks are 0.35×TTL apart, so a
+    # skipped refresh alone cannot lapse it); two CONSECUTIVE idle
+    # observations (≥0.35×TTL apart) mean the context is genuinely idle
+    # and the lease lapses on schedule, one tick later than before.
     if not alive:
-        return False  # idle past one TTL — let the lease lapse
+        idle = getattr(rel, "_lease_idle_ticks", 0) + 1
+        rel._lease_idle_ticks = idle
+        if idle >= 2:
+            return False  # idle past one TTL — let the lease lapse
+    else:
+        rel._lease_idle_ticks = 0
     try:
         register(rel.catalog.data_dir(rel.meta), rel._lease_id, paths, ttl)
     except Exception:

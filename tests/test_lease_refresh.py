@@ -25,7 +25,14 @@ def test_query_outliving_ttl_still_defers_reclaim(spark, tmp_path, monkeypatch):
     """THE acceptance scenario: TTL ≪ query duration; a concurrent
     fold's reclaim mid-query must defer until the query finishes, and
     the reclaim completes after expiry."""
-    monkeypatch.setattr(AstroRelation, "LEASE_TTL_SEC", 0.8)
+    # 4 s: still ≪ the 20 s query, but the plan→first-job window (one
+    # TTL, leases.py) must cover Catalyst planning the slow_df.count()
+    # action — at 0.8 s the refresher's idle ticks landed in that gap on
+    # a loaded host (planning took >1.1 s before the first job existed),
+    # the entry was dropped BEFORE the query's first job started, and
+    # the lease lapsed mid-query.  Production default is 900 s; the TTL
+    # only needs to dwarf driver planning latency, which 4 s does.
+    monkeypatch.setattr(AstroRelation, "LEASE_TTL_SEC", 4.0)
     wh = str(tmp_path / "lrq_wh")
     a = AstroSession(spark, wh)
     a.sql(
@@ -38,13 +45,24 @@ def test_query_outliving_ttl_still_defers_reclaim(spark, tmp_path, monkeypatch):
 
     reader = AstroSession(spark, wh).relation("lq")
     df, _res = reader.scan_where("v >= 0")
-    # ~6 s of execution: each task sleeps well past several TTLs
+    # ONE task sleeps 20 s (the fragment holding v==0); the other three
+    # finish instantly.  This is what makes the scenario real on the
+    # conftest's FIFO local[4]: when every task slept (the pre-r15
+    # form), the slow query occupied ALL four slots and the DELETE's
+    # jobs queued behind it — the rewrite could only ever commit AFTER
+    # the query finished, so the defer assertion held or flaked purely
+    # on whether the reclaim landed within one TTL of the refresher's
+    # last active-jobs tick (observed: DELETE 7.4 s vs 6 s sleeps on a
+    # loaded host → reclaim ran late → flake).  With three slots free
+    # the DELETE genuinely commits MID-QUERY while the reader's job is
+    # still active, which is the scenario the test names.
     import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("int")
     def slow(v: pd.Series) -> pd.Series:
-        time.sleep(6.0)
+        if (v == 0).any():
+            time.sleep(20.0)
         return v
 
     # filter THROUGH the slow kernel so Catalyst can't prune it away
@@ -56,12 +74,19 @@ def test_query_outliving_ttl_still_defers_reclaim(spark, tmp_path, monkeypatch):
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    time.sleep(1.5)  # well past the original 0.8 s expiry
+    time.sleep(1.5)  # head start for the slow query's job to submit
     assert t.is_alive(), "slow query should still be running"
     # concurrent fold: purge DELETE rewrites every region; its
     # post-commit reclaim must DEFER the leased source fragments
     writer = AstroSession(spark, wh)
     writer.sql("DELETE FROM lq WHERE k % 2 = 0")
+    # precondition for the defer assertion: the reclaim above must have
+    # run MID-QUERY — if the host was so slow the query already ended,
+    # the test proves nothing either way and must say so explicitly
+    assert t.is_alive(), (
+        "calibration: DELETE outlived the 20 s slow query — raise the "
+        "slow() sleep for this host"
+    )
     m = AstroSession(spark, wh).catalog.get_table("lq")
     assert m.gc_pending, "reclaim must defer: lease refreshed mid-query"
     t.join(timeout=30)
@@ -135,8 +160,21 @@ def test_refresh_one_horizon_and_conditions():
     r = FakeRel()
     # within one TTL of the plan → refresh even with no active jobs
     assert leases._refresh_one(r, now=5.0) is True
-    # past the TTL, idle context → lapse
+    # past the TTL, idle context → ONE grace tick (an idle observation
+    # can be the gap between two AQE jobs of a still-running query),
+    # then lapse on the second consecutive idle observation
+    assert leases._refresh_one(r, now=20.0) is True
     assert leases._refresh_one(r, now=20.0) is False
+    # an alive observation resets the idle counter: idle → alive → idle
+    # must take another two idle ticks to lapse
+    r_gap = FakeRel()
+    assert leases._refresh_one(r_gap, now=20.0) is True  # idle #1
+    r_gap._lease_last_plan = 15.0  # re-planned → alive again
+    assert leases._refresh_one(r_gap, now=20.0) is True
+    assert r_gap._lease_idle_ticks == 0
+    r_gap._lease_last_plan = 0.0
+    assert leases._refresh_one(r_gap, now=20.0) is True  # idle #1 again
+    assert leases._refresh_one(r_gap, now=20.0) is False  # idle #2
     # past the refresh horizon → never refresh, even if jobs were active
     assert leases._refresh_one(r, now=200.0) is False
     # no registered paths → nothing to refresh
