@@ -2,20 +2,22 @@
 
 The FINAL stdout line is the compact parseable contract (≤ 1.9 KiB —
 the caller captures only a ~2 KiB tail):
-  {"metric": "...", "value": <SPIN-NORMALIZED task sec>, "unit":
-   "task_sec_norm", "wall_sec": <total wall sec>, "task_time_sec":
+  {"metric": "...", "value": <total wall sec>, "unit": "sec",
+   "task_norm_sec": <SPIN-NORMALIZED task sec>, "task_time_sec":
    <raw total task sec>, "spin_cur": ..., "spin_ref": 0.25,
    "q_unit": "task_sec(min-run)", "queries": {...}, "sf": 0.1,
    "plan_shapes": {...trimmed...}, "detail_file": "BENCH_DETAIL_rN.json"}
-PRIMARY number (r15, VERDICT r14 #4): "value" is total executor task
-seconds normalized to a fixed reference host speed (task_time_sec ×
-spin_ref/spin_cur, spin = 1e7-iteration python loop, ref 0.25 s = the
-r12 quiet-host measurement).  Raw wall misled r14 by +24% while task
-time was flat and the host spun 25-35% slower; normalized task seconds
-are the number the 2×-baseline regression gate should read.  Wall
-("wall_sec") and raw task seconds stay advisory.  Per-query values are
-EXECUTOR TASK seconds of each query's best run (r11, VERDICT r10 #5);
-per-query wall times live in the detail file.
+"value"/"unit" stay wall seconds for cross-round continuity of the
+driver artifact (every BENCH_r*.json records that pair).  The PRIMARY
+regression signal (r15, VERDICT r14 #4) is "task_norm_sec": total
+executor task seconds normalized to a fixed reference host speed
+(task_time_sec × spin_ref/spin_cur, spin = 1e7-iteration python loop,
+ref 0.25 s = the r12 quiet-host measurement).  Raw wall misled r14 by
++24% while task time was flat and the host spun 25-35% slower; the
+normalized number is what regression adjudication should read, and it
+is the detail file's headline.  Per-query values are EXECUTOR TASK
+seconds of each query's best run (r11, VERDICT r10 #5); per-query wall
+times live in the detail file.
 
 Full evidence (per-query stage/shuffle/task-time deltas, all plan
 shapes, host-noise calibration) goes to BENCH_DETAIL_r{N}.json beside
@@ -362,15 +364,20 @@ def main() -> None:
     # "value" stays the wall total for cross-round driver continuity;
     # per-query wall lives only in the detail file now (q_unit marks
     # the semantics; "timing" moved to the detail file for the bytes).
+    # r15: VERDICT r14 #4 wants the spin-normalized task seconds as the
+    # documented primary regression signal — it rides the line as
+    # "task_norm_sec" (and is the detail file's headline), but "value"/
+    # "unit" remain wall/sec: the driver's cross-round artifact expects
+    # that exact pair and every BENCH_r*.json before r15 recorded it.
     q_task = {}
     for k, v in timings.items():
         t = query_metrics.get(k, {}).get("task_time_sec")
         q_task[k] = round(t, 1) if (v > 0 and t is not None) else -1
     compact = {
-        "metric": "spin-norm task sec (primary; wall advisory)",
-        "value": norm["task_norm_sec"],
-        "unit": "task_sec_norm",
-        "wall_sec": round(total, 2),
+        "metric": "headline wall sec, noop sink; primary signal = task_norm_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "task_norm_sec": norm["task_norm_sec"],
         "task_time_sec": task_total,
         "spin_cur": norm["spin_cur"],
         "spin_ref": norm["spin_ref"],
