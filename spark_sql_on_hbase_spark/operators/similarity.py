@@ -1289,33 +1289,46 @@ def pq_encode(
         )
         w = len(r.centroid)
 
-    def _d2(sub_col, cent_vals):
-        lit_arr = F.array(*[F.lit(x) for x in cent_vals])
-        return F.aggregate(
-            F.zip_with(
-                sub_col,
-                lit_arr,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # The m·k_sub candidate expressions are built as SQL STRINGS and
+    # handed to ONE F.expr per subspace (r15, guide §5 — driver time is
+    # wall time): the previous per-centroid Column construction issued
+    # ~2,000 py4j round-trips (one per lit/operator), 2.6-3.2 s of
+    # driver wall per call, vs ~0 for the string form.  The parsed tree
+    # is node-for-node the one the Column API built — same
+    # aggregate/zip_with/cast structure, double literals emitted via
+    # repr() (shortest round-trip form; Spark's lexer parses it back to
+    # the bit-identical double — pinned by test_pq_encode_expr_parity
+    # on subnormal/−0.0/extreme values) — so codes and qerr are
+    # unchanged, as are the plan and the oracle hashes.
+    import math
+
+    def _dlit(x: float) -> str:
+        if math.isnan(x):
+            return "double('NaN')"
+        if math.isinf(x):
+            return "double('Infinity')" if x > 0 else "double('-Infinity')"
+        return repr(x) + "D"
 
     structs = []
     for s in sorted(by_sub):
-        sub_col = F.slice(F.col(vec_col), s * w + 1, w)
-        cands = [
-            F.struct(
-                _d2(sub_col, cv).alias("d2"),
-                F.lit(cid).cast("long").alias("cid"),
+        sub = f"slice({vec_col}, {s * w + 1}, {w})"
+        cands = []
+        for cid, cv in sorted(by_sub[s]):
+            arr = ", ".join(_dlit(x) for x in cv)
+            d2 = (
+                f"aggregate(zip_with({sub}, array({arr}), "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"0.0D, (acc, x) -> acc + x)"
             )
-            for cid, cv in sorted(by_sub[s])
-        ]
-        best = F.array_min(F.array(*cands))
-        fields = [F.lit(s).alias("sub_id"), best.getField("cid").alias("code")]
+            cands.append(f"struct({d2} AS d2, CAST({cid} AS BIGINT) AS cid)")
+        best = f"array_min(array({', '.join(cands)}))"
+        fields = [f"{s} AS sub_id", f"({best}).cid AS code"]
         if with_err:
-            fields.append(best.getField("d2").alias("qerr"))
-        structs.append(F.struct(*fields))
+            # duplicated text mirrors the Column form's duplicated tree
+            # (best.getField twice); codegen subexpression elimination
+            # collapses both the same way
+            fields.append(f"({best}).d2 AS qerr")
+        structs.append(F.expr(f"struct({', '.join(fields)})"))
     out_cols = [id_col, F.col("sc.sub_id").alias("sub_id"), F.col("sc.code").alias("code")]
     if with_err:
         out_cols.append(F.col("sc.qerr").alias("qerr"))

@@ -321,3 +321,82 @@ def test_pq_encode_empty_codebook_returns_typed_empty(spark, vecs):
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "sub_id", "code", "qerr",
     ]
+
+
+def test_pq_encode_expr_parity(spark):
+    """r15: pq_encode builds its candidate expressions as SQL strings
+    (one F.expr per subspace) instead of ~2,000 py4j Column calls —
+    this pins the two forms bit-identical (codes AND the qerr doubles,
+    compared by IEEE bit pattern) on a codebook of extreme doubles:
+    subnormals, -0.0, overflow-to-inf squares, repr-exponent forms."""
+    import struct as _struct
+
+    d, m, w, k_sub = 8, 2, 4, 3
+    stress = [
+        [5e-324, -0.0, 1e300, 0.1 + 0.2, -1.5e-5, 3.141592653589793, -42.0, 1e-308],
+        [2.0, -2.0, 1e-8, 123456789.123456789, 0.0, -5e-324, 7.5, -0.25],
+        [1e300, 1e300, -1e300, 0.5, 1.7976931348623157e308, -0.1, 0.3, 2.225073858507e-311],
+    ]
+    vec_rows = [(i, [float(x) for x in row]) for i, row in enumerate(stress)]
+    vecs_df = spark.createDataFrame(vec_rows, "vec_id long, embedding array<double>")
+    cb_rows = [
+        (s, cid, stress[cid][s * w : (s + 1) * w])
+        for s in range(m)
+        for cid in range(k_sub)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "sub_id int, centroid_id long, centroid array<double>"
+    )
+
+    # inline reference: the pre-r15 Column-API construction, verbatim
+    def _d2(sub_col, cent_vals):
+        lit_arr = F.array(*[F.lit(x) for x in cent_vals])
+        return F.aggregate(
+            F.zip_with(
+                sub_col,
+                lit_arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    by_sub = {}
+    for s, cid, cv in cb_rows:
+        by_sub.setdefault(s, []).append((cid, [float(x) for x in cv]))
+    structs = []
+    for s in sorted(by_sub):
+        sub_col = F.slice(F.col("embedding"), s * w + 1, w)
+        cands = [
+            F.struct(_d2(sub_col, cv).alias("d2"), F.lit(cid).cast("long").alias("cid"))
+            for cid, cv in sorted(by_sub[s])
+        ]
+        best = F.array_min(F.array(*cands))
+        structs.append(
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                best.getField("cid").alias("code"),
+                best.getField("d2").alias("qerr"),
+            )
+        )
+    ref = (
+        vecs_df.select(F.col("vec_id"), F.explode(F.array(*structs)).alias("sc"))
+        .select(
+            "vec_id",
+            F.col("sc.sub_id").alias("sub_id"),
+            F.col("sc.code").alias("code"),
+            F.col("sc.qerr").alias("qerr"),
+        )
+    )
+    new = pq_encode(vecs_df, cb, with_err=True)
+    assert new.schema == ref.schema
+
+    def key(r):
+        return (r.vec_id, r.sub_id)
+
+    got = sorted(new.collect(), key=key)
+    want = sorted(ref.collect(), key=key)
+    assert len(got) == len(want) == len(stress) * m
+    for g, r in zip(got, want):
+        assert (g.vec_id, g.sub_id, g.code) == (r.vec_id, r.sub_id, r.code)
+        assert _struct.pack("<d", g.qerr) == _struct.pack("<d", r.qerr), (g, r)
