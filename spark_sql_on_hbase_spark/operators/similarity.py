@@ -1318,7 +1318,7 @@ def pq_encode(
             d2 = (
                 f"aggregate(zip_with({sub}, array({arr}), "
                 f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-                f"0.0D, (acc, x) -> acc + x)"
+                f"0.0D, (x, y) -> x + y)"
             )
             cands.append(f"struct({d2} AS d2, CAST({cid} AS BIGINT) AS cid)")
         best = f"array_min(array({', '.join(cands)}))"
