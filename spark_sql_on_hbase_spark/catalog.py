@@ -963,6 +963,18 @@ class AstroCatalog:
                 ]
         refs: list = []
         written = 0
+        # stats reuse (r15 review): a ref whose manifest file name —
+        # generation hi + content hash — matches a previous pointer ref
+        # holds the identical live set, so its aggregated envelope/seq
+        # stats are identical by construction; copying them keeps the
+        # stats pass O(changed manifests) instead of re-walking every
+        # live fragment of every unchanged manifest on every commit
+        # (the commit-cost class manifest sharding exists to remove).
+        prev_by_file = {
+            r["file"]: r
+            for r in (meta.region_manifests or [])
+            if "file" in r and "seq_lo" in r
+        }
         if entries:
             os.makedirs(mdir, exist_ok=True)
         for e in entries:
@@ -997,7 +1009,13 @@ class AstroCatalog:
             # self-validating at plan time (manifest groups partition
             # seq space contiguously; an ambiguous fragment just walks
             # individually — soundness never depends on the mapping).
-            ref.update(_manifest_ref_stats(e["live"], meta))
+            pv = prev_by_file.get(fn)
+            if pv is not None:
+                ref.update(
+                    {k: pv[k] for k in ("seq_lo", "seq_hi", "env_lo", "env_hi") if k in pv}
+                )
+            else:
+                ref.update(_manifest_ref_stats(e["live"], meta))
             refs.append(ref)
         return refs, written
 

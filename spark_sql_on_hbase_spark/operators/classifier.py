@@ -34,6 +34,10 @@ from spark_sql_on_hbase_spark.functions.text import hash60, whitespace_tokens
 
 N_FEATURES = 1 << 18
 
+# at most one persisted per-doc bigram-count frame per SparkSession,
+# keyed by the session object (see ngram_logprob)
+_NGRAM_DCNT_CACHE: dict = {}
+
 
 def hashed_features(
     docs: DataFrame,
@@ -167,9 +171,24 @@ def ngram_logprob(
     )
     # w1h is functionally dependent on bgh (both hash the same bigram
     # text), so grouping by (id, bgh, w1h) equals grouping by (id, bgh)
+    # (r15 review) cap the session-lifetime cache at ONE frame: each
+    # call releases the PREVIOUS call's persisted d_cnt before
+    # persisting its own (release-before-persist, because the
+    # CacheManager uncaches by PLAN EQUALITY and back-to-back calls on
+    # the same corpus build identical plans — the _TOS_SPANS_CACHE
+    # lesson).  Without this, a long-lived session scoring N corpora
+    # pinned N frames in storage memory forever.
+    sess = docs.sparkSession
+    prev = _NGRAM_DCNT_CACHE.pop(sess, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
     d_cnt = bigrams.groupBy(id_col, "bgh", "w1h").agg(
         F.count(F.lit(1)).alias("cnt")
     ).persist()
+    _NGRAM_DCNT_CACHE[sess] = d_cnt
     c_bg = d_cnt.groupBy("bgh").agg(
         F.sum("cnt").alias("c2"), F.first("w1h").alias("w1h")
     )

@@ -1309,9 +1309,14 @@ def pq_encode(
             return "double('Infinity')" if x > 0 else "double('-Infinity')"
         return repr(x) + "D"
 
+    # the column name rides the generated SQL text, so quote it like
+    # the Column API would resolve it (r15 review): a reserved word
+    # ("order"), a space, or any non-identifier character otherwise
+    # breaks the parse — or silently resolves to a SQL function
+    vq = "`" + vec_col.replace("`", "``") + "`"
     structs = []
     for s in sorted(by_sub):
-        sub = f"slice({vec_col}, {s * w + 1}, {w})"
+        sub = f"slice({vq}, {s * w + 1}, {w})"
         cands = []
         for cid, cv in sorted(by_sub[s]):
             arr = ", ".join(_dlit(x) for x in cv)

@@ -1585,20 +1585,6 @@ class AstroSession:
             return None  # not a catalog table (user temp view etc.)
         if not rel.meta.index_info:
             return None
-        # ownership guard (r15 review): a user may have REPLACED the
-        # registered temp view (createOrReplaceTempView with the same
-        # name) — spark.sql would then read the user's view, so routing
-        # to the catalog table's index would silently diverge.  Route
-        # only when the currently-registered view provably reads this
-        # table's physical store (its input files live under the
-        # table's directory); anything else passes through untouched.
-        try:
-            vfiles = self.spark.table(tbl).inputFiles()
-        except Exception:
-            return None
-        marker = f"/{rel.meta.physical_table}/"
-        if not vfiles or not all(marker in f for f in vfiles):
-            return None
         cols = [c.strip() for c in m.group("cols").split(",")]
         declared = {n for n, _ in rel.meta.all_columns}
         if not all(c in declared for c in cols):
@@ -1608,6 +1594,23 @@ class AstroSession:
         except Exception:
             return None  # router must never break a passthrough SELECT
         if route is None:
+            return None
+        # ownership guard (r15 review): a user may have REPLACED the
+        # registered temp view (createOrReplaceTempView with the same
+        # name) — spark.sql would then read the user's view, so routing
+        # to the catalog table's index would silently diverge.  Route
+        # only when the currently-registered view provably reads this
+        # table's physical store (its input files live under the
+        # table's directory); anything else passes through untouched.
+        # Probed LAST (r15 review follow-up): inputFiles() is a full
+        # view resolution + file listing, so only statements that would
+        # otherwise route pay it — a declined SELECT declines for free.
+        try:
+            vfiles = self.spark.table(tbl).inputFiles()
+        except Exception:
+            return None
+        marker = f"/{rel.meta.physical_table}/"
+        if not vfiles or not all(marker in f for f in vfiles):
             return None
         df, res = route
         self.last_select_route = res

@@ -114,8 +114,15 @@ def stream_changes(
         # numbering — the stamp does.  Without this, a consumer either
         # silently stopped draining (last > cur) or, worse, diffed a
         # meaningless window once re-appends pushed cur past last.
+        # Checked only for last >= floor (r15 review): a sub-floor
+        # checkpoint's stamp is legitimately PRUNED by VACUUM's stamp
+        # retention, so the stamp mismatch there is retention, not a
+        # rebase — the floor error below carries the accurate
+        # remediation and must win.  (At/above the floor a stamp always
+        # survives: live/retired/pinned/trailing gens keep theirs and
+        # VACUUM explicitly re-inserts the floor generation's.)
         ckpt_stamp = _load_offset_stamp(checkpoint_path)
-        if last > 0 and ckpt_stamp is not None:
+        if last > 0 and last >= floor and ckpt_stamp is not None:
             cur_stamp = _gen_stamp(last)
             if cur_stamp is None or abs(cur_stamp - ckpt_stamp) > 1e-6:
                 raise ValueError(

@@ -146,6 +146,44 @@ def test_retire_rewrites_only_touched_manifest(tmp_path):
     assert got.retired_regions[0].retired_at == 101
 
 
+def test_unchanged_manifest_stats_not_recomputed(tmp_path, monkeypatch):
+    """r15 review: the ref-stats pass must be O(changed manifests), not
+    O(total live fragments) — an append commit reuses the previous
+    pointer's envelope/seq stats for every byte-identical manifest and
+    recomputes only the refs whose content moved."""
+    import spark_sql_on_hbase_spark.catalog as catmod
+
+    cat, meta = _mk(tmp_path, "stats", 10_000, n_gens=100)
+    n_refs = len(meta.region_manifests)
+    assert n_refs > 10  # meaningful reuse surface
+    calls = []
+    real = catmod._manifest_ref_stats
+
+    def counting(live, m):
+        calls.append(len(live))
+        return real(live, m)
+
+    monkeypatch.setattr(catmod, "_manifest_ref_stats", counting)
+    _append_commit(cat, meta)
+    # only the new generation's manifest (plus any hysteresis merge)
+    # computes stats; the 10k existing fragments are never re-walked
+    assert len(calls) <= 3, calls
+    assert sum(calls) < 1_000, calls
+    # reused refs still CARRY their stats and they match a fresh read
+    cat._cache.clear()
+    got = cat.get_table("stats")
+    with_stats = [r for r in got.region_manifests if "seq_lo" in r]
+    assert len(with_stats) == len(got.region_manifests)
+    # spot-check one reused ref's envelope against its manifest content
+    ref = got.region_manifests[0]
+    mdir = os.path.join(cat.root, "default", "stats.manifests")
+    with open(os.path.join(mdir, ref["file"])) as f:
+        body = json.load(f)
+    fresh = real([dict(d) for d in body["live"]], got)
+    assert fresh["env_lo"] == ref["env_lo"] and fresh["env_hi"] == ref["env_hi"]
+    assert fresh["seq_lo"] == ref["seq_lo"] and fresh["seq_hi"] == ref["seq_hi"]
+
+
 def test_gc_sweeps_stale_orphans_keeps_fresh(tmp_path):
     cat, meta = _mk(tmp_path, "gc", 1_000)
     mdir = cat._manifest_dir(meta)

@@ -400,3 +400,33 @@ def test_pq_encode_expr_parity(spark):
     for g, r in zip(got, want):
         assert (g.vec_id, g.sub_id, g.code) == (r.vec_id, r.sub_id, r.code)
         assert _struct.pack("<d", g.qerr) == _struct.pack("<d", r.qerr), (g, r)
+
+
+def test_pq_encode_quotes_nonidentifier_vec_col(spark):
+    """r15 review: the SQL-string rewrite must keep the Column API's
+    column-name contract — reserved words ("order") and names with
+    spaces encode identically to a plain-named copy of the same data
+    (the generated text backtick-quotes the identifier)."""
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    cb_rows = [
+        (s, cid, [float(cid + s), float(cid)])
+        for s in range(2)
+        for cid in range(2)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "sub_id int, centroid_id long, centroid array<double>"
+    )
+    plain = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted(
+        pq_encode(plain, cb, with_err=True).collect(),
+        key=lambda r: (r.vec_id, r.sub_id),
+    )
+    for name in ("order", "my vec"):
+        odd = spark.createDataFrame(rows, ["vec_id", name])
+        got = sorted(
+            pq_encode(odd, cb, vec_col=name, with_err=True).collect(),
+            key=lambda r: (r.vec_id, r.sub_id),
+        )
+        assert [(g.vec_id, g.sub_id, g.code, g.qerr) for g in got] == [
+            (w.vec_id, w.sub_id, w.code, w.qerr) for w in want
+        ], name

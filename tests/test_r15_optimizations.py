@@ -204,6 +204,39 @@ def test_ngram_logprob_weighted_sum_identity(spark):
     assert out[2].logprob_fp == lp["ab"] + lp["bc"]
 
 
+def test_ngram_logprob_caps_cache_at_one_frame(spark):
+    """r15 review: ngram_logprob persisted d_cnt and never released it
+    — one leaked cached frame per call in a long-lived session.  Each
+    call must release the previous call's frame (BEFORE persisting its
+    own, the plan-equality lesson) so the session-lifetime cache stays
+    at one frame, and results stay identical call-over-call."""
+    from spark_sql_on_hbase_spark.operators.classifier import (
+        _NGRAM_DCNT_CACHE,
+        ngram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    spark.catalog.clearCache()
+    try:
+        first = {r.doc_id: r.logprob_fp for r in ngram_logprob(docs).collect()}
+        jsm = spark._jsparkSession.sharedState().cacheManager()
+        assert not jsm.isEmpty()
+        for _ in range(3):
+            again = {r.doc_id: r.logprob_fp for r in ngram_logprob(docs).collect()}
+            assert again == first
+        # one live entry per session, not one per call
+        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_cached <= 1, n_cached
+        assert spark in _NGRAM_DCNT_CACHE
+    finally:
+        prev = _NGRAM_DCNT_CACHE.pop(spark, None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        spark.catalog.clearCache()
+
+
 def test_progressive_codec_fast_path_roundtrip():
     """All-zero-band fast paths: images mixing flat regions (all-zero
     bands), dense ACs, and tiny ACs that vanish under the point

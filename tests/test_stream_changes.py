@@ -244,3 +244,38 @@ def test_pre_r15_checkpoint_without_stamp_still_drains(astro, tmp_path):
     got = []
     stream_changes(rel, lambda df, lo, hi: got.append((lo, hi)), ckpt)
     assert got == [(0, 1)]
+
+
+def test_below_floor_stamped_checkpoint_gets_floor_error_not_rebase(
+    astro, tmp_path
+):
+    """r15 review: a STAMPED checkpoint that falls below the history
+    floor after VACUUM pruned its generation's stamp must get the floor
+    error (accurate remediation: snapshots reclaimed, RETAIN next time)
+    — not the rebase error, which misdiagnoses stamp retention as a
+    COMPACT/OVERWRITE and runs first without the floor condition."""
+    rel = _mk(astro, tmp_path, "rb3", retained=True)
+    astro.sql("INSERT INTO rb3 VALUES (500, 'x')")
+    astro.sql("INSERT INTO rb3 VALUES (501, 'y')")
+    ckpt = str(tmp_path / "rb3.json")
+    stream_changes(rel, lambda df, lo, hi: None, ckpt, batch_generations=1)
+    import json as _json
+
+    with open(ckpt) as f:
+        ck = _json.load(f)
+    assert ck["stamp"] is not None  # a stamped (post-r15) checkpoint
+    # rewind the checkpoint to gen 1, stamped with gen 1's REAL stamp
+    meta = astro.catalog.get_table("rb3")
+    with open(ckpt, "w") as f:
+        _json.dump({"last_seq": 1, "stamp": meta.generation_times["1"]}, f)
+    # the post-VACUUM state the scenario produces (reclaim raised the
+    # floor past gen 1 and stamp retention pruned gen 1's entry) —
+    # written through the catalog exactly as vacuum() records it
+    meta.history_floor = 2
+    meta.generation_times.pop("1", None)
+    astro.catalog.persist(meta)
+    with pytest.raises(ValueError) as ei:
+        stream_changes(astro.relation("rb3"), lambda df, lo, hi: None, ckpt)
+    msg = str(ei.value)
+    assert "history floor" in msg and "REBASED" not in msg
+    assert "RETAIN" in msg  # the accurate remediation
