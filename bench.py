@@ -369,6 +369,55 @@ def main() -> None:
     # "task_norm_sec" (and is the detail file's headline), but "value"/
     # "unit" remain wall/sec: the driver's cross-round artifact expects
     # that exact pair and every BENCH_r*.json before r15 recorded it.
+    line = _compact_line(
+        total=total,
+        norm=norm,
+        task_total=task_total,
+        timings=timings,
+        query_metrics=query_metrics,
+        sf=sf,
+        compact_shapes=compact_shapes,
+        detail_file=os.path.basename(detail_path),
+        spin_clamped=spin_clamped,
+        retry_info=retry_info,
+        scale_flags=scale_flags,
+        scale_unstable=scale_unstable,
+        branch_dmax=branch_dmax,
+        branch_reg=branch_reg,
+    )
+    print(line)
+
+
+# the caller captures only a ~2 KiB stdout tail; r4's enlarged single
+# line overflowed it and the round's official bench artifact recorded
+# nothing (VERDICT r4 #1)
+COMPACT_LINE_CAP = 1900
+
+
+def _compact_line(
+    total,
+    norm,
+    task_total,
+    timings,
+    query_metrics,
+    sf,
+    compact_shapes,
+    detail_file,
+    spin_clamped=False,
+    retry_info=None,
+    scale_flags=0,
+    scale_unstable=0,
+    branch_dmax=None,
+    branch_reg=None,
+) -> str:
+    """The FINAL stdout line — the driver's cross-round contract.  Pure
+    (no Spark) so tests/test_bench_contract.py can pin the invariants an
+    inherited commit once silently broke (r15: value/unit swapped to
+    task_sec_norm; restored in f9f4d13): "value" is total WALL seconds
+    with unit "sec" (every BENCH_r*.json records that pair), the
+    spin-normalized primary signal rides as "task_norm_sec", per-query
+    numbers are task seconds, and the whole line stays one JSON object
+    under COMPACT_LINE_CAP bytes."""
     q_task = {}
     for k, v in timings.items():
         t = query_metrics.get(k, {}).get("task_time_sec")
@@ -385,7 +434,7 @@ def main() -> None:
         "queries": q_task,
         "sf": sf,
         "plan_shapes": compact_shapes,
-        "detail_file": os.path.basename(detail_path),
+        "detail_file": detail_file,
     }
     if norm["norm_clamped"]:
         compact["norm_clamped"] = 1  # calibration outside trust band
@@ -416,7 +465,7 @@ def main() -> None:
     # overflow was a ~2.5 KiB line) — r9 raised to 1500 for the six
     # ANN/pushdown gate keys, r12 to 1800 for the bloom/index gates
     # (1500 silently dropped EVERY plan-shape gate from the line)
-    if len(line) > 1900:  # belt and braces: never overflow the capture
+    if len(line) > COMPACT_LINE_CAP:  # belt and braces: never overflow
         # shed in VALUE order, least-precious first: per-query numbers
         # live in the detail file verbatim, the plan-shape gates do NOT —
         # r12's fallback dropped plan_shapes first and silently lost
@@ -424,9 +473,9 @@ def main() -> None:
         for key in ("branch_flags", "branch_dmax", "queries", "plan_shapes"):
             compact.pop(key, None)
             line = json.dumps(compact, separators=(",", ":"))
-            if len(line) <= 1900:
+            if len(line) <= COMPACT_LINE_CAP:
                 break
-    print(line)
+    return line
 
 
 def _sweep(spark, qs, sf_dir, runs, budget_s):

@@ -34,6 +34,7 @@ def mode(request, monkeypatch):
 # -- auto-compaction ----------------------------------------------------------
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_trickle_appends_stay_bounded(spark, tmp_path):
     a = AstroSession(spark, str(tmp_path / "ac_wh"))
     a.sql(

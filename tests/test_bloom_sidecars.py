@@ -120,6 +120,7 @@ def test_point_lookup_hole_reads_zero_files(astro):
     assert len(res.files) == 0, [f.path for f in res.files]
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_every_present_key_found(astro):
     """No false negatives end-to-end: every key returns newest value."""
     rel = astro.relation("bl")

@@ -104,6 +104,7 @@ def test_drop_noop_filters_retained_overreport(astro, tmp_path):
     assert not [r for r in tight if r._change_type != "update"]
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_feed_equals_snapshot_diff_randomized(astro, tmp_path):
     """The contract, pinned (VERDICT r10 #1 'done' criterion): for every
     recorded generation pair, changes(a, b, drop_noop=True) equals the

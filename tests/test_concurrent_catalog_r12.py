@@ -121,6 +121,7 @@ def test_forced_conflict_retries_on_append(spark, tmp_path, mode, monkeypatch):
     assert c.sql("SELECT count(*) c FROM cc3 WHERE k <= 25").collect()[0].c == 0
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_streaming_sink_races_batch_update(spark, tmp_path, mode):
     """The verdict's named scenario: a streaming sink (micro-batch
     appends) interleaved with a batch UPDATE from a second session —

@@ -211,6 +211,7 @@ def test_index_compaction_preserves_generation_pairing(astro):
     check()  # post-compaction: per-generation rows survived the fold
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_index_auto_compaction_under_trickle_ingest(astro):
     """The in-situ trigger (relation.py _maintain_indexes 4× policy):
     enough single-row appends to trip the index auto-compact, with a

@@ -122,6 +122,7 @@ def test_crash_between_commit_and_gc_recovers(spark, tmp_path, fsmode, monkeypat
 @pytest.mark.parametrize(
     "seed,fsmode", [(7, "posix"), (19, "posix"), (43, "posix"), (31, "copy")]
 )
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_two_session_interleaving_fuzz(spark, tmp_path, seed, fsmode, monkeypatch):
     monkeypatch.setattr(fsops, "_mode", fsmode)
     rng = random.Random(seed)

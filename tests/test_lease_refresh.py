@@ -21,6 +21,7 @@ from spark_sql_on_hbase_spark.relation import AstroRelation
 from spark_sql_on_hbase_spark.session import AstroSession
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_query_outliving_ttl_still_defers_reclaim(spark, tmp_path, monkeypatch):
     """THE acceptance scenario: TTL ≪ query duration; a concurrent
     fold's reclaim mid-query must defer until the query finishes, and

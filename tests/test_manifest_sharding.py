@@ -73,6 +73,7 @@ def _append_commit(cat, meta):
     return cat.last_commit_bytes
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_append_commit_bytes_independent_of_fragment_count(tmp_path):
     """THE acceptance criterion: an append on a 100k-fragment table
     writes about the same bytes as on a 1k-fragment table."""
@@ -110,6 +111,7 @@ def test_unchanged_commit_reuses_every_manifest(tmp_path):
     assert cat.last_commit_bytes == ptr
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_steady_state_trickle_stays_o_delta(tmp_path):
     """80 consecutive appends: the TYPICAL commit writes only pointer +
     one tiny manifest; merges (hysteresis folds every ~fanout/4

@@ -80,6 +80,7 @@ def test_pruned_delete_rewrites_one_file_of_131(astro131):
     assert not astro131.relation("big").needs_merge()
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_upsert_compact_lifecycle_at_131(astro131):
     # upsert one key: append lands a 132nd fragment overlapping its region
     astro131.sql("INSERT INTO big VALUES (1311, 'updated', -1)")

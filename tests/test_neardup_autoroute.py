@@ -105,6 +105,7 @@ def test_small_corpus_never_probes_or_routes(spark):
     assert {(i, 1_000_000 + i) for i in range(N_TWINS)} <= got
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_route_never_is_a_superset_of_routed(clustered):
     with pytest.warns(RuntimeWarning):
         routed = S.neardup_pairs_lsh(clustered, threshold=0.9)

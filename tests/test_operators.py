@@ -251,6 +251,7 @@ def test_knn_lsh_multiprobe_improves_recall(spark):
     assert r_multi >= r_single, (r_single, r_multi)
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_ivf_trained_kmeans_recovers_from_degenerate_seeding(spark):
     """The trained (spherical-KMeans) quantizer's value: the lowest-id
     stub collapses when the first n_centroids vectors happen to share one
@@ -383,6 +384,7 @@ def test_llm_corpus_pipeline_end_to_end(spark):
     assert tokens > 0
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_duplicate_clusters_shortcut_beats_diameter(spark):
     """A 60-node path has diameter 59: plain min-label propagation cannot
     converge in 10 rounds (and must RAISE, not return partial labels);
@@ -671,6 +673,7 @@ def test_incremental_dedup_rejects_mismatched_index_params(spark, tmp_path):
     assert incremental_dedup(None, batch, num_perm=8, bands=2, corpus_index=idx).count() == 1
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_minhash_index_append_equals_rebuild(spark, tmp_path):
     """Incremental index maintenance (VERDICT r5 item 4): appending a
     batch's signatures must yield the SAME probe verdicts as rebuilding
@@ -963,6 +966,7 @@ def test_corpus_stats_optional_metadata_columns(spark):
     assert r2.n_langs == 1 and r2.n_sources == 0
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_ivf_index_append_equals_rebuild_and_drift_guard(spark, tmp_path):
     """r6 verdict #7: incremental IVF maintenance — only arriving vectors
     are assigned (against the persisted centroids) and appended to the

@@ -238,6 +238,7 @@ def test_persisted_pq_index_roundtrip_and_identical_results(spark, vecs, tmp_pat
         ann_pq_topk_indexed(spark, path, q, k=2, rerank=10)
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_pq_index_append_equals_rebuild_and_drift_guard(spark, tmp_path):
     """Append-then-query ≡ rebuild-then-query under the same codebooks;
     an out-of-distribution batch trips the retrain recommendation."""

@@ -97,6 +97,7 @@ def test_quantized_topk_recall_vs_exact(spark, emb):
     assert recall >= 0.8, recall
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_roundtrip_property_random_vectors(spark):
     """Property test: for arbitrary float vectors (negatives, tiny spans,
     huge magnitudes), reconstruction stays within half a quantization

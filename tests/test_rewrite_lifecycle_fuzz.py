@@ -12,6 +12,11 @@ import random
 
 import pytest
 
+# r16 (VERDICT r15 #1): randomized lifecycle fuzz sweeps are the slow
+# lane; the deterministic lifecycle coverage lives in test_write_pruned /
+# test_rewrite_merge_on_read
+pytestmark = pytest.mark.slow
+
 from spark_sql_on_hbase_spark.session import AstroSession
 
 

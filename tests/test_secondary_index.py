@@ -48,6 +48,7 @@ def test_create_index_and_lookup(astro):
     assert len(res.files) < len(rel.meta.regions), "index did not prune"
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_index_lookup_matches_full_scan_fuzz(astro):
     astro.sql("CREATE INDEX ON si (status)")
     rel = astro.relation("si")
@@ -230,6 +231,7 @@ def test_streaming_sink_maintains_index(astro, tmp_path):
     assert res.index_used == "status"
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_index_autocompacts_under_trickle(astro):
     """One index fragment per main append would grow without bound
     under trickle ingest; the maintenance hook compacts the index at

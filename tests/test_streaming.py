@@ -635,6 +635,7 @@ def test_astro_table_sink_stream_ingest(spark, tmp_path):
     assert len(astro.relation("sink_t").meta.regions) == n_before
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_astro_table_sink_auto_compaction(spark, tmp_path):
     """r6 verdict #6: continuous ingest must keep the fragment count
     bounded — the sink compacts inline when fragments exceed the

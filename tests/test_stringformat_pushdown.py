@@ -160,6 +160,7 @@ def test_mixed_key_and_nonkey_pushdown(astro):
     assert sorted(r.k for r in df.collect()) == [25]
 
 
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_fuzz_scan_where_equals_plain_filter(astro):
     """Soundness fuzz: for random predicates over key + non-key columns,
     the pruned + string-pushed scan must return EXACTLY the rows of a

@@ -195,6 +195,7 @@ def _ref_jaccard_pairs(texts: list[str], n: int, t: float):
     ),
     st.sampled_from([0.3, 0.5, 0.8, 1.0]),
 )
+@pytest.mark.slow  # r16 (VERDICT r15 #1): soak/fuzz sweep — --runslow lane
 def test_ngram_jaccard_prefix_filter_is_exact(spark, texts, threshold):
     """The AllPairs/PPJoin prefix filter (r6 rewrite) must lose NO
     qualifying pair and invent none — fuzzed against brute-force

@@ -59,7 +59,12 @@ def test_zorder_prunes_nonleading_dim(spark, astro):
     assert len(zk1.files) <= 8
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize(
+    "seed",
+    # r16: one seed stays in the default lane as zorder-soundness
+    # coverage; the rest of the sweep is the --runslow lane
+    [1] + [pytest.param(i, marks=pytest.mark.slow) for i in (2, 3, 4, 5)],
+)
 def test_zorder_scan_soundness_fuzz(spark, astro, seed):
     df = _mk(spark, n=5_000)
     zrel = _create(astro, f"tf{seed}", ", layout=zorder")
