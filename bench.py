@@ -481,9 +481,25 @@ def _compact_line(
 def _sweep(spark, qs, sf_dir, runs, budget_s):
     """One pass over HEADLINE: per-query best-of-``runs`` wall time and
     the best run's stage metrics.  Falls back to single runs once the
-    elapsed budget is spent."""
+    elapsed budget is spent.
+
+    r16 (VERDICT r15 #4/#6 root cause): each query gets ONE DISCARDED
+    warm-up execution before its timed runs.  The session-level warm-up
+    above compiles a trivial shuffle's codegen classes, but a 47-stage
+    suite brings ~47 fresh classes whose single-task stages take several
+    executions to clear the JIT's tiered-compilation thresholds —
+    measured on corpus_ops_suite: runs read 30.8 → 7.7 → 7.9 → 6.3 →
+    5.7 task-s with identical plans and zero GC, so a min-of-2 starting
+    cold charged the first-listed suites 2-4× their steady-state cost
+    (and the r15 scaling soak saw the same monotone ramp).  The warm-up
+    run is identical to a timed run (cold cache, full computation from
+    parquet — nothing it produces survives into the timed region, which
+    still calls clearCache() first); it is simply not recorded, the
+    same steady-state-executor argument the session warm-up documents.
+    SPARK_GRAFT_BENCH_WARMUP=0 restores the old cold-start methodology."""
     timings: dict[str, float] = {}
     query_metrics: dict[str, dict] = {}
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     sweep_t0 = time.time()
     for name in HEADLINE:
         fn = qs.get(name)
@@ -491,6 +507,12 @@ def _sweep(spark, qs, sf_dir, runs, budget_s):
             continue
         best, best_m = -1.0, None
         eff_runs = runs if (time.time() - sweep_t0) < budget_s else 1
+        if warm and (time.time() - sweep_t0) < 2 * budget_s:
+            spark.catalog.clearCache()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass  # the timed loop below reports the error
         for _r in range(eff_runs):
             # every run starts cold-cache: a query that persists an
             # intermediate (text_ops_suite's shared span frame) must not
